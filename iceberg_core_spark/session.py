@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are tuned so the SAME code runs on local[32] for tests and on a
+1000-executor cluster unchanged: AQE handles runtime re-planning (skew
+joins, partition coalescing), shuffle-partition counts come from config
+not code, and all I/O settings are expressed as sizes, not file counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for 100 TB readiness:
+# - AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+#   partition counts when data volume changes by 1000x.
+# - 128 MiB scan partitions: matches Parquet row-group targets so one task
+#   reads one row group; at 100 TB this yields ~800k tasks, which Spark's
+#   scheduler handles, and AQE coalesces downstream.
+# - broadcast threshold 64 MiB: dimension tables (region/nation/part/
+#   supplier at any SF that fits) broadcast instead of shuffling the fact.
+# - UTC session timezone: deterministic timestamp semantics everywhere.
+_SCALE_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "iceberg-core-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for this container; on a real cluster callers pass their own master /
+    rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_SCALE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table from an sf directory.
+
+    Handles TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``), which
+    Spark's reader rejects by default: reads them as raw nanos longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncates to
+    microsecond TimestampType — the same ns→µs truncation DuckDB applies,
+    so oracle comparisons see identical values.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    arrow_schema = pq.ParquetFile(path).schema_arrow
+    nanos_cols = [
+        f.name for f in arrow_schema
+        if str(f.type) == "timestamp[ns]"
+    ]
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df

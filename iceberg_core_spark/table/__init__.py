@@ -1,0 +1,12 @@
+"""Native Iceberg-style table layer on Parquet + JSON manifests.
+
+Reproduces the reference's storage semantics (SURVEY.md §1.5, §2.A) —
+identity partitioning, key clustering, per-file min/max pruning, content
+hashing — with true min/max (the reference's `updateInt64KeyRange` bug,
+reference block.go:41-43, is deliberately NOT replicated).
+"""
+
+from iceberg_core_spark.table.ice_table import IceTable
+from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
+
+__all__ = ["IceTable", "Manifest", "ManifestFile", "Snapshot"]

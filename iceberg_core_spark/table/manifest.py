@@ -1,0 +1,187 @@
+"""Manifest + snapshot metadata for the native table layer.
+
+Design (Iceberg-inspired, minimal):
+
+- ``<root>/_manifest/snapshot-<id>.json`` — immutable snapshot document:
+  schema, partition/key columns, operation, parent id, and the FULL list
+  of live data files with per-file stats (partition value, key min/max,
+  row count, byte size, content hash).
+- ``<root>/_manifest/CURRENT`` — single-line pointer to the current
+  snapshot id; replaced atomically (write-temp + ``os.replace``), which
+  is the commit point. Single-writer, like the reference's lone
+  BlockManager goroutine (reference blockManager.go:29).
+
+File-level min/max pruning replaces the reference's filename-encoded
+key ranges (reference block.go:109-115, 143-199). Filenames here carry a
+content hash for idempotence/dedup (reference block.go:94-115, R16) but
+never statistics — stats live in the manifest, so negative keys and any
+orderable type work (the reference's filename scheme broke on negative
+int64, block.go:147).
+
+Scale note: at 100 TB a snapshot's file list is itself a Parquet table
+read by Spark (metadata-as-data); JSON is used here for debuggability at
+test scale. The pruning predicate is identical either way:
+``partition == p AND key_max >= lo AND key_min <= hi``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from datetime import date, datetime
+from typing import Any
+
+_MANIFEST_DIR = "_manifest"
+_CURRENT = "CURRENT"
+
+
+def _encode_key(v: Any) -> Any:
+    """JSON-encode a key-column stat value, tagging non-JSON types."""
+    if isinstance(v, datetime):
+        return {"__t": "ts", "v": v.isoformat()}
+    if isinstance(v, date):
+        return {"__t": "date", "v": v.isoformat()}
+    return v
+
+
+def _decode_key(v: Any) -> Any:
+    if isinstance(v, dict) and "__t" in v:
+        if v["__t"] == "ts":
+            return datetime.fromisoformat(v["v"])
+        if v["__t"] == "date":
+            return date.fromisoformat(v["v"])
+    return v
+
+
+@dataclass
+class ManifestFile:
+    """Stats for one immutable data file (≈ one reference Block file)."""
+
+    path: str  # relative to table root
+    partition: Any  # identity-partition value (None for unpartitioned)
+    key_min: Any
+    key_max: Any
+    rows: int
+    bytes: int
+    content_hash: str  # sha256 of file bytes → idempotent writes (R16)
+
+    def overlaps(self, lo: Any, hi: Any) -> bool:
+        """Inclusive range-overlap test — true min/max on both bounds."""
+        if lo is not None and self.key_max is not None and self.key_max < lo:
+            return False
+        if hi is not None and self.key_min is not None and self.key_min > hi:
+            return False
+        return True
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["partition"] = _encode_key(d["partition"])
+        d["key_min"] = _encode_key(d["key_min"])
+        d["key_max"] = _encode_key(d["key_max"])
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ManifestFile":
+        return cls(
+            path=d["path"],
+            partition=_decode_key(d["partition"]),
+            key_min=_decode_key(d["key_min"]),
+            key_max=_decode_key(d["key_max"]),
+            rows=d["rows"],
+            bytes=d["bytes"],
+            content_hash=d["content_hash"],
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # create | append | overwrite | compact
+    schema_json: str
+    partition_col: str | None
+    key_col: str | None
+    files: list[ManifestFile] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "schema_json": self.schema_json,
+            "partition_col": self.partition_col,
+            "key_col": self.key_col,
+            "files": [f.to_json() for f in self.files],
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Snapshot":
+        return cls(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            schema_json=d["schema_json"],
+            partition_col=d["partition_col"],
+            key_col=d["key_col"],
+            files=[ManifestFile.from_json(f) for f in d["files"]],
+        )
+
+
+class Manifest:
+    """Reads/writes snapshot documents under ``<root>/_manifest``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, _MANIFEST_DIR)
+
+    # -- read side ---------------------------------------------------
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(os.path.join(self.dir, _CURRENT)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def load(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"no current snapshot in {self.dir}")
+        with open(os.path.join(self.dir, f"snapshot-{sid}.json")) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        if not os.path.isdir(self.dir):
+            return out
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        out.sort(key=lambda s: s.snapshot_id)
+        return out
+
+    # -- write side (single-writer; commit point = CURRENT replace) --
+    def commit(self, snapshot: Snapshot) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        snap_path = os.path.join(self.dir, f"snapshot-{snapshot.snapshot_id}.json")
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snapshot.to_json(), f, indent=1)
+        os.replace(tmp, snap_path)
+        cur_tmp = os.path.join(self.dir, _CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(snapshot.snapshot_id))
+        os.replace(cur_tmp, os.path.join(self.dir, _CURRENT))
+
+    def next_snapshot_id(self) -> int:
+        cur = self.current_snapshot_id()
+        return 0 if cur is None else cur + 1
+
+    @staticmethod
+    def now_ms() -> int:
+        return int(time.time() * 1000)

@@ -1,0 +1,148 @@
+"""Table-layer tests mirroring the reference's golden behaviors
+(FIXTURES.md §A) plus the capabilities the reference lacks."""
+
+import os
+
+import pytest
+
+from iceberg_core_spark.table import IceTable
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    return str(tmp_path / "locations")
+
+
+def make_table(spark, root, rows, **kw):
+    df = location_df(spark, rows)
+    return IceTable.create(spark, root, df, partition_col=PARTITION_COL,
+                           key_col=KEY_COL, **kw)
+
+
+def test_write_then_range_query_roundtrip(spark, tmp_table_dir):
+    # reference filesystemStorageAdapter_test.go:42-75 — write one row,
+    # query timestamp +/- 50 around it, get exactly that row back.
+    t = make_table(spark, tmp_table_dir, [location_row()])
+    got = t.query("userid1", 100000 - 50, 100000 + 50).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == "userid1" and r.timestamp == 100000
+    assert r.latitude == 37.0 and r.features == ["osm-2332"]
+    assert r.accuracy is None and r.source == "device"
+
+
+def test_inclusive_bounds(spark, tmp_table_dir):
+    # reference block.go:127,129 — keys equal to start and end returned.
+    rows = [location_row(timestamp=t) for t in (100, 200, 300)]
+    t = make_table(spark, tmp_table_dir, rows)
+    got = sorted(r.timestamp for r in t.query("userid1", 100, 300).collect())
+    assert got == [100, 200, 300]
+    assert [r.timestamp for r in t.query("userid1", 101, 199).collect()] == []
+    assert [r.timestamp for r in t.query("userid1", 200, 200).collect()] == [200]
+
+
+def test_partition_isolation(spark, tmp_table_dir):
+    rows = [location_row(user_id=f"u{i}", timestamp=100 + i) for i in range(4)]
+    t = make_table(spark, tmp_table_dir, rows)
+    got = t.query("u2", 0, 10_000).collect()
+    assert len(got) == 1 and got[0].user_id == "u2"
+    # unknown partition -> empty, schema intact
+    empty = t.query("nope", 0, 10_000)
+    assert empty.count() == 0
+    assert empty.columns == t.scan().columns
+
+
+def test_manifest_minmax_true_not_reference_bug(spark, tmp_table_dir):
+    # reference block.go:41-43 tracked min for BOTH bounds; verify we
+    # record a real max so max-side pruning can't drop rows.
+    rows = [location_row(timestamp=t) for t in (10, 500, 9000)]
+    t = make_table(spark, tmp_table_dir, rows)
+    snap = t.manifest.load()
+    kmin = min(f.key_min for f in snap.files)
+    kmax = max(f.key_max for f in snap.files)
+    assert kmin == 10 and kmax == 9000
+    # query touching only the top of the range still finds the row
+    assert [r.timestamp for r in t.query("userid1", 8000, 10_000).collect()] == [9000]
+
+
+def test_negative_keys_supported(spark, tmp_table_dir):
+    # reference filename scheme broke on negative int64 (block.go:147).
+    rows = [location_row(timestamp=t) for t in (-500, -10, 25)]
+    t = make_table(spark, tmp_table_dir, rows)
+    got = sorted(r.timestamp for r in t.query("userid1", -600, 0).collect())
+    assert got == [-500, -10]
+
+
+def test_file_pruning_skips_disjoint_files(spark, tmp_table_dir):
+    # many small files via max_rows_per_file=1; disjoint query range must
+    # prune every file at the manifest (metadata) level.
+    rows = [location_row(timestamp=t) for t in range(0, 1000, 100)]
+    t = make_table(spark, tmp_table_dir, rows, max_rows_per_file=1)
+    snap = t.manifest.load()
+    assert len(snap.files) >= 5  # actually fragmented
+    pruned = [f for f in snap.files if f.overlaps(5000, 6000)]
+    assert pruned == []
+    assert t.query("userid1", 5000, 6000).count() == 0
+
+
+def test_append_and_snapshots(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, [location_row(timestamp=1)])
+    t.append(location_df(spark, [location_row(timestamp=2)]))
+    assert sorted(r.timestamp for r in t.scan().collect()) == [1, 2]
+    snaps = t.snapshots()
+    assert [s.operation for s in snaps] == ["create", "append"]
+    # time travel: snapshot 0 has only the first row
+    assert [r.timestamp for r in t.scan(snapshot_id=0).collect()] == [1]
+
+
+def test_append_idempotent_content_hash(spark, tmp_table_dir):
+    # reference block.go:109-115 — identical rows re-written are a no-op.
+    rows = [location_row(timestamp=5)]
+    t = make_table(spark, tmp_table_dir, rows)
+    before = t.file_count()
+    t.append(location_df(spark, rows))  # identical content
+    assert t.file_count() == before
+    assert t.scan().count() == 1
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, [location_row()])
+    bad = location_df(spark, [location_row()]).drop("speed")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+
+
+def test_compact_merges_small_files(spark, tmp_table_dir):
+    rows = [location_row(timestamp=t) for t in range(20)]
+    t = make_table(spark, tmp_table_dir, rows, max_rows_per_file=2)
+    assert t.file_count() > 3
+    t.compact(target_rows_per_file=1_000_000)
+    assert t.file_count() <= 2
+    assert sorted(r.timestamp for r in t.scan().collect()) == list(range(20))
+    # pruning still works post-compaction
+    assert t.query("userid1", 5, 7).count() == 3
+
+
+def test_expire_snapshots_removes_orphans(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, [location_row(timestamp=1)])
+    t.append(location_df(spark, [location_row(timestamp=2)]))
+    t.compact(min_files=2)
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [0, 1]
+    assert sorted(r.timestamp for r in t.scan().collect()) == [1, 2]
+    # only live files remain on disk
+    live = {os.path.join(t.root, f.path) for f in t.manifest.load().files}
+    on_disk = {
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(os.path.join(t.root, "data"))
+        for n in ns if n.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_unpartitioned_table(spark, tmp_table_dir):
+    df = location_df(spark, [location_row(timestamp=t) for t in (1, 2, 3)])
+    t = IceTable.create(spark, tmp_table_dir, df, partition_col=None,
+                        key_col=KEY_COL)
+    assert sorted(r.timestamp for r in t.query(lo=2, hi=3).collect()) == [2, 3]
