@@ -1,0 +1,29 @@
+"""Aggregated query registry: every declared operator with its oracle.
+
+Sections (SURVEY.md §2.B build list):
+- relational core  → operators/relational.py
+- LLM-data ops     → functions/llm_queries.py (dedup, similarity, text)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+Entry = tuple[QueryFn, str | None]
+
+
+def all_queries() -> dict[str, Entry]:
+    from iceberg_core_spark.operators.relational import QUERIES as REL
+
+    out: dict[str, Entry] = {}
+    out.update(REL)
+    try:
+        from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
+
+        out.update(LLM)
+    except ImportError:
+        pass
+    return out
