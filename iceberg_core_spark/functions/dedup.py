@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup: one hash-aggregate shuffle on the text (or its md5) —
+  map-side partial aggregation collapses most duplicates before shuffle.
+- near-dup: NEVER all-pairs. Candidates come from an equi-join on a
+  blocking key (LSH band hash / SimHash chunk / length+lang bucket), so
+  the join is a plain hash join on a short key; the exact similarity is
+  only computed on candidates. All-pairs variants here exist solely as
+  sf-scale oracles.
+- everything is built-in expressions (xxhash64, array_*, transform) —
+  no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def fround(col, n: int) -> F.Column:
+    """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n in
+    pure double arithmetic. Engine-native round() diverges on doubles
+    (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
+    binary value), so oracle outputs use this instead — both engines
+    evaluate the identical IEEE expression."""
+    scale = float(10 ** n)
+    return F.floor(col * scale + 0.5) / scale
+
+
+def fround_sql(expr: str, n: int) -> str:
+    scale = float(10 ** n)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts; keep the smallest id as canonical.
+    Returns (keep_id, n_copies, text_md5) per distinct content."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", F.md5(F.col(text_col)).alias("text_md5"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# token shingles + exact Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def _distinct_tokens(text_col) -> F.Column:
+    return F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """n-token shingles as strings (contiguous, overlapping)."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def jaccard(a, b) -> F.Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_col: str = "n_chars",
+    length_tol: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard, candidates blocked on
+    (block_cols, |length diff| <= tol). The block join is equi on
+    block_cols (hash join), the length band is a residual."""
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col(length_col).alias("a_len"),
+        _distinct_tokens(F.col(text_col)).alias("a_toks"),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col(length_col).alias("b_len"),
+        _distinct_tokens(F.col(text_col)).alias("b_toks"),
+    )
+    cond = F.col("doc_a") < F.col("doc_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    cond = cond & (F.abs(F.col("a_len") - F.col("b_len")) <= length_tol)
+    pairs = a.join(b, cond)
+    jc = jaccard(F.col("a_toks"), F.col("b_toks"))
+    return (
+        pairs.select("doc_a", "doc_b", fround(jc, 4).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_col, num_perm: int = 16) -> list[F.Column]:
+    """num_perm minhash values: min over shingles of xxhash64(shingle:p).
+    xxhash64 is a JVM built-in — the whole signature is codegen'd."""
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(p)))
+        ).alias(f"mh{p}")
+        for p in range(num_perm)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection:
+
+    shingle → num_perm minhashes → `bands` band-hashes → equi-join on
+    (band index, band hash) → exact Jaccard verification on candidates.
+
+    At scale the band join shuffles only (band_key, id) pairs; the
+    candidate set is tiny relative to n², and verification re-joins the
+    shingle arrays by id. Probability a pair with Jaccard s collides:
+    1-(1-s^r)^b with r=num_perm/bands rows per band.
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).select("id", "sh", *minhash_signature(F.col("sh"), num_perm))
+
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"mh{p}") for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.xxhash64(*sig_slice).alias(f"band{b}"))
+    banded = base.select("id", "sh", *band_cols)
+
+    exploded = banded.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band_idx", "bk.band_hash")
+
+    left = exploded.select(
+        F.col("id").alias("doc_a"), F.col("sh").alias("a_sh"),
+        "band_idx", "band_hash",
+    )
+    right = exploded.select(
+        F.col("id").alias("doc_b"), F.col("sh").alias("b_sh"),
+        "band_idx", "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "a_sh", "b_sh")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jc = jaccard(F.col("a_sh"), F.col("b_sh"))
+    return (
+        cand.select("doc_a", "doc_b", fround(jc, 4).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _signed_mask(bit: int) -> int:
+    """Single-bit mask as a signed 64-bit value (bit 63 → sign bit)."""
+    return 1 << bit if bit < 63 else -(1 << 63)
+
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash from token xxhashes, entirely with built-ins:
+    for each bit, sum +1/-1 over tokens by that bit of xxhash64(token);
+    bit set iff the sum is positive. No UDF — 64 Python-unrolled array
+    folds (bit positions are compile-time constants, so the whole
+    expression stays in codegen). Summing disjoint signed masks
+    reconstructs the word (two's complement handles bit 63)."""
+    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(mask: int):
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = _signed_mask(bit)
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(mask))
+        out = out + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidates blocked on
+    chunk equality: by pigeonhole, a pair within hamming <= n_chunks-1
+    shares at least one of n_chunks chunks, so recall is GUARANTEED for
+    max_hamming <= n_chunks-1 (default 8 chunks of 8 bits → hamming 7).
+    The chunk join shuffles only (chunk_idx, chunk, id) — never pairs."""
+    chunk_bits = 64 // n_chunks
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftrightunsigned("sh", c * chunk_bits)
+                    .bitwiseAND(F.lit(chunk_mask))
+                    .alias("chunk"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select("id", "sh", "ck.chunk_idx", "ck.chunk")
+    l = chunks.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                      "chunk_idx", "chunk")
+    r = chunks.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                      "chunk_idx", "chunk")
+    cand = (
+        l.join(r, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array<double> columns — built-in fold,
+    JVM-side, deterministic left-to-right accumulation."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """All-pairs cosine near-dup (oracle-checkable at sf scale). The
+    100 TB path is the LSH-bucketed variant in similarity.py — this
+    exact form exists to verify it."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = fround(cosine(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )

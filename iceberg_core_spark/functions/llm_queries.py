@@ -1,0 +1,278 @@
+"""Declared LLM-data-pipeline queries with DuckDB oracles
+(SURVEY.md §2.B last row; north-star ops).
+
+Oracle policy: exact/deterministic ops (text analysis, exact dedup,
+Jaccard pairs, brute-force cosine) carry full SQL oracles; hash-family
+ops built on Spark's xxhash64 (MinHash-LSH, SimHash) and the LSH/
+multimodal paths have no DuckDB equivalent → rows-only checks, with
+their exact twins (dedup_near_jaccard, dedup_embedding, sim_search)
+serving as the verified baseline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions import dedup as D
+from iceberg_core_spark.functions.dedup import fround, fround_sql
+from iceberg_core_spark.functions import similarity as S
+from iceberg_core_spark.functions import text as T
+from iceberg_core_spark.multimodal import (
+    attach_metadata,
+    decode_and_featurize,
+    to_binary,
+)
+from iceberg_core_spark.session import load_table
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in T.STOPWORDS.items()
+}
+_ALL_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for w in sorted({w for ws in T.STOPWORDS.values() for w in ws})
+) + "]"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(txt).alias("n_bpe_tokens"),
+        F.size(T.ws_tokens(txt)).alias("n_ws_tokens"),
+        fround(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        fround(T.stopword_ratio(txt), 6).alias("stop_ratio"),
+        fround(T.quality_score(txt), 6).alias("quality"),
+        T.lang_id(txt).alias("lang_pred"),
+        T.fingerprint(txt).alias("fp"),
+    )
+
+
+_LANG_HIT = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "t -> list_contains({stop}, t)))"
+)
+
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: _LANG_HIT.format(stop=_STOP_SQL[lang]) for lang in T.LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "'unknown'"
+    for lang in reversed(T.LANG_ORDER):
+        case = f"CASE WHEN {hits[lang]} = __best THEN '{lang}' ELSE {case} END"
+    return best, case
+
+
+_BEST_SQL, _CASE_SQL = _lang_case_sql()
+
+_QUALITY_RAW = (
+    "0.5 * stop_raw + 0.3 * (1.0 - punct_raw)"
+    " + 0.2 * least(1.0, n_ws_tokens / 100.0)"
+)
+
+TEXT_ANALYSIS_SQL = f"""
+WITH parts AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS n_bpe_tokens,
+         len(string_split_regex(lower(text), '\\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[.,!?;:]')) / length(text) AS punct_raw,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> list_contains({_ALL_STOP_SQL}, t)))
+           / len(string_split_regex(lower(text), '\\s+')) AS stop_raw,
+         {_BEST_SQL} AS __best
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       {fround_sql('punct_raw', 6)} AS punct_ratio,
+       {fround_sql('stop_raw', 6)} AS stop_ratio,
+       {fround_sql(_QUALITY_RAW, 6)} AS quality,
+       CASE WHEN __best > 0 THEN {_CASE_SQL} ELSE 'unknown' END AS lang_pred,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+FROM documents GROUP BY text
+"""
+
+
+def dedup_near_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"))
+
+
+_JACC_RAW = (
+    "len(list_intersect(a_toks, b_toks))"
+    " / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)))"
+)
+
+DEDUP_NEAR_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS a_toks, b.t AS b_toks
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+)
+SELECT doc_a, doc_b, {fround_sql(_JACC_RAW, 4)} AS jacc
+FROM pairs
+WHERE {fround_sql(_JACC_RAW, 4)} >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: xxhash64 has no DuckDB twin; exact-verified against
+    dedup_near_jaccard semantics in tests."""
+    return D.minhash_lsh_pairs(load_table(spark, sf, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only (xxhash64-based)."""
+    return D.simhash_pairs(load_table(spark, sf, "documents"))
+
+
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_dup_pairs(load_table(spark, sf, "embeddings"),
+                                 threshold=0.4)
+
+
+_COS_RAW = (
+    "list_dot_product(av, bv)"
+    " / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+)
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.dv AS av, b.dv AS bv
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {fround_sql(_COS_RAW, 4)} AS sim
+FROM pairs
+WHERE {fround_sql(_COS_RAW, 4)} >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def sim_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for vec_id 0's embedding."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return S.cosine_topk(emb, _query_vec(spark, sf), k=10,
+                         extra_cols=("label",))
+
+
+_QCOS_RAW = (
+    "list_dot_product(dv, qv)"
+    " / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+SIM_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id, label, {fround_sql(_QCOS_RAW, 4)} AS sim
+FROM v, q
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def sim_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: approximate (bucket recall is probabilistic); exact
+    twin is sim_search."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return S.lsh_topk(emb, _query_vec(spark, sf), k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload + typed metadata, all JVM-side (oracle-checkable)."""
+    d = to_binary(load_table(spark, sf, "documents"), "text")
+    return attach_metadata(d).select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS checksum
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: Arrow-batched decode→featurize plumbing (stub encoder).
+    Returns scalar projections of the feature vector for stability."""
+    d = to_binary(load_table(spark, sf, "documents"), "text")
+    feats = decode_and_featurize(d, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "text_analysis": (text_analysis, TEXT_ANALYSIS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_near_jaccard": (dedup_near_jaccard, DEDUP_NEAR_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "sim_search": (sim_search, SIM_SEARCH_SQL),
+    "sim_search_lsh": (sim_search_lsh, None),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_features": (multimodal_features, None),
+}

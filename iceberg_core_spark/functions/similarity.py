@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline
+  (DuckDB-oracle-checkable). One pass over the table, no shuffle until
+  the final top-k (TakeOrderedAndProject keeps k rows per task).
+- ``lsh_topk``: random-hyperplane LSH — the scale path. Buckets come
+  from sign bits of projections onto seeded deterministic hyperplanes;
+  only the query's bucket (plus optional multi-probe neighbors) is
+  scanned. At 100 TB the bucket column is a write-time partition/sort
+  key, so a query prunes to a handful of files via the IceTable
+  manifest — the same min/max trick the reference uses for key ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions.dedup import cosine, fround
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. Rounded to 4
+    decimals with id tiebreak so ranking is engine-deterministic."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = fround(cosine(_as_double(vec_col), q), 4)
+    return (
+        df.select(id_col, *extra_cols, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (public LSH construction)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_expr(vec_col, planes: np.ndarray):
+    """LSH bucket id = integer of sign bits of ⟨plane_i, v⟩."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(_as_double(vec_col), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket, then exact
+    cosine rerank. Candidate fraction ≈ sum_{h<=H} C(n_planes,h)/2^p."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ qv) > 0:
+            qbucket |= 1 << i
+    bucketed = df.withColumn("__bucket", bucket_expr(vec_col, planes))
+    probe = F.bit_count(
+        F.col("__bucket").bitwiseXOR(F.lit(qbucket).cast("long"))
+    ) <= multiprobe_hamming
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = fround(cosine(_as_double(vec_col), q), 4)
+    return (
+        bucketed.filter(probe)
+        .select(id_col, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

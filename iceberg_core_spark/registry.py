@@ -18,12 +18,9 @@ Entry = tuple[QueryFn, str | None]
 def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.relational import QUERIES as REL
 
+    from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
+
     out: dict[str, Entry] = {}
     out.update(REL)
-    try:
-        from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
-
-        out.update(LLM)
-    except ImportError:
-        pass
+    out.update(LLM)
     return out

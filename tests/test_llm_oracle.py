@@ -1,0 +1,107 @@
+"""LLM-data ops: oracle parity for the deterministic ops, plus semantic
+unit tests for the hash-family ops (MinHash-LSH, SimHash) on synthetic
+near-duplicates the testdata may not contain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions import dedup as D
+from iceberg_core_spark.functions import similarity as S
+from iceberg_core_spark.functions.llm_queries import QUERIES
+from tests.oracle import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in QUERIES.items() if sql]
+ROWS_ONLY_CASES = [(n, fn) for n, (fn, sql) in QUERIES.items() if not sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES,
+                         ids=[c[0] for c in ORACLE_CASES])
+def test_llm_oracle_match(spark, con, name, fn, sql):
+    compare(fn(spark, SF_DIR), con, sql, name)
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES,
+                         ids=[c[0] for c in ROWS_ONLY_CASES])
+def test_llm_rows_only_runs(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0 and len(df.columns) > 0
+
+
+# ---------------------------------------------------------------------------
+# semantic tests on synthetic near-duplicates
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-token change
+    far = "completely different content about spark distributed query engines"
+    rows = [
+        (1, base, "en", len(base)),
+        (2, near, "en", len(near)),
+        (3, base, "en", len(base)),      # exact dup of 1
+        (4, far, "en", len(far)),
+        (5, "unrelated short text", "en", 20),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+
+
+def test_dedup_exact_finds_duplicate(spark, docs):
+    out = D.dedup_exact(docs).collect()
+    dup = [r for r in out if r.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+
+
+def test_minhash_lsh_finds_near_dup_not_far(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             D.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             D.simhash_pairs(docs, max_hamming=12).collect()}
+    assert pairs.get((1, 3)) == 0  # identical text → identical simhash
+    assert (1, 2) in pairs  # near dup within hamming budget
+
+
+def test_jaccard_pairs_values(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.jacc for r in
+           D.ngram_jaccard_pairs(docs, length_tol=100, threshold=0.5).collect()}
+    assert got[(1, 3)] == 1.0
+    assert 0.8 < got[(1, 2)] < 1.0
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    """LSH recall is only meaningful with actual near neighbors; uniform
+    random vectors have no structure to find. Plant 5 high-cosine
+    variants of the query among 200 random vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal(32)
+    rows = []
+    for i in range(5):  # planted: tiny perturbations, cosine ≈ 0.995+
+        v = q + 0.05 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(5, 200):  # noise
+        rows.append((i, [float(x) for x in rng.standard_normal(32)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    qv = [float(x) for x in q]
+    exact = [r.vec_id for r in S.cosine_topk(emb, qv, k=5).collect()]
+    approx = [r.vec_id for r in
+              S.lsh_topk(emb, qv, k=5, multiprobe_hamming=1).collect()]
+    assert set(exact) == set(range(5))  # brute force finds all planted
+    assert len(set(approx) & set(range(5))) >= 4  # LSH recovers ≥4/5
