@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-sink write (full computation, no
+driver-collect overhead polluting the measurement)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "agg_hash",          # TPC-H Q1 shape: scan+filter+hash agg
+    "join_broadcast",    # fact x dim broadcast
+    "join_sortmerge",    # fact x fact shuffle join
+    "join_asof",         # union + carry-forward window
+    "win_frame",         # running-total window
+    "topk_per_group",    # per-group top-k
+    "filter_range",      # reference-shaped partition+key range query
+    "win_tumbling",      # event-time windows
+    # LLM ops
+    "text_analysis",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from iceberg_core_spark import get_spark
+    from iceberg_core_spark.registry import all_queries
+
+    spark = get_spark("iceberg-core-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm up the JVM/codegen path once, outside measurement.
+    from iceberg_core_spark.session import load_table
+
+    load_table(spark, sf_dir, "nation").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,8 +117,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(shingle_col, num_perm: int = 16) -> list[F.Column]:
-    """num_perm minhash values: min over shingles of xxhash64(shingle:p).
-    xxhash64 is a JVM built-in — the whole signature is codegen'd."""
+    """num_perm minhash columns: mh[p] = min over shingles of
+    xxhash64(shingle, p). Deliberately UNROLLED into separate column
+    expressions: each is referenced exactly once downstream, so Catalyst
+    inlines it into a single evaluation. (A nested
+    transform(sequence(...)) form is 12x slower — higher-order-function
+    lambdas are interpreted, and the shared signature subexpression gets
+    re-evaluated per band because interpreted mode has no CSE.)"""
     return [
         F.array_min(
             F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(p)))
@@ -138,54 +143,58 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup detection:
 
-    shingle → num_perm minhashes → `bands` band-hashes → equi-join on
-    (band index, band hash) → exact Jaccard verification on candidates.
+    shingle → signature array → band hashes (xxhash64 over signature
+    slices) → equi-join on (band index, band hash) → exact Jaccard
+    verification on candidates.
 
-    At scale the band join shuffles only (band_key, id) pairs; the
-    candidate set is tiny relative to n², and verification re-joins the
-    shingle arrays by id. Probability a pair with Jaccard s collides:
-    1-(1-s^r)^b with r=num_perm/bands rows per band.
+    Scale shape: the band join shuffles ONLY (band_idx, band_hash, id)
+    — shingle arrays never enter the exploded shuffle; verification
+    re-joins them by id afterwards. Candidates are tiny vs n².
+    Collision probability for a pair with Jaccard s: 1-(1-s^r)^b,
+    r = num_perm/bands.
     """
+    from iceberg_core_spark.session import spread
+
     rows_per_band = num_perm // bands
-    base = df.select(
+    shingled = spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).select("id", "sh", *minhash_signature(F.col("sh"), num_perm))
+    )
+    sig = shingled.select("id", *minhash_signature(F.col("sh"), num_perm))
 
-    band_cols = []
-    for b in range(bands):
-        sig_slice = [F.col(f"mh{p}") for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.xxhash64(*sig_slice).alias(f"band{b}"))
-    banded = base.select("id", "sh", *band_cols)
+    def band_hash(b: int):
+        return F.xxhash64(
+            *[F.col(f"mh{p}")
+              for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        )
 
-    exploded = banded.select(
+    exploded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_hash"))
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("id", "sh", "bk.band_idx", "bk.band_hash")
+    ).select("id", "bk.band_idx", "bk.band_hash")
 
-    left = exploded.select(
-        F.col("id").alias("doc_a"), F.col("sh").alias("a_sh"),
-        "band_idx", "band_hash",
-    )
-    right = exploded.select(
-        F.col("id").alias("doc_b"), F.col("sh").alias("b_sh"),
-        "band_idx", "band_hash",
-    )
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
+        exploded.alias("l")
+        .join(exploded.alias("r"), ["band_idx", "band_hash"])
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "a_sh", "b_sh")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_only = shingled
+    pairs = (
+        cand.join(sh_only.select(F.col("id").alias("doc_a"),
+                                 F.col("sh").alias("a_sh")), "doc_a")
+        .join(sh_only.select(F.col("id").alias("doc_b"),
+                             F.col("sh").alias("b_sh")), "doc_b")
     )
     jc = jaccard(F.col("a_sh"), F.col("b_sh"))
     return (
-        cand.select("doc_a", "doc_b", fround(jc, 4).alias("jacc"))
+        pairs.select("doc_a", "doc_b", fround(jc, 4).alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
 
@@ -237,9 +246,11 @@ def simhash_pairs(
     shares at least one of n_chunks chunks, so recall is GUARANTEED for
     max_hamming <= n_chunks-1 (default 8 chunks of 8 bits → hamming 7).
     The chunk join shuffles only (chunk_idx, chunk, id) — never pairs."""
+    from iceberg_core_spark.session import spread
+
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         "id",
         "sh",

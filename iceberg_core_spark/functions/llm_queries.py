@@ -41,7 +41,9 @@ _ALL_STOP_SQL = "[" + ", ".join(
 # ---------------------------------------------------------------------------
 
 def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    from iceberg_core_spark.session import spread
+
+    d = spread(load_table(spark, sf, "documents"))
     txt = F.col("text")
     return d.select(
         "doc_id",

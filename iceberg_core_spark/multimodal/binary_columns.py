@@ -107,4 +107,6 @@ def decode_and_featurize(
                 "features": payloads.map(lambda p: _fake_features(bytes(p), dim)),
             })
 
-    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+    from iceberg_core_spark.session import spread
+
+    return spread(df.select(id_col, binary_col)).mapInPandas(run, out_schema)

@@ -292,7 +292,9 @@ FROM events
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Pricing summary (TPC-H Q1). Partial aggregation is map-side; the
     shuffle moves only (flag, status) groups — trivially 100TB-safe."""
-    li = load_table(spark, sf, "lineitem").filter(
+    from iceberg_core_spark.session import spread
+
+    li = spread(load_table(spark, sf, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
     )
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

@@ -19,8 +19,10 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.relational import QUERIES as REL
 
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
+    from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
     out: dict[str, Entry] = {}
     out.update(REL)
     out.update(LLM)
+    out.update(STREAM)
     return out

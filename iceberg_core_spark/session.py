@@ -62,6 +62,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread(df, min_factor: int = 2):
+    """Ensure enough partitions for CPU-bound per-row work.
+
+    Small single-row-group parquet files scan as ONE task, serializing
+    expression-heavy pipelines (hashing, tokenization) on one core. When
+    the scan has fewer partitions than half the cluster's parallelism,
+    round-robin repartition to full parallelism — the input is tiny by
+    definition, so the shuffle costs ~nothing. At real scale the input
+    already has >= parallelism partitions and this is a no-op (no
+    shuffle inserted), so it is safe to leave in 100 TB paths.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // min_factor):
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table from an sf directory.
 

@@ -1,0 +1,15 @@
+from iceberg_core_spark.streaming.ingest import (
+    stream_ingest_to_table,
+    session_agg,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "stream_ingest_to_table",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_agg",
+    "stream_dedup",
+]

@@ -1,0 +1,158 @@
+"""Structured Streaming ingest into the IceTable layer — the Spark-first
+re-expression of the reference's entire ingest pipeline (SURVEY.md §3.1):
+
+reference component                     → here
+FileStreamAdapter (streamAdapter.go)    → spark.readStream file source
+BlockManager routing (blockManager.go:  → repartitionByRange inside the
+  29-72, partition-key extraction R3)     table write (one shuffle)
+MaxSize flush (blockManager.go:65-67)   → maxRecordsPerFile
+MaxAge flush + 1s ticker                → trigger(processingTime=...) —
+  (blockManager.go:84-114)                ingest-to-queryable latency is
+                                          bounded by the trigger interval
+commitBlock → Output channel (R8)       → foreachBatch → IceTable.append
+                                          (manifest commit per micro-batch)
+Stop() drain (blockManager.go:126-141)  → trigger(availableNow) + stop()
+
+Single-writer manifest commits happen on the driver inside foreachBatch,
+matching the reference's lone-goroutine commit discipline; data writes
+are fully distributed.
+
+Event-time operators (watermarks, tumbling/sliding/session windows,
+stateful dedup) are NEW capability — the reference only had wall-clock
+flush timing (SURVEY.md §2.B "Streaming" row). Each takes a DataFrame
+(batch or streaming — identical API) so the batch twins are
+oracle-checkable by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from iceberg_core_spark.table import IceTable
+
+
+def stream_ingest_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    schema: StructType,
+    partition_col: str,
+    key_col: str,
+    max_rows_per_file: int = 8192,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+    source_format: str = "parquet",
+    transform=None,
+) -> StreamingQuery:
+    """File-source stream → partitioned, clustered, manifest-committed
+    table. ``trigger`` e.g. {"processingTime": "1 seconds"} (the
+    reference's MaxAge analog) or {"availableNow": True} (drain mode).
+    ``max_rows_per_file`` is the MaxSize analog (default 8192 — the
+    reference's test config, blockManager_test.go:19). ``transform``:
+    optional DataFrame→DataFrame applied to the stream before writing
+    (projection/normalization — e.g. ns→µs timestamp conversion)."""
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .load(source_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = IceTable(spark, table_root)
+        if table.manifest.current_snapshot_id() is None:
+            IceTable.create(
+                spark, table_root, batch_df,
+                partition_col=partition_col, key_col=key_col,
+                max_rows_per_file=max_rows_per_file,
+            )
+        else:
+            table.append(batch_df, max_rows_per_file=max_rows_per_file,
+                         dedupe_identical_files=False)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# event-time operators (batch/streaming-agnostic DataFrame → DataFrame)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour",
+                    group_cols: tuple[str, ...] = ("event_type",),
+                    watermark: str | None = None) -> DataFrame:
+    """Non-overlapping event-time windows. On a stream, pass a watermark
+    (e.g. '10 minutes') to bound state and drop late data."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    w = F.window(F.col(ts_col), window)
+    return (
+        src.groupBy(w.alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, ts_col: str = "ts",
+                   window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str | None = None) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide windows."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    w = F.window(F.col(ts_col), window, slide)
+    return (
+        src.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str = "ts",
+                gap: str = "5 minutes",
+                group_cols: tuple[str, ...] = ("user_id",),
+                watermark: str | None = None) -> DataFrame:
+    """Session windows: a session extends while events arrive within
+    ``gap``; closes after a gap of silence. State size is bounded by the
+    watermark on a stream."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        src.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on a stream within the watermark horizon —
+    state is garbage-collected past the watermark, so memory is bounded
+    regardless of stream length (dropDuplicatesWithinWatermark)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,135 @@
+"""Declared streaming-surface queries. Event-time window operators are
+batch/stream-agnostic DataFrame transforms, so their batch twins run
+under the driver's DuckDB oracle; stream_ingest's oracle is the
+strongest possible one: the full ingest pipeline (stream → partition →
+cluster → manifest commit → manifest-pruned scan) must reproduce the
+source table EXACTLY (SELECT * FROM events)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.session import load_table
+from iceberg_core_spark.streaming.ingest import (
+    session_agg,
+    sliding_counts,
+    stream_ingest_to_table,
+    tumbling_counts,
+)
+from iceberg_core_spark.table import IceTable
+
+
+def win_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf, "events"))
+
+
+WIN_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf, "events"))
+
+
+WIN_SLIDING_SQL = """
+SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS win_start
+  FROM events, (SELECT unnest([0, 1]) AS k)
+)
+GROUP BY 1, 2
+"""
+
+
+def win_session(spark: SparkSession, sf: str) -> DataFrame:
+    return session_agg(load_table(spark, sf, "events"))
+
+
+# Gaps-and-islands twin of session_window semantics: a new session
+# starts when the gap since the previous event is >= the gap duration
+# (Spark's session end = last ts + gap, end-exclusive).
+WIN_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end streaming ingest (availableNow drain) of the events
+    table through the full IceTable pipeline, then a manifest-backed
+    scan. Oracle = the source table itself: the pipeline must be
+    content-preserving."""
+    work = tempfile.mkdtemp(prefix="ice_stream_q_")
+    src_dir = os.path.join(work, "incoming")
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf, "events.parquet"),
+                os.path.join(src_dir, "events.parquet"))
+    table_root = os.path.join(work, "events_table")
+
+    # events.parquet stores ts as TIMESTAMP(NANOS): stream it as raw
+    # nanos longs and normalize ns→µs in-stream (same truncation as
+    # load_table, so the oracle sees identical values).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        os.path.join(src_dir, "events.parquet")
+    ).schema
+
+    q = stream_ingest_to_table(
+        spark, src_dir, table_root, raw_schema,
+        partition_col="user_id", key_col="ts",
+        trigger={"availableNow": True},
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        transform=lambda s: s.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        ),
+    )
+    q.awaitTermination(120)
+
+    return IceTable(spark, table_root).scan().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+STREAM_INGEST_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "win_tumbling": (win_tumbling, WIN_TUMBLING_SQL),
+    "win_sliding": (win_sliding, WIN_SLIDING_SQL),
+    "win_session": (win_session, WIN_SESSION_SQL),
+    "stream_ingest": (stream_ingest, STREAM_INGEST_SQL),
+}
