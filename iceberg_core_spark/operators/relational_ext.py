@@ -1,0 +1,219 @@
+"""Extended relational surface: explode, map functions, statistical
+aggregates, pivot, string_agg, extended window ranks, conditionals,
+scalar subqueries. Same oracle conventions as relational.py."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.session import load_table
+
+
+def explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Array → rows with position (posexplode); the builtin twin of the
+    UDTF demo. A narrow op — no shuffle; output rows stay with their
+    input partition."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+
+
+EXPLODE_TOKENS_SQL = """
+WITH limited AS (SELECT * FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+FROM limited
+"""
+
+
+def map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Map column surface: from_json → map, map_keys/map_values/
+    element_at, reduced to scalars for hash stability."""
+    ev = load_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_values(m)).alias("n_vals"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       len(json_keys(props)) AS n_vals
+FROM events
+"""
+
+
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance/stddev from exact decimal sums: var = (Σx² − (Σx)²/n)
+    / (n−1) evaluated in identical double arithmetic in both engines —
+    engine-native STDDEV accumulates in FP and is not hash-stable."""
+    li = load_table(spark, sf, "lineitem")
+    sum_q = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sum_q2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,4)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_q2 - sum_q * sum_q / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (sum_q / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+       (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS var_qty,
+       sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS stddev_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → stable
+    schema; map-side partial agg then one shuffle, same as any agg)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (l_linestatus = 'F') AS n_f,
+       COUNT(*) FILTER (l_linestatus = 'O') AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (collect_list → sort → join; DuckDB
+    string_agg ORDER BY twin)."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 100)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_STRING_AGG_SQL = """
+SELECT c_mktsegment,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey < 100
+GROUP BY c_mktsegment
+"""
+
+
+def win_rank_ext(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over a unique ordering."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WIN_RANK_EXT_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_orderkey < 1000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def scalar_cond(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional expression surface: CASE, coalesce, nullif, if."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")),
+                   F.lit("OTHER")).alias("seg_or_other"),
+        F.expr("if(c_nationkey % 2 = 0, 'even', 'odd')").alias("nation_parity"),
+    )
+
+
+SCALAR_COND_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'high'
+            WHEN c_acctbal > 0 THEN 'mid'
+            ELSE 'low' END AS tier,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+       CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nation_parity
+FROM customer
+"""
+
+
+# Shared-dialect SQL: runs verbatim on Spark SQL and DuckDB.
+SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey,
+       o_totalprice,
+       o_totalprice
+         / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders) AS price_ratio
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
+"""
+
+
+def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subqueries (Catalyst plans them as reusable
+    subquery results broadcast to the main plan)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SCALAR_SUBQUERY_SQL)
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "explode_tokens": (explode_tokens, EXPLODE_TOKENS_SQL),
+    "map_funcs": (map_funcs, MAP_FUNCS_SQL),
+    "agg_stats": (agg_stats, AGG_STATS_SQL),
+    "agg_pivot": (agg_pivot, AGG_PIVOT_SQL),
+    "agg_string_agg": (agg_string_agg, AGG_STRING_AGG_SQL),
+    "win_rank_ext": (win_rank_ext, WIN_RANK_EXT_SQL),
+    "scalar_cond": (scalar_cond, SCALAR_COND_SQL),
+    "scalar_subquery": (scalar_subquery, SCALAR_SUBQUERY_SQL),
+}

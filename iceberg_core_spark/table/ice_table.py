@@ -261,6 +261,68 @@ class IceTable:
         )
 
     # ------------------------------------------------------------------
+    # row-level changes (copy-on-write, Iceberg CoW semantics)
+    # ------------------------------------------------------------------
+    def delete_range(self, partition: Any = None, lo: Any = None,
+                     hi: Any = None) -> Snapshot:
+        """Targeted copy-on-write delete of a partition/key range: only
+        files whose stats overlap the range are rewritten (minus the
+        deleted rows); all other files carry over untouched — the same
+        file-pruning logic the read path uses, applied to writes.
+
+        Scale note: this is Iceberg copy-on-write; at heavy delete
+        rates a merge-on-read design (delete files merged at scan)
+        amortizes better — out of scope here, the API stays the same.
+        """
+        snap = self.manifest.load()
+        affected, keep = [], []
+        for f in snap.files:
+            hit = True
+            if partition is not None and snap.partition_col and \
+                    f.partition != partition:
+                hit = False
+            if hit and snap.key_col and not f.overlaps(lo, hi):
+                hit = False
+            (affected if hit else keep).append(f)
+        if not affected:
+            return snap
+
+        retained = self._read_files(affected)
+        cond = F.lit(True)
+        if partition is not None and snap.partition_col:
+            cond = cond & (F.col(snap.partition_col) == F.lit(partition))
+        if snap.key_col:
+            if lo is not None:
+                cond = cond & (F.col(snap.key_col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(snap.key_col) <= F.lit(hi))
+        retained = retained.filter(~cond)
+        return self._write_commit(retained, "delete", snap.partition_col,
+                                  snap.key_col, 1_000_000, base_files=keep)
+
+    def delete_where(self, condition) -> Snapshot:
+        """General predicate delete (full rewrite — no stats pruning for
+        arbitrary predicates). For key/partition ranges use
+        delete_range, which rewrites only overlapping files."""
+        snap = self.manifest.load()
+        retained = self.scan().filter(~condition)
+        return self._write_commit(retained, "delete", snap.partition_col,
+                                  snap.key_col, 1_000_000, base_files=[])
+
+    def upsert(self, df: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Merge: rows matching ``key_cols`` are replaced by ``df``'s
+        rows, new keys are inserted (CoW full-merge; the shuffle is one
+        left-anti join on the keys)."""
+        snap = self.manifest.load()
+        existing = self.scan().join(
+            df.select(*key_cols).dropDuplicates(key_cols), key_cols,
+            "left_anti",
+        )
+        merged = existing.unionByName(df)
+        return self._write_commit(merged, "upsert", snap.partition_col,
+                                  snap.key_col, 1_000_000, base_files=[])
+
+    # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
     def compact(self, target_rows_per_file: int = 1_000_000,

@@ -1,0 +1,26 @@
+"""Oracle parity for the extended relational + UDF-family queries."""
+
+import pytest
+
+from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
+from iceberg_core_spark.operators.udfs import QUERIES as UDF
+from tests.oracle import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALL = {**RELX, **UDF}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+CASES = [(n, fn, sql) for n, (fn, sql) in ALL.items() if sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_ext_oracle_match(spark, con, name, fn, sql):
+    compare(fn(spark, SF_DIR), con, sql, name)

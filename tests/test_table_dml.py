@@ -1,0 +1,64 @@
+"""Row-level table operations: targeted delete, predicate delete, upsert."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.table import IceTable
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    rows = [location_row(timestamp=t, user_id=u)
+            for u in ("u1", "u2") for t in (100, 200, 300, 400)]
+    df = location_df(spark, rows)
+    return IceTable.create(spark, str(tmp_path / "t"), df,
+                           partition_col=PARTITION_COL, key_col=KEY_COL,
+                           max_rows_per_file=2)
+
+
+def test_delete_range_targeted(spark, table):
+    before_files = {f.path: f for f in table.manifest.load().files}
+    table.delete_range(partition="u1", lo=150, hi=350)
+    got = sorted((r.user_id, r.timestamp) for r in table.scan().collect())
+    assert got == [("u1", 100), ("u1", 400),
+                   ("u2", 100), ("u2", 200), ("u2", 300), ("u2", 400)]
+    # u2's files are carried over byte-identical (not rewritten)
+    after = {f.path: f for f in table.manifest.load().files}
+    u2_before = {p for p, f in before_files.items() if f.partition == "u2"}
+    assert u2_before <= set(after)
+    assert table.manifest.load().operation == "delete"
+
+
+def test_delete_range_no_match_is_noop(spark, table):
+    sid = table.manifest.current_snapshot_id()
+    table.delete_range(partition="u1", lo=5000, hi=6000)
+    assert table.manifest.current_snapshot_id() == sid  # no new snapshot
+
+
+def test_delete_where_predicate(spark, table):
+    table.delete_where(F.col(KEY_COL) % 200 == 0)
+    got = sorted(r.timestamp for r in table.scan().collect())
+    assert got == [100, 100, 300, 300]
+
+
+def test_upsert_replaces_and_inserts(spark, table):
+    changes = location_df(spark, [
+        location_row(timestamp=100, user_id="u1", latitude=99.0),  # replace
+        location_row(timestamp=500, user_id="u1"),                 # insert
+    ])
+    table.upsert(changes, key_cols=[PARTITION_COL, KEY_COL])
+    assert table.scan().count() == 9
+    updated = table.query("u1", 100, 100).collect()
+    assert len(updated) == 1 and updated[0].latitude == 99.0
+    assert table.query("u1", 500, 500).count() == 1
+    assert table.manifest.load().operation == "upsert"
+    # time travel still shows the pre-upsert state
+    first = table.scan(snapshot_id=0)
+    assert first.count() == 8
+
+
+def test_delete_then_query_pruning_still_works(spark, table):
+    table.delete_range(partition="u2", lo=100, hi=200)
+    assert table.query("u2", 100, 400).count() == 2
+    assert table.query("u1", 100, 400).count() == 4
