@@ -217,6 +217,36 @@ LIMIT 10
 """
 
 
+def sim_search_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch exact top-5 for 5 query vectors against the rest — the
+    broadcast-queries × streaming-corpus shape (zero shuffle before the
+    per-query top-k window)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.cosine_topk_batch(corpus, queries, k=5)
+
+
+SIM_SEARCH_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT qid, vec_id, {fround_sql(_QCOS_RAW, 4)} AS sim FROM c, q
+)
+SELECT qid, vec_id, sim, rn FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def sim_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: approximate (bucket recall is probabilistic); exact
     twin is sim_search."""
@@ -274,6 +304,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "sim_search": (sim_search, SIM_SEARCH_SQL),
+    "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),
     "sim_search_lsh": (sim_search_lsh, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, None),

@@ -43,6 +43,44 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Batch exact top-k: many query vectors at once. The query set is
+    broadcast (it is small by definition), so the corpus streams through
+    ONE scan with zero shuffle until the per-query top-k window — the
+    shape that scales to a 100 TB corpus × thousands of queries.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__dv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        fround(cosine(F.col("__dv"), F.col("__qv")), 4).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "sim", "rn")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (public LSH construction)."""
     rng = np.random.default_rng(seed)

@@ -122,13 +122,37 @@ WHERE o_orderstatus = 'O'
 
 def filter_range(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's sole query shape (R15): partition value + inclusive
-    key range. Partition pruning + min/max skipping + residual filter."""
-    ev = load_table(spark, sf, "events")
-    return ev.filter(
-        (F.col("user_id") == 7)
-        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    key range. Partition pruning + min/max skipping + residual filter.
+
+    events.ts is stored as TIMESTAMP(NANOS): the range predicate is
+    applied to the RAW nanos long (pushes down to row-group skipping —
+    a filter on the converted µs column cannot push through the
+    conversion expression) with exact µs→ns bound mapping, then the
+    µs conversion happens above the pruned scan."""
+    import datetime
+
+    from iceberg_core_spark.session import load_table_raw
+
+    raw, nanos_cols = load_table_raw(spark, sf, "events")
+    lo = datetime.datetime(2024, 1, 5)
+    hi = datetime.datetime(2024, 1, 20)
+    epoch = datetime.datetime(1970, 1, 1)
+    lo_ns = int((lo - epoch).total_seconds()) * 1_000_000_000
+    # inclusive hi at µs precision → any ns value truncating to hi_µs
+    hi_ns = int((hi - epoch).total_seconds()) * 1_000_000_000 + 999
+    if "ts" in nanos_cols:
+        out = raw.filter(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= lo_ns)
+            & (F.col("ts") <= hi_ns)
+        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:  # already timestamp-typed (other datasets)
+        out = raw.filter(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") <= F.lit(hi))
+        )
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 FILTER_RANGE_SQL = """

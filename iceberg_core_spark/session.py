@@ -62,6 +62,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str):
+    """Read a table WITHOUT ns→µs timestamp conversion: nanos columns
+    stay as raw longs. Use when a range predicate must push down to the
+    parquet scan — a filter on the CONVERTED column sits above a
+    computed expression and cannot push (full scan); a filter on the
+    raw nanos long pushes to row-group skipping. Bound mapping for a
+    µs-semantics range [lo, hi]:  raw_ns ∈ [lo_µs·1000, hi_µs·1000+999]
+    (matches the truncation both load_table and DuckDB apply). Returns
+    (df, nanos_cols)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    arrow_schema = pq.ParquetFile(path).schema_arrow
+    nanos_cols = [f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"]
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path), nanos_cols
+
+
 def spread(df, min_factor: int = 2):
     """Ensure enough partitions for CPU-bound per-row work.
 
