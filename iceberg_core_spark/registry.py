@@ -21,11 +21,13 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
+    from iceberg_core_spark.operators.tpch import QUERIES as TPCH
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
     out: dict[str, Entry] = {}
     out.update(REL)
     out.update(RELX)
+    out.update(TPCH)
     out.update(UDF)
     out.update(LLM)
     out.update(STREAM)

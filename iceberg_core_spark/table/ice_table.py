@@ -100,6 +100,11 @@ class IceTable:
         max_rows_per_file: int = 1_000_000,
     ) -> "IceTable":
         tbl = cls(spark, root)
+        if tbl.manifest.current_snapshot_id() is not None:
+            raise FileExistsError(
+                f"table already exists at {root}; use IceTable(spark, root) "
+                "to open it, or overwrite()/append() to write"
+            )
         tbl._write_commit(df, "create", partition_col, key_col, max_rows_per_file,
                           base_files=[])
         return tbl

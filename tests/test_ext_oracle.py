@@ -24,3 +24,16 @@ CASES = [(n, fn, sql) for n, (fn, sql) in ALL.items() if sql]
 @pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
 def test_ext_oracle_match(spark, con, name, fn, sql):
     compare(fn(spark, SF_DIR), con, sql, name)
+
+
+from iceberg_core_spark.operators.tpch import QUERIES as TPCH
+
+TPCH_CASES = [(n, fn, sql) for n, (fn, sql) in TPCH.items() if sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", TPCH_CASES,
+                         ids=[c[0] for c in TPCH_CASES])
+def test_tpch_oracle_match(spark, con, name, fn, sql):
+    df = fn(spark, SF_DIR)
+    assert df.count() > 0, f"{name} degenerate (0 rows)"
+    compare(df, con, sql, name)
