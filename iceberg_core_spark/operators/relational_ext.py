@@ -205,6 +205,30 @@ def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(SCALAR_SUBQUERY_SQL)
 
 
+def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (skew-proof groupBy) — must equal
+    the plain GROUP BY, which is exactly what the oracle asserts."""
+    from iceberg_core_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sums={"l_extendedprice": "total_price"},
+        count_alias="n",
+        salt=16,
+    )
+
+
+AGG_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -216,4 +240,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "win_rank_ext": (win_rank_ext, WIN_RANK_EXT_SQL),
     "scalar_cond": (scalar_cond, SCALAR_COND_SQL),
     "scalar_subquery": (scalar_subquery, SCALAR_SUBQUERY_SQL),
+    "agg_salted": (agg_salted, AGG_SALTED_SQL),
 }

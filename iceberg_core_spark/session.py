@@ -34,6 +34,8 @@ _SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.compression.codec": "snappy",
+    # INT96 is deprecated and reads back as ns, confusing type probes.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
 }
@@ -62,6 +64,33 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """timestamp[ns] column names of a parquet file OR directory (reads
+    one footer — schema is uniform across a table's files)."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        for dirpath, _dirs, names in os.walk(path):
+            hit = next((n for n in sorted(names) if n.endswith(".parquet")), None)
+            if hit:
+                probe = os.path.join(dirpath, hit)
+                break
+        else:
+            return []
+    # Detect true INT64 TIMESTAMP(NANOS) columns from parquet metadata:
+    # the arrow view alone also reports legacy INT96 as timestamp[ns],
+    # which Spark reads fine and must NOT be nanos-long-converted.
+    schema = pq.ParquetFile(probe).metadata.schema
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if (col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type)):
+            out.append(col.name)
+    return out
+
+
 def load_table_raw(spark: SparkSession, sf_dir: str, name: str):
     """Read a table WITHOUT ns→µs timestamp conversion: nanos columns
     stay as raw longs. Use when a range predicate must push down to the
@@ -71,11 +100,8 @@ def load_table_raw(spark: SparkSession, sf_dir: str, name: str):
     µs-semantics range [lo, hi]:  raw_ns ∈ [lo_µs·1000, hi_µs·1000+999]
     (matches the truncation both load_table and DuckDB apply). Returns
     (df, nanos_cols)."""
-    import pyarrow.parquet as pq
-
     path = os.path.join(sf_dir, f"{name}.parquet")
-    arrow_schema = pq.ParquetFile(path).schema_arrow
-    nanos_cols = [f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"]
+    nanos_cols = _nanos_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path), nanos_cols
@@ -108,15 +134,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     microsecond TimestampType — the same ns→µs truncation DuckDB applies,
     so oracle comparisons see identical values.
     """
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    arrow_schema = pq.ParquetFile(path).schema_arrow
-    nanos_cols = [
-        f.name for f in arrow_schema
-        if str(f.type) == "timestamp[ns]"
-    ]
+    nanos_cols = _nanos_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

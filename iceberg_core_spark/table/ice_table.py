@@ -110,19 +110,44 @@ class IceTable:
         return tbl
 
     def append(self, df: DataFrame, max_rows_per_file: int = 1_000_000,
-               dedupe_identical_files: bool = True) -> Snapshot:
+               dedupe_identical_files: bool = True,
+               evolve_schema: bool = False) -> Snapshot:
         """Append rows as a new snapshot.
 
         ``dedupe_identical_files``: a new file whose content hash already
         exists in the current snapshot is dropped — the reference's
         idempotent re-write semantics (same rows → same filename → no-op,
         reference block.go:109-115).
+
+        ``evolve_schema``: Iceberg-style additive evolution — new columns
+        in ``df`` are added to the table schema (old files read them as
+        NULL via the schema-on-read path in _read_files); table columns
+        missing from ``df`` are filled with NULL. Without it, any column
+        mismatch is rejected (the reference's fixed-schema behavior,
+        SURVEY.md §1.4).
         """
         snap = self.manifest.load()
         schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
-        if [f.name for f in df.schema.fields] != [f.name for f in schema.fields]:
+        table_cols = [f.name for f in schema.fields]
+        if evolve_schema:
+            # shared columns must keep their type — silent type changes
+            # would corrupt schema-on-read of existing files
+            df_types = dict(df.dtypes)
+            for f in schema.fields:
+                if f.name in df_types and df_types[f.name] != f.dataType.simpleString():
+                    raise ValueError(
+                        f"evolve cannot change type of {f.name!r}: "
+                        f"table has {f.dataType.simpleString()}, "
+                        f"append has {df_types[f.name]}"
+                    )
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            new_cols = [c for c in df.columns if c not in table_cols]
+            df = df.select(*table_cols, *new_cols)
+        elif df.columns != table_cols:
             raise ValueError(
-                f"append schema mismatch: {df.columns} vs {[f.name for f in schema.fields]}"
+                f"append schema mismatch: {df.columns} vs {table_cols}"
             )
         return self._write_commit(
             df, "append", snap.partition_col, snap.key_col,
@@ -219,6 +244,12 @@ class IceTable:
         """Full-table scan of one snapshot (time travel via snapshot_id)."""
         return self._read_files(self.manifest.load(snapshot_id).files,
                                 snapshot_id)
+
+    def to_view(self, name: str, snapshot_id: int | None = None) -> None:
+        """Register this table (one snapshot) as a temp view so users can
+        ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` — predicates
+        still push down through the DataFrame the view wraps."""
+        self.scan(snapshot_id).createOrReplaceTempView(name)
 
     def query(
         self,

@@ -1,0 +1,70 @@
+"""Schema evolution, SQL views, and the salted aggregate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.operators.skew import salted_agg
+from iceberg_core_spark.session import load_table
+from iceberg_core_spark.table import IceTable
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_append_evolve_adds_column(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    wider = location_df(spark, [location_row(timestamp=2)]).withColumn(
+        "battery", F.lit(0.5)
+    )
+    t.append(wider, evolve_schema=True)
+    got = {r.timestamp: r.battery for r in t.scan().collect()}
+    assert got == {1: None, 2: 0.5}  # old file reads new column as NULL
+    # next append may omit the new column → filled with NULL
+    t.append(location_df(spark, [location_row(timestamp=3)]),
+             evolve_schema=True)
+    assert t.scan().count() == 3
+    assert "battery" in t.scan().columns
+
+
+def test_append_without_evolve_rejects(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    wider = location_df(spark, [location_row(timestamp=2)]).withColumn(
+        "battery", F.lit(0.5)
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(wider)
+
+
+def test_to_view_sql_roundtrip(spark, tmp_path):
+    rows = [location_row(timestamp=t) for t in (1, 2, 3)]
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    t.to_view("locations_v")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM locations_v WHERE timestamp >= 2"
+    ).first()
+    assert got.n == 2
+
+
+def test_salted_agg_equals_plain(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    salted = {
+        (r.l_returnflag): (r.total_price, r.n)
+        for r in salted_agg(li, ["l_returnflag"],
+                            sums={"l_extendedprice": "total_price"},
+                            count_alias="n", salt=8).collect()
+    }
+    plain = {
+        (r.l_returnflag): (r.total_price, r.n)
+        for r in li.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert salted == plain  # exact — decimal partials are associative
