@@ -278,6 +278,58 @@ FROM documents
 """
 
 
+def multimodal_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing: payload → every-4th 256-byte chunk;
+    output is (doc, chunk_idx, chunk_bytes) so the byte-exact chunking
+    is oracle-checkable without hashing raw binary."""
+    from iceberg_core_spark.multimodal import sample_chunks
+
+    d = to_binary(load_table(spark, sf, "documents"), "text")
+    return sample_chunks(d).select("doc_id", "chunk_idx", "chunk_bytes")
+
+
+MULTIMODAL_CHUNKS_SQL = """
+SELECT doc_id, i AS chunk_idx,
+       least(256, L - i * 256) AS chunk_bytes
+FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents) t,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(L / 256.0) AS BIGINT), 4)) AS i) u
+"""
+
+
+def text_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram counts (n-gram generation + frequency) — the
+    vocabulary-building primitive. Map-side exploding, one hash-agg
+    shuffle on the bigram."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )
+    return (
+        d.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+TEXT_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+"""
+
+
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: Arrow-batched decode→featurize plumbing (stub encoder).
     Returns scalar projections of the feature vector for stability."""
@@ -308,4 +360,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sim_search_lsh": (sim_search_lsh, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, None),
+    "multimodal_chunks": (multimodal_chunks, MULTIMODAL_CHUNKS_SQL),
+    "text_ngrams": (text_ngrams, TEXT_NGRAMS_SQL),
 }

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -105,6 +106,49 @@ def decode_and_featurize(
                 id_col: pdf[id_col],
                 "n_bytes": payloads.map(len).astype("int64"),
                 "features": payloads.map(lambda p: _fake_features(bytes(p), dim)),
+            })
+
+    from iceberg_core_spark.session import spread
+
+    return spread(df.select(id_col, binary_col)).mapInPandas(run, out_schema)
+
+
+def sample_chunks(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 256,
+    every_n: int = 4,
+) -> DataFrame:
+    """Frame-sampling shape for video/audio payloads: split the byte
+    stream into fixed-size chunks and keep every Nth (a real pipeline
+    samples keyframes/windows; byte chunking stands in for the decoder).
+    One input row → many (id, chunk_idx, chunk) rows via ``mapInPandas``
+    — a narrow op, rows stay with their partition, memory bounded by one
+    Arrow batch."""
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk", BinaryType()),
+        StructField("chunk_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                for ci in range(0, (len(b) + chunk_bytes - 1) // chunk_bytes,
+                                every_n):
+                    ids.append(rid)
+                    idxs.append(ci)
+                    chunks.append(b[ci * chunk_bytes:(ci + 1) * chunk_bytes])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "chunk": chunks,
+                "chunk_bytes": pd.Series([len(c) for c in chunks],
+                                         dtype="int64"),
             })
 
     from iceberg_core_spark.session import spread

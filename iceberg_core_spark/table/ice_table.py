@@ -153,6 +153,7 @@ class IceTable:
             df, "append", snap.partition_col, snap.key_col,
             max_rows_per_file, base_files=list(snap.files),
             dedupe_identical_files=dedupe_identical_files,
+            delete_predicates=snap.delete_predicates,  # still hide old rows
         )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
@@ -169,6 +170,7 @@ class IceTable:
         max_rows_per_file: int,
         base_files: list[ManifestFile],
         dedupe_identical_files: bool = False,
+        delete_predicates: list[dict] | None = None,
     ) -> Snapshot:
         sid = self.manifest.next_snapshot_id()
         commit_rel = os.path.join("data", f"s{sid}")
@@ -229,6 +231,7 @@ class IceTable:
             partition_col=partition_col,
             key_col=key_col,
             files=base_files + new_files,
+            delete_predicates=delete_predicates or [],
         )
         self.manifest.commit(snap)
         return snap
@@ -241,9 +244,36 @@ class IceTable:
         return StructType.fromJson(__import__("json").loads(snap.schema_json))
 
     def scan(self, snapshot_id: int | None = None) -> DataFrame:
-        """Full-table scan of one snapshot (time travel via snapshot_id)."""
-        return self._read_files(self.manifest.load(snapshot_id).files,
-                                snapshot_id)
+        """Full-table scan of one snapshot (time travel via snapshot_id).
+        Merge-on-read delete predicates are applied here, scoped to the
+        files they were issued against."""
+        snap = self.manifest.load(snapshot_id)
+        return self._read_with_deletes(snap.files, snap, snapshot_id)
+
+    def _read_with_deletes(self, files, snap, snapshot_id=None) -> DataFrame:
+        """Read files, applying each MoR predicate only to the files it
+        was issued against. Files sharing the same applicable-predicate
+        set are read in one group (one scan each; groups = number of
+        distinct delete generations, typically 0-2)."""
+        if not snap.delete_predicates:
+            return self._read_files(files, snapshot_id)
+        groups: dict[tuple[int, ...], list] = {}
+        for f in files:
+            key = tuple(
+                i for i, p in enumerate(snap.delete_predicates)
+                if f.path in p["applies_to"]
+            )
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fs in groups.items():
+            df = self._read_files(fs, snapshot_id)
+            for i in key:
+                df = df.filter(~F.expr(snap.delete_predicates[i]["expr"]))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def to_view(self, name: str, snapshot_id: int | None = None) -> None:
         """Register this table (one snapshot) as a temp view so users can
@@ -276,7 +306,7 @@ class IceTable:
         if (lo is not None or hi is not None) and snap.key_col:
             files = [f for f in files if f.overlaps(lo, hi)]
 
-        df = self._read_files(files, snapshot_id)
+        df = self._read_with_deletes(files, snap, snapshot_id)
         if partition is not None and snap.partition_col:
             df = df.filter(F.col(snap.partition_col) == F.lit(partition))
         if snap.key_col:
@@ -323,7 +353,9 @@ class IceTable:
         if not affected:
             return snap
 
-        retained = self._read_files(affected)
+        # apply any outstanding MoR predicates to the files being
+        # rewritten; they remain only for the untouched (kept) files
+        retained = self._read_with_deletes(affected, snap)
         cond = F.lit(True)
         if partition is not None and snap.partition_col:
             cond = cond & (F.col(snap.partition_col) == F.lit(partition))
@@ -333,15 +365,58 @@ class IceTable:
             if hi is not None:
                 cond = cond & (F.col(snap.key_col) <= F.lit(hi))
         retained = retained.filter(~cond)
+        kept_paths = {f.path for f in keep}
+        remaining_preds = []
+        for p in snap.delete_predicates:
+            still = [path for path in p["applies_to"] if path in kept_paths]
+            if still:
+                remaining_preds.append({"expr": p["expr"], "applies_to": still})
         return self._write_commit(retained, "delete", snap.partition_col,
-                                  snap.key_col, 1_000_000, base_files=keep)
+                                  snap.key_col, 1_000_000, base_files=keep,
+                                  delete_predicates=remaining_preds)
 
-    def delete_where(self, condition) -> Snapshot:
-        """General predicate delete (full rewrite — no stats pruning for
-        arbitrary predicates). For key/partition ranges use
-        delete_range, which rewrites only overlapping files."""
+    def delete_where(self, condition, mode: str = "cow") -> Snapshot:
+        """General predicate delete.
+
+        ``mode="cow"``: copy-on-write full rewrite (read amortization:
+        scans stay predicate-free). ``mode="mor"``: merge-on-read —
+        a METADATA-ONLY commit recording the predicate (as a SQL string)
+        against the current file set; scans filter it out until a
+        compaction rewrites it away. MoR is the right trade at heavy
+        delete rates / large tables (the 100 TB path); pass the
+        condition as a SQL boolean string for mor (it must serialize
+        into the manifest).
+
+        For key/partition ranges use delete_range, which rewrites only
+        overlapping files."""
         snap = self.manifest.load()
-        retained = self.scan().filter(~condition)
+        if mode == "mor":
+            if not isinstance(condition, str):
+                raise TypeError("mor delete takes a SQL string predicate")
+            # Validate against the table schema NOW (parse alone is not
+            # enough — column resolution happens at analysis); a bad
+            # predicate must fail the delete, not every later scan.
+            self.spark.createDataFrame([], self.schema()).filter(
+                F.expr(condition)
+            ).schema
+            new = Snapshot(
+                snapshot_id=self.manifest.next_snapshot_id(),
+                parent_id=snap.snapshot_id,
+                timestamp_ms=Manifest.now_ms(),
+                operation="delete-mor",
+                schema_json=snap.schema_json,
+                partition_col=snap.partition_col,
+                key_col=snap.key_col,
+                files=list(snap.files),
+                delete_predicates=snap.delete_predicates + [{
+                    "expr": condition,
+                    "applies_to": [f.path for f in snap.files],
+                }],
+            )
+            self.manifest.commit(new)
+            return new
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        retained = self.scan().filter(~cond)
         return self._write_commit(retained, "delete", snap.partition_col,
                                   snap.key_col, 1_000_000, base_files=[])
 
@@ -373,12 +448,20 @@ class IceTable:
         by_part: dict[Any, list[ManifestFile]] = {}
         for f in snap.files:
             by_part.setdefault(f.partition, []).append(f)
-        victims = [f for fs in by_part.values() if len(fs) >= min_files for f in fs]
+        victims = {f.path: f for fs in by_part.values()
+                   if len(fs) >= min_files for f in fs}
+        # any file carrying MoR deletes is compacted too, so compaction
+        # always rewrites outstanding deletes away
+        mor_paths = {p for pred in snap.delete_predicates
+                     for p in pred["applies_to"]}
+        for f in snap.files:
+            if f.path in mor_paths:
+                victims[f.path] = f
         if not victims:
             return snap
-        keep = [f for f in snap.files if f not in victims]
+        keep = [f for f in snap.files if f.path not in victims]
 
-        df = self._read_files(victims)
+        df = self._read_with_deletes(list(victims.values()), snap)
         sid = self.manifest.next_snapshot_id()
         # Reuse the standard write path then splice kept files back in.
         new_snap = self._write_commit(

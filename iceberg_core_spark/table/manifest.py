@@ -100,11 +100,17 @@ class Snapshot:
     snapshot_id: int
     parent_id: int | None
     timestamp_ms: int
-    operation: str  # create | append | overwrite | compact
+    operation: str  # create | append | overwrite | compact | delete(-mor) | upsert
     schema_json: str
     partition_col: str | None
     key_col: str | None
     files: list[ManifestFile] = field(default_factory=list)
+    # Merge-on-read deletes (Iceberg v2 predicate-delete analog): each
+    # entry {"expr": <SQL boolean>, "applies_to": [file paths]} hides
+    # matching rows of THOSE files at scan time — scoping to the files
+    # present at delete time is the sequence-number-lite rule that keeps
+    # later appends unaffected. Compaction rewrites them away.
+    delete_predicates: list[dict] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -116,6 +122,7 @@ class Snapshot:
             "partition_col": self.partition_col,
             "key_col": self.key_col,
             "files": [f.to_json() for f in self.files],
+            "delete_predicates": self.delete_predicates,
         }
 
     @classmethod
@@ -129,6 +136,7 @@ class Snapshot:
             partition_col=d["partition_col"],
             key_col=d["key_col"],
             files=[ManifestFile.from_json(f) for f in d["files"]],
+            delete_predicates=d.get("delete_predicates", []),
         )
 
 

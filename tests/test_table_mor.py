@@ -1,0 +1,74 @@
+"""Merge-on-read deletes: metadata-only commits, file-scoped semantics
+(later appends unaffected), interaction with range queries, and
+compaction rewriting deletes away."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.table import IceTable
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    rows = [location_row(timestamp=t) for t in range(10)]
+    return IceTable.create(spark, str(tmp_path / "t"),
+                           location_df(spark, rows),
+                           partition_col=PARTITION_COL, key_col=KEY_COL)
+
+
+def test_mor_delete_is_metadata_only(spark, table):
+    files_before = {f.path for f in table.manifest.load().files}
+    table.delete_where("timestamp % 2 = 0", mode="mor")
+    snap = table.manifest.load()
+    assert snap.operation == "delete-mor"
+    assert {f.path for f in snap.files} == files_before  # no data rewrite
+    assert sorted(r.timestamp for r in table.scan().collect()) == [1, 3, 5, 7, 9]
+    # range query applies deletes too
+    assert sorted(r.timestamp for r in
+                  table.query("userid1", 0, 4).collect()) == [1, 3]
+
+
+def test_mor_scoped_to_delete_time_files(spark, table):
+    table.delete_where("timestamp < 100", mode="mor")  # deletes ALL current
+    assert table.scan().count() == 0
+    # a later append with rows matching the predicate is NOT affected
+    table.append(location_df(spark, [location_row(timestamp=3)]),
+                 dedupe_identical_files=False)
+    got = [r.timestamp for r in table.scan().collect()]
+    assert got == [3]
+
+
+def test_mor_stacked_predicates(spark, table):
+    table.delete_where("timestamp >= 8", mode="mor")
+    table.delete_where("timestamp < 2", mode="mor")
+    assert sorted(r.timestamp for r in table.scan().collect()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_compact_rewrites_mor_away(spark, table):
+    table.delete_where("timestamp % 2 = 0", mode="mor")
+    table.compact(min_files=10_000)  # no fragmentation — only MoR cleanup
+    snap = table.manifest.load()
+    assert snap.delete_predicates == []
+    assert sorted(r.timestamp for r in table.scan().collect()) == [1, 3, 5, 7, 9]
+    # physical: re-reading raw files shows the rows are really gone
+    raw = table._read_files(snap.files)
+    assert sorted(r.timestamp for r in raw.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_delete_range_under_mor(spark, table):
+    table.delete_where("timestamp = 1", mode="mor")
+    table.delete_range(partition="userid1", lo=4, hi=6)
+    assert sorted(r.timestamp for r in table.scan().collect()) == [0, 2, 3, 7, 8, 9]
+
+
+def test_mor_rejects_column_condition(spark, table):
+    with pytest.raises(TypeError, match="SQL string"):
+        table.delete_where(F.col("timestamp") < 5, mode="mor")
+
+
+def test_mor_time_travel_sees_predeletion_state(spark, table):
+    sid = table.manifest.current_snapshot_id()
+    table.delete_where("timestamp < 5", mode="mor")
+    assert table.scan(snapshot_id=sid).count() == 10
+    assert table.scan().count() == 5
