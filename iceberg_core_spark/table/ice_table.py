@@ -55,27 +55,55 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
-def _file_stats(path: str, key_col: str | None, partition_col: str | None):
-    """Per-file (rows, key_min, key_max, partition_value) from Parquet
-    footers only — no data pages are read."""
+def _file_stats(path: str, key_col: str | None, partition_col: str | None,
+                stat_cols: tuple[str, ...] = ()):
+    """Per-file (rows, key_min, key_max, partition_value, col_stats)
+    from Parquet footers only — no data pages are read. ``stat_cols``
+    extends min/max tracking beyond the key column."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
     key_min = key_max = part_val = None
+    col_stats: dict[str, list] = {}
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+    def norm(v):
+        # tz-aware stats (UTC-adjusted parquet timestamps) → naive UTC,
+        # matching the session's UTC semantics and naive query bounds
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    def merge(col: str, group):
+        if col not in name_to_idx:
+            return
+        st = group.column(name_to_idx[col]).statistics
+        if st is None or not st.has_min_max:
+            return
+        mn, mx = norm(st.min), norm(st.max)
+        cur = col_stats.get(col)
+        if cur is None:
+            col_stats[col] = [mn, mx]
+        else:
+            cur[0] = min(cur[0], mn)
+            cur[1] = max(cur[1], mx)
+
     for rg in range(md.num_row_groups):
         group = md.row_group(rg)
-        if key_col is not None and key_col in name_to_idx:
-            st = group.column(name_to_idx[key_col]).statistics
-            if st is not None and st.has_min_max:
-                key_min = st.min if key_min is None else min(key_min, st.min)
-                key_max = st.max if key_max is None else max(key_max, st.max)
+        for col in set(stat_cols) | ({key_col} if key_col else set()):
+            merge(col, group)
         if partition_col is not None and partition_col in name_to_idx:
             st = group.column(name_to_idx[partition_col]).statistics
             if st is not None and st.has_min_max and part_val is None:
                 part_val = st.min  # one partition value per file by layout
-    return rows, key_min, key_max, part_val
+    if key_col and key_col in col_stats:
+        key_min, key_max = col_stats[key_col]
+    return rows, key_min, key_max, part_val, {
+        c: (v[0], v[1]) for c, v in col_stats.items()
+    }
 
 
 class IceTable:
@@ -98,15 +126,27 @@ class IceTable:
         partition_col: str | None = None,
         key_col: str | None = None,
         max_rows_per_file: int = 1_000_000,
+        stat_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> "IceTable":
+        """Create a table.
+
+        ``stat_cols``: extra columns to track per-file min/max for
+        (enables ``range_scan`` pruning on them). ``zorder_by``: cluster
+        files by the Morton code of 2-4 columns instead of the key sort
+        — range queries prune on EVERY z-ordered dimension (those
+        columns are auto-added to stat_cols).
+        """
         tbl = cls(spark, root)
         if tbl.manifest.current_snapshot_id() is not None:
             raise FileExistsError(
                 f"table already exists at {root}; use IceTable(spark, root) "
                 "to open it, or overwrite()/append() to write"
             )
+        stat_cols = list(dict.fromkeys((stat_cols or []) + (zorder_by or [])))
         tbl._write_commit(df, "create", partition_col, key_col, max_rows_per_file,
-                          base_files=[])
+                          base_files=[], stat_cols=stat_cols,
+                          zorder_by=zorder_by or [])
         return tbl
 
     def append(self, df: DataFrame, max_rows_per_file: int = 1_000_000,
@@ -171,18 +211,38 @@ class IceTable:
         base_files: list[ManifestFile],
         dedupe_identical_files: bool = False,
         delete_predicates: list[dict] | None = None,
+        stat_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
+        # inherit stats/clustering config from the current snapshot
+        if stat_cols is None or zorder_by is None:
+            cur = self.manifest.current_snapshot_id()
+            prev = self.manifest.load() if cur is not None else None
+            if stat_cols is None:
+                stat_cols = prev.stat_cols if prev else []
+            if zorder_by is None:
+                zorder_by = prev.zorder_by if prev else []
+
         sid = self.manifest.next_snapshot_id()
         commit_rel = os.path.join("data", f"s{sid}")
         commit_dir = os.path.join(self.root, commit_rel)
 
-        # Cluster: one range shuffle on (partition, key). Hot partition
-        # values span multiple tasks (skew-proof); files stay key-local.
-        sort_cols = [c for c in (partition_col, key_col) if c]
         out = df
-        if sort_cols:
-            out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
-            out = out.sortWithinPartitions(*sort_cols)
+        if zorder_by:
+            # Morton clustering: files cover small hyper-rectangles in
+            # every z-ordered dimension (see table/zorder.py).
+            from iceberg_core_spark.table.zorder import zvalue_column
+
+            out = out.withColumn("__z", zvalue_column(out, zorder_by))
+            out = out.repartitionByRange(F.col("__z"))
+            out = out.sortWithinPartitions("__z").drop("__z")
+        else:
+            # Cluster: one range shuffle on (partition, key). Hot
+            # partition values span tasks (skew-proof); files key-local.
+            sort_cols = [c for c in (partition_col, key_col) if c]
+            if sort_cols:
+                out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
+                out = out.sortWithinPartitions(*sort_cols)
         writer = out.write.mode("overwrite").option(
             "maxRecordsPerFile", max_rows_per_file
         )
@@ -203,7 +263,9 @@ class IceTable:
                 if not name.endswith(".parquet"):
                     continue
                 abspath = os.path.join(dirpath, name)
-                rows, kmin, kmax, pval = _file_stats(abspath, key_col, partition_col)
+                rows, kmin, kmax, pval, cstats = _file_stats(
+                    abspath, key_col, partition_col, tuple(stat_cols)
+                )
                 if rows == 0:
                     continue
                 new_files.append(
@@ -215,6 +277,7 @@ class IceTable:
                         rows=rows,
                         bytes=os.path.getsize(abspath),
                         content_hash=_sha256_file(abspath),
+                        col_stats=cstats,
                     )
                 )
 
@@ -232,6 +295,8 @@ class IceTable:
             key_col=key_col,
             files=base_files + new_files,
             delete_predicates=delete_predicates or [],
+            stat_cols=stat_cols,
+            zorder_by=zorder_by,
         )
         self.manifest.commit(snap)
         return snap
@@ -274,6 +339,28 @@ class IceTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def range_scan(self, ranges: dict[str, tuple[Any, Any]],
+                   snapshot_id: int | None = None) -> DataFrame:
+        """Multi-dimensional pruned scan: ``ranges`` maps column →
+        (lo, hi) inclusive bounds. Files are pruned via the manifest's
+        per-column stats for every stats-tracked column in ``ranges``
+        (with z-order clustering, ALL z-dimensions prune effectively —
+        a key-sorted layout only prunes on the key); remaining columns
+        fall through to the pushed residual filter."""
+        snap = self.manifest.load(snapshot_id)
+        files = snap.files
+        for col, (lo, hi) in ranges.items():
+            files = [f for f in files if f.overlaps_col(col, lo, hi)]
+            if snap.key_col == col:
+                files = [f for f in files if f.overlaps(lo, hi)]
+        df = self._read_with_deletes(files, snap, snapshot_id)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def to_view(self, name: str, snapshot_id: int | None = None) -> None:
         """Register this table (one snapshot) as a temp view so users can

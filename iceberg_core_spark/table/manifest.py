@@ -57,7 +57,12 @@ def _decode_key(v: Any) -> Any:
 
 @dataclass
 class ManifestFile:
-    """Stats for one immutable data file (≈ one reference Block file)."""
+    """Stats for one immutable data file (≈ one reference Block file).
+
+    ``col_stats`` generalizes the key min/max to ANY tracked column
+    (Iceberg keeps per-column bounds in its manifests the same way) —
+    with z-order clustering this makes range queries prunable on every
+    clustered dimension, not just the sort key."""
 
     path: str  # relative to table root
     partition: Any  # identity-partition value (None for unpartitioned)
@@ -66,6 +71,7 @@ class ManifestFile:
     rows: int
     bytes: int
     content_hash: str  # sha256 of file bytes → idempotent writes (R16)
+    col_stats: dict = field(default_factory=dict)  # col → [min, max]
 
     def overlaps(self, lo: Any, hi: Any) -> bool:
         """Inclusive range-overlap test — true min/max on both bounds."""
@@ -75,11 +81,28 @@ class ManifestFile:
             return False
         return True
 
+    def overlaps_col(self, col: str, lo: Any, hi: Any) -> bool:
+        """Overlap test on any stats-tracked column; files without stats
+        for the column are conservatively kept."""
+        st = self.col_stats.get(col)
+        if st is None:
+            return True
+        mn, mx = st
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+        return True
+
     def to_json(self) -> dict:
         d = asdict(self)
         d["partition"] = _encode_key(d["partition"])
         d["key_min"] = _encode_key(d["key_min"])
         d["key_max"] = _encode_key(d["key_max"])
+        d["col_stats"] = {
+            c: [_encode_key(v[0]), _encode_key(v[1])]
+            for c, v in self.col_stats.items()
+        }
         return d
 
     @classmethod
@@ -92,6 +115,10 @@ class ManifestFile:
             rows=d["rows"],
             bytes=d["bytes"],
             content_hash=d["content_hash"],
+            col_stats={
+                c: (_decode_key(v[0]), _decode_key(v[1]))
+                for c, v in d.get("col_stats", {}).items()
+            },
         )
 
 
@@ -111,6 +138,10 @@ class Snapshot:
     # present at delete time is the sequence-number-lite rule that keeps
     # later appends unaffected. Compaction rewrites them away.
     delete_predicates: list[dict] = field(default_factory=list)
+    # Extra columns whose per-file min/max are tracked (beyond key_col),
+    # and the clustering strategy ("key" sort or "zorder" on zorder_by).
+    stat_cols: list[str] = field(default_factory=list)
+    zorder_by: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -123,6 +154,8 @@ class Snapshot:
             "key_col": self.key_col,
             "files": [f.to_json() for f in self.files],
             "delete_predicates": self.delete_predicates,
+            "stat_cols": self.stat_cols,
+            "zorder_by": self.zorder_by,
         }
 
     @classmethod
@@ -137,6 +170,8 @@ class Snapshot:
             key_col=d["key_col"],
             files=[ManifestFile.from_json(f) for f in d["files"]],
             delete_predicates=d.get("delete_predicates", []),
+            stat_cols=d.get("stat_cols", []),
+            zorder_by=d.get("zorder_by", []),
         )
 
 
