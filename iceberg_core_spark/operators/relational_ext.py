@@ -229,6 +229,73 @@ GROUP BY l_returnflag
 """
 
 
+def agg_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median per group, computed explicitly (rank the group,
+    average the middle one or two rows) — engine-native MEDIAN/
+    PERCENTILE interpolation isn't bit-identical across engines, this
+    construction is. One window shuffle per group, no driver collect."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    # exactly the middle one (odd n) or two (even n) rows
+    mid = ranked.filter(
+        F.when(F.col("n") % 2 == 1, F.col("rn") == (F.col("n") + 1) / 2)
+        .otherwise((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("median_price"),
+        F.max("n").alias("n"),
+    )
+
+
+AGG_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), mid AS (
+  SELECT * FROM ranked
+  WHERE CASE WHEN n % 2 = 1 THEN rn = (n + 1) / 2
+             ELSE rn = n / 2 OR rn = n / 2 + 1 END
+)
+SELECT o_orderpriority,
+       CAST(SUM(p) AS DOUBLE) / COUNT(*) AS median_price,
+       MAX(n) AS n
+FROM mid GROUP BY o_orderpriority
+"""
+
+
+# Correlated scalar subquery — shared dialect, runs verbatim on both.
+SCALAR_SUBQUERY_CORR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2.5 * (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def scalar_subquery_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (orders 2.5x above their customer's
+    average) — Catalyst decorrelates it into an aggregate + join."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SCALAR_SUBQUERY_CORR_SQL)
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -241,4 +308,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "scalar_cond": (scalar_cond, SCALAR_COND_SQL),
     "scalar_subquery": (scalar_subquery, SCALAR_SUBQUERY_SQL),
     "agg_salted": (agg_salted, AGG_SALTED_SQL),
+    "agg_median": (agg_median, AGG_MEDIAN_SQL),
+    "scalar_subquery_corr": (scalar_subquery_corr, SCALAR_SUBQUERY_CORR_SQL),
 }

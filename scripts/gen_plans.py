@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — formatted physical plans of flagship operators
+with notes on the plan properties that matter at scale (also asserted in
+tests/test_plans.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = [
+    ("filter_range", "Reference-shaped range query — predicate pushed to the raw-nanos scan (PushedFilters show the ns-mapped bounds); conversion sits above the pruned scan."),
+    ("agg_hash", "TPC-H Q1 shape — two HashAggregate levels (partial_ on the map side before the shuffle); whole-stage codegen spans (*)."),
+    ("join_broadcast", "Fact x dim — BroadcastHashJoin; the lineitem side never shuffles."),
+    ("tpch_q5", "6-way join — dims broadcast, the one fact-fact join shuffles once; AQE re-plans at runtime."),
+    ("join_asof", "As-of join — union + single range shuffle + running window; no range-explosion join."),
+    ("topk_per_group", "Per-group top-k — window + filter, one shuffle on the group key."),
+    ("sort_limit", "Global top-N — TakeOrderedAndProject, no full sort materialized."),
+    ("dedup_minhash_lsh", "MinHash-LSH — band equi-join on (band_idx, band_hash) only; shingle arrays re-joined by id after candidate dedup."),
+]
+
+
+def main() -> None:
+    from iceberg_core_spark import get_spark
+    from iceberg_core_spark.registry import all_queries
+
+    spark = get_spark("plans", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+
+    out = [
+        "# PLANS — physical plans of flagship operators (generated at sf0.001)",
+        "",
+        "Regenerate: `python scripts/gen_plans.py`. What to look for is",
+        "noted per plan; these properties are asserted in tests/test_plans.py.",
+        "",
+    ]
+    for name, note in PICKS:
+        fn, _ = qs[name]
+        df = fn(spark, sf)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()[:4000]}\n```\n")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
