@@ -89,10 +89,13 @@ def main() -> None:
 
     sf_dir, prep_sec = _prep_layout(spark, sf_dir)
 
-    # Warm up the JVM/codegen path once, outside measurement.
+    # Warm up the JVM, reader paths, and page cache once, outside
+    # measurement (count() touches every row group of each input).
     from iceberg_core_spark.session import load_table
 
-    load_table(spark, sf_dir, "nation").count()
+    for t in ["nation", "lineitem", "orders", "events", "documents",
+              "embeddings", "part", "customer"]:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
