@@ -295,6 +295,13 @@ def sim_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def sim_search_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: k-means IVF probe + exact rerank (the second ANN
+    scale path beside LSH); exact twin is sim_search."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ivf_topk(emb, _query_vec(spark, sf), k=10)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -399,6 +406,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sim_search": (sim_search, SIM_SEARCH_SQL),
     "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),
     "sim_search_lsh": (sim_search_lsh, None),
+    "sim_search_ivf": (sim_search_ivf, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, None),
     "multimodal_chunks": (multimodal_chunks, MULTIMODAL_CHUNKS_SQL),

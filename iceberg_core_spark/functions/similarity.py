@@ -81,6 +81,55 @@ def cosine_topk_batch(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into cells; only the ``n_probe`` cells whose
+    centroids are nearest the query are scanned, then exact cosine
+    reranks. The other standard ANN scale path beside random-hyperplane
+    LSH (lsh_topk).
+
+    Scale: training samples the corpus (k-means on all of 100 TB is
+    unnecessary — centroids converge on a sample); cell ids become a
+    write-time partition column so probing prunes files via the
+    IceTable manifest; candidate fraction ≈ n_probe / n_cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__arr"),
+    ).withColumn("__vec", array_to_vector("__arr"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec",
+                predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat)
+
+    qv = np.asarray(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(np.asarray(c) - qv))
+                        for c in centers])
+    probe_cells = [int(c) for c in order[:n_probe]]
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = fround(cosine(F.col("__arr"), q), 4)
+    return (
+        assigned.filter(F.col("__cell").isin(probe_cells))
+        .select(id_col, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (public LSH construction)."""
     rng = np.random.default_rng(seed)

@@ -277,6 +277,28 @@ FROM mid GROUP BY o_orderpriority
 """
 
 
+def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax aggregates). Ordering values are
+    continuous doubles — ties have measure zero; a tied dataset would
+    need a composite ordering for determinism."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+AGG_MINMAX_BY_SQL = """
+SELECT o_orderpriority,
+       max_by(o_orderkey, o_totalprice) AS biggest_order,
+       min_by(o_orderkey, o_totalprice) AS smallest_order,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # Correlated scalar subquery — shared dialect, runs verbatim on both.
 SCALAR_SUBQUERY_CORR_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -309,5 +331,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "scalar_subquery": (scalar_subquery, SCALAR_SUBQUERY_SQL),
     "agg_salted": (agg_salted, AGG_SALTED_SQL),
     "agg_median": (agg_median, AGG_MEDIAN_SQL),
+    "agg_minmax_by": (agg_minmax_by, AGG_MINMAX_BY_SQL),
     "scalar_subquery_corr": (scalar_subquery_corr, SCALAR_SUBQUERY_CORR_SQL),
 }

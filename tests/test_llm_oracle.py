@@ -83,6 +83,24 @@ def test_jaccard_pairs_values(spark, docs):
     assert 0.8 < got[(1, 2)] < 1.0
 
 
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF with enough probes must recover planted near-duplicates of
+    the query (they land in the query's nearest cells)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in (q + 0.05 * rng.standard_normal(32))])
+            for i in range(5)]
+    rows += [(i, [float(x) for x in rng.standard_normal(32)])
+             for i in range(5, 200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = [float(x) for x in q]
+    approx = [r.vec_id for r in
+              S.ivf_topk(emb, qv, k=5, n_cells=8, n_probe=3).collect()]
+    assert len(set(approx) & set(range(5))) >= 4
+
+
 def test_lsh_topk_finds_planted_neighbors(spark):
     """LSH recall is only meaningful with actual near neighbors; uniform
     random vectors have no structure to find. Plant 5 high-cosine
