@@ -3,6 +3,7 @@ from iceberg_core_spark.streaming.ingest import (
     session_agg,
     sliding_counts,
     stream_dedup,
+    stream_stream_join,
     tumbling_counts,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_counts",
     "session_agg",
     "stream_dedup",
+    "stream_stream_join",
 ]

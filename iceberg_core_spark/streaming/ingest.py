@@ -150,6 +150,47 @@ def session_agg(df: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time band: right events
+    within [left_ts - max_lag, left_ts]. Watermarks on BOTH sides bound
+    the join state (without them, Spark must buffer each stream forever).
+    Works identically on batch DataFrames (watermarks are no-ops there),
+    so the batch twin is the correctness oracle.
+
+    State size ≈ input rate × (watermark + max_lag) per key — the knob a
+    100 TB/day pipeline tunes. The time-band predicate is what lets
+    Spark expire state; an unbounded-time stream-stream join is
+    rejected by the analyzer.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = r.select(
+        F.col(on).alias(f"{right_prefix}{on}"),
+        F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
+        *[F.col(c).alias(f"{right_prefix}{c}")
+          for c in right.columns if c not in (on, right_ts)],
+    )
+    rts = F.col(f"{right_prefix}{right_ts}")
+    # the time band must be part of the JOIN condition — that is what
+    # lets the streaming engine expire state (a post-join filter would
+    # be rejected/unbounded)
+    cond = (
+        (F.col(on) == F.col(f"{right_prefix}{on}"))
+        & (rts >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
+        & (rts <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop(f"{right_prefix}{on}")
+
+
 def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
                  watermark: str = "10 minutes") -> DataFrame:
     """Stateful exact dedup on a stream within the watermark horizon —

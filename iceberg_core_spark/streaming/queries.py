@@ -125,6 +125,40 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream band join (clicks
+    within 30 min before each purchase, same user). The operator is
+    batch/stream-agnostic; the streaming path is exercised in
+    tests/test_streaming.py with real micro-batches."""
+    from iceberg_core_spark.streaming.ingest import stream_stream_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_join(purchases, clicks, on="user_id",
+                                max_lag="30 minutes")
+    return joined.select(
+        "user_id", "ts", "event_id",
+        F.col("r_ts").alias("click_ts"),
+        F.col("r_event_id").alias("click_id"),
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT p.user_id, p.ts, p.event_id,
+       c.ts AS click_ts, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -132,4 +166,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "win_sliding": (win_sliding, WIN_SLIDING_SQL),
     "win_session": (win_session, WIN_SESSION_SQL),
     "stream_ingest": (stream_ingest, STREAM_INGEST_SQL),
+    "stream_join": (stream_join, STREAM_JOIN_SQL),
 }

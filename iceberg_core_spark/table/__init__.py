@@ -6,7 +6,8 @@ hashing — with true min/max (the reference's `updateInt64KeyRange` bug,
 reference block.go:41-43, is deliberately NOT replicated).
 """
 
+from iceberg_core_spark.table.catalog import IceCatalog
 from iceberg_core_spark.table.ice_table import IceTable
 from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
 
-__all__ = ["IceTable", "Manifest", "ManifestFile", "Snapshot"]
+__all__ = ["IceCatalog", "IceTable", "Manifest", "ManifestFile", "Snapshot"]

@@ -589,3 +589,25 @@ class IceTable:
 
     def file_count(self) -> int:
         return len(self.manifest.load().files)
+
+    def stats(self) -> dict:
+        """Table statistics from the manifest alone (metadata-only, no
+        data I/O): totals plus per-partition file/row/byte breakdown."""
+        snap = self.manifest.load()
+        per_part: dict = {}
+        for f in snap.files:
+            d = per_part.setdefault(
+                f.partition, {"files": 0, "rows": 0, "bytes": 0}
+            )
+            d["files"] += 1
+            d["rows"] += f.rows
+            d["bytes"] += f.bytes
+        return {
+            "snapshot_id": snap.snapshot_id,
+            "operation": snap.operation,
+            "files": len(snap.files),
+            "rows": sum(f.rows for f in snap.files),
+            "bytes": sum(f.bytes for f in snap.files),
+            "pending_mor_deletes": len(snap.delete_predicates),
+            "partitions": per_part,
+        }

@@ -136,6 +136,36 @@ def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Real watermarked stream-stream join (two file streams) produces
+    the same pairs as the batch twin."""
+    from iceberg_core_spark.streaming import stream_stream_join
+
+    events = load_table(spark, SF_DIR, "events")
+    purchases_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id")
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    batch = {(r.user_id, r.event_id, r.r_event_id) for r in
+             stream_stream_join(purchases_b, clicks_b, on="user_id",
+                                max_lag="30 minutes").collect()}
+
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases_b.write.parquet(pdir)
+    clicks_b.write.parquet(cdir)
+    ps = spark.readStream.schema(purchases_b.schema).parquet(pdir)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(cdir)
+    joined = stream_stream_join(ps, cs, on="user_id", max_lag="30 minutes")
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = {(r.user_id, r.event_id, r.r_event_id) for r in
+                spark.sql("SELECT * FROM ssj_out").collect()}
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_dedup_drops_in_batch_duplicates(spark, tmp_path):
     """dropDuplicatesWithinWatermark on a stream with duplicate keys in
     one batch keeps exactly one row per key."""
