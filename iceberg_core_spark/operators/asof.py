@@ -53,6 +53,12 @@ def asof_join(
     on = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in on + [right_ts]]
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_payload columns collide with left columns: "
+            f"{sorted(collisions)} — alias the right side first"
+        )
 
     time_col = "__asof_ts"
     l = left.withColumn(_TAG, F.lit(1)).withColumn(time_col, F.col(left_ts))

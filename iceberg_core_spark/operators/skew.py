@@ -34,8 +34,13 @@ def salted_agg(
     to DOUBLE, matching the engine-wide oracle convention).
     """
     sums = sums or {}
+    # Deterministic salt: hash of the FULL row (stable under task
+    # retry — monotonically_increasing_id is not, and a retried map
+    # task re-hashing rows to different reducers is the SPARK-23207
+    # class of silent-corruption bug). Identical duplicate rows share a
+    # bucket; that only matters under pathological duplication.
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
     phase1_aggs = [
         F.sum(F.col(c).cast("decimal(18,2)")).alias(f"__p_{a}")

@@ -67,14 +67,25 @@ def stream_ingest_to_table(
             return
         table = IceTable(spark, table_root)
         if table.manifest.current_snapshot_id() is None:
-            IceTable.create(
+            snap = IceTable.create(
                 spark, table_root, batch_df,
                 partition_col=partition_col, key_col=key_col,
                 max_rows_per_file=max_rows_per_file,
-            )
+            ).manifest.load()
+            # stamp the creating batch for replay detection
+            snap.source_batch_id = batch_id
+            table.manifest.commit(snap)
         else:
+            # foreachBatch is at-least-once: a replayed batch (driver
+            # died between our commit and the checkpoint write) arrives
+            # with the same batch_id — the atomic snapshot already
+            # records it, so skip instead of double-appending.
+            last = table.manifest.load().source_batch_id
+            if last is not None and batch_id <= last:
+                return
             table.append(batch_df, max_rows_per_file=max_rows_per_file,
-                         dedupe_identical_files=False)
+                         dedupe_identical_files=False,
+                         source_batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

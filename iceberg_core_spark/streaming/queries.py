@@ -113,7 +113,9 @@ def stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
             "ts", F.expr("timestamp_micros(ts div 1000)")
         ),
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_ingest drain did not finish in 300s")
 
     return IceTable(spark, table_root).scan().select(
         "event_id", "ts", "user_id", "event_type", "value", "props"

@@ -47,6 +47,13 @@ from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
 
 
+def _not_true(cond):
+    """DELETE semantics: a row is deleted only when the predicate is
+    TRUE; rows where it evaluates NULL are KEPT. A bare ~cond would
+    silently drop them (~NULL is NULL, filtered out)."""
+    return ~F.coalesce(cond, F.lit(False))
+
+
 def _sha256_file(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -98,7 +105,7 @@ def _file_stats(path: str, key_col: str | None, partition_col: str | None,
         if partition_col is not None and partition_col in name_to_idx:
             st = group.column(name_to_idx[partition_col]).statistics
             if st is not None and st.has_min_max and part_val is None:
-                part_val = st.min  # one partition value per file by layout
+                part_val = norm(st.min)  # one partition value per file by layout
     if key_col and key_col in col_stats:
         key_min, key_max = col_stats[key_col]
     return rows, key_min, key_max, part_val, {
@@ -151,7 +158,8 @@ class IceTable:
 
     def append(self, df: DataFrame, max_rows_per_file: int = 1_000_000,
                dedupe_identical_files: bool = True,
-               evolve_schema: bool = False) -> Snapshot:
+               evolve_schema: bool = False,
+               source_batch_id: int | None = None) -> Snapshot:
         """Append rows as a new snapshot.
 
         ``dedupe_identical_files``: a new file whose content hash already
@@ -189,11 +197,25 @@ class IceTable:
             raise ValueError(
                 f"append schema mismatch: {df.columns} vs {table_cols}"
             )
+        else:
+            # identical names are not enough: a type change would be
+            # stored as the new table schema and corrupt schema-on-read
+            # of every existing file
+            df_types = dict(df.dtypes)
+            for f in schema.fields:
+                if df_types[f.name] != f.dataType.simpleString():
+                    raise ValueError(
+                        f"append type mismatch on {f.name!r}: table has "
+                        f"{f.dataType.simpleString()}, append has "
+                        f"{df_types[f.name]} (use evolve_schema for "
+                        "additive changes; type changes are not allowed)"
+                    )
         return self._write_commit(
             df, "append", snap.partition_col, snap.key_col,
             max_rows_per_file, base_files=list(snap.files),
             dedupe_identical_files=dedupe_identical_files,
             delete_predicates=snap.delete_predicates,  # still hide old rows
+            source_batch_id=source_batch_id,
         )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
@@ -213,6 +235,7 @@ class IceTable:
         delete_predicates: list[dict] | None = None,
         stat_cols: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        source_batch_id: int | None = None,
     ) -> Snapshot:
         # inherit stats/clustering config from the current snapshot
         if stat_cols is None or zorder_by is None:
@@ -283,7 +306,13 @@ class IceTable:
 
         if dedupe_identical_files and base_files:
             seen = {f.content_hash for f in base_files}
-            new_files = [f for f in new_files if f.content_hash not in seen]
+            kept_new = []
+            for f in new_files:
+                if f.content_hash in seen:
+                    os.remove(os.path.join(self.root, f.path))  # no orphan
+                else:
+                    kept_new.append(f)
+            new_files = kept_new
 
         snap = Snapshot(
             snapshot_id=sid,
@@ -297,6 +326,7 @@ class IceTable:
             delete_predicates=delete_predicates or [],
             stat_cols=stat_cols,
             zorder_by=zorder_by,
+            source_batch_id=source_batch_id,
         )
         self.manifest.commit(snap)
         return snap
@@ -320,7 +350,7 @@ class IceTable:
         was issued against. Files sharing the same applicable-predicate
         set are read in one group (one scan each; groups = number of
         distinct delete generations, typically 0-2)."""
-        if not snap.delete_predicates:
+        if not snap.delete_predicates or not files:
             return self._read_files(files, snapshot_id)
         groups: dict[tuple[int, ...], list] = {}
         for f in files:
@@ -333,7 +363,9 @@ class IceTable:
         for key, fs in groups.items():
             df = self._read_files(fs, snapshot_id)
             for i in key:
-                df = df.filter(~F.expr(snap.delete_predicates[i]["expr"]))
+                df = df.filter(
+                    _not_true(F.expr(snap.delete_predicates[i]["expr"]))
+                )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -451,7 +483,7 @@ class IceTable:
                 cond = cond & (F.col(snap.key_col) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(snap.key_col) <= F.lit(hi))
-        retained = retained.filter(~cond)
+        retained = retained.filter(_not_true(cond))
         kept_paths = {f.path for f in keep}
         remaining_preds = []
         for p in snap.delete_predicates:
@@ -503,7 +535,7 @@ class IceTable:
             self.manifest.commit(new)
             return new
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        retained = self.scan().filter(~cond)
+        retained = self.scan().filter(_not_true(cond))
         return self._write_commit(retained, "delete", snap.partition_col,
                                   snap.key_col, 1_000_000, base_files=[])
 

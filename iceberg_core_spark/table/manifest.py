@@ -142,6 +142,10 @@ class Snapshot:
     # and the clustering strategy ("key" sort or "zorder" on zorder_by).
     stat_cols: list[str] = field(default_factory=list)
     zorder_by: list[str] = field(default_factory=list)
+    # Streaming exactly-once: id of the micro-batch that produced this
+    # snapshot. foreachBatch is at-least-once; recording the batch id IN
+    # the atomic commit lets a replayed batch be recognized and skipped.
+    source_batch_id: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -156,6 +160,7 @@ class Snapshot:
             "delete_predicates": self.delete_predicates,
             "stat_cols": self.stat_cols,
             "zorder_by": self.zorder_by,
+            "source_batch_id": self.source_batch_id,
         }
 
     @classmethod
@@ -172,6 +177,7 @@ class Snapshot:
             delete_predicates=d.get("delete_predicates", []),
             stat_cols=d.get("stat_cols", []),
             zorder_by=d.get("zorder_by", []),
+            source_batch_id=d.get("source_batch_id"),
         )
 
 

@@ -54,9 +54,15 @@ def zvalue_column(df: DataFrame, cols: list[str]) -> F.Column:
         lo = stats[f"mn_{i}"] or 0
         hi = stats[f"mx_{i}"] or 0
         span = max(1, hi - lo)
-        # rank in [0, 2^BITS): exact integer arithmetic, no FP
-        rank = ((longs[c] - F.lit(lo)) * F.lit((1 << BITS) - 1) / F.lit(span))
-        rank = rank.cast("long")
+        # rank in [0, 2^BITS): double division avoids the long overflow
+        # of (v-lo)*65535 on wide spans (e.g. epoch-micros over years);
+        # doubles hold epoch-micros exactly up to 2^53, far past any
+        # realistic span, and the expression is deterministic IEEE
+        rank = (
+            (longs[c] - F.lit(lo)).cast("double")
+            / F.lit(float(span)) * F.lit(float((1 << BITS) - 1))
+        ).cast("long")
+        rank = F.greatest(F.lit(0), F.least(F.lit((1 << BITS) - 1), rank))
         for b in range(BITS):
             bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit.cast("long"), b * n + i)

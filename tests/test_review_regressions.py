@@ -1,0 +1,138 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.operators.asof import asof_join
+from iceberg_core_spark.table import IceTable
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+
+def test_mor_empty_prune_returns_empty_df(spark, tmp_path):
+    # finding 1: MoR predicates + empty pruned file list crashed
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    t.delete_where("timestamp > 100", mode="mor")
+    assert t.query("no_such_user", 0, 10).count() == 0
+    assert t.query("userid1", 5000, 6000).count() == 0
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    # finding 2: DELETE must keep rows where the predicate is NULL
+    rows = [location_row(timestamp=1, accuracy=5.0),
+            location_row(timestamp=2, accuracy=None),
+            location_row(timestamp=3, accuracy=50.0)]
+    t = IceTable.create(spark, str(tmp_path / "t"), location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    t.delete_where("accuracy > 10", mode="mor")
+    assert sorted(r.timestamp for r in t.scan().collect()) == [1, 2]
+    t2 = IceTable.create(spark, str(tmp_path / "t2"), location_df(spark, rows),
+                         partition_col=PARTITION_COL, key_col=KEY_COL)
+    t2.delete_where(F.col("accuracy") > 10)  # CoW path
+    assert sorted(r.timestamp for r in t2.scan().collect()) == [1, 2]
+
+
+def test_append_rejects_silent_type_change(spark, tmp_path):
+    # finding 3: same names + different type must be rejected
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    bad = location_df(spark, [location_row(timestamp=2)]).withColumn(
+        "latitude", F.col("latitude").cast("int")
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.append(bad)
+    assert t.scan().count() == 1  # table untouched and readable
+
+
+def test_asof_join_rejects_column_collision(spark):
+    # finding 5
+    left = spark.createDataFrame([(1, 10, 1.0)], ["uid", "ts", "value"])
+    right = spark.createDataFrame([(1, 5, 2.0)], ["uid", "ts", "value"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="uid", left_ts="ts", right_ts="ts")
+
+
+def test_timestamp_partition_values_naive(spark, tmp_path):
+    # finding 6: timestamp-typed partition values must match naive bounds
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, d), d) for d in (1, 2)],
+        ["day", "v"],
+    )
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col="day", key_col="v")
+    got = t.query(partition=datetime.datetime(2024, 1, 2)).collect()
+    assert len(got) == 1 and got[0].v == 2
+
+
+def test_dedupe_append_removes_orphan_file(spark, tmp_path):
+    # finding 9: deduped duplicate file must not leak on disk
+    rows = [location_row(timestamp=5)]
+    t = IceTable.create(spark, str(tmp_path / "t"), location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    t.append(location_df(spark, rows))  # identical content → dedupe
+    on_disk = {
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(os.path.join(t.root, "data"))
+        for n in ns if n.endswith(".parquet")
+    }
+    live = {os.path.join(t.root, f.path) for f in t.manifest.load().files}
+    assert on_disk == live  # no orphans
+
+
+def test_stream_replayed_batch_not_duplicated(spark, tmp_path):
+    # finding 4: foreachBatch replay (same batch id re-delivered, e.g.
+    # lost checkpoint) must not double-append — the snapshot records the
+    # source batch id atomically with the data commit.
+    from iceberg_core_spark.streaming import stream_ingest_to_table
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    location_df(spark, [location_row(timestamp=t) for t in (1, 2, 3)]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    schema = location_df(spark, []).schema
+
+    q = stream_ingest_to_table(
+        spark, src, str(tmp_path / "table"), schema,
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+        trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    t = IceTable(spark, str(tmp_path / "table"))
+    assert t.scan().count() == 3
+    assert t.manifest.load().source_batch_id == 0
+
+    # replay: FRESH checkpoint re-delivers everything as batch 0 again
+    q2 = stream_ingest_to_table(
+        spark, src, str(tmp_path / "table"), schema,
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+        trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert t.scan().count() == 3  # not 6
+
+
+def test_zorder_wide_timestamp_span(spark, tmp_path):
+    # finding 7: wide spans must not overflow the rank arithmetic
+    import datetime
+
+    base = datetime.datetime(2000, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i * 365), i, i) for i in range(20)],
+        ["ts", "x", "pay"],
+    )  # ~19-year span in epoch-micros
+    t = IceTable.create(spark, str(tmp_path / "t"), df, key_col="x",
+                        zorder_by=["x", "ts"], max_rows_per_file=4)
+    # clustering still effective: a narrow ts range prunes files
+    lo = base + datetime.timedelta(days=0)
+    hi = base + datetime.timedelta(days=3 * 365)
+    pruned = t.range_scan({"ts": (lo, hi)})
+    assert len(pruned.inputFiles()) < t.file_count()
+    assert pruned.count() == 4
