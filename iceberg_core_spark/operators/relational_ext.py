@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_core_spark.functions.dedup import fround_sql
 from iceberg_core_spark.session import load_table
 
 
@@ -277,6 +278,92 @@ FROM mid GROUP BY o_orderpriority
 """
 
 
+def scalar_string2(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string batch: edit distance, padding, repeat, reverse,
+    starts/ends-with — all deterministic integer/string ops."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).alias("dist_to_red_widget"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad(F.lit("x"), 5, "y").alias("xy"),
+        F.repeat(F.lit("ab"), 3).alias("ababab"),
+        F.reverse("p_type").alias("type_rev"),
+        F.col("p_name").startswith("red").alias("starts_red"),
+        F.col("p_type").endswith("Y").alias("ends_y"),
+    )
+
+
+SCALAR_STRING2_SQL = """
+SELECT p_partkey,
+       levenshtein(p_name, 'red widget') AS dist_to_red_widget,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       rpad('x', 5, 'y') AS xy,
+       repeat('ab', 3) AS ababab,
+       reverse(p_type) AS type_rev,
+       starts_with(p_name, 'red') AS starts_red,
+       ends_with(p_type, 'Y') AS ends_y
+FROM part
+"""
+
+
+def agg_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (FILTER / count_if / sum-of-CASE)."""
+    li = load_table(spark, sf, "lineitem")
+    high_qty = F.col("l_quantity") > 25
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(high_qty).alias("n_high_qty"),
+        F.sum(
+            F.when(high_qty, F.col("l_extendedprice").cast("decimal(18,2)"))
+        ).cast("double").alias("high_qty_revenue"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (l_quantity > 25) AS n_high_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (l_quantity > 25) AS DOUBLE) AS high_qty_revenue,
+       COUNT(*) AS n_total
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions as user surface: transform, filter,
+    aggregate(fold), zip_with — reduced to scalars for hashing."""
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    doubled_head = F.element_at(F.transform(v, lambda x: x * 2.0), 1)
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    self_dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from iceberg_core_spark.functions.dedup import fround
+
+    return e.select(
+        "vec_id",
+        fround(doubled_head, 6).alias("head_x2"),
+        n_pos.alias("n_pos"),
+        fround(total, 6).alias("sum_all"),
+        fround(self_dot, 6).alias("self_dot"),
+    )
+
+
+ARRAY_HOF_SQL = f"""
+SELECT vec_id,
+       {fround_sql('list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)[1]', 6)} AS head_x2,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos,
+       {fround_sql("list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')", 6)} AS sum_all,
+       {fround_sql('list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))', 6)} AS self_dot
+FROM embeddings
+"""
+
+
 def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
     """min_by/max_by (argmin/argmax aggregates). Ordering values are
     continuous doubles — ties have measure zero; a tied dataset would
@@ -332,5 +419,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "agg_salted": (agg_salted, AGG_SALTED_SQL),
     "agg_median": (agg_median, AGG_MEDIAN_SQL),
     "agg_minmax_by": (agg_minmax_by, AGG_MINMAX_BY_SQL),
+    "scalar_string2": (scalar_string2, SCALAR_STRING2_SQL),
+    "agg_conditional": (agg_conditional, AGG_CONDITIONAL_SQL),
+    "array_hof": (array_hof, ARRAY_HOF_SQL),
     "scalar_subquery_corr": (scalar_subquery_corr, SCALAR_SUBQUERY_CORR_SQL),
 }

@@ -141,6 +141,20 @@ def test_expire_snapshots_removes_orphans(spark, tmp_table_dir):
     assert on_disk == live
 
 
+def test_reader_snapshot_isolation(spark, tmp_table_dir):
+    """A DataFrame captured before a write keeps reading ITS snapshot's
+    files (immutable) — readers never see writers mid-commit."""
+    t = make_table(spark, tmp_table_dir, [location_row(timestamp=1)])
+    reader = t.scan()  # captures snapshot 0's file list lazily
+    t.append(location_df(spark, [location_row(timestamp=2)]),
+             dedupe_identical_files=False)
+    t.delete_where("timestamp = 1", mode="mor")
+    # old handle: still exactly snapshot 0
+    assert [r.timestamp for r in reader.collect()] == [1]
+    # fresh scan: current snapshot (append + MoR delete applied)
+    assert sorted(r.timestamp for r in t.scan().collect()) == [2]
+
+
 def test_unpartitioned_table(spark, tmp_table_dir):
     df = location_df(spark, [location_row(timestamp=t) for t in (1, 2, 3)])
     t = IceTable.create(spark, tmp_table_dir, df, partition_col=None,
