@@ -56,11 +56,18 @@ def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
     single-row-group scan."""
     d = load_table(spark, sf, "documents")
     txt = F.col("text")
+    # the repartition is a CSE barrier AND a spread; never DOWNSIZE the
+    # partition count (a large scan coalesced to defaultParallelism
+    # would shuffle the token arrays for nothing)
     base = d.select(
         "doc_id", "text",
         T.ws_tokens(txt).alias("toks"),
         T.bpe_tokens(txt).alias("btoks"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
+    base = base.repartition(
+        max(spark.sparkContext.defaultParallelism,
+            base.rdd.getNumPartitions())
+    )
 
     toks = F.col("toks")
     all_words = sorted({w for ws in T.STOPWORDS.values() for w in ws})

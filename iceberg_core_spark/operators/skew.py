@@ -39,8 +39,9 @@ def salted_agg(
     # task re-hashing rows to different reducers is the SPARK-23207
     # class of silent-corruption bug). Identical duplicate rows share a
     # bucket; that only matters under pathological duplication.
+    hashable = [c for c, t in df.dtypes if not t.startswith("map<")] or keys
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
     )
     phase1_aggs = [
         F.sum(F.col(c).cast("decimal(18,2)")).alias(f"__p_{a}")

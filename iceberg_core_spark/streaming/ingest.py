@@ -62,30 +62,39 @@ def stream_ingest_to_table(
     if transform is not None:
         stream = transform(stream)
 
+    # Replay protection is scoped to the checkpoint LINEAGE: batch ids
+    # restart at 0 under a fresh/temp checkpoint (that is reprocessing —
+    # new data included — and must append, not be skipped). With no
+    # checkpoint dir, a unique lineage per start() gives plain
+    # at-least-once (a temp checkpoint cannot survive a crash anyway).
+    import uuid as _uuid
+
+    lineage = checkpoint_dir or f"ephemeral-{_uuid.uuid4()}"
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table = IceTable(spark, table_root)
         if table.manifest.current_snapshot_id() is None:
-            snap = IceTable.create(
+            # single atomic commit carries the batch stamp — no window
+            # between table creation and replay-detection metadata
+            IceTable.create(
                 spark, table_root, batch_df,
                 partition_col=partition_col, key_col=key_col,
                 max_rows_per_file=max_rows_per_file,
-            ).manifest.load()
-            # stamp the creating batch for replay detection
-            snap.source_batch_id = batch_id
-            table.manifest.commit(snap)
-        else:
-            # foreachBatch is at-least-once: a replayed batch (driver
-            # died between our commit and the checkpoint write) arrives
-            # with the same batch_id — the atomic snapshot already
-            # records it, so skip instead of double-appending.
-            last = table.manifest.load().source_batch_id
-            if last is not None and batch_id <= last:
-                return
-            table.append(batch_df, max_rows_per_file=max_rows_per_file,
-                         dedupe_identical_files=False,
-                         source_batch_id=batch_id)
+                source_batch_id=batch_id, source_lineage=lineage,
+            )
+            return
+        # foreachBatch is at-least-once: a replayed batch (driver died
+        # between our commit and the checkpoint write) re-arrives with
+        # the same id in the SAME lineage. Scan full snapshot history so
+        # maintenance commits in between don't erase the guard.
+        last = table.last_committed_batch(lineage)
+        if last is not None and batch_id <= last:
+            return
+        table.append(batch_df, max_rows_per_file=max_rows_per_file,
+                     dedupe_identical_files=False,
+                     source_batch_id=batch_id, source_lineage=lineage)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))
@@ -182,6 +191,15 @@ def stream_stream_join(
     Spark expire state; an unbounded-time stream-stream join is
     rejected by the analyzer.
     """
+    prefixed = {f"{right_prefix}{c}" for c in right.columns if c != on} | {
+        f"{right_prefix}{on}"
+    }
+    collisions = prefixed & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"prefixed right columns collide with left columns: "
+            f"{sorted(collisions)} — pick a different right_prefix"
+        )
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     r = r.select(

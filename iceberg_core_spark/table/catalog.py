@@ -24,7 +24,9 @@ class IceCatalog:
         os.makedirs(warehouse, exist_ok=True)
 
     def _root(self, name: str) -> str:
-        if "/" in name or name.startswith("."):
+        # empty name would resolve to the warehouse root itself —
+        # drop_table("") would then rmtree the entire warehouse
+        if not name or not name.strip() or "/" in name or name.startswith("."):
             raise ValueError(f"invalid table name {name!r}")
         return os.path.join(self.warehouse, name)
 

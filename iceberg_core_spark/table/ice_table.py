@@ -135,6 +135,8 @@ class IceTable:
         max_rows_per_file: int = 1_000_000,
         stat_cols: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        source_batch_id: int | None = None,
+        source_lineage: str | None = None,
     ) -> "IceTable":
         """Create a table.
 
@@ -153,13 +155,16 @@ class IceTable:
         stat_cols = list(dict.fromkeys((stat_cols or []) + (zorder_by or [])))
         tbl._write_commit(df, "create", partition_col, key_col, max_rows_per_file,
                           base_files=[], stat_cols=stat_cols,
-                          zorder_by=zorder_by or [])
+                          zorder_by=zorder_by or [],
+                          source_batch_id=source_batch_id,
+                          source_lineage=source_lineage)
         return tbl
 
     def append(self, df: DataFrame, max_rows_per_file: int = 1_000_000,
                dedupe_identical_files: bool = True,
                evolve_schema: bool = False,
-               source_batch_id: int | None = None) -> Snapshot:
+               source_batch_id: int | None = None,
+               source_lineage: str | None = None) -> Snapshot:
         """Append rows as a new snapshot.
 
         ``dedupe_identical_files``: a new file whose content hash already
@@ -216,6 +221,7 @@ class IceTable:
             dedupe_identical_files=dedupe_identical_files,
             delete_predicates=snap.delete_predicates,  # still hide old rows
             source_batch_id=source_batch_id,
+            source_lineage=source_lineage,
         )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
@@ -236,6 +242,7 @@ class IceTable:
         stat_cols: list[str] | None = None,
         zorder_by: list[str] | None = None,
         source_batch_id: int | None = None,
+        source_lineage: str | None = None,
     ) -> Snapshot:
         # inherit stats/clustering config from the current snapshot
         if stat_cols is None or zorder_by is None:
@@ -327,6 +334,7 @@ class IceTable:
             stat_cols=stat_cols,
             zorder_by=zorder_by,
             source_batch_id=source_batch_id,
+            source_lineage=source_lineage,
         )
         self.manifest.commit(snap)
         return snap
@@ -621,6 +629,17 @@ class IceTable:
 
     def file_count(self) -> int:
         return len(self.manifest.load().files)
+
+    def last_committed_batch(self, lineage: str) -> int | None:
+        """Max micro-batch id committed for a checkpoint lineage, over
+        the FULL snapshot history (a maintenance commit in between must
+        not erase replay protection)."""
+        best = None
+        for s in self.manifest.snapshots():
+            if s.source_lineage == lineage and s.source_batch_id is not None:
+                best = s.source_batch_id if best is None else max(
+                    best, s.source_batch_id)
+        return best
 
     def stats(self) -> dict:
         """Table statistics from the manifest alone (metadata-only, no

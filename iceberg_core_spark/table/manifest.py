@@ -142,10 +142,15 @@ class Snapshot:
     # and the clustering strategy ("key" sort or "zorder" on zorder_by).
     stat_cols: list[str] = field(default_factory=list)
     zorder_by: list[str] = field(default_factory=list)
-    # Streaming exactly-once: id of the micro-batch that produced this
-    # snapshot. foreachBatch is at-least-once; recording the batch id IN
-    # the atomic commit lets a replayed batch be recognized and skipped.
+    # Streaming exactly-once: (lineage, batch id) of the micro-batch
+    # that produced this snapshot, recorded IN the atomic commit.
+    # foreachBatch is at-least-once; a replayed batch is recognized by
+    # (same lineage, batch_id <= max seen). Batch ids are ONLY
+    # comparable within one checkpoint lineage — a fresh checkpoint
+    # restarts numbering at 0 over ALL source files, which is
+    # reprocessing, not replay, and must append.
     source_batch_id: int | None = None
+    source_lineage: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -161,6 +166,7 @@ class Snapshot:
             "stat_cols": self.stat_cols,
             "zorder_by": self.zorder_by,
             "source_batch_id": self.source_batch_id,
+            "source_lineage": self.source_lineage,
         }
 
     @classmethod
@@ -178,6 +184,7 @@ class Snapshot:
             stat_cols=d.get("stat_cols", []),
             zorder_by=d.get("zorder_by", []),
             source_batch_id=d.get("source_batch_id"),
+            source_lineage=d.get("source_lineage"),
         )
 
 
