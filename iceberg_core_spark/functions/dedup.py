@@ -298,6 +298,71 @@ def cosine(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Bucketed embedding near-dup — the 100 TB twin of
+    ``embedding_dup_pairs`` (which is all-pairs and exists only as this
+    function's oracle, the same relationship minhash_lsh_pairs has to
+    ngram_jaccard_pairs).
+
+    Shape: each vector gets a random-hyperplane LSH bucket (sign bits of
+    seeded projections, similarity.bucket_expr). Candidates come from an
+    equi-join on the bucket key; to also catch pairs whose buckets differ
+    by up to ``multiprobe_hamming`` bits (near-identical vectors can
+    straddle one hyperplane), the right side explodes each bucket into
+    itself plus its 1-bit-flip neighbors, so the join stays EQUI. Only
+    (bucket, id) crosses the candidate shuffle — vectors are re-joined by
+    id for the exact-cosine verification, and only candidate pairs pay
+    it. Approximate by construction (recall < 1 when a pair differs in
+    >multiprobe_hamming sign bits), hence registered rows-only; the
+    planted-pair recall test bounds it empirically.
+    """
+    from iceberg_core_spark.functions.similarity import bucket_expr, hyperplanes
+    from iceberg_core_spark.session import spread
+
+    if multiprobe_hamming not in (0, 1):
+        raise ValueError("multiprobe_hamming must be 0 or 1")
+    planes = hyperplanes(dim, n_planes, seed)
+    vecs = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    bucketed = vecs.select("id", bucket_expr(F.col("v"), planes).alias("b"))
+    left = bucketed.select("id", F.col("b").alias("bk"))
+    probes = [F.col("b")]
+    if multiprobe_hamming == 1:
+        probes += [
+            F.col("b").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    right = bucketed.select("id", F.explode(F.array(*probes)).alias("bk"))
+    cand = (
+        left.alias("l")
+        .join(right.alias("r"), "bk")
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+    )
+    sim = fround(cosine(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

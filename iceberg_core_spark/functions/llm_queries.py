@@ -207,6 +207,16 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
                                  threshold=0.4)
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: the bucketed (hyperplane-LSH + 1-bit multiprobe)
+    production twin of dedup_embedding — approximate recall, so no SQL
+    oracle; the planted-pair recall test and the all-pairs twin bound
+    it. threshold matches dedup_embedding so results are comparable."""
+    return D.embedding_dup_pairs_lsh(
+        load_table(spark, sf, "embeddings"), dim=64, threshold=0.4,
+    )
+
+
 _COS_RAW = (
     "list_dot_product(av, bv)"
     " / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -410,6 +420,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "sim_search": (sim_search, SIM_SEARCH_SQL),
     "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),
     "sim_search_lsh": (sim_search_lsh, None),

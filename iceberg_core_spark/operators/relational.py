@@ -515,6 +515,36 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+def join_right(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer: the mirror of join_left expressed from the fact side —
+    every part keeps a row even with zero qualifying (late-shipped)
+    lineitems. Catalyst flips a right join to a left join internally,
+    so the plan cost is identical to join_left; the declared operator
+    is the API surface."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    p = load_table(spark, sf, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_late_items"),
+            _dsum("l_extendedprice", "late_total"),
+        )
+    )
+
+
+JOIN_RIGHT_SQL = f"""
+SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_late_items,
+       {_sql_dsum('l_extendedprice', 'late_total')}
+FROM (SELECT * FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00') li
+RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_brand
+"""
+
+
 def join_full(spark: SparkSession, sf: str) -> DataFrame:
     """Full outer over per-nation customer vs supplier counts."""
     c = (
@@ -863,6 +893,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "join_broadcast": (join_broadcast, JOIN_BROADCAST_SQL),
     "join_sortmerge": (join_sortmerge, JOIN_SORTMERGE_SQL),
     "join_left": (join_left, JOIN_LEFT_SQL),
+    "join_right": (join_right, JOIN_RIGHT_SQL),
     "join_full": (join_full, JOIN_FULL_SQL),
     "join_semi": (join_semi, JOIN_SEMI_SQL),
     "join_anti": (join_anti, JOIN_ANTI_SQL),

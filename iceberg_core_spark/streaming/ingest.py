@@ -62,11 +62,18 @@ def stream_ingest_to_table(
     if transform is not None:
         stream = transform(stream)
 
-    # Replay protection is scoped to the checkpoint LINEAGE: batch ids
-    # restart at 0 under a fresh/temp checkpoint (that is reprocessing —
-    # new data included — and must append, not be skipped). With no
-    # checkpoint dir, a unique lineage per start() gives plain
-    # at-least-once (a temp checkpoint cannot survive a crash anyway).
+    # Replay protection is two-layer, mirroring the reference's
+    # idempotent-rewrite semantics (block.go:109-115 — identical content
+    # rewrites the same block key, a no-op):
+    #   1. batch-id guard within a checkpoint LINEAGE (cheap: skips the
+    #      whole write when foreachBatch re-delivers a committed id), and
+    #   2. content-hash dedupe on append (dedupe_identical_files=True):
+    #      a re-ingest under a LOST/fresh checkpoint re-derives byte-
+    #      identical files (deterministic repartitionByRange + key sort),
+    #      which the commit drops — so checkpoint loss cannot
+    #      double-append, it just re-pays the write cost once.
+    # Genuinely new data is never identical at the file level (different
+    # key ranges → different bytes) and still appends.
     import uuid as _uuid
 
     lineage = checkpoint_dir or f"ephemeral-{_uuid.uuid4()}"
@@ -93,7 +100,7 @@ def stream_ingest_to_table(
         if last is not None and batch_id <= last:
             return
         table.append(batch_df, max_rows_per_file=max_rows_per_file,
-                     dedupe_identical_files=False,
+                     dedupe_identical_files=True,
                      source_batch_id=batch_id, source_lineage=lineage)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")

@@ -101,6 +101,33 @@ def test_ivf_topk_finds_planted_neighbors(spark):
     assert len(set(approx) & set(range(5))) >= 4
 
 
+def test_embedding_dedup_lsh_finds_planted_pairs(spark):
+    """The bucketed near-dup twin must recover planted high-cosine pairs
+    (cos ≈ 0.995+: per-plane sign-flip prob ≈ 0.03, so 1-bit multiprobe
+    recall ≈ 0.98 per pair) and agree with the all-pairs oracle twin on
+    the pairs it does emit."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(5):  # 5 planted pairs: (i, i+100) near-identical
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 100, [float(x) for x in v + 0.03 * rng.standard_normal(32)]))
+    for i in range(10, 80):  # noise
+        rows.append((i, [float(x) for x in rng.standard_normal(32)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b): r.sim for r in
+             D.embedding_dup_pairs(emb, threshold=0.97).collect()}
+    lsh = {(r.id_a, r.id_b): r.sim for r in
+           D.embedding_dup_pairs_lsh(emb, dim=32, threshold=0.97).collect()}
+    planted = {(i, i + 100) for i in range(5)}
+    assert planted <= set(exact)                      # oracle finds all
+    assert len(planted & set(lsh)) >= 4               # LSH recovers ≥4/5
+    assert all(lsh[p] == exact[p] for p in lsh)       # candidate sims exact
+
+
 def test_lsh_topk_finds_planted_neighbors(spark):
     """LSH recall is only meaningful with actual near neighbors; uniform
     random vectors have no structure to find. Plant 5 high-cosine
