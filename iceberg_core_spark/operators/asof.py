@@ -41,6 +41,7 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     tolerance=None,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` within the same ``on`` group.
@@ -48,7 +49,11 @@ def asof_join(
     ``right_payload``: right columns to carry (default: all non-key,
     non-ts columns). ``tolerance``: optional max allowed ``left_ts -
     right_ts`` (same type as the ts difference; matches farther back are
-    nulled out).
+    nulled out). ``right_order``: deterministic tiebreaker when several
+    right rows share the same (on, right_ts) — the carried row is the
+    LAST under ascending order of these columns (default: the payload
+    columns themselves, which must then be orderable types; pass an
+    explicit column list when the payload contains maps).
     """
     on = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
@@ -80,9 +85,16 @@ def asof_join(
     cols = on + [time_col, _TAG, "__asof_rts"] + left_only + right_payload
     u = l.select(*cols).unionByName(r.select(*cols))
 
+    # Tiebreak among right rows sharing (on, ts): without it the carried
+    # payload is nondeterministic across runs/engines. Left rows hold
+    # NULL in these columns, but _TAG already orders right (0) before
+    # left (1) within a timestamp, so the tiebreak only acts within
+    # right-row ties.
+    tiebreak = right_order if right_order is not None else right_payload
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(time_col).asc(), F.col(_TAG).asc())
+        .orderBy(F.col(time_col).asc(), F.col(_TAG).asc(),
+                 *[F.col(c).asc_nulls_first() for c in tiebreak])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload]

@@ -33,7 +33,6 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 from typing import Any
@@ -42,7 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
+from iceberg_core_spark.table.manifest import (
+    Manifest,
+    ManifestFile,
+    Snapshot,
+    _decode_key,
+    _encode_key,
+)
 
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
 
@@ -52,14 +57,6 @@ def _not_true(cond):
     TRUE; rows where it evaluates NULL are KEPT. A bare ~cond would
     silently drop them (~NULL is NULL, filtered out)."""
     return ~F.coalesce(cond, F.lit(False))
-
-
-def _sha256_file(path: str) -> str:
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
 
 
 def _file_stats(path: str, key_col: str | None, partition_col: str | None,
@@ -111,6 +108,142 @@ def _file_stats(path: str, key_col: str | None, partition_col: str | None,
     return rows, key_min, key_max, part_val, {
         c: (v[0], v[1]) for c, v in col_stats.items()
     }
+
+
+def _partition_value_from_path(relpath: str, dtype) -> Any:
+    """Partition value parsed from the ``_p=<value>`` directory component
+    — exact by construction (parquet writers may TRUNCATE long string
+    statistics, so deriving it from row-group min stats could record a
+    wrong value and silently prune matching files)."""
+    import datetime as _dt
+    import decimal as _decimal
+    import urllib.parse
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    raw = None
+    for comp in relpath.replace("\\", "/").split("/"):
+        if comp.startswith(_PART_DIR_COL + "="):
+            raw = urllib.parse.unquote(comp.split("=", 1)[1])
+            break
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return int(raw)
+    if isinstance(dtype, BooleanType):
+        return raw == "true"
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return float(raw)
+    if isinstance(dtype, DecimalType):
+        return _decimal.Decimal(raw)
+    if isinstance(dtype, DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return _dt.datetime.fromisoformat(raw)
+    return raw
+
+
+def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
+                        key_col: str | None,
+                        stat_cols: tuple[str, ...]) -> list[dict]:
+    """Per-file commit stats (footer min/max, row count, sha256) computed
+    IN SPARK TASKS via mapInPandas over the file list — the driver never
+    re-reads written bytes, so commit preparation scales with the cluster
+    instead of one machine's disk bandwidth (at 100 TB a commit may add
+    thousands of files; driver-side hashing was the round-1 bottleneck,
+    TODO item 4). Assumes table storage is reachable from executors —
+    the same assumption every read makes. Stats cross the wire as JSON
+    using the manifest's type-tagged encoding.
+
+    Returns one dict per file: {path, rows, bytes, content_hash,
+    key_min, key_max, col_stats} (decoded, driver-side types).
+    """
+    if not rel_paths:
+        return []
+    cols = tuple(dict.fromkeys(
+        list(stat_cols) + ([key_col] if key_col else [])
+    ))
+
+    def task(batches):
+        import hashlib
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["path"]:
+                ap = _os.path.join(root, rel)
+                rows, kmin, kmax, _pv, cstats = _file_stats(
+                    ap, key_col, None, cols
+                )
+                h = hashlib.sha256()
+                with open(ap, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                out.append({
+                    "path": rel,
+                    "rows": rows,
+                    "bytes": _os.path.getsize(ap),
+                    "content_hash": h.hexdigest(),
+                    "stats_json": _json.dumps({
+                        "key_min": _encode_key(kmin),
+                        "key_max": _encode_key(kmax),
+                        "col_stats": {
+                            c: [_encode_key(v[0]), _encode_key(v[1])]
+                            for c, v in cstats.items()
+                        },
+                    }),
+                })
+            yield _pd.DataFrame(
+                out,
+                columns=["path", "rows", "bytes", "content_hash",
+                         "stats_json"],
+            )
+
+    import json as _json
+
+    pathdf = spark.createDataFrame([(p,) for p in rel_paths], "path string")
+    n = max(1, min(len(rel_paths), spark.sparkContext.defaultParallelism))
+    rows = (
+        pathdf.repartition(n)
+        .mapInPandas(
+            task,
+            "path string, rows long, bytes long, content_hash string, "
+            "stats_json string",
+        )
+        .collect()
+    )
+    out = []
+    for r in rows:
+        st = _json.loads(r.stats_json)
+        out.append({
+            "path": r.path,
+            "rows": r.rows,
+            "bytes": r.bytes,
+            "content_hash": r.content_hash,
+            "key_min": _decode_key(st["key_min"]),
+            "key_max": _decode_key(st["key_max"]),
+            "col_stats": {
+                c: (_decode_key(v[0]), _decode_key(v[1]))
+                for c, v in st["col_stats"].items()
+            },
+        })
+    out.sort(key=lambda d: d["path"])
+    return out
 
 
 class IceTable:
@@ -287,29 +420,36 @@ class IceTable:
             )
         writer.parquet(commit_dir)
 
+        # Listing file NAMES is driver-side metadata work (cheap);
+        # reading footers + hashing bytes is distributed to Spark tasks.
+        rel_paths = sorted(
+            os.path.relpath(os.path.join(dirpath, name), self.root)
+            for dirpath, _dirs, names in os.walk(commit_dir)
+            for name in names
+            if name.endswith(".parquet")
+        )
+        part_dtype = (
+            df.schema[partition_col].dataType if partition_col else None
+        )
         new_files = []
-        for dirpath, _dirs, names in os.walk(commit_dir):
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                abspath = os.path.join(dirpath, name)
-                rows, kmin, kmax, pval, cstats = _file_stats(
-                    abspath, key_col, partition_col, tuple(stat_cols)
+        for st in _collect_file_stats(self.spark, self.root, rel_paths,
+                                      key_col, tuple(stat_cols)):
+            if st["rows"] == 0:
+                os.remove(os.path.join(self.root, st["path"]))  # no orphan
+                continue
+            new_files.append(
+                ManifestFile(
+                    path=st["path"],
+                    partition=_partition_value_from_path(st["path"], part_dtype)
+                    if partition_col else None,
+                    key_min=st["key_min"],
+                    key_max=st["key_max"],
+                    rows=st["rows"],
+                    bytes=st["bytes"],
+                    content_hash=st["content_hash"],
+                    col_stats=st["col_stats"],
                 )
-                if rows == 0:
-                    continue
-                new_files.append(
-                    ManifestFile(
-                        path=os.path.relpath(abspath, self.root),
-                        partition=pval,
-                        key_min=kmin,
-                        key_max=kmax,
-                        rows=rows,
-                        bytes=os.path.getsize(abspath),
-                        content_hash=_sha256_file(abspath),
-                        col_stats=cstats,
-                    )
-                )
+            )
 
         if dedupe_identical_files and base_files:
             seen = {f.content_hash for f in base_files}
@@ -427,6 +567,16 @@ class IceTable:
         Returns a DataFrame — distributed, never collected here.
         """
         snap = self.manifest.load(snapshot_id)
+        if partition is not None and not snap.partition_col:
+            raise ValueError(
+                "query(partition=...) on a table with no partition_col — "
+                "the filter would be silently ignored"
+            )
+        if (lo is not None or hi is not None) and not snap.key_col:
+            raise ValueError(
+                "query(lo/hi=...) on a table with no key_col — the bounds "
+                "would be silently ignored"
+            )
         files = snap.files
         if partition is not None and snap.partition_col:
             files = [f for f in files if f.partition == partition]

@@ -50,20 +50,26 @@ def zvalue_column(df: DataFrame, cols: list[str]) -> F.Column:
 
     z = F.lit(0).cast("long")
     n = len(cols)
+    # Total interleaved bits must stay below 64 so the top bit of the
+    # long (the SIGN bit) is never set: with 4×16 bits the last index is
+    # 63 and rows whose 4th column has its high rank bit set would go
+    # NEGATIVE and sort before everything, breaking Morton ordering.
+    # 15 bits/col at n=4 keeps the max index at 14*4+3 = 59.
+    bits = min(BITS, 63 // n)
     for i, c in enumerate(cols):
         lo = stats[f"mn_{i}"] or 0
         hi = stats[f"mx_{i}"] or 0
         span = max(1, hi - lo)
-        # rank in [0, 2^BITS): double division avoids the long overflow
+        # rank in [0, 2^bits): double division avoids the long overflow
         # of (v-lo)*65535 on wide spans (e.g. epoch-micros over years);
         # doubles hold epoch-micros exactly up to 2^53, far past any
         # realistic span, and the expression is deterministic IEEE
         rank = (
             (longs[c] - F.lit(lo)).cast("double")
-            / F.lit(float(span)) * F.lit(float((1 << BITS) - 1))
+            / F.lit(float(span)) * F.lit(float((1 << bits) - 1))
         ).cast("long")
-        rank = F.greatest(F.lit(0), F.least(F.lit((1 << BITS) - 1), rank))
-        for b in range(BITS):
+        rank = F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), rank))
+        for b in range(bits):
             bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit.cast("long"), b * n + i)
     return z

@@ -56,6 +56,30 @@ def test_asof_join_rejects_column_collision(spark):
         asof_join(left, right, on="uid", left_ts="ts", right_ts="ts")
 
 
+def test_asof_join_ties_deterministic(spark):
+    # advice r1: several right rows sharing (on, ts) must carry a
+    # deterministic payload — last under ascending payload order
+    left = spark.createDataFrame([(1, 10, 0.5)], ["uid", "ts", "value"])
+    right = spark.createDataFrame(
+        [(1, 10, p) for p in ("b", "c", "a")], ["uid", "ts", "tag"]
+    )
+    for _ in range(3):
+        got = asof_join(left, right, on="uid", left_ts="ts",
+                        right_ts="ts").collect()
+        assert len(got) == 1 and got[0].tag == "c"
+
+
+def test_query_rejects_filters_without_layout(spark, tmp_path):
+    # advice r1: partition/key filters on a table without that layout
+    # must fail loudly, not silently return the full table
+    df = spark.createDataFrame([(1, "x")], ["id", "s"])
+    t = IceTable.create(spark, str(tmp_path / "t"), df)  # no layout cols
+    with pytest.raises(ValueError, match="partition_col"):
+        t.query(partition="x")
+    with pytest.raises(ValueError, match="key_col"):
+        t.query(lo=0, hi=10)
+
+
 def test_timestamp_partition_values_naive(spark, tmp_path):
     # finding 6: timestamp-typed partition values must match naive bounds
     import datetime
