@@ -312,11 +312,25 @@ def sim_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_topk(emb, _query_vec(spark, sf), k=10)
 
 
+_IVF_INDEX_CACHE: dict[str, "S.IvfIndex"] = {}
+
+
 def sim_search_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: k-means IVF probe + exact rerank (the second ANN
-    scale path beside LSH); exact twin is sim_search."""
-    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    return S.ivf_topk(emb, _query_vec(spark, sf), k=10)
+    scale path beside LSH); exact twin is sim_search. Uses the
+    build-once/query-many IvfIndex: the coarse quantizer is fit and the
+    cell-partitioned table written ONCE per corpus (cached per sf dir
+    here; a real deployment builds at ingest time), so each query only
+    reads its n_probe cell partitions — manifest-pruned, no re-fit."""
+    import tempfile
+
+    idx = _IVF_INDEX_CACHE.get(sf)
+    if idx is None:
+        emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        root = tempfile.mkdtemp(prefix="ivf_index_")
+        idx = S.IvfIndex.build(spark, emb, root)
+        _IVF_INDEX_CACHE[sf] = idx
+    return idx.topk(_query_vec(spark, sf), k=10)
 
 
 # ---------------------------------------------------------------------------

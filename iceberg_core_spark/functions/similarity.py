@@ -97,10 +97,11 @@ def ivf_topk(
     reranks. The other standard ANN scale path beside random-hyperplane
     LSH (lsh_topk).
 
-    Scale: training samples the corpus (k-means on all of 100 TB is
-    unnecessary — centroids converge on a sample); cell ids become a
-    write-time partition column so probing prunes files via the
-    IceTable manifest; candidate fraction ≈ n_probe / n_cells.
+    One-shot convenience: fits the quantizer per call, so use it for
+    ad-hoc exploration and as the semantics twin of ``IvfIndex`` — the
+    build-once/query-many form below is the scale path (sample-fit,
+    cell-partitioned IceTable, manifest pruning); candidate fraction ≈
+    n_probe / n_cells either way.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -128,6 +129,108 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+class IvfIndex:
+    """Build-once / query-many IVF index — the scale form of ``ivf_topk``
+    (which re-fits k-means per call and exists as the one-shot twin).
+
+    ``build`` fits the coarse quantizer on a SAMPLE of the corpus
+    (centroids converge on a fraction of 100 TB), assigns every vector a
+    cell id, and persists the assignment as an IceTable PARTITIONED BY
+    cell — so a query's n_probe cells prune to a handful of files via
+    the manifest before any data is read. Centroids live in a small JSON
+    doc beside the table. ``topk`` loads centroids (driver-side, tiny),
+    picks the nearest cells with numpy, and scans only those partitions
+    with an exact-cosine rerank.
+    """
+
+    CENTROIDS_FILE = "_ivf_centroids.json"
+
+    def __init__(self, spark, root: str):
+        import json
+        import os
+
+        from iceberg_core_spark.table import IceTable
+
+        self.spark = spark
+        self.root = root
+        self.table = IceTable(spark, root)
+        with open(os.path.join(root, self.CENTROIDS_FILE)) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=float)
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        df: DataFrame,
+        root: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_cells: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_rows_per_file: int = 1_000_000,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from iceberg_core_spark.table import IceTable
+
+        feat = df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__arr"),
+        ).withColumn("__vec", array_to_vector("__arr"))
+        train = (
+            feat.sample(fraction=sample_fraction, seed=seed)
+            if sample_fraction is not None else feat
+        )
+        model = KMeans(k=n_cells, seed=seed, featuresCol="__vec",
+                       predictionCol="__cell").fit(train)
+        assigned = model.transform(feat).select(
+            F.col(id_col),
+            F.col("__arr").alias(vec_col),
+            F.col("__cell").cast("int").alias("cell"),
+        )
+        IceTable.create(spark, root, assigned, partition_col="cell",
+                        key_col=id_col, max_rows_per_file=max_rows_per_file)
+        meta = {
+            "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
+            "vec_col": vec_col,
+            "id_col": id_col,
+        }
+        tmp = os.path.join(root, cls.CENTROIDS_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(root, cls.CENTROIDS_FILE))
+        return cls(spark, root)
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             n_probe: int = 4) -> DataFrame:
+        from functools import reduce
+
+        qv = np.asarray(query_vec, dtype=float)
+        order = np.argsort(
+            [float(np.linalg.norm(c - qv)) for c in self.centroids]
+        )
+        cells = [int(c) for c in order[:n_probe]]
+        probed = reduce(
+            lambda a, b: a.unionByName(b),
+            [self.table.query(partition=c) for c in cells],
+        )
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        sim = fround(cosine(F.col(self.vec_col).cast("array<double>"), q), 4)
+        return (
+            probed.select(self.id_col, sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(self.id_col))
+            .limit(k)
+        )
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:

@@ -37,7 +37,11 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hint on customer: it GROWS with SF, so a forced
+        # broadcast would override the size threshold at scale — AQE
+        # converts to broadcast at runtime when the filtered side is
+        # actually small
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -76,8 +80,11 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c),
+        # supplier/customer grow with SF — no forced broadcast (AQE
+        # upgrades to broadcast at runtime when small); nation/region
+        # are fixed-size dimensions, hint stays
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c,
               (o.o_custkey == c.c_custkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -117,7 +124,7 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # grows with SF — AQE decides
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))

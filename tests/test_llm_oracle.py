@@ -101,6 +101,32 @@ def test_ivf_topk_finds_planted_neighbors(spark):
     assert len(set(approx) & set(range(5))) >= 4
 
 
+def test_ivf_index_build_once_query_many(spark, tmp_path):
+    """The persisted IVF index must (a) answer from the prebuilt
+    cell-partitioned table without re-fitting — a reload from disk alone
+    serves queries — (b) prune the probed scan to a subset of files, and
+    (c) recover planted near-duplicates like the one-shot twin."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in (q + 0.05 * rng.standard_normal(32))])
+            for i in range(5)]
+    rows += [(i, [float(x) for x in rng.standard_normal(32)])
+             for i in range(5, 200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    root = str(tmp_path / "ivf")
+    S.IvfIndex.build(spark, emb, root, n_cells=8, sample_fraction=0.8)
+
+    idx = S.IvfIndex(spark, root)  # reload: no DataFrame, no re-fit
+    qv = [float(x) for x in q]
+    got = [r.vec_id for r in idx.topk(qv, k=5, n_probe=3).collect()]
+    assert len(set(got) & set(range(5))) >= 4
+    # probing 3 of 8 cells must not read every file of the table
+    probed = idx.topk(qv, k=5, n_probe=3)
+    assert len(probed.inputFiles()) < idx.table.file_count()
+
+
 def test_embedding_dedup_lsh_finds_planted_pairs(spark):
     """The bucketed near-dup twin must recover planted high-cosine pairs
     (cos ≈ 0.995+: per-plane sign-flip prob ≈ 0.03, so 1-bit multiprobe
