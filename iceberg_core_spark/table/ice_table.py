@@ -520,6 +520,71 @@ class IceTable:
             out = out.unionByName(p)
         return out
 
+    def _pruned_files(self, snap, partition: Any = None, lo: Any = None,
+                      hi: Any = None,
+                      ranges: dict[str, tuple[Any, Any]] | None = None,
+                      ) -> list[ManifestFile]:
+        """Manifest file pruning. Inline-JSON snapshots prune with a
+        driver-side list pass (tiny, zero job latency). Sidecar-backed
+        snapshots (file count > Manifest.inline_max) prune with a
+        DataFrame PREDICATE over the files parquet — metadata-as-data:
+        only the surviving entries are ever materialized on the driver,
+        so a point query on a 1M-file table parses a handful of entries,
+        not a million. Bounds are normalized (epoch micros/days) to
+        match the sidecar's orderable stat encoding; NULL stats are
+        conservatively kept, mirroring ManifestFile.overlaps*."""
+        ranges = ranges or {}
+        if not snap.files_ref:
+            files = snap.files
+            if partition is not None and snap.partition_col:
+                files = [f for f in files if f.partition == partition]
+            if (lo is not None or hi is not None) and snap.key_col:
+                files = [f for f in files if f.overlaps(lo, hi)]
+            for col, (clo, chi) in ranges.items():
+                files = [f for f in files if f.overlaps_col(col, clo, chi)]
+                if snap.key_col == col:
+                    files = [f for f in files if f.overlaps(clo, chi)]
+            return files
+
+        from iceberg_core_spark.table.manifest import _norm_stat
+
+        mdf = self.spark.read.parquet(
+            self.manifest.sidecar_path(snap.files_ref)
+        )
+
+        def keep_ge(colname, bound):  # col is a MAX stat: keep if >= lo
+            return F.col(colname).isNull() | (
+                F.col(colname) >= F.lit(_norm_stat(bound)))
+
+        def keep_le(colname, bound):  # col is a MIN stat: keep if <= hi
+            return F.col(colname).isNull() | (
+                F.col(colname) <= F.lit(_norm_stat(bound)))
+
+        if partition is not None and snap.partition_col:
+            mdf = mdf.filter(F.col("partition_n") == F.lit(_norm_stat(partition)))
+        if snap.key_col:
+            if lo is not None:
+                mdf = mdf.filter(keep_ge("key_max_n", lo))
+            if hi is not None:
+                mdf = mdf.filter(keep_le("key_min_n", hi))
+        for col, (clo, chi) in ranges.items():
+            if f"smin_{col}" in mdf.columns:
+                if clo is not None:
+                    mdf = mdf.filter(keep_ge(f"smax_{col}", clo))
+                if chi is not None:
+                    mdf = mdf.filter(keep_le(f"smin_{col}", chi))
+            if snap.key_col == col:
+                if clo is not None:
+                    mdf = mdf.filter(keep_ge("key_max_n", clo))
+                if chi is not None:
+                    mdf = mdf.filter(keep_le("key_min_n", chi))
+        import json as _json
+
+        return [
+            ManifestFile.from_json(_json.loads(r.entry_json))
+            for r in mdf.select("entry_json").collect()
+        ]
+
     def range_scan(self, ranges: dict[str, tuple[Any, Any]],
                    snapshot_id: int | None = None) -> DataFrame:
         """Multi-dimensional pruned scan: ``ranges`` maps column →
@@ -528,12 +593,8 @@ class IceTable:
         (with z-order clustering, ALL z-dimensions prune effectively —
         a key-sorted layout only prunes on the key); remaining columns
         fall through to the pushed residual filter."""
-        snap = self.manifest.load(snapshot_id)
-        files = snap.files
-        for col, (lo, hi) in ranges.items():
-            files = [f for f in files if f.overlaps_col(col, lo, hi)]
-            if snap.key_col == col:
-                files = [f for f in files if f.overlaps(lo, hi)]
+        snap = self.manifest.load(snapshot_id, load_files=False)
+        files = self._pruned_files(snap, ranges=ranges)
         df = self._read_with_deletes(files, snap, snapshot_id)
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -566,7 +627,7 @@ class IceTable:
           3. residual row filter (R14).
         Returns a DataFrame — distributed, never collected here.
         """
-        snap = self.manifest.load(snapshot_id)
+        snap = self.manifest.load(snapshot_id, load_files=False)
         if partition is not None and not snap.partition_col:
             raise ValueError(
                 "query(partition=...) on a table with no partition_col — "
@@ -577,11 +638,7 @@ class IceTable:
                 "query(lo/hi=...) on a table with no key_col — the bounds "
                 "would be silently ignored"
             )
-        files = snap.files
-        if partition is not None and snap.partition_col:
-            files = [f for f in files if f.partition == partition]
-        if (lo is not None or hi is not None) and snap.key_col:
-            files = [f for f in files if f.overlaps(lo, hi)]
+        files = self._pruned_files(snap, partition=partition, lo=lo, hi=hi)
 
         df = self._read_with_deletes(files, snap, snapshot_id)
         if partition is not None and snap.partition_col:
@@ -763,6 +820,10 @@ class IceTable:
                     if os.path.exists(p):
                         os.remove(p)
             os.remove(os.path.join(self.manifest.dir, f"snapshot-{s.snapshot_id}.json"))
+            if s.files_ref:
+                sidecar = self.manifest.sidecar_path(s.files_ref)
+                if os.path.exists(sidecar):
+                    os.remove(sidecar)
         # remove now-empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
@@ -785,7 +846,7 @@ class IceTable:
         the FULL snapshot history (a maintenance commit in between must
         not erase replay protection)."""
         best = None
-        for s in self.manifest.snapshots():
+        for s in self.manifest.snapshots(load_files=False):
             if s.source_lineage == lineage and s.source_batch_id is not None:
                 best = s.source_batch_id if best is None else max(
                     best, s.source_batch_id)

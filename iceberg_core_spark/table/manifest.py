@@ -18,10 +18,18 @@ never statistics — stats live in the manifest, so negative keys and any
 orderable type work (the reference's filename scheme broke on negative
 int64, block.go:147).
 
-Scale note: at 100 TB a snapshot's file list is itself a Parquet table
-read by Spark (metadata-as-data); JSON is used here for debuggability at
-test scale. The pruning predicate is identical either way:
-``partition == p AND key_max >= lo AND key_min <= hi``.
+Metadata-as-data: a snapshot whose file list exceeds
+``Manifest.inline_max`` entries stores it as a Parquet SIDECAR
+(``files-<id>.parquet``) instead of inline JSON — one row per file with
+the pruning stats normalized to plainly-orderable types (timestamps →
+epoch micros, dates → epoch days) plus the full entry as a JSON string
+column. Query-time pruning then runs as a Spark DataFrame predicate
+over the sidecar and only the SURVIVING entries are materialized on the
+driver (ice_table._pruned_files) — a 1M-file table never parses 1M JSON
+entries to answer a point query. Small tables keep inline JSON for
+debuggability and zero per-query job latency; the pruning predicate is
+identical either way: ``partition == p AND key_max >= lo AND
+key_min <= hi``.
 """
 
 from __future__ import annotations
@@ -30,11 +38,29 @@ import json
 import os
 import time
 from dataclasses import asdict, dataclass, field
-from datetime import date, datetime
+from datetime import date, datetime, timedelta, timezone
 from typing import Any
 
 _MANIFEST_DIR = "_manifest"
 _CURRENT = "CURRENT"
+
+_EPOCH_DT = datetime(1970, 1, 1)
+_EPOCH_D = date(1970, 1, 1)
+
+
+def _norm_stat(v: Any) -> Any:
+    """Normalize a stat value to a plainly-orderable parquet type for the
+    sidecar columns: timestamps → epoch MICROS (int64), dates → epoch
+    DAYS (int32-range int) — sidesteps every timestamp-type subtlety in
+    the pruning comparison (the same raw-integer trick the nanos read
+    path uses). Other types are stored natively."""
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH_DT) // timedelta(microseconds=1)
+    if isinstance(v, date):
+        return (v - _EPOCH_D).days
+    return v
 
 
 def _encode_key(v: Any) -> Any:
@@ -151,6 +177,10 @@ class Snapshot:
     # reprocessing, not replay, and must append.
     source_batch_id: int | None = None
     source_lineage: str | None = None
+    # Set when the file list lives in a Parquet sidecar
+    # (``_manifest/files-<id>.parquet``) rather than inline JSON;
+    # ``files`` is then populated only when loaded with load_files=True.
+    files_ref: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -185,11 +215,16 @@ class Snapshot:
             zorder_by=d.get("zorder_by", []),
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
+            files_ref=d.get("files_ref"),
         )
 
 
 class Manifest:
     """Reads/writes snapshot documents under ``<root>/_manifest``."""
+
+    # File lists longer than this go to a Parquet sidecar; tests lower
+    # it to exercise the sidecar path on small tables.
+    inline_max = 512
 
     def __init__(self, root: str):
         self.root = root
@@ -203,31 +238,96 @@ class Manifest:
         except FileNotFoundError:
             return None
 
-    def load(self, snapshot_id: int | None = None) -> Snapshot:
+    def load(self, snapshot_id: int | None = None,
+             load_files: bool = True) -> Snapshot:
+        """``load_files=False`` skips materializing a sidecar-backed file
+        list (``snap.files`` stays empty) — the pruned-query path reads
+        the sidecar with a DataFrame predicate instead."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"no current snapshot in {self.dir}")
         with open(os.path.join(self.dir, f"snapshot-{sid}.json")) as f:
-            return Snapshot.from_json(json.load(f))
+            snap = Snapshot.from_json(json.load(f))
+        if load_files and snap.files_ref:
+            snap.files = self._read_files_sidecar(snap.files_ref)
+        return snap
 
-    def snapshots(self) -> list[Snapshot]:
+    def snapshots(self, load_files: bool = True) -> list[Snapshot]:
         out = []
         if not os.path.isdir(self.dir):
             return out
         for name in sorted(os.listdir(self.dir)):
             if name.startswith("snapshot-") and name.endswith(".json"):
                 with open(os.path.join(self.dir, name)) as f:
-                    out.append(Snapshot.from_json(json.load(f)))
+                    snap = Snapshot.from_json(json.load(f))
+                if load_files and snap.files_ref:
+                    snap.files = self._read_files_sidecar(snap.files_ref)
+                out.append(snap)
         out.sort(key=lambda s: s.snapshot_id)
         return out
+
+    def sidecar_path(self, files_ref: str) -> str:
+        return os.path.join(self.dir, files_ref)
+
+    def _read_files_sidecar(self, files_ref: str) -> list[ManifestFile]:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(self.sidecar_path(files_ref),
+                            columns=["entry_json"])
+        return [ManifestFile.from_json(json.loads(s))
+                for s in col["entry_json"].to_pylist()]
+
+    def _write_files_sidecar(self, snapshot: Snapshot, files_ref: str) -> None:
+        """One row per file: normalized orderable pruning stats + the
+        full entry as JSON (survivors of a pruning predicate are
+        reconstructed from entry_json alone)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fs = snapshot.files
+
+        def col(vals):
+            if all(v is None for v in vals):
+                return pa.array(vals, type=pa.int64())
+            return pa.array(vals)
+
+        data = {
+            "path": pa.array([f.path for f in fs], type=pa.string()),
+            "partition_n": col([_norm_stat(f.partition) for f in fs]),
+            "key_min_n": col([_norm_stat(f.key_min) for f in fs]),
+            "key_max_n": col([_norm_stat(f.key_max) for f in fs]),
+            "rows": pa.array([f.rows for f in fs], type=pa.int64()),
+            "bytes": pa.array([f.bytes for f in fs], type=pa.int64()),
+        }
+        for c in snapshot.stat_cols:
+            data[f"smin_{c}"] = col(
+                [_norm_stat(f.col_stats.get(c, (None, None))[0]) for f in fs]
+            )
+            data[f"smax_{c}"] = col(
+                [_norm_stat(f.col_stats.get(c, (None, None))[1]) for f in fs]
+            )
+        data["entry_json"] = pa.array(
+            [json.dumps(f.to_json()) for f in fs], type=pa.string()
+        )
+        tmp = self.sidecar_path(files_ref) + ".tmp"
+        pq.write_table(pa.table(data), tmp)
+        os.replace(tmp, self.sidecar_path(files_ref))
 
     # -- write side (single-writer; commit point = CURRENT replace) --
     def commit(self, snapshot: Snapshot) -> None:
         os.makedirs(self.dir, exist_ok=True)
+        doc = snapshot.to_json()
+        if len(snapshot.files) > self.inline_max:
+            files_ref = f"files-{snapshot.snapshot_id}.parquet"
+            self._write_files_sidecar(snapshot, files_ref)
+            snapshot.files_ref = files_ref
+            doc["files"] = []
+            doc["files_ref"] = files_ref
+            doc["files_count"] = len(snapshot.files)
         snap_path = os.path.join(self.dir, f"snapshot-{snapshot.snapshot_id}.json")
         tmp = snap_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(snapshot.to_json(), f, indent=1)
+            json.dump(doc, f, indent=1)
         os.replace(tmp, snap_path)
         cur_tmp = os.path.join(self.dir, _CURRENT + ".tmp")
         with open(cur_tmp, "w") as f:

@@ -1,0 +1,117 @@
+"""Metadata-as-data: file lists beyond Manifest.inline_max live in a
+Parquet sidecar and query pruning runs as a DataFrame predicate over it,
+materializing only surviving entries (VERDICT r1 item 7 / TODO item 1)."""
+
+import datetime
+import os
+import time
+
+import pytest
+
+from iceberg_core_spark.table import IceTable
+from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
+
+
+@pytest.fixture
+def small_inline_max(monkeypatch):
+    monkeypatch.setattr(Manifest, "inline_max", 2)
+
+
+def _mk_table(spark, root, n=2000, files=8):
+    df = spark.range(0, n).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload"
+    )
+    return IceTable.create(spark, root, df, partition_col="part",
+                           key_col="id", max_rows_per_file=n // files)
+
+
+def test_sidecar_roundtrip_end_to_end(spark, tmp_path, small_inline_max):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    snap = t.manifest.load(load_files=False)
+    assert snap.files_ref is not None  # sidecar engaged
+    assert os.path.exists(t.manifest.sidecar_path(snap.files_ref))
+    # full load materializes the same entries the table was written with
+    full = t.manifest.load()
+    assert len(full.files) == t.file_count() and full.files[0].content_hash
+
+    assert t.scan().count() == 2000
+    got = t.query(partition=3, lo=100, hi=500).collect()
+    exp = [i for i in range(100, 501) if i % 4 == 3]
+    assert sorted(r.id for r in got) == exp
+    # pruning must not read every file
+    assert len(t.query(partition=3).inputFiles()) < t.file_count()
+
+    # append / compact / expire keep working through the sidecar
+    t.append(spark.range(2000, 2100).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload"))
+    assert t.scan().count() == 2100
+    t.compact(target_rows_per_file=10_000)
+    assert t.scan().count() == 2100
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired  # old snapshots (and their sidecars) are gone
+    for sid in expired:
+        assert not os.path.exists(
+            t.manifest.sidecar_path(f"files-{sid}.parquet"))
+    assert t.scan().count() == 2100
+
+
+def _synthetic_snapshot(n_files=10_000):
+    base = datetime.datetime(2024, 1, 1)
+    files = []
+    for i in range(n_files):
+        lo = base + datetime.timedelta(minutes=10 * i)
+        hi = lo + datetime.timedelta(minutes=10)
+        files.append(ManifestFile(
+            path=f"data/s0/_p={i % 100}/part-{i}.parquet",
+            partition=i % 100,
+            key_min=lo,
+            key_max=hi,
+            rows=1000,
+            bytes=10_000,
+            content_hash=f"h{i}",
+            col_stats={"v": (float(i), float(i + 1))},
+        ))
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("ts", LongType())])
+    return Snapshot(
+        snapshot_id=0, parent_id=None, timestamp_ms=0, operation="create",
+        schema_json=schema.json(), partition_col="part", key_col="ts",
+        files=files, stat_cols=["v"],
+    )
+
+
+def test_sidecar_prunes_10k_files_metadata_only(spark, tmp_path):
+    """A 10k-file manifest must answer a point query via the sidecar
+    predicate without materializing 10k entries, agree exactly with the
+    inline list-comprehension pruning, and stay fast."""
+    root = str(tmp_path / "big")
+    os.makedirs(root)
+    snap = _synthetic_snapshot(10_000)
+    m = Manifest(root)
+    m.commit(snap)
+    assert m.load(load_files=False).files_ref  # 10k > inline_max=512
+
+    t = IceTable(spark, root)
+    lazy = t.manifest.load(load_files=False)
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 4)
+
+    start = time.monotonic()
+    pruned = t._pruned_files(lazy, partition=7, lo=lo, hi=hi)
+    elapsed = time.monotonic() - start
+
+    full = t.manifest.load()  # eager twin for the oracle comparison
+    oracle = [f for f in full.files
+              if f.partition == 7 and f.overlaps(lo, hi)]
+    assert {f.path for f in pruned} == {f.path for f in oracle}
+    assert 0 < len(pruned) < 20  # a sliver of 10k, not the table
+    assert elapsed < 15  # one small metadata job, not 10k entry parses
+
+    # stats-column pruning through the sidecar (range_scan predicate)
+    pv = t._pruned_files(lazy, ranges={"v": (100.5, 110.5)})
+    ov = [f for f in full.files if f.overlaps_col("v", 100.5, 110.5)]
+    assert {f.path for f in pv} == {f.path for f in ov}
+    assert len(pv) < 20
