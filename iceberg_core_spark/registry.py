@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
+    from iceberg_core_spark.operators.bucketed import QUERIES as BUCKETED
     from iceberg_core_spark.operators.tpch import QUERIES as TPCH
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
@@ -35,6 +36,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(UDF)      # pandas UDF / UDAF / UDTF
+    out.update(BUCKETED) # co-located (exchange-free) fact-fact join
     out.update(REL)      # relational core (r1-proven)
     out.update(RELX)     # bonus relational variants (r1-proven)
     out.update(TPCH)     # headline multi-join analytics (r1-proven)

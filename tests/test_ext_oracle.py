@@ -2,13 +2,14 @@
 
 import pytest
 
+from iceberg_core_spark.operators.bucketed import QUERIES as BUCKETED
 from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
 from iceberg_core_spark.operators.udfs import QUERIES as UDF
 from tests.oracle import compare, duck_connection
 
 SF_DIR = "/root/testdata/sf0.001"
 
-ALL = {**RELX, **UDF}
+ALL = {**RELX, **UDF, **BUCKETED}
 
 
 @pytest.fixture(scope="module")

@@ -93,3 +93,31 @@ def test_broadcast_threshold_config(spark):
     n = load_table(spark, SF_DIR, "nation")
     joined = li.join(n, li.l_suppkey % 25 == n.n_nationkey)
     assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # both sides bucketed on the join key → the join itself must plan
+    # with ZERO exchanges (the whole point of write-time co-location)
+    from iceberg_core_spark.operators.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_bkt_l", "k", 4, path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_r", "k", 4, path=str(tmp_path / "r"))
+    # disable broadcast so the plan is the large-large case bucketing
+    # exists for (at sf-test size AQE would otherwise just broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bkt_l", "t_bkt_r", "k")
+        assert j.count() == 10_000
+        s = plan_of(j)
+        assert "Exchange hashpartitioning" not in s  # no shuffle at all
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_r")
