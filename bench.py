@@ -97,12 +97,23 @@ def main() -> None:
               "embeddings", "part", "customer"]:
         load_table(spark, sf_dir, t).count()
 
+    # Two passes per query. Pass 1 (cold) includes Catalyst planning +
+    # whole-stage-codegen COMPILATION — measured at 1.5-2.5 s/query on
+    # this JVM and invariant with data size, so at sf0.1 it dominates.
+    # Pass 2 (warm) is the steady-state data-path cost — the number that
+    # scales with input and therefore the 100 TB-relevant signal. Both
+    # are reported: "queries"/"value" stay cold-run for round-over-round
+    # comparability with BENCH_r01; "_warm" is the throughput metric.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -110,6 +121,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
         "sf": sf,
         "prep_sec": prep_sec,
     }))
