@@ -283,6 +283,107 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: pairs → connected components → canonical doc
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup PAIRS → GROUPS: assign every id the MIN id reachable
+    through the pair graph (connected components), the step that turns
+    pairwise dedup output into "keep one canonical doc per duplicate
+    cluster". Returns (id_col, canon_id).
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup clusters are shallow
+    (duplicates of a common source), so a handful of rounds suffice,
+    with an early exit when a round changes nothing. This is one of the
+    few genuinely ITERATIVE operators (like GraphX/Pregel CC): a driver
+    loop over DataFrame joins, each round one shuffle of (id, label)
+    edges, lineage truncated per round (localCheckpoint) so plans don't
+    nest. ``ids`` supplies the full node set — docs in no pair become
+    singleton clusters (canon = self).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter"
+        )
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("canon_id"))
+
+
+def dedup_cluster_assign(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Full clustering verdict per document: (doc_id, canon_id, keep,
+    cluster_size). ``keep`` marks the canonical (min-id) member — the
+    row a training pipeline retains; duplicates carry their canon for
+    lineage."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, df.select(id_col), a_col, b_col, id_col)
+    size = F.count(F.lit(1)).over(Window.partitionBy("canon_id"))
+    return cc.select(
+        id_col,
+        "canon_id",
+        (F.col(id_col) == F.col("canon_id")).alias("keep"),
+        size.alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

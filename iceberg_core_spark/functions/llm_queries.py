@@ -191,6 +191,46 @@ WHERE {fround_sql(_JACC_RAW, 4)} >= 0.5
 """
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs → canonical groups: connected components over the
+    ngram-Jaccard pair graph, every document labeled with its cluster's
+    min doc_id, the canonical member flagged ``keep``. The iterative
+    min-label propagation is oracle-checked against DuckDB's WITH
+    RECURSIVE transitive closure."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return D.dedup_cluster_assign(docs, pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS a_toks, b.t AS b_toks
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+), pairs AS (
+  SELECT doc_a, doc_b FROM cand WHERE {fround_sql(_JACC_RAW, 4)} >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+), cc AS (
+  SELECT id AS doc_id, MIN(label) AS canon_id FROM reach GROUP BY id
+)
+SELECT doc_id, canon_id, doc_id = canon_id AS keep,
+       COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+FROM cc
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: xxhash64 has no DuckDB twin; exact-verified against
     dedup_near_jaccard semantics in tests."""
@@ -435,6 +475,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "sim_search": (sim_search, SIM_SEARCH_SQL),
     "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),
     "sim_search_lsh": (sim_search_lsh, None),

@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
+    from iceberg_core_spark.functions.sampling import QUERIES as SAMPLING
     from iceberg_core_spark.operators.bucketed import QUERIES as BUCKETED
     from iceberg_core_spark.operators.tpch import QUERIES as TPCH
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, Entry]:
     # green row.
     out: dict[str, Entry] = {}
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
+    out.update(SAMPLING) # hash-bucket split + stratified sampling
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(UDF)      # pandas UDF / UDAF / UDTF
     out.update(BUCKETED) # co-located (exchange-free) fact-fact join

@@ -2,6 +2,7 @@
 
 import pytest
 
+from iceberg_core_spark.functions.sampling import QUERIES as SAMPLING
 from iceberg_core_spark.operators.bucketed import QUERIES as BUCKETED
 from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
 from iceberg_core_spark.operators.udfs import QUERIES as UDF
@@ -9,7 +10,7 @@ from tests.oracle import compare, duck_connection
 
 SF_DIR = "/root/testdata/sf0.001"
 
-ALL = {**RELX, **UDF, **BUCKETED}
+ALL = {**RELX, **UDF, **BUCKETED, **SAMPLING}
 
 
 @pytest.fixture(scope="module")

@@ -83,6 +83,21 @@ def test_jaccard_pairs_values(spark, docs):
     assert 0.8 < got[(1, 2)] < 1.0
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """A pair CHAIN (1-2, 2-3) must collapse to one cluster labeled by
+    its min id (transitivity — exactly what pairwise output lacks);
+    untouched docs stay singletons with keep=True."""
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r for r in
+           D.dedup_cluster_assign(ids, pairs).collect()}
+    assert [got[i].canon_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert got[1].keep and not got[2].keep and not got[3].keep
+    assert got[1].cluster_size == 3
+    assert got[4].canon_id == 4 and got[4].keep and got[4].cluster_size == 1
+    assert got[7].canon_id == 7
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF with enough probes must recover planted near-duplicates of
     the query (they land in the query's nearest cells)."""

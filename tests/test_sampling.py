@@ -1,0 +1,54 @@
+"""Sampling/split operators: hash-bucket split stability + nesting,
+stratified rates, rows-only smoke."""
+
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions import sampling as SP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=2000):
+    return spark.range(0, n).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+
+
+def test_split_stable_and_nested(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in SP.split_assign(d, test_pct=10).collect()}
+    b = {r.doc_id: r.split for r in SP.split_assign(d, test_pct=10).collect()}
+    assert a == b  # reproducible across runs
+    # growing test 10% → 20% only RECLASSIFIES train docs, never the
+    # other direction (nested prefix buckets)
+    wide = {r.doc_id: r.split
+            for r in SP.split_assign(d, test_pct=20).collect()}
+    for k, v in a.items():
+        if v == "test":
+            assert wide[k] == "test"
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert 0.05 < n_test / len(a) < 0.15  # ≈10%
+
+
+def test_split_salt_redeals(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in SP.split_assign(d).collect()}
+    b = {r.doc_id: r.split
+         for r in SP.split_assign(d, salt="v2").collect()}
+    assert a != b
+
+
+def test_stratified_rates(spark):
+    d = _docs(spark, 6000)
+    out = SP.sample_stratified(d, "lang", {"en": 0.5, "de": 0.1})
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.35 < got["en"] / 2000 < 0.65
+    assert 0.05 < got["de"] / 4000 < 0.16
+
+
+def test_registered_queries_run(spark):
+    for name in ("split_train_test", "sample_stratified"):
+        fn, _ = SP.QUERIES[name]
+        df = fn(spark, SF_DIR)
+        assert df.count() > 0 and len(df.columns) > 0
