@@ -29,11 +29,15 @@ HEADLINE = [
     "topk_per_group",    # per-group top-k
     "filter_range",      # reference-shaped partition+key range query
     "win_tumbling",      # event-time windows
+    "join_bucketed",     # co-located fact-fact join (write-amortized)
     # LLM ops
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",    # pairs → connected components → canonical docs
     "sim_search",
+    "split_train_test",  # reproducible hash-bucket split
+    "corpus_clean",      # end-to-end prep pipeline (2-shuffle plan)
 ]
 
 

@@ -374,6 +374,75 @@ def sim_search_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus prep pipeline
+# ---------------------------------------------------------------------------
+
+def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole training-corpus prep as ONE declarative plan — quality
+    gate → exact-dedup keep → reproducible split → per-cohort counts —
+    showing the operators compose without materialization barriers:
+
+      1. quality gate: drop docs under 5 tokens (map-side filter,
+         pushed below everything else by Catalyst);
+      2. exact dedup: keep the min-doc_id row per identical text (one
+         shuffle, on the content — at scale, on md5(content));
+      3. split: md5-bucket train/val/test (map-side, engine-portable);
+      4. report: docs + tokens per (lang, split) (second, tiny shuffle).
+
+    Two shuffles total for the whole pipeline; everything between them
+    is whole-stage-codegen'd."""
+    from pyspark.sql import Window
+
+    from iceberg_core_spark.functions.sampling import split_assign
+
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_toks")
+    ).filter(F.col("n_toks") >= 5)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        split_assign(kept, test_pct=10, val_pct=5)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+CORPUS_CLEAN_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(lower(text), '\\s+')) AS n_toks
+  FROM documents
+), gated AS (
+  SELECT * FROM base WHERE n_toks >= 5
+), kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM gated
+), split AS (
+  SELECT lang, n_toks,
+         CASE WHEN b < 10 THEN 'test'
+              WHEN b < 15 THEN 'val'
+              ELSE 'train' END AS split
+  FROM (SELECT *,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            AS b
+        FROM kept WHERE rn = 1)
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM split
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
@@ -476,6 +545,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "corpus_clean": (corpus_clean, CORPUS_CLEAN_SQL),
     "sim_search": (sim_search, SIM_SEARCH_SQL),
     "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),
     "sim_search_lsh": (sim_search_lsh, None),

@@ -17,6 +17,9 @@ PICKS = [
     ("topk_per_group", "Per-group top-k — window + filter, one shuffle on the group key."),
     ("sort_limit", "Global top-N — TakeOrderedAndProject, no full sort materialized."),
     ("dedup_minhash_lsh", "MinHash-LSH — band equi-join on (band_idx, band_hash) only; shingle arrays re-joined by id after candidate dedup."),
+    ("dedup_embedding_lsh", "Embedding near-dup, bucketed — hyperplane-bucket equi-join (1-bit multiprobe explode on one side); only (bucket, id) shuffles, vectors re-joined by id for exact cosine on candidates."),
+    ("join_bucketed", "Co-located fact-fact join — both sides bucketBy(orderkey) at write; NO Exchange on either join input (asserted with broadcast disabled in tests)."),
+    ("split_train_test", "Hash-bucket split — pure map-side projection (md5 bucket), aggregation is the only shuffle; split assignment itself never shuffles."),
 ]
 
 

@@ -98,6 +98,24 @@ def test_connected_components_chain_and_singleton(spark):
     assert got[7].canon_id == 7
 
 
+def test_connected_components_shuffled_chain(spark):
+    """Ids SHUFFLED along a long chain — the adversarial layout where
+    plain min-label propagation needs Θ(length) rounds; the star
+    rewriting must still converge (and to the right min)."""
+    import random
+
+    rng = random.Random(5)
+    perm = list(range(120))
+    rng.shuffle(perm)
+    pairs = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(119)], ["doc_a", "doc_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(120)], ["doc_id"])
+    cc = {r.doc_id: r.canon_id
+          for r in D.connected_components(pairs, ids).collect()}
+    assert set(cc.values()) == {0}
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF with enough probes must recover planted near-duplicates of
     the query (they land in the query's nearest cells)."""
