@@ -8,6 +8,12 @@ reference block.go:41-43, is deliberately NOT replicated).
 
 from iceberg_core_spark.table.catalog import IceCatalog
 from iceberg_core_spark.table.ice_table import IceTable
-from iceberg_core_spark.table.manifest import Manifest, ManifestFile, Snapshot
+from iceberg_core_spark.table.manifest import (
+    CommitConflictError,
+    Manifest,
+    ManifestFile,
+    Snapshot,
+)
 
-__all__ = ["IceCatalog", "IceTable", "Manifest", "ManifestFile", "Snapshot"]
+__all__ = ["CommitConflictError", "IceCatalog", "IceTable", "Manifest",
+           "ManifestFile", "Snapshot"]

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from iceberg_core_spark.table.manifest import (
+    CommitConflictError,
     Manifest,
     ManifestFile,
     Snapshot,
@@ -355,12 +356,15 @@ class IceTable:
             delete_predicates=snap.delete_predicates,  # still hide old rows
             source_batch_id=source_batch_id,
             source_lineage=source_lineage,
+            expected_parent=snap.snapshot_id,
         )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
         snap = self.manifest.load()
         return self._write_commit(df, "overwrite", snap.partition_col,
-                                  snap.key_col, max_rows_per_file, base_files=[])
+                                  snap.key_col, max_rows_per_file,
+                                  base_files=[],
+                                  expected_parent=snap.snapshot_id)
 
     def _write_commit(
         self,
@@ -376,7 +380,17 @@ class IceTable:
         zorder_by: list[str] | None = None,
         source_batch_id: int | None = None,
         source_lineage: str | None = None,
+        expected_parent: int | None = None,
     ) -> Snapshot:
+        """``expected_parent``: snapshot id the caller's read state is
+        based on (None for create). If another writer commits first, the
+        manifest CAS fails and the commit is REBASED onto the new current
+        snapshot when that is provably safe — append (new files union
+        with whatever the winner committed) and overwrite (replaces
+        everything regardless) — else CommitConflictError surfaces to the
+        caller, whose read-modify-write must re-run. Data files are
+        written to a token-unique commit dir, so racing writers never
+        touch each other's bytes and a rebase re-commits metadata only."""
         # inherit stats/clustering config from the current snapshot
         if stat_cols is None or zorder_by is None:
             cur = self.manifest.current_snapshot_id()
@@ -386,8 +400,10 @@ class IceTable:
             if zorder_by is None:
                 zorder_by = prev.zorder_by if prev else []
 
-        sid = self.manifest.next_snapshot_id()
-        commit_rel = os.path.join("data", f"s{sid}")
+        sid = 0 if expected_parent is None else expected_parent + 1
+        commit_rel = os.path.join(
+            "data", f"s{sid}-{os.urandom(4).hex()}"
+        )
         commit_dir = os.path.join(self.root, commit_rel)
 
         out = df
@@ -451,33 +467,64 @@ class IceTable:
                 )
             )
 
-        if dedupe_identical_files and base_files:
-            seen = {f.content_hash for f in base_files}
-            kept_new = []
-            for f in new_files:
+        def drop_dupes(new, base):
+            if not (dedupe_identical_files and base):
+                return new
+            seen = {f.content_hash for f in base}
+            kept = []
+            for f in new:
                 if f.content_hash in seen:
-                    os.remove(os.path.join(self.root, f.path))  # no orphan
+                    p = os.path.join(self.root, f.path)
+                    if os.path.exists(p):
+                        os.remove(p)  # no orphan
                 else:
-                    kept_new.append(f)
-            new_files = kept_new
+                    kept.append(f)
+            return kept
 
-        snap = Snapshot(
-            snapshot_id=sid,
-            parent_id=self.manifest.current_snapshot_id(),
-            timestamp_ms=Manifest.now_ms(),
-            operation=operation,
-            schema_json=df.schema.json(),
-            partition_col=partition_col,
-            key_col=key_col,
-            files=base_files + new_files,
-            delete_predicates=delete_predicates or [],
-            stat_cols=stat_cols,
-            zorder_by=zorder_by,
-            source_batch_id=source_batch_id,
-            source_lineage=source_lineage,
-        )
-        self.manifest.commit(snap)
-        return snap
+        parent = expected_parent
+        new_files = drop_dupes(new_files, base_files)
+        while True:
+            snap = Snapshot(
+                snapshot_id=0 if parent is None else parent + 1,
+                parent_id=parent,
+                timestamp_ms=Manifest.now_ms(),
+                operation=operation,
+                schema_json=df.schema.json(),
+                partition_col=partition_col,
+                key_col=key_col,
+                files=base_files + new_files,
+                delete_predicates=delete_predicates or [],
+                stat_cols=stat_cols,
+                zorder_by=zorder_by,
+                source_batch_id=source_batch_id,
+                source_lineage=source_lineage,
+            )
+            try:
+                self.manifest.commit(snap)
+                return snap
+            except CommitConflictError:
+                if operation not in ("append", "overwrite"):
+                    # read-modify-write ops (delete/compact/upsert) based
+                    # their output on files that may have changed — the
+                    # caller must re-run against the new state
+                    for f in new_files:
+                        p = os.path.join(self.root, f.path)
+                        if os.path.exists(p):
+                            os.remove(p)
+                    raise
+                winner = self.manifest.load()
+                if expected_parent is not None:
+                    based_on = self.manifest.load(
+                        expected_parent, load_files=False
+                    )
+                    if winner.schema_json != based_on.schema_json:
+                        raise  # concurrent schema change: no safe rebase
+                parent = winner.snapshot_id
+                if operation == "append":
+                    base_files = list(winner.files)
+                    delete_predicates = winner.delete_predicates
+                    new_files = drop_dupes(new_files, base_files)
+                # overwrite: replaces everything regardless of winner
 
     # ------------------------------------------------------------------
     # read / query
@@ -707,7 +754,8 @@ class IceTable:
                 remaining_preds.append({"expr": p["expr"], "applies_to": still})
         return self._write_commit(retained, "delete", snap.partition_col,
                                   snap.key_col, 1_000_000, base_files=keep,
-                                  delete_predicates=remaining_preds)
+                                  delete_predicates=remaining_preds,
+                                  expected_parent=snap.snapshot_id)
 
     def delete_where(self, condition, mode: str = "cow") -> Snapshot:
         """General predicate delete.
@@ -734,7 +782,7 @@ class IceTable:
                 F.expr(condition)
             ).schema
             new = Snapshot(
-                snapshot_id=self.manifest.next_snapshot_id(),
+                snapshot_id=snap.snapshot_id + 1,
                 parent_id=snap.snapshot_id,
                 timestamp_ms=Manifest.now_ms(),
                 operation="delete-mor",
@@ -752,7 +800,8 @@ class IceTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         retained = self.scan().filter(_not_true(cond))
         return self._write_commit(retained, "delete", snap.partition_col,
-                                  snap.key_col, 1_000_000, base_files=[])
+                                  snap.key_col, 1_000_000, base_files=[],
+                                  expected_parent=snap.snapshot_id)
 
     def upsert(self, df: DataFrame, key_cols: list[str]) -> Snapshot:
         """Merge: rows matching ``key_cols`` are replaced by ``df``'s
@@ -765,7 +814,8 @@ class IceTable:
         )
         merged = existing.unionByName(df)
         return self._write_commit(merged, "upsert", snap.partition_col,
-                                  snap.key_col, 1_000_000, base_files=[])
+                                  snap.key_col, 1_000_000, base_files=[],
+                                  expected_parent=snap.snapshot_id)
 
     # ------------------------------------------------------------------
     # maintenance
@@ -796,14 +846,12 @@ class IceTable:
         keep = [f for f in snap.files if f.path not in victims]
 
         df = self._read_with_deletes(list(victims.values()), snap)
-        sid = self.manifest.next_snapshot_id()
         # Reuse the standard write path then splice kept files back in.
-        new_snap = self._write_commit(
+        return self._write_commit(
             df, "compact", snap.partition_col, snap.key_col,
             target_rows_per_file, base_files=keep,
+            expected_parent=snap.snapshot_id,
         )
-        assert new_snap.snapshot_id == sid
-        return new_snap
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop old snapshots and delete data files no live snapshot

@@ -7,9 +7,24 @@ Design (Iceberg-inspired, minimal):
   of live data files with per-file stats (partition value, key min/max,
   row count, byte size, content hash).
 - ``<root>/_manifest/CURRENT`` — single-line pointer to the current
-  snapshot id; replaced atomically (write-temp + ``os.replace``), which
-  is the commit point. Single-writer, like the reference's lone
-  BlockManager goroutine (reference blockManager.go:29).
+  snapshot id, replaced atomically (write-temp + ``os.replace``).
+
+Optimistic concurrency (multi-writer, lock-free): snapshot ids are
+consecutive (``id = parent_id + 1``) and the COMMIT POINT is the
+exclusive creation of ``snapshot-<id>.json`` via ``os.link`` of a fully
+written temp file — on any POSIX filesystem link(2) fails with EEXIST
+if another writer already claimed that id, so at most one child of any
+parent ever exists. That is the compare-and-swap: a loser gets
+``CommitConflictError`` and must reload the new current snapshot,
+rebase its change, and retry (IceTable does this automatically for
+appends, whose rebase is trivially safe). The reference serializes all
+writes through one BlockManager goroutine (reference blockManager.go:29)
+— a single JVM-driver analog would bottleneck a 1000-executor cluster's
+concurrent ingest jobs, so the commit protocol is contention-safe
+instead. ``CURRENT`` is demoted to a monotonic HINT: readers advance
+past it while a successor snapshot file exists, so a writer crashing
+between claim and hint update (or a stale hint overwrite racing) never
+loses or reorders commits.
 
 File-level min/max pruning replaces the reference's filename-encoded
 key ranges (reference block.go:109-115, 143-199). Filenames here carry a
@@ -43,6 +58,13 @@ from typing import Any
 
 _MANIFEST_DIR = "_manifest"
 _CURRENT = "CURRENT"
+
+
+class CommitConflictError(Exception):
+    """Raised when another writer committed a snapshot with the same
+    parent first (the exclusive-create claim of ``snapshot-<id>.json``
+    found the id taken, or the current id moved past the expected
+    parent). Reload the table state, rebase the change, retry."""
 
 _EPOCH_DT = datetime(1970, 1, 1)
 _EPOCH_D = date(1970, 1, 1)
@@ -232,11 +254,18 @@ class Manifest:
 
     # -- read side ---------------------------------------------------
     def current_snapshot_id(self) -> int | None:
+        """Current id = the CURRENT hint advanced past any committed
+        successors. Snapshot ids are consecutive, so the loop usually
+        costs a single stat() miss; it only walks when a writer crashed
+        between claim and hint update or a stale hint write raced."""
         try:
             with open(os.path.join(self.dir, _CURRENT)) as f:
-                return int(f.read().strip())
+                cur = int(f.read().strip())
         except FileNotFoundError:
             return None
+        while os.path.exists(os.path.join(self.dir, f"snapshot-{cur + 1}.json")):
+            cur += 1
+        return cur
 
     def load(self, snapshot_id: int | None = None,
              load_files: bool = True) -> Snapshot:
@@ -313,23 +342,59 @@ class Manifest:
         pq.write_table(pa.table(data), tmp)
         os.replace(tmp, self.sidecar_path(files_ref))
 
-    # -- write side (single-writer; commit point = CURRENT replace) --
+    # -- write side (commit point = exclusive snapshot-file claim) ---
     def commit(self, snapshot: Snapshot) -> None:
+        """Atomically publish ``snapshot`` as the child of its
+        ``parent_id``. Raises :class:`CommitConflictError` if another
+        writer already claimed that child id — the snapshot document is
+        fully written to a temp file first, then ``os.link`` both
+        validates the claim and makes the complete document visible in
+        one atomic step (readers never observe a partial file)."""
         os.makedirs(self.dir, exist_ok=True)
+        expected = 0 if snapshot.parent_id is None else snapshot.parent_id + 1
+        if snapshot.snapshot_id != expected:
+            raise ValueError(
+                f"snapshot_id {snapshot.snapshot_id} must be parent+1 "
+                f"({expected}) for the commit claim to serialize writers"
+            )
         doc = snapshot.to_json()
+        sidecar_ref = None
         if len(snapshot.files) > self.inline_max:
-            files_ref = f"files-{snapshot.snapshot_id}.parquet"
-            self._write_files_sidecar(snapshot, files_ref)
-            snapshot.files_ref = files_ref
+            # token keeps racing writers' sidecars from clobbering each
+            # other before the claim decides the winner
+            sidecar_ref = (
+                f"files-{snapshot.snapshot_id}-{os.urandom(4).hex()}.parquet"
+            )
+            self._write_files_sidecar(snapshot, sidecar_ref)
+            snapshot.files_ref = sidecar_ref
             doc["files"] = []
-            doc["files_ref"] = files_ref
+            doc["files_ref"] = sidecar_ref
             doc["files_count"] = len(snapshot.files)
         snap_path = os.path.join(self.dir, f"snapshot-{snapshot.snapshot_id}.json")
-        tmp = snap_path + ".tmp"
+        tmp = snap_path + f".tmp-{os.urandom(4).hex()}"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
-        os.replace(tmp, snap_path)
-        cur_tmp = os.path.join(self.dir, _CURRENT + ".tmp")
+        try:
+            os.link(tmp, snap_path)  # the CAS: EEXIST ⇒ we lost the race
+        except FileExistsError:
+            if sidecar_ref is not None:
+                os.remove(self.sidecar_path(sidecar_ref))
+                snapshot.files_ref = None
+            raise CommitConflictError(
+                f"snapshot {snapshot.snapshot_id} already committed by "
+                f"another writer (parent {snapshot.parent_id})"
+            ) from None
+        finally:
+            os.remove(tmp)
+        # CURRENT is a monotonic hint; never move it backwards over a
+        # racing writer's newer value (readers recover regardless).
+        try:
+            with open(os.path.join(self.dir, _CURRENT)) as f:
+                if int(f.read().strip()) >= snapshot.snapshot_id:
+                    return
+        except FileNotFoundError:
+            pass
+        cur_tmp = os.path.join(self.dir, _CURRENT + f".tmp-{os.urandom(4).hex()}")
         with open(cur_tmp, "w") as f:
             f.write(str(snapshot.snapshot_id))
         os.replace(cur_tmp, os.path.join(self.dir, _CURRENT))

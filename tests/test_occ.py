@@ -1,0 +1,143 @@
+"""Optimistic-concurrency commit protocol (multi-writer safety).
+
+The reference serializes all writes through one BlockManager goroutine
+(reference blockManager.go:29); at cluster scale a single serialized
+writer is a bottleneck, so commits here are lock-free compare-and-swap:
+the exclusive creation of ``snapshot-<parent+1>.json`` is the commit
+point, losers rebase and retry (appends) or re-run (read-modify-write
+ops). These tests race two independent table handles on one root.
+"""
+
+import os
+
+import pytest
+
+from iceberg_core_spark.table import CommitConflictError, IceTable, Snapshot
+from iceberg_core_spark.table.manifest import Manifest
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "occ_table")
+
+
+def _mk(spark, root, n_rows=3):
+    rows = [location_row(timestamp=100 + i) for i in range(n_rows)]
+    return IceTable.create(spark, root, location_df(spark, rows),
+                           partition_col=PARTITION_COL, key_col=KEY_COL)
+
+
+def test_manifest_cas_second_writer_conflicts(spark, root):
+    t = _mk(spark, root)
+    cur = t.manifest.load(load_files=False)
+    mk = lambda: Snapshot(
+        snapshot_id=cur.snapshot_id + 1, parent_id=cur.snapshot_id,
+        timestamp_ms=Manifest.now_ms(), operation="append",
+        schema_json=cur.schema_json, partition_col=cur.partition_col,
+        key_col=cur.key_col, files=[],
+    )
+    t.manifest.commit(mk())  # first child of cur wins
+    with pytest.raises(CommitConflictError):
+        t.manifest.commit(mk())  # same parent: CAS must fail
+
+
+def test_commit_claim_requires_consecutive_id(spark, root):
+    t = _mk(spark, root)
+    cur = t.manifest.load(load_files=False)
+    bad = Snapshot(
+        snapshot_id=cur.snapshot_id + 5, parent_id=cur.snapshot_id,
+        timestamp_ms=Manifest.now_ms(), operation="append",
+        schema_json=cur.schema_json, partition_col=cur.partition_col,
+        key_col=cur.key_col, files=[],
+    )
+    with pytest.raises(ValueError):
+        t.manifest.commit(bad)
+
+
+def test_stale_append_rebases_and_keeps_both(spark, root):
+    """Writer A bases an append on snapshot 0; writer B commits first.
+    A's CAS fails, A rebases onto B's snapshot, and the final table
+    holds rows from BOTH appends plus the original."""
+    t_a = _mk(spark, root)
+    base = t_a.manifest.load()  # A's view: snapshot 0
+
+    t_b = IceTable(spark, root)
+    t_b.append(location_df(spark, [location_row(timestamp=500)]))
+
+    # A commits with its stale view (expected_parent = 0)
+    t_a._write_commit(
+        location_df(spark, [location_row(timestamp=900)]),
+        "append", base.partition_col, base.key_col, 1_000_000,
+        base_files=list(base.files), expected_parent=base.snapshot_id,
+    )
+
+    final = IceTable(spark, root)
+    ts = sorted(r.timestamp for r in final.scan().collect())
+    assert ts == [100, 101, 102, 500, 900]
+    snap = final.manifest.load(load_files=False)
+    assert snap.snapshot_id == 2 and snap.parent_id == 1
+
+
+def test_stale_read_modify_write_conflicts_and_cleans_up(spark, root):
+    """delete/compact/upsert-shaped commits must NOT auto-rebase: a
+    stale one raises and removes its newly written (now orphan) files."""
+    t_a = _mk(spark, root)
+    base = t_a.manifest.load()
+
+    IceTable(spark, root).append(
+        location_df(spark, [location_row(timestamp=500)]))
+
+    with pytest.raises(CommitConflictError):
+        t_a._write_commit(
+            location_df(spark, [location_row(timestamp=900)]),
+            "delete", base.partition_col, base.key_col, 1_000_000,
+            base_files=[], expected_parent=base.snapshot_id,
+        )
+    final = IceTable(spark, root)
+    ts = sorted(r.timestamp for r in final.scan().collect())
+    assert ts == [100, 101, 102, 500]  # loser's rows absent
+    # loser's data files were deleted, not orphaned
+    live = {f.path for f in final.manifest.load().files}
+    on_disk = {
+        os.path.relpath(os.path.join(dp, n), root)
+        for dp, _d, ns in os.walk(os.path.join(root, "data"))
+        for n in ns if n.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_current_hint_recovery_after_crash(spark, root):
+    """A writer crashing between the snapshot-file claim and the CURRENT
+    update must not hide its committed snapshot: readers advance the
+    hint past committed successors."""
+    t = _mk(spark, root)
+    t.append(location_df(spark, [location_row(timestamp=500)]))
+    # simulate the crash: rewind CURRENT to the previous id
+    with open(os.path.join(t.manifest.dir, "CURRENT"), "w") as f:
+        f.write("0")
+    fresh = IceTable(spark, root)
+    assert fresh.manifest.current_snapshot_id() == 1
+    ts = sorted(r.timestamp for r in fresh.scan().collect())
+    assert ts == [100, 101, 102, 500]
+
+
+def test_rebased_append_still_dedupes_identical_files(spark, root):
+    """Idempotent-rewrite semantics survive a rebase: if the winning
+    commit already added byte-identical content, the rebased append
+    drops its duplicate files (reference block.go:109-115)."""
+    t_a = _mk(spark, root)
+    base = t_a.manifest.load()
+    dup = location_df(spark, [location_row(timestamp=700)])
+
+    IceTable(spark, root).append(dup)
+
+    t_a._write_commit(
+        location_df(spark, [location_row(timestamp=700)]),
+        "append", base.partition_col, base.key_col, 1_000_000,
+        base_files=list(base.files), dedupe_identical_files=True,
+        expected_parent=base.snapshot_id,
+    )
+    final = IceTable(spark, root)
+    ts = sorted(r.timestamp for r in final.scan().collect())
+    assert ts == [100, 101, 102, 700]  # one copy, not two
