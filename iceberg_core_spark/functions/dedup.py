@@ -344,15 +344,22 @@ def connected_components(
     produce exactly such chains: measured 15 rounds vs 5 on the sf0.1
     documents pair graph.)
 
-    Iteration materializes the edge set to Parquet each round
+    Iteration materializes the edge set to Parquet each half-round
     (``work_dir``, default a temp dir): genuinely-iterative DataFrame
     jobs need STORAGE-backed lineage truncation — chained
     localCheckpoints measurably degrade (re-execution through the RDD
     chain), while a parquet slot costs a constant ~0.3 s/round and is
-    the same discipline GraphX applies with periodic checkpoints.
+    the same discipline GraphX applies with periodic checkpoints. Each
+    half-round's output is also consumed MORE THAN ONCE by the next
+    (as neighborhood, as min-aggregate input), so without the
+    materialization the star subtrees would re-execute per reference.
+    The fixpoint test's edge counts come from the written files'
+    parquet FOOTERS — metadata-only, zero extra Spark jobs per round
+    (the loop at sf scale is round-latency-bound, not data-bound).
     ``ids`` supplies the full node set — docs in no pair become
     singleton clusters (canon = self).
     """
+    import os
     import shutil
     import tempfile
 
@@ -361,59 +368,80 @@ def connected_components(
     wd = work_dir or tempfile.mkdtemp(prefix="cc_work_")
     slot = [0]
 
-    def materialize(df: DataFrame) -> DataFrame:
+    def materialize(df: DataFrame) -> tuple[DataFrame, int]:
+        """Write one round's edges; row count read back from footers
+        (metadata-only — no job)."""
+        import pyarrow.parquet as pq
+
         slot[0] += 1
         path = f"{wd}/edges_{slot[0]}"
         df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        n = sum(
+            pq.read_metadata(os.path.join(dp, f)).num_rows
+            for dp, _d, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet")
+        )
+        return spark.read.parquet(path), n
+
+    from pyspark.sql import Window
 
     try:
         # undirected edge set, kept deduped with self-loops dropped
-        edges = materialize(
+        edges, n_edges = materialize(
             pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
+        # min(Γ(u) ∪ {u}) per neighborhood as a WINDOW aggregate: one
+        # partitionBy(u) shuffle replaces the groupBy+re-join pair (two
+        # shuffles) of the textbook formulation — same result, and the
+        # hub-node skew is identical to what the join-on-u had.
+        w_u = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w_u), F.col("u"))
+
         for _ in range(max_iter):
-            n_before = edges.count()
-            # neighborhoods from both orientations
+            n_before = n_edges
+            # large-star: every neighbor v > u re-links to min(Γ(u)∪{u});
+            # no distinct here — duplicate edges don't change the next
+            # half-round's mins and the fixpoint count only reads the
+            # deduped small-star output
             nbr = edges.union(
                 edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            m = nbr.groupBy("u").agg(
-                F.least(F.min("v"), F.first("u")).alias("m")
-            )
-            # large-star: every neighbor v > u re-links to min(Γ(u)∪{u})
-            large = (
-                nbr.filter(F.col("v") > F.col("u"))
-                .join(m, "u")
+            edges, _n = materialize(
+                nbr.withColumn("m", m)
+                .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
             )
-            edges = materialize(
-                large.filter(F.col("u") != F.col("v")).distinct()
-            )
-            # small-star: neighbors v < u (and u itself) link to the min
+            # small-star: neighbors v < u re-link to the min, and every
+            # node keeps an edge to its min — both emitted in ONE pass
+            # over the windowed frame (explode), deduped at the write
             nbr = edges.union(
                 edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            m = nbr.groupBy("u").agg(
-                F.least(F.min("v"), F.first("u")).alias("m")
-            )
+            pair_uv = F.struct(F.col("u"), F.col("m").alias("v"))
+            pair_vm = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
             small = (
-                nbr.filter(F.col("v") < F.col("u"))
-                .join(m, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .union(m.select(F.col("u"), F.col("m").alias("v")))
+                nbr.withColumn("m", m)
+                .select(
+                    F.explode(
+                        F.when(F.col("v") < F.col("u"),
+                               F.array(pair_vm, pair_uv))
+                        .otherwise(F.array(pair_uv))
+                    ).alias("e")
+                )
+                .select("e.u", "e.v")
             )
-            edges = materialize(
+            edges, n_edges = materialize(
                 small.filter(F.col("u") != F.col("v")).distinct()
             )
             # Converged when the edge set is a fixed point (stars). Edge
-            # counts strictly shrink until then for this rewriting; the
-            # cheap count equality is the fixpoint test, then one
+            # counts shrink until then for this rewriting; the free
+            # footer-count equality is the fixpoint probe, then one
             # anti-join confirms set equality exactly.
-            if edges.count() == n_before:
+            if n_edges == n_before:
                 prev = spark.read.parquet(f"{wd}/edges_{slot[0] - 2}")
                 if edges.exceptAll(prev).limit(1).count() == 0:
                     break
