@@ -484,8 +484,11 @@ class IceTable:
         parent = expected_parent
         new_files = drop_dupes(new_files, base_files)
         while True:
+            commit_sid = 0 if parent is None else parent + 1
+            for f in new_files:
+                f.seq = commit_sid  # data sequence number = adding snapshot
             snap = Snapshot(
-                snapshot_id=0 if parent is None else parent + 1,
+                snapshot_id=commit_sid,
                 parent_id=parent,
                 timestamp_ms=Manifest.now_ms(),
                 operation=operation,
@@ -541,17 +544,18 @@ class IceTable:
         return self._read_with_deletes(snap.files, snap, snapshot_id)
 
     def _read_with_deletes(self, files, snap, snapshot_id=None) -> DataFrame:
-        """Read files, applying each MoR predicate only to the files it
-        was issued against. Files sharing the same applicable-predicate
-        set are read in one group (one scan each; groups = number of
-        distinct delete generations, typically 0-2)."""
+        """Read files, applying each MoR predicate only to files whose
+        data sequence number predates it (f.seq < predicate seq —
+        Iceberg's sequence-number scoping). Files sharing the same
+        applicable-predicate set are read in one group (one scan each;
+        groups = number of distinct delete generations, typically 0-2)."""
         if not snap.delete_predicates or not files:
             return self._read_files(files, snapshot_id)
         groups: dict[tuple[int, ...], list] = {}
         for f in files:
             key = tuple(
                 i for i, p in enumerate(snap.delete_predicates)
-                if f.path in p["applies_to"]
+                if f.seq < p["seq"]
             )
             groups.setdefault(key, []).append(f)
         parts = []
@@ -746,12 +750,12 @@ class IceTable:
             if hi is not None:
                 cond = cond & (F.col(snap.key_col) <= F.lit(hi))
         retained = retained.filter(_not_true(cond))
-        kept_paths = {f.path for f in keep}
-        remaining_preds = []
-        for p in snap.delete_predicates:
-            still = [path for path in p["applies_to"] if path in kept_paths]
-            if still:
-                remaining_preds.append({"expr": p["expr"], "applies_to": still})
+        # predicates survive only while some kept file still predates
+        # them (seq scoping); rewritten files get a fresh seq and are out
+        remaining_preds = [
+            p for p in snap.delete_predicates
+            if any(f.seq < p["seq"] for f in keep)
+        ]
         return self._write_commit(retained, "delete", snap.partition_col,
                                   snap.key_col, 1_000_000, base_files=keep,
                                   delete_predicates=remaining_preds,
@@ -792,7 +796,7 @@ class IceTable:
                 files=list(snap.files),
                 delete_predicates=snap.delete_predicates + [{
                     "expr": condition,
-                    "applies_to": [f.path for f in snap.files],
+                    "seq": snap.snapshot_id + 1,  # applies to seq < this
                 }],
             )
             self.manifest.commit(new)
@@ -834,13 +838,16 @@ class IceTable:
             by_part.setdefault(f.partition, []).append(f)
         victims = {f.path: f for fs in by_part.values()
                    if len(fs) >= min_files for f in fs}
-        # any file carrying MoR deletes is compacted too, so compaction
-        # always rewrites outstanding deletes away
-        mor_paths = {p for pred in snap.delete_predicates
-                     for p in pred["applies_to"]}
-        for f in snap.files:
-            if f.path in mor_paths:
-                victims[f.path] = f
+        # any file carrying MoR deletes (seq predates a predicate) is
+        # compacted too, so compaction always rewrites outstanding
+        # deletes away
+        max_del_seq = max(
+            (p["seq"] for p in snap.delete_predicates), default=None
+        )
+        if max_del_seq is not None:
+            for f in snap.files:
+                if f.seq < max_del_seq:
+                    victims[f.path] = f
         if not victims:
             return snap
         keep = [f for f in snap.files if f.path not in victims]

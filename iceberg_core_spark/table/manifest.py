@@ -120,6 +120,11 @@ class ManifestFile:
     bytes: int
     content_hash: str  # sha256 of file bytes → idempotent writes (R16)
     col_stats: dict = field(default_factory=dict)  # col → [min, max]
+    # Data sequence number (Iceberg v2): the snapshot id that ADDED the
+    # file. Consecutive snapshot ids double as sequence numbers, so MoR
+    # delete scoping is a single integer compare (seq < delete.seq)
+    # instead of a per-predicate path list that grows with file count.
+    seq: int = 0
 
     def overlaps(self, lo: Any, hi: Any) -> bool:
         """Inclusive range-overlap test — true min/max on both bounds."""
@@ -167,6 +172,7 @@ class ManifestFile:
                 c: (_decode_key(v[0]), _decode_key(v[1]))
                 for c, v in d.get("col_stats", {}).items()
             },
+            seq=d.get("seq", 0),
         )
 
 
@@ -181,10 +187,12 @@ class Snapshot:
     key_col: str | None
     files: list[ManifestFile] = field(default_factory=list)
     # Merge-on-read deletes (Iceberg v2 predicate-delete analog): each
-    # entry {"expr": <SQL boolean>, "applies_to": [file paths]} hides
-    # matching rows of THOSE files at scan time — scoping to the files
-    # present at delete time is the sequence-number-lite rule that keeps
-    # later appends unaffected. Compaction rewrites them away.
+    # entry {"expr": <SQL boolean>, "seq": <snapshot id of the delete>}
+    # hides matching rows of every file whose data sequence number is
+    # STRICTLY BELOW seq at scan time — exactly Iceberg's sequence-number
+    # rule, O(1) metadata per predicate regardless of file count. Later
+    # appends (and compaction rewrites) carry a higher seq and are
+    # unaffected. Compaction rewrites the predicates away.
     delete_predicates: list[dict] = field(default_factory=list)
     # Extra columns whose per-file min/max are tracked (beyond key_col),
     # and the clustering strategy ("key" sort or "zorder" on zorder_by).

@@ -72,3 +72,25 @@ def test_mor_time_travel_sees_predeletion_state(spark, table):
     table.delete_where("timestamp < 5", mode="mor")
     assert table.scan(snapshot_id=sid).count() == 10
     assert table.scan().count() == 5
+
+
+def test_mor_predicate_metadata_is_constant_size(spark, table):
+    """Iceberg v2 sequence-number scoping: a delete predicate is one
+    {expr, seq} dict regardless of how many files the table holds — no
+    per-predicate path list growing with file count."""
+    table.append(location_df(spark, [location_row(timestamp=50)]),
+                 dedupe_identical_files=False)
+    table.delete_where("timestamp < 100", mode="mor")
+    snap = table.manifest.load()
+    (pred,) = snap.delete_predicates
+    assert set(pred.keys()) == {"expr", "seq"}
+    assert pred["seq"] == snap.snapshot_id
+    # every pre-delete file predates the predicate; nothing else exists
+    assert all(f.seq < pred["seq"] for f in snap.files)
+    # a post-delete append carries a higher seq -> out of scope
+    table.append(location_df(spark, [location_row(timestamp=60)]),
+                 dedupe_identical_files=False)
+    snap2 = table.manifest.load()
+    newer = [f for f in snap2.files if f.seq >= pred["seq"]]
+    assert newer and all(f.seq == snap2.snapshot_id for f in newer)
+    assert sorted(r.timestamp for r in table.scan().collect()) == [60]
