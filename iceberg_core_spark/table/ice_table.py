@@ -26,9 +26,14 @@ Scale design:
   (metadata-only, no data I/O), then the same predicate is pushed into
   the Parquet scan as row-group skipping + residual filter. No collect()
   anywhere — ``query()`` returns a DataFrame.
-- Stats collection reads only Parquet footers (pyarrow, metadata-only).
-  At 100 TB this moves into the write tasks (collect stats while
-  writing); the manifest schema is unchanged.
+- Stats collection reads only Parquet footers (metadata-only), in SPARK
+  TASKS. Large commits never materialize per-file entries on the
+  driver: the sidecar is built as ``parent sidecar ∪ new entries`` by a
+  Spark job (``_commit_distributed``), dedupe is a semi-join, table
+  stats aggregate over the sidecar DataFrame — commit metadata scales
+  with the cluster, not one machine.
+- Multi-writer safe: lock-free optimistic concurrency (see
+  table/manifest.py) with automatic append/overwrite rebase.
 """
 
 from __future__ import annotations
@@ -247,8 +252,122 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
     return out
 
 
+def _stat_sidecar_type(dtype) -> str | None:
+    """Spark SQL type of a normalized sidecar stat column for a data
+    column of ``dtype`` — mirrors ``manifest._norm_stat``: timestamps /
+    dates / integrals → bigint, floats → double, strings → string,
+    booleans → boolean. ``None`` (e.g. decimals, nested types) means no
+    orderable sidecar stat exists: the column is written as NULL bigint
+    and pruning keeps such files conservatively."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if dtype is None:
+        return None
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType,
+                          TimestampType, TimestampNTZType, DateType)):
+        return "bigint"
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return "double"
+    if isinstance(dtype, StringType):
+        return "string"
+    if isinstance(dtype, BooleanType):
+        return "boolean"
+    return None
+
+
+def _entries_df(spark: SparkSession, root: str, rel_paths: list[str],
+                schema: StructType, key_col: str | None,
+                partition_col: str | None, stat_cols: tuple[str, ...]):
+    """Full sidecar entry rows (normalized pruning stats + entry_json +
+    content_hash) computed IN SPARK TASKS — the 1M-file commit path.
+    Unlike ``_collect_file_stats`` the driver never materializes one row
+    per file: the output DataFrame is written straight to the sidecar
+    (union with the parent's sidecar), so commit metadata scales with
+    the cluster. ``seq`` is added later as a literal column so a rebase
+    retargets it without re-running these tasks."""
+    import json as _json
+
+    from iceberg_core_spark.table.manifest import _norm_stat
+
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    cols = tuple(dict.fromkeys(
+        list(stat_cols) + ([key_col] if key_col else [])
+    ))
+    part_dtype = dtypes.get(partition_col) if partition_col else None
+
+    fields = [
+        ("path", "string"), ("rows", "bigint"), ("bytes", "bigint"),
+        ("content_hash", "string"),
+        ("partition_n", _stat_sidecar_type(part_dtype) or "bigint"),
+        ("key_min_n", _stat_sidecar_type(dtypes.get(key_col)) or "bigint"),
+        ("key_max_n", _stat_sidecar_type(dtypes.get(key_col)) or "bigint"),
+    ]
+    for c in stat_cols:
+        t = _stat_sidecar_type(dtypes.get(c)) or "bigint"
+        fields += [(f"smin_{c}", t), (f"smax_{c}", t)]
+    fields.append(("entry_json", "string"))
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+    colnames = [n for n, _t in fields]
+
+    def task(batches):
+        import hashlib
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["path"]:
+                ap = _os.path.join(root, rel)
+                rows, kmin, kmax, _pv, cstats = _file_stats(
+                    ap, key_col, None, cols
+                )
+                h = hashlib.sha256()
+                with open(ap, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                pv = (_partition_value_from_path(rel, part_dtype)
+                      if partition_col else None)
+                entry = ManifestFile(
+                    path=rel, partition=pv, key_min=kmin, key_max=kmax,
+                    rows=rows, bytes=_os.path.getsize(ap),
+                    content_hash=h.hexdigest(),
+                    col_stats={c: (v[0], v[1]) for c, v in cstats.items()},
+                )
+                row = {
+                    "path": rel, "rows": rows, "bytes": entry.bytes,
+                    "content_hash": entry.content_hash,
+                    "partition_n": _norm_stat(pv),
+                    "key_min_n": _norm_stat(kmin),
+                    "key_max_n": _norm_stat(kmax),
+                    "entry_json": _json.dumps(entry.to_json()),
+                }
+                for c in stat_cols:
+                    mn, mx = cstats.get(c, (None, None))
+                    row[f"smin_{c}"] = _norm_stat(mn)
+                    row[f"smax_{c}"] = _norm_stat(mx)
+                out.append(row)
+            yield _pd.DataFrame(out, columns=colnames)
+
+    pathdf = spark.createDataFrame([(p,) for p in rel_paths], "path string")
+    n = max(1, min(len(rel_paths), spark.sparkContext.defaultParallelism))
+    return pathdf.repartition(n).mapInPandas(task, out_schema)
+
+
 class IceTable:
-    """A single-writer, snapshot-versioned Parquet table."""
+    """A snapshot-versioned Parquet table (multi-writer via OCC)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -313,7 +432,7 @@ class IceTable:
         mismatch is rejected (the reference's fixed-schema behavior,
         SURVEY.md §1.4).
         """
-        snap = self.manifest.load()
+        snap = self.manifest.load(load_files=False)  # sidecar stays lazy
         schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
         table_cols = [f.name for f in schema.fields]
         if evolve_schema:
@@ -357,6 +476,7 @@ class IceTable:
             source_batch_id=source_batch_id,
             source_lineage=source_lineage,
             expected_parent=snap.snapshot_id,
+            base_mode="parent",
         )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
@@ -381,6 +501,7 @@ class IceTable:
         source_batch_id: int | None = None,
         source_lineage: str | None = None,
         expected_parent: int | None = None,
+        base_mode: str = "list",
     ) -> Snapshot:
         """``expected_parent``: snapshot id the caller's read state is
         based on (None for create). If another writer commits first, the
@@ -390,11 +511,18 @@ class IceTable:
         everything regardless) — else CommitConflictError surfaces to the
         caller, whose read-modify-write must re-run. Data files are
         written to a token-unique commit dir, so racing writers never
-        touch each other's bytes and a rebase re-commits metadata only."""
+        touch each other's bytes and a rebase re-commits metadata only.
+
+        ``base_mode="parent"`` (append) means the base file set IS the
+        parent snapshot's — when that parent is sidecar-backed, or the
+        commit is large, the whole manifest update runs as a Spark job
+        over sidecar DataFrames (``_commit_distributed``) and the driver
+        never materializes one entry per file."""
         # inherit stats/clustering config from the current snapshot
         if stat_cols is None or zorder_by is None:
             cur = self.manifest.current_snapshot_id()
-            prev = self.manifest.load() if cur is not None else None
+            prev = (self.manifest.load(load_files=False)
+                    if cur is not None else None)
             if stat_cols is None:
                 stat_cols = prev.stat_cols if prev else []
             if zorder_by is None:
@@ -444,6 +572,32 @@ class IceTable:
             for name in names
             if name.endswith(".parquet")
         )
+
+        # Large commits (or any append onto a sidecar-backed parent) keep
+        # manifest construction OUT of the driver: entries are computed
+        # and unioned with the parent sidecar as DataFrames.
+        parent_snap = (
+            self.manifest.load(expected_parent, load_files=False)
+            if expected_parent is not None else None
+        )
+        if base_mode == "parent" and parent_snap is not None:
+            base_count = (parent_snap.files_count or 0
+                          if parent_snap.files_ref
+                          else len(parent_snap.files))
+        else:
+            base_count = len(base_files)
+        if operation in ("create", "append", "overwrite") and (
+            len(rel_paths) + base_count > Manifest.inline_max
+            or (parent_snap is not None and parent_snap.files_ref
+                and operation == "append")
+        ):
+            return self._commit_distributed(
+                df.schema, operation, partition_col, key_col, rel_paths,
+                stat_cols, zorder_by, delete_predicates,
+                dedupe_identical_files, expected_parent,
+                source_batch_id, source_lineage,
+            )
+
         part_dtype = (
             df.schema[partition_col].dataType if partition_col else None
         )
@@ -529,6 +683,142 @@ class IceTable:
                     new_files = drop_dupes(new_files, base_files)
                 # overwrite: replaces everything regardless of winner
 
+    def _commit_distributed(
+        self,
+        schema: StructType,
+        operation: str,
+        partition_col: str | None,
+        key_col: str | None,
+        rel_paths: list[str],
+        stat_cols: list[str],
+        zorder_by: list[str],
+        delete_predicates: list[dict] | None,
+        dedupe_identical_files: bool,
+        expected_parent: int | None,
+        source_batch_id: int | None,
+        source_lineage: str | None,
+    ) -> Snapshot:
+        """Manifest commit where entries never materialize on the driver:
+        footer stats + hashes run in Spark tasks once (to a temp entries
+        parquet), the new sidecar is ``parent sidecar ∪ new entries``
+        written by a Spark job, the snapshot doc references it with a
+        files_count from footer metadata. Content-hash dedupe is a
+        semi-join against the parent sidecar (only duplicate PATHS — a
+        handful — ever reach the driver). A rebase after a lost CAS
+        re-runs only the cheap union job; the stats tasks are not
+        repeated, and the new entries' ``seq`` retargets via one lit()."""
+        import pyarrow.parquet as pq
+
+        spark, man = self.spark, self.manifest
+        os.makedirs(man.dir, exist_ok=True)
+
+        def dir_rows(path: str) -> int:
+            if os.path.isfile(path):
+                return pq.read_metadata(path).num_rows
+            return sum(
+                pq.read_metadata(os.path.join(dp, f)).num_rows
+                for dp, _d, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        def rm_data(paths: list[str]) -> None:
+            for p in paths:
+                fp = os.path.join(self.root, p)
+                if os.path.exists(fp):
+                    os.remove(fp)
+
+        ent_ref = f"tmp-entries-{os.urandom(4).hex()}.parquet"
+        _entries_df(
+            spark, self.root, rel_paths, schema, key_col, partition_col,
+            tuple(stat_cols)
+        ).write.parquet(man.sidecar_path(ent_ref))
+        try:
+            new_df = spark.read.parquet(man.sidecar_path(ent_ref))
+            rm_data([r.path for r in
+                     new_df.filter("rows = 0").select("path").collect()])
+            new_df = new_df.filter("rows > 0")
+
+            parent = expected_parent
+            while True:
+                sid = 0 if parent is None else parent + 1
+                base_df, base_tmp, preds = None, None, delete_predicates or []
+                if parent is not None and operation != "overwrite":
+                    psnap = man.load(parent, load_files=False)
+                    if operation == "append":
+                        preds = psnap.delete_predicates
+                    if psnap.files_ref:
+                        base_df = spark.read.parquet(
+                            man.sidecar_path(psnap.files_ref))
+                    elif psnap.files:
+                        base_tmp = f"tmp-base-{os.urandom(4).hex()}.parquet"
+                        man._write_files_sidecar(
+                            psnap.files, stat_cols, base_tmp)
+                        base_df = spark.read.parquet(
+                            man.sidecar_path(base_tmp))
+
+                dup_paths: list[str] = []
+                keep_df = new_df
+                if dedupe_identical_files and base_df is not None:
+                    bh = base_df.select(
+                        F.get_json_object("entry_json", "$.content_hash")
+                        .alias("content_hash"))
+                    dup_paths = [r.path for r in keep_df.join(
+                        bh, "content_hash", "left_semi"
+                    ).select("path").collect()]
+                    if dup_paths:
+                        keep_df = keep_df.join(
+                            spark.createDataFrame(
+                                [(p,) for p in dup_paths], "path string"),
+                            "path", "left_anti")
+                final_new = keep_df.drop("content_hash").withColumn(
+                    "seq", F.lit(sid).cast("long"))
+                out_df = (final_new if base_df is None
+                          else base_df.unionByName(final_new))
+                ref = f"files-{sid}-{os.urandom(4).hex()}.parquet"
+                out_df.write.parquet(man.sidecar_path(ref))
+
+                snap = Snapshot(
+                    snapshot_id=sid,
+                    parent_id=parent,
+                    timestamp_ms=Manifest.now_ms(),
+                    operation=operation,
+                    schema_json=schema.json(),
+                    partition_col=partition_col,
+                    key_col=key_col,
+                    files=[],
+                    delete_predicates=preds,
+                    stat_cols=stat_cols,
+                    zorder_by=zorder_by,
+                    source_batch_id=source_batch_id,
+                    source_lineage=source_lineage,
+                    files_ref=ref,
+                    files_count=dir_rows(man.sidecar_path(ref)),
+                )
+                try:
+                    man.commit(snap)
+                except CommitConflictError:
+                    man.remove_sidecar(ref)
+                    if base_tmp:
+                        man.remove_sidecar(base_tmp)
+                    if operation == "create":
+                        rm_data([r.path for r in
+                                 new_df.select("path").collect()])
+                        raise
+                    winner = man.load(load_files=False)
+                    if expected_parent is not None:
+                        based_on = man.load(expected_parent,
+                                            load_files=False)
+                        if winner.schema_json != based_on.schema_json:
+                            raise  # concurrent schema change: no rebase
+                    parent = winner.snapshot_id
+                    continue
+                rm_data(dup_paths)
+                if base_tmp:
+                    man.remove_sidecar(base_tmp)
+                return snap
+        finally:
+            man.remove_sidecar(ent_ref)
+
     # ------------------------------------------------------------------
     # read / query
     # ------------------------------------------------------------------
@@ -612,7 +902,12 @@ class IceTable:
                 F.col(colname) <= F.lit(_norm_stat(bound)))
 
         if partition is not None and snap.partition_col:
-            mdf = mdf.filter(F.col("partition_n") == F.lit(_norm_stat(partition)))
+            # NULL partition_n = stat unavailable (e.g. unsupported stat
+            # type): conservatively keep; the residual filter corrects
+            mdf = mdf.filter(
+                F.col("partition_n").isNull()
+                | (F.col("partition_n") == F.lit(_norm_stat(partition)))
+            )
         if snap.key_col:
             if lo is not None:
                 mdf = mdf.filter(keep_ge("key_max_n", lo))
@@ -631,10 +926,12 @@ class IceTable:
                     mdf = mdf.filter(keep_le("key_min_n", chi))
         import json as _json
 
-        return [
-            ManifestFile.from_json(_json.loads(r.entry_json))
-            for r in mdf.select("entry_json").collect()
-        ]
+        out = []
+        for r in mdf.select("entry_json", "seq").collect():
+            f = ManifestFile.from_json(_json.loads(r.entry_json))
+            f.seq = r.seq if r.seq is not None else 0
+            out.append(f)
+        return out
 
     def range_scan(self, ranges: dict[str, tuple[Any, Any]],
                    snapshot_id: int | None = None) -> DataFrame:
@@ -876,9 +1173,7 @@ class IceTable:
                         os.remove(p)
             os.remove(os.path.join(self.manifest.dir, f"snapshot-{s.snapshot_id}.json"))
             if s.files_ref:
-                sidecar = self.manifest.sidecar_path(s.files_ref)
-                if os.path.exists(sidecar):
-                    os.remove(sidecar)
+                self.manifest.remove_sidecar(s.files_ref)
         # remove now-empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
@@ -894,6 +1189,9 @@ class IceTable:
         return self.manifest.snapshots()
 
     def file_count(self) -> int:
+        snap = self.manifest.load(load_files=False)
+        if snap.files_ref and snap.files_count is not None:
+            return snap.files_count
         return len(self.manifest.load().files)
 
     def last_committed_batch(self, lineage: str) -> int | None:
@@ -909,8 +1207,33 @@ class IceTable:
 
     def stats(self) -> dict:
         """Table statistics from the manifest alone (metadata-only, no
-        data I/O): totals plus per-partition file/row/byte breakdown."""
-        snap = self.manifest.load()
+        data I/O): totals plus per-partition file/row/byte breakdown.
+        Sidecar-backed tables aggregate over the files parquet as a
+        DataFrame — entries never materialize on the driver (partition
+        keys are reported in their normalized sidecar encoding, e.g.
+        timestamps as epoch micros)."""
+        snap = self.manifest.load(load_files=False)
+        if snap.files_ref:
+            mdf = self.spark.read.parquet(
+                self.manifest.sidecar_path(snap.files_ref))
+            rows = mdf.groupBy("partition_n").agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum("rows").alias("rows"),
+                F.sum("bytes").alias("bytes"),
+            ).collect()
+            return {
+                "snapshot_id": snap.snapshot_id,
+                "operation": snap.operation,
+                "files": sum(r.files for r in rows),
+                "rows": sum(r.rows for r in rows),
+                "bytes": sum(r.bytes for r in rows),
+                "pending_mor_deletes": len(snap.delete_predicates),
+                "partitions": {
+                    r.partition_n: {"files": r.files, "rows": r.rows,
+                                    "bytes": r.bytes}
+                    for r in rows
+                },
+            }
         per_part: dict = {}
         for f in snap.files:
             d = per_part.setdefault(

@@ -76,12 +76,18 @@ def _norm_stat(v: Any) -> Any:
     DAYS (int32-range int) — sidesteps every timestamp-type subtlety in
     the pruning comparison (the same raw-integer trick the nanos read
     path uses). Other types are stored natively."""
+    import decimal
+
     if isinstance(v, datetime):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return (v - _EPOCH_DT) // timedelta(microseconds=1)
     if isinstance(v, date):
         return (v - _EPOCH_D).days
+    if isinstance(v, decimal.Decimal):
+        # no exactly-orderable plain encoding (strings sort wrong,
+        # doubles round) — NULL stat, pruning keeps conservatively
+        return None
     return v
 
 
@@ -208,9 +214,13 @@ class Snapshot:
     source_batch_id: int | None = None
     source_lineage: str | None = None
     # Set when the file list lives in a Parquet sidecar
-    # (``_manifest/files-<id>.parquet``) rather than inline JSON;
-    # ``files`` is then populated only when loaded with load_files=True.
+    # (``_manifest/files-<id>.parquet`` — a single file when written by
+    # the driver, a directory when written by a Spark job) rather than
+    # inline JSON; ``files`` is then populated only when loaded with
+    # load_files=True. ``files_count`` is the entry count (known without
+    # materializing the sidecar).
     files_ref: str | None = None
+    files_count: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -246,6 +256,7 @@ class Snapshot:
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
             files_ref=d.get("files_ref"),
+            files_count=d.get("files_count"),
         )
 
 
@@ -309,19 +320,26 @@ class Manifest:
     def _read_files_sidecar(self, files_ref: str) -> list[ManifestFile]:
         import pyarrow.parquet as pq
 
-        col = pq.read_table(self.sidecar_path(files_ref),
-                            columns=["entry_json"])
-        return [ManifestFile.from_json(json.loads(s))
-                for s in col["entry_json"].to_pylist()]
+        tbl = pq.read_table(self.sidecar_path(files_ref),
+                            columns=["entry_json", "seq"])
+        out = []
+        for s, seq in zip(tbl["entry_json"].to_pylist(),
+                          tbl["seq"].to_pylist()):
+            f = ManifestFile.from_json(json.loads(s))
+            # seq lives in its own column (a Spark-side rebase retargets
+            # it with one lit(), never rewriting entry_json strings)
+            f.seq = seq if seq is not None else 0
+            out.append(f)
+        return out
 
-    def _write_files_sidecar(self, snapshot: Snapshot, files_ref: str) -> None:
+    def _write_files_sidecar(self, fs: list[ManifestFile],
+                             stat_cols: list[str], files_ref: str) -> None:
         """One row per file: normalized orderable pruning stats + the
         full entry as JSON (survivors of a pruning predicate are
-        reconstructed from entry_json alone)."""
+        reconstructed from entry_json alone; ``seq`` rides in its own
+        column)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        fs = snapshot.files
 
         def col(vals):
             if all(v is None for v in vals):
@@ -336,7 +354,7 @@ class Manifest:
             "rows": pa.array([f.rows for f in fs], type=pa.int64()),
             "bytes": pa.array([f.bytes for f in fs], type=pa.int64()),
         }
-        for c in snapshot.stat_cols:
+        for c in stat_cols:
             data[f"smin_{c}"] = col(
                 [_norm_stat(f.col_stats.get(c, (None, None))[0]) for f in fs]
             )
@@ -346,9 +364,21 @@ class Manifest:
         data["entry_json"] = pa.array(
             [json.dumps(f.to_json()) for f in fs], type=pa.string()
         )
+        data["seq"] = pa.array([f.seq for f in fs], type=pa.int64())
         tmp = self.sidecar_path(files_ref) + ".tmp"
         pq.write_table(pa.table(data), tmp)
         os.replace(tmp, self.sidecar_path(files_ref))
+
+    def remove_sidecar(self, files_ref: str) -> None:
+        """Delete a sidecar — single parquet file (driver-written) or
+        directory (Spark-job-written)."""
+        import shutil
+
+        p = self.sidecar_path(files_ref)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
 
     # -- write side (commit point = exclusive snapshot-file claim) ---
     def commit(self, snapshot: Snapshot) -> None:
@@ -367,14 +397,22 @@ class Manifest:
             )
         doc = snapshot.to_json()
         sidecar_ref = None
-        if len(snapshot.files) > self.inline_max:
+        if snapshot.files_ref is not None and not snapshot.files:
+            # sidecar was built externally (by a Spark job over the file
+            # entries — the 1M-file commit path); reference it as-is
+            doc["files"] = []
+            doc["files_ref"] = snapshot.files_ref
+            doc["files_count"] = snapshot.files_count
+        elif len(snapshot.files) > self.inline_max:
             # token keeps racing writers' sidecars from clobbering each
             # other before the claim decides the winner
             sidecar_ref = (
                 f"files-{snapshot.snapshot_id}-{os.urandom(4).hex()}.parquet"
             )
-            self._write_files_sidecar(snapshot, sidecar_ref)
+            self._write_files_sidecar(snapshot.files, snapshot.stat_cols,
+                                      sidecar_ref)
             snapshot.files_ref = sidecar_ref
+            snapshot.files_count = len(snapshot.files)
             doc["files"] = []
             doc["files_ref"] = sidecar_ref
             doc["files_count"] = len(snapshot.files)
@@ -386,8 +424,9 @@ class Manifest:
             os.link(tmp, snap_path)  # the CAS: EEXIST ⇒ we lost the race
         except FileExistsError:
             if sidecar_ref is not None:
-                os.remove(self.sidecar_path(sidecar_ref))
+                self.remove_sidecar(sidecar_ref)
                 snapshot.files_ref = None
+                snapshot.files_count = None
             raise CommitConflictError(
                 f"snapshot {snapshot.snapshot_id} already committed by "
                 f"another writer (parent {snapshot.parent_id})"

@@ -115,3 +115,43 @@ def test_sidecar_prunes_10k_files_metadata_only(spark, tmp_path):
     ov = [f for f in full.files if f.overlaps_col("v", 100.5, 110.5)]
     assert {f.path for f in pv} == {f.path for f in ov}
     assert len(pv) < 20
+
+
+def test_distributed_commit_never_materializes_entries(
+        spark, tmp_path, small_inline_max, monkeypatch):
+    """Large commits build the sidecar with a Spark job: the driver-side
+    entry collector must never run, seq comes from the sidecar column,
+    and content-hash dedupe works as a semi-join against the parent
+    sidecar."""
+    import iceberg_core_spark.table.ice_table as it
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side entry collection ran")
+
+    monkeypatch.setattr(it, "_collect_file_stats", boom)
+
+    root = str(tmp_path / "dist")
+    t = _mk_table(spark, root)  # create: 8 files > inline_max=2
+    snap = t.manifest.load(load_files=False)
+    assert snap.files_ref and snap.files_count == t.file_count()
+    assert snap.files == []  # lazy: nothing materialized
+
+    # append onto the sidecar-backed parent (distributed union)
+    extra = spark.range(2000, 2600).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload")
+    t.append(extra)
+    snap2 = t.manifest.load(load_files=False)
+    assert snap2.files_ref and snap2.files_count > snap.files_count
+    assert t.scan().count() == 2600
+
+    # seq column round-trips: base files keep 0, new files carry 1
+    full = t.manifest.load()
+    seqs = {f.seq for f in full.files}
+    assert seqs == {0, 1}
+
+    # idempotent re-append of identical content is dropped by the
+    # sidecar semi-join dedupe
+    before = t.file_count()
+    t.append(extra, dedupe_identical_files=True)
+    assert t.scan().count() == 2600
+    assert t.file_count() == before
