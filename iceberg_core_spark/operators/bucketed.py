@@ -76,9 +76,14 @@ _N_BUCKETS = 8
 def _bucketed_pair(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Build (once per corpus) bucketed twins of orders/lineitem — the
     write-time cost a production pipeline pays at ingest, amortized over
-    every subsequent co-located join."""
+    every subsequent co-located join. Goes through the FULL table layer:
+    IceTable with ``bucket_by`` (snapshot/manifest semantics) registered
+    per-snapshot via ``as_bucketed_table`` — co-location and snapshot
+    isolation in one layer, not a side catalog."""
     import tempfile
     import uuid
+
+    from iceberg_core_spark.table import IceTable
 
     pair = _BUCKETED_CACHE.get(sf)
     if pair is not None:
@@ -86,10 +91,14 @@ def _bucketed_pair(spark: SparkSession, sf: str) -> tuple[str, str]:
     tag = uuid.uuid4().hex[:8]
     names = (f"orders_b_{tag}", f"lineitem_b_{tag}")
     base = tempfile.mkdtemp(prefix="bucketed_")
-    write_bucketed(load_table(spark, sf, "orders"), names[0],
-                   "o_orderkey", _N_BUCKETS, path=f"{base}/{names[0]}")
-    write_bucketed(load_table(spark, sf, "lineitem"), names[1],
-                   "l_orderkey", _N_BUCKETS, path=f"{base}/{names[1]}")
+    IceTable.create(
+        spark, f"{base}/{names[0]}", load_table(spark, sf, "orders"),
+        key_col="o_orderkey", bucket_by=("o_orderkey", _N_BUCKETS),
+    ).as_bucketed_table(names[0])
+    IceTable.create(
+        spark, f"{base}/{names[1]}", load_table(spark, sf, "lineitem"),
+        key_col="l_orderkey", bucket_by=("l_orderkey", _N_BUCKETS),
+    ).as_bucketed_table(names[1])
     _BUCKETED_CACHE[sf] = names
     return names
 

@@ -388,6 +388,7 @@ class IceTable:
         max_rows_per_file: int = 1_000_000,
         stat_cols: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
         source_batch_id: int | None = None,
         source_lineage: str | None = None,
     ) -> "IceTable":
@@ -397,7 +398,11 @@ class IceTable:
         (enables ``range_scan`` pruning on them). ``zorder_by``: cluster
         files by the Morton code of 2-4 columns instead of the key sort
         — range queries prune on EVERY z-ordered dimension (those
-        columns are auto-added to stat_cols).
+        columns are auto-added to stat_cols). ``bucket_by=(col, n)``:
+        hash-bucket the layout on a join key — every snapshot can then
+        be registered as a bucketed catalog table
+        (:meth:`as_bucketed_table`) and fact-fact joins between
+        identically bucketed tables run with ZERO exchanges.
         """
         tbl = cls(spark, root)
         if tbl.manifest.current_snapshot_id() is not None:
@@ -405,10 +410,16 @@ class IceTable:
                 f"table already exists at {root}; use IceTable(spark, root) "
                 "to open it, or overwrite()/append() to write"
             )
+        if bucket_by and (partition_col or zorder_by):
+            raise ValueError(
+                "bucket_by cannot combine with partition_col/zorder_by — "
+                "one physical layout per table"
+            )
         stat_cols = list(dict.fromkeys((stat_cols or []) + (zorder_by or [])))
         tbl._write_commit(df, "create", partition_col, key_col, max_rows_per_file,
                           base_files=[], stat_cols=stat_cols,
                           zorder_by=zorder_by or [],
+                          bucket_by=bucket_by,
                           source_batch_id=source_batch_id,
                           source_lineage=source_lineage)
         return tbl
@@ -502,6 +513,7 @@ class IceTable:
         source_lineage: str | None = None,
         expected_parent: int | None = None,
         base_mode: str = "list",
+        bucket_by: tuple[str, int] | None = None,
     ) -> Snapshot:
         """``expected_parent``: snapshot id the caller's read state is
         based on (None for create). If another writer commits first, the
@@ -518,8 +530,8 @@ class IceTable:
         commit is large, the whole manifest update runs as a Spark job
         over sidecar DataFrames (``_commit_distributed``) and the driver
         never materializes one entry per file."""
-        # inherit stats/clustering config from the current snapshot
-        if stat_cols is None or zorder_by is None:
+        # inherit stats/clustering/bucket config from the current snapshot
+        if stat_cols is None or zorder_by is None or bucket_by is None:
             cur = self.manifest.current_snapshot_id()
             prev = (self.manifest.load(load_files=False)
                     if cur is not None else None)
@@ -527,6 +539,8 @@ class IceTable:
                 stat_cols = prev.stat_cols if prev else []
             if zorder_by is None:
                 zorder_by = prev.zorder_by if prev else []
+            if bucket_by is None and prev is not None and prev.bucket_col:
+                bucket_by = (prev.bucket_col, prev.n_buckets)
 
         sid = 0 if expected_parent is None else expected_parent + 1
         commit_rel = os.path.join(
@@ -535,34 +549,57 @@ class IceTable:
         commit_dir = os.path.join(self.root, commit_rel)
 
         out = df
-        if zorder_by:
-            # Morton clustering: files cover small hyper-rectangles in
-            # every z-ordered dimension (see table/zorder.py).
-            from iceberg_core_spark.table.zorder import zvalue_column
-
-            out = out.withColumn("__z", zvalue_column(out, zorder_by))
-            out = out.repartitionByRange(F.col("__z"))
-            out = out.sortWithinPartitions("__z").drop("__z")
-        else:
-            # Cluster: one range shuffle on (partition, key). Hot
-            # partition values span tasks (skew-proof); files key-local.
-            sort_cols = [c for c in (partition_col, key_col) if c]
-            if sort_cols:
-                out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
-                out = out.sortWithinPartitions(*sort_cols)
-        writer = out.write.mode("overwrite").option(
-            "maxRecordsPerFile", max_rows_per_file
-        )
-        if partition_col:
-            # Twin column keeps the partition value INSIDE the data file so
-            # manifest-selected file subsets read back with full schema.
-            writer = (
-                out.withColumn(_PART_DIR_COL, F.col(partition_col))
-                .write.mode("overwrite")
+        if bucket_by:
+            # Hash-bucket layout: one shuffle on the bucket key (same
+            # murmur3 hash Spark's bucket assignment uses, so each task
+            # holds whole buckets → one file per bucket per commit).
+            # Written through a throwaway EXTERNAL catalog entry because
+            # bucketBy is catalog-only; the entry is dropped immediately
+            # — the bucket-id file NAMES are what later registration
+            # (as_bucketed_table) needs, and those live in the data dir.
+            bcol, nb = bucket_by
+            tmp_name = f"ice_bkt_tmp_{os.urandom(4).hex()}"
+            (
+                out.repartition(nb, F.col(bcol))
+                .write.format("parquet")
+                .mode("overwrite")
                 .option("maxRecordsPerFile", max_rows_per_file)
-                .partitionBy(_PART_DIR_COL)
+                .option("path", commit_dir)
+                .bucketBy(nb, bcol)
+                .sortBy(key_col or bcol)
+                .saveAsTable(tmp_name)
             )
-        writer.parquet(commit_dir)
+            self.spark.sql(f"DROP TABLE `{tmp_name}`")
+        else:
+            if zorder_by:
+                # Morton clustering: files cover small hyper-rectangles in
+                # every z-ordered dimension (see table/zorder.py).
+                from iceberg_core_spark.table.zorder import zvalue_column
+
+                out = out.withColumn("__z", zvalue_column(out, zorder_by))
+                out = out.repartitionByRange(F.col("__z"))
+                out = out.sortWithinPartitions("__z").drop("__z")
+            else:
+                # Cluster: one range shuffle on (partition, key). Hot
+                # partition values span tasks (skew-proof); files key-local.
+                sort_cols = [c for c in (partition_col, key_col) if c]
+                if sort_cols:
+                    out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
+                    out = out.sortWithinPartitions(*sort_cols)
+            writer = out.write.mode("overwrite").option(
+                "maxRecordsPerFile", max_rows_per_file
+            )
+            if partition_col:
+                # Twin column keeps the partition value INSIDE the data
+                # file so manifest-selected file subsets read back with
+                # full schema.
+                writer = (
+                    out.withColumn(_PART_DIR_COL, F.col(partition_col))
+                    .write.mode("overwrite")
+                    .option("maxRecordsPerFile", max_rows_per_file)
+                    .partitionBy(_PART_DIR_COL)
+                )
+            writer.parquet(commit_dir)
 
         # Listing file NAMES is driver-side metadata work (cheap);
         # reading footers + hashing bytes is distributed to Spark tasks.
@@ -595,7 +632,7 @@ class IceTable:
                 df.schema, operation, partition_col, key_col, rel_paths,
                 stat_cols, zorder_by, delete_predicates,
                 dedupe_identical_files, expected_parent,
-                source_batch_id, source_lineage,
+                source_batch_id, source_lineage, bucket_by,
             )
 
         part_dtype = (
@@ -653,6 +690,8 @@ class IceTable:
                 delete_predicates=delete_predicates or [],
                 stat_cols=stat_cols,
                 zorder_by=zorder_by,
+                bucket_col=bucket_by[0] if bucket_by else None,
+                n_buckets=bucket_by[1] if bucket_by else None,
                 source_batch_id=source_batch_id,
                 source_lineage=source_lineage,
             )
@@ -697,6 +736,7 @@ class IceTable:
         expected_parent: int | None,
         source_batch_id: int | None,
         source_lineage: str | None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> Snapshot:
         """Manifest commit where entries never materialize on the driver:
         footer stats + hashes run in Spark tasks once (to a temp entries
@@ -789,6 +829,8 @@ class IceTable:
                     delete_predicates=preds,
                     stat_cols=stat_cols,
                     zorder_by=zorder_by,
+                    bucket_col=bucket_by[0] if bucket_by else None,
+                    n_buckets=bucket_by[1] if bucket_by else None,
                     source_batch_id=source_batch_id,
                     source_lineage=source_lineage,
                     files_ref=ref,
@@ -951,6 +993,53 @@ class IceTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def as_bucketed_table(self, name: str,
+                          snapshot_id: int | None = None) -> str:
+        """Register one snapshot of a bucket-layout table as a BUCKETED
+        external catalog table, so joins between two tables bucketed the
+        same way (same key, same n) plan with ZERO exchanges — snapshot
+        isolation and write-time co-location in one layer.
+
+        Mechanics: a snapshot's file set is immutable, so the snapshot's
+        files are HARDLINKED into a private directory (metadata-only, no
+        byte copies — on an object store a manifest-file-index listing
+        plays this role) and a ``CREATE TABLE ... CLUSTERED BY ... INTO n
+        BUCKETS LOCATION`` points at it. Spark recovers each file's
+        bucket id from the bucket-suffix file names the bucketed write
+        produced, which the links preserve. Returns ``name``; drop with
+        ``spark.sql(f"DROP TABLE {name}")`` (links stay until
+        expire_snapshots removes the snapshot)."""
+        snap = self.manifest.load(snapshot_id)
+        if not snap.bucket_col:
+            raise ValueError("table was not created with bucket_by")
+        if snap.delete_predicates:
+            raise ValueError(
+                "snapshot has pending merge-on-read deletes; compact() "
+                "before registering a bucketed view (the catalog scan "
+                "cannot apply predicates)"
+            )
+        linkdir = os.path.join(
+            self.root, "_bucketed", f"v{snap.snapshot_id}"
+        )
+        os.makedirs(linkdir, exist_ok=True)
+        for f in snap.files:
+            dst = os.path.join(linkdir, os.path.basename(f.path))
+            if not os.path.exists(dst):
+                os.link(os.path.join(self.root, f.path), dst)
+        schema = StructType.fromJson(
+            __import__("json").loads(snap.schema_json))
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        self.spark.sql(
+            f"CREATE TABLE `{name}` ({cols_ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{snap.bucket_col}`) "
+            f"INTO {snap.n_buckets} BUCKETS "
+            f"LOCATION '{linkdir}'"
+        )
+        return name
+
     def to_view(self, name: str, snapshot_id: int | None = None) -> None:
         """Register this table (one snapshot) as a temp view so users can
         ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` — predicates
@@ -1095,6 +1184,11 @@ class IceTable:
                     "expr": condition,
                     "seq": snap.snapshot_id + 1,  # applies to seq < this
                 }],
+                # layout/stats config must survive a metadata-only commit
+                stat_cols=snap.stat_cols,
+                zorder_by=snap.zorder_by,
+                bucket_col=snap.bucket_col,
+                n_buckets=snap.n_buckets,
             )
             self.manifest.commit(new)
             return new

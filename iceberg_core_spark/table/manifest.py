@@ -204,6 +204,12 @@ class Snapshot:
     # and the clustering strategy ("key" sort or "zorder" on zorder_by).
     stat_cols: list[str] = field(default_factory=list)
     zorder_by: list[str] = field(default_factory=list)
+    # Hash-bucket layout (co-located joins): files are written
+    # bucketBy(n_buckets, bucket_col) with Spark's bucket-id file
+    # naming, so any snapshot can be re-registered as a bucketed
+    # catalog table and joined exchange-free (IceTable.as_bucketed_table).
+    bucket_col: str | None = None
+    n_buckets: int | None = None
     # Streaming exactly-once: (lineage, batch id) of the micro-batch
     # that produced this snapshot, recorded IN the atomic commit.
     # foreachBatch is at-least-once; a replayed batch is recognized by
@@ -235,6 +241,8 @@ class Snapshot:
             "delete_predicates": self.delete_predicates,
             "stat_cols": self.stat_cols,
             "zorder_by": self.zorder_by,
+            "bucket_col": self.bucket_col,
+            "n_buckets": self.n_buckets,
             "source_batch_id": self.source_batch_id,
             "source_lineage": self.source_lineage,
         }
@@ -253,6 +261,8 @@ class Snapshot:
             delete_predicates=d.get("delete_predicates", []),
             stat_cols=d.get("stat_cols", []),
             zorder_by=d.get("zorder_by", []),
+            bucket_col=d.get("bucket_col"),
+            n_buckets=d.get("n_buckets"),
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
             files_ref=d.get("files_ref"),

@@ -1,0 +1,90 @@
+"""Bucketed IceTables: hash-bucket layout committed through the
+manifest (snapshot semantics) and re-registered per snapshot as a
+bucketed catalog table for exchange-free co-located joins (TODO item:
+unify bucket metadata into the manifest)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.table import IceTable
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    left = spark.range(0, 5_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 5_000).selectExpr("id AS k", "id * 3 AS b")
+    tl = IceTable.create(spark, str(tmp_path / "l"), left, key_col="k",
+                         bucket_by=("k", 4))
+    tr = IceTable.create(spark, str(tmp_path / "r"), right, key_col="k",
+                         bucket_by=("k", 4))
+    yield tl, tr
+    for n in ("bkt_l", "bkt_r", "bkt_l0"):
+        spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+
+def test_bucketed_table_roundtrip_and_spec(spark, pair):
+    tl, _tr = pair
+    snap = tl.manifest.load(load_files=False)
+    assert (snap.bucket_col, snap.n_buckets) == ("k", 4)
+    assert tl.scan().count() == 5_000  # plain scan path still works
+
+
+def test_bucketed_join_zero_exchanges(spark, pair):
+    tl, tr = pair
+    tl.as_bucketed_table("bkt_l")
+    tr.as_bucketed_table("bkt_r")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        assert j.count() == 5_000
+        s = plan_of(j)
+        assert "Exchange hashpartitioning" not in s
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_append_inherits_spec_and_stays_colocated(spark, pair):
+    tl, tr = pair
+    extra = spark.range(5_000, 6_000).selectExpr("id AS k", "id * 2 AS a")
+    tl.append(extra)  # spec inherited from snapshot, no args needed
+    snap = tl.manifest.load(load_files=False)
+    assert (snap.bucket_col, snap.n_buckets) == ("k", 4)
+
+    tl.as_bucketed_table("bkt_l")  # current snapshot: 6k rows
+    tr.as_bucketed_table("bkt_r")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        assert j.count() == 5_000  # right side caps the matches
+        assert "Exchange hashpartitioning" not in plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # time travel: snapshot 0 registers independently (5k rows)
+    tl.as_bucketed_table("bkt_l0", snapshot_id=0)
+    assert spark.table("bkt_l0").count() == 5_000
+
+
+def test_bucketed_rejects_conflicting_layouts(spark, tmp_path):
+    df = spark.range(10).selectExpr("id AS k", "id AS p")
+    with pytest.raises(ValueError):
+        IceTable.create(spark, str(tmp_path / "bad"), df,
+                        partition_col="p", bucket_by=("k", 4))
+
+
+def test_bucketed_refuses_mor_registration(spark, pair):
+    tl, _ = pair
+    tl.delete_where("k < 10", mode="mor")
+    with pytest.raises(ValueError):
+        tl.as_bucketed_table("bkt_l")
+    # compaction rewrites deletes away; registration works again
+    tl.compact(min_files=1)
+    tl.as_bucketed_table("bkt_l")
+    assert spark.table("bkt_l").count() == 4_990

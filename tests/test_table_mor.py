@@ -94,3 +94,17 @@ def test_mor_predicate_metadata_is_constant_size(spark, table):
     newer = [f for f in snap2.files if f.seq >= pred["seq"]]
     assert newer and all(f.seq == snap2.snapshot_id for f in newer)
     assert sorted(r.timestamp for r in table.scan().collect()) == [60]
+
+
+def test_mor_commit_preserves_layout_config(spark, tmp_path):
+    """A metadata-only delete-mor commit must carry stat_cols/zorder/
+    bucket config forward — dropping them would silently disable
+    range_scan pruning and bucketed registration afterwards."""
+    from iceberg_core_spark.table import IceTable
+
+    df = spark.range(100).selectExpr("id", "id * 2 as v", "id * 3 as w")
+    t = IceTable.create(spark, str(tmp_path / "cfg"), df, key_col="id",
+                        stat_cols=["v"])
+    t.delete_where("id < 5", mode="mor")
+    snap = t.manifest.load(load_files=False)
+    assert snap.stat_cols == ["v"]
