@@ -265,9 +265,38 @@ def write_avro_ocf(path: str, schema: dict, rows: list[dict],
     os.replace(tmp, path)
 
 
+_SPARK_AVRO_AVAILABLE: bool | None = None  # probe result, cached
+
+
+def _spark_avro_available(spark) -> bool:
+    """True iff the spark-avro data source is on the classpath. Probed
+    once with a nonexistent path: a present jar fails with
+    PATH_NOT_FOUND, a missing jar with FAILED_TO_FIND_DATA_SOURCE."""
+    global _SPARK_AVRO_AVAILABLE
+    if _SPARK_AVRO_AVAILABLE is None:
+        try:
+            spark.read.format("avro").load(
+                "/nonexistent-avro-probe-" + os.urandom(4).hex())
+            _SPARK_AVRO_AVAILABLE = True
+        except Exception as e:  # noqa: BLE001 — classify by error class
+            msg = str(e)
+            _SPARK_AVRO_AVAILABLE = (
+                "FAILED_TO_FIND_DATA_SOURCE" not in msg
+                and "Failed to find data source" not in msg
+            )
+    return _SPARK_AVRO_AVAILABLE
+
+
 def read_avro_ocf(spark, paths: list[str] | str, spark_schema=None):
     """Distributed OCF read: one task per file (reference R13 shape),
     executor-side decode, Arrow-batched conversion to a DataFrame.
+
+    When the spark-avro jar is on the classpath the read routes through
+    it instead (scan-level vectorization, pushdown — the 100 TB path);
+    the pure-Python decoder is the jar-less fallback with the same
+    semantics for the reference's schema subset. Note the fallback maps
+    Avro ``int`` to LongType; pass ``spark_schema`` explicitly if exact
+    type parity between both paths matters.
 
     ``spark_schema``: optional StructType; inferred from the first
     file's Avro schema if omitted (nullable unions → nullable fields).
@@ -285,6 +314,12 @@ def read_avro_ocf(spark, paths: list[str] | str, spark_schema=None):
             )
             if os.path.isdir(paths) else [paths]
         )
+
+    if _spark_avro_available(spark):
+        r = spark.read.format("avro")
+        if spark_schema is not None:
+            r = r.schema(spark_schema)
+        return r.load(paths)
 
     def avro_to_spark(s):
         if isinstance(s, list):

