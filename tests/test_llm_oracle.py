@@ -209,3 +209,42 @@ def test_lsh_topk_finds_planted_neighbors(spark):
               S.lsh_topk(emb, qv, k=5, multiprobe_hamming=1).collect()]
     assert set(exact) == set(range(5))  # brute force finds all planted
     assert len(set(approx) & set(range(5))) >= 4  # LSH recovers ≥4/5
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized cross-check: the large/small-star DataFrame CC must
+    match a driver-side union-find oracle on random graphs spanning
+    cliques, chains, sparse forests, and isolated nodes."""
+    import random
+
+    def union_find_labels(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonical label = min id reachable
+        labels = {}
+        for x in range(n):
+            root = find(x)
+            labels.setdefault(root, []).append(x)
+        return {x: min(m) for _root, m in labels.items() for x in m}
+
+    for seed, n, n_edges in [(11, 60, 40), (12, 80, 200), (13, 50, 10)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(n_edges)]
+        want = union_find_labels(n, edges)
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], ["doc_a", "doc_b"])
+        ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        got = {r.doc_id: r.canon_id
+               for r in D.connected_components(pairs, ids).collect()}
+        assert got == want, f"seed {seed}: CC disagrees with union-find"
