@@ -242,6 +242,20 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf, "documents"))
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB clustering path: canonical groups over the
+    MinHash-LSH pair graph — same connected-components step as
+    ``dedup_clusters`` but fed by the banded-LSH candidate generator
+    instead of the exact-Jaccard oracle pairs, so the end-to-end
+    pipeline (shingle → band join → verify → cluster) is what a
+    production dedup job runs. Rows-only (xxhash64 has no DuckDB twin);
+    the exact twin ``dedup_clusters`` and the union-find cross-check
+    bound it."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.dedup_cluster_assign(docs, pairs)
+
+
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return D.embedding_dup_pairs(load_table(spark, sf, "embeddings"),
                                  threshold=0.4)
@@ -545,6 +559,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_minhash": (dedup_clusters_minhash, None),
     "corpus_clean": (corpus_clean, CORPUS_CLEAN_SQL),
     "sim_search": (sim_search, SIM_SEARCH_SQL),
     "sim_search_batch": (sim_search_batch, SIM_SEARCH_BATCH_SQL),

@@ -248,3 +248,23 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r.doc_id: r.canon_id
                for r in D.connected_components(pairs, ids).collect()}
         assert got == want, f"seed {seed}: CC disagrees with union-find"
+
+
+def test_dedup_clusters_minhash_invariants(spark, sf_dir):
+    """The scale-path clustering (MinHash pairs → CC) must produce a
+    valid clustering: one row per doc, exactly one keep per cluster,
+    canon = min member, sizes consistent."""
+    from iceberg_core_spark.functions.llm_queries import dedup_clusters_minhash
+
+    rows = dedup_clusters_minhash(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canon_id, []).append(r)
+    for canon, members in by_canon.items():
+        ids = sorted(m.doc_id for m in members)
+        assert canon == ids[0]  # canonical is the min member
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].doc_id == canon
+        assert all(m.cluster_size == len(members) for m in members)
