@@ -23,6 +23,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
     from iceberg_core_spark.functions.sampling import QUERIES as SAMPLING
     from iceberg_core_spark.operators.bucketed import QUERIES as BUCKETED
+    from iceberg_core_spark.operators.table_queries import QUERIES as TABLE
     from iceberg_core_spark.operators.tpch import QUERIES as TPCH
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(UDF)      # pandas UDF / UDAF / UDTF
     out.update(BUCKETED) # co-located (exchange-free) fact-fact join
+    out.update(TABLE)    # table-layer lifecycle (incremental change feed)
     out.update(REL)      # relational core (r1-proven)
     out.update(RELX)     # bonus relational variants (r1-proven)
     out.update(TPCH)     # headline multi-join analytics (r1-proven)
