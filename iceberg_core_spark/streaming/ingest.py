@@ -39,13 +39,14 @@ def stream_ingest_to_table(
     source_dir: str,
     table_root: str,
     schema: StructType,
-    partition_col: str,
+    partition_col: str | None,
     key_col: str,
     max_rows_per_file: int = 8192,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     source_format: str = "parquet",
     transform=None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> StreamingQuery:
     """File-source stream → partitioned, clustered, manifest-committed
     table. ``trigger`` e.g. {"processingTime": "1 seconds"} (the
@@ -53,7 +54,11 @@ def stream_ingest_to_table(
     ``max_rows_per_file`` is the MaxSize analog (default 8192 — the
     reference's test config, blockManager_test.go:19). ``transform``:
     optional DataFrame→DataFrame applied to the stream before writing
-    (projection/normalization — e.g. ns→µs timestamp conversion)."""
+    (projection/normalization — e.g. ns→µs timestamp conversion).
+    ``bucket_by=(col, n)``: ingest into a hash-bucket layout instead of
+    partition/key clustering — every appended micro-batch keeps the
+    bucket spec, so the growing table stays joinable exchange-free via
+    ``as_bucketed_table`` (pass ``partition_col=None`` with this)."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -89,6 +94,7 @@ def stream_ingest_to_table(
                 spark, table_root, batch_df,
                 partition_col=partition_col, key_col=key_col,
                 max_rows_per_file=max_rows_per_file,
+                bucket_by=bucket_by,
                 source_batch_id=batch_id, source_lineage=lineage,
             )
             return

@@ -194,3 +194,42 @@ def test_stream_dedup_drops_in_batch_duplicates(spark, tmp_path):
     assert sorted((r[0], r[1]) for r in got) == [
         ("userid1", 1000), ("userid1", 2000)
     ]
+
+
+def test_stream_ingest_into_bucketed_table(spark, tmp_path):
+    """Streaming ingest composes with the bucketed layout: every
+    micro-batch append inherits bucket_by, and the growing table stays
+    registrable for exchange-free joins."""
+    src = str(tmp_path / "bkt_in")
+    os.makedirs(src)
+    table_root = str(tmp_path / "bkt_table")
+    ckpt = str(tmp_path / "bkt_ckpt")
+
+    _drop_file(spark, [location_row(timestamp=t) for t in range(100, 110)],
+               src, "b1.parquet")
+    q = stream_ingest_to_table(
+        spark, src, table_root, location_df(spark, []).schema,
+        partition_col=None, key_col=KEY_COL,
+        bucket_by=(KEY_COL, 2),
+        trigger={"availableNow": True}, checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    _drop_file(spark, [location_row(timestamp=t) for t in range(200, 205)],
+               src, "b2.parquet")
+    q2 = stream_ingest_to_table(
+        spark, src, table_root, location_df(spark, []).schema,
+        partition_col=None, key_col=KEY_COL,
+        bucket_by=(KEY_COL, 2),
+        trigger={"availableNow": True}, checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+
+    t = IceTable(spark, table_root)
+    snap = t.manifest.load(load_files=False)
+    assert (snap.bucket_col, snap.n_buckets) == (KEY_COL, 2)
+    assert t.scan().count() == 15
+    t.as_bucketed_table("bkt_stream_t")
+    try:
+        assert spark.table("bkt_stream_t").count() == 15
+    finally:
+        spark.sql("DROP TABLE `bkt_stream_t`")
