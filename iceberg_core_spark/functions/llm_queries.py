@@ -533,15 +533,44 @@ SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: Arrow-batched decode→featurize plumbing (stub encoder).
-    Returns scalar projections of the feature vector for stability."""
-    d = to_binary(load_table(spark, sf, "documents"), "text")
-    feats = decode_and_featurize(d, fake=True)
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        F.size("features").alias("feat_dim"),
-    )
+    """REAL media decode, fully oracle-checkable: documents become
+    actual WAV audio (even ids) / P6 PPM images (odd ids) via
+    ``encode_media``, then ``decode_media_features`` parses each
+    container from its bytes alone (RIFF chunk walk / PPM ASCII header,
+    stdlib struct + numpy) and emits integer sample statistics. The
+    oracle reproduces encode∘decode arithmetic over the text bytes.
+    Both stages are narrow Arrow-batched maps — no shuffle at any
+    scale; reference analog: block decode streamAdapter.go:15-42."""
+    from iceberg_core_spark.multimodal import decode_media_features, encode_media
+
+    d = load_table(spark, sf, "documents").filter(F.length("text") >= 3)
+    return decode_media_features(encode_media(d))
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len,
+         CASE WHEN doc_id % 2 = 0 THEN length(text)
+              ELSE 3 * (length(text) // 3) END AS used
+  FROM documents WHERE length(text) >= 3
+), pos AS (
+  SELECT doc_id, text, len, used,
+         unnest(generate_series(1, used)) AS i
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+            ELSE 'image/ppm' END AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN max(len)
+                 ELSE max(len) // 3 END AS BIGINT) AS n_units,
+       CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS sum_val,
+       CAST(min(ord(substr(text, i, 1))) AS BIGINT) AS min_val,
+       CAST(max(ord(substr(text, i, 1))) AS BIGINT) AS max_val,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16000
+                 ELSE max(len) // 3 END AS BIGINT) AS rate_or_width
+FROM pos
+GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +595,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sim_search_lsh": (sim_search_lsh, None),
     "sim_search_ivf": (sim_search_ivf, None),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_chunks": (multimodal_chunks, MULTIMODAL_CHUNKS_SQL),
     "text_ngrams": (text_ngrams, TEXT_NGRAMS_SQL),
 }

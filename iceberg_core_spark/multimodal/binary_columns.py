@@ -3,11 +3,17 @@ columns with typed metadata, processed by Arrow-batched pandas
 iterators.
 
 The Spark-side plumbing — schema, partition-friendly layout, UDF
-signatures, batch shapes — is real and tested. The actual media decode
-is STUBBED (this container has no image/audio libraries): pass
-``fake=True`` for a deterministic feature extractor (blake2b-seeded),
-or ``fake=False`` to get the clearly-marked NotImplementedError where a
-real decoder (PIL/librosa/ffmpeg) plugs in.
+signatures, batch shapes — is real and tested. Decode is real too:
+the container has no media *libraries* (PIL/librosa/ffmpeg), but the
+container formats themselves are simple enough for stdlib parsers —
+``_decode_wav`` walks RIFF chunks (struct.unpack little-endian headers,
+int16 PCM via numpy.frombuffer) and ``_decode_ppm`` parses the P6
+ASCII header + raw RGB raster. ``decode_media_features`` sniffs the
+magic bytes and extracts header fields + sample statistics from
+payload bytes alone. A deep-learning encoder (the step that genuinely
+needs external libs) remains behind ``fake=True`` in
+``decode_and_featurize``; ``fake=False`` now runs the real decoders
+and derives the feature vector from decoded samples.
 
 Scale notes: payload bytes travel Spark→Python as Arrow buffers (no
 pickling); ``mapInPandas`` yields per-batch DataFrames so peak memory is
@@ -21,6 +27,7 @@ iterator.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,6 +73,165 @@ def attach_metadata(df: DataFrame, binary_col: str = "payload",
     )
 
 
+# ---------------------------------------------------------------------------
+# real container codecs (stdlib struct + numpy — no media libraries needed)
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 16000
+
+
+def encode_wav_bytes(data: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode raw bytes as a real, spec-conformant WAV file: each input
+    byte becomes one int16 PCM sample (mono, 16-bit). RIFF layout per the
+    public WAVE format: RIFF header, ``fmt `` chunk (PCM), ``data`` chunk."""
+    samples = np.frombuffer(data, dtype=np.uint8).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(samples)) + samples
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a WAV payload from its bytes alone: validate the RIFF/WAVE
+    magic, walk chunks to ``fmt `` and ``data``, return (sample_rate,
+    int16 samples). Mono 16-bit PCM only — anything else raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos)
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only mono 16-bit PCM supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                 offset=pos)
+        pos += size
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def encode_ppm_bytes(data: bytes) -> bytes:
+    """Encode raw bytes as a real P6 (binary) PPM image: a 1-row RGB
+    raster of width ``len(data) // 3`` pixels (trailing remainder bytes
+    dropped so the raster is exact)."""
+    width = len(data) // 3
+    return b"P6\n%d 1\n255\n" % width + data[: width * 3]
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a P6 PPM from its bytes alone: magic, ASCII header
+    (width height maxval separated by whitespace), then the raw
+    8-bit RGB raster. Returns (width, uint8 channel values)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte terminates the header
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = np.frombuffer(payload, dtype=np.uint8,
+                           count=width * height * 3, offset=pos)
+    return width, raster
+
+
+def decode_payload(payload: bytes) -> tuple[str, int, np.ndarray]:
+    """Sniff the container by magic bytes and decode. Returns
+    (media_type, rate_or_width, sample values). Raises ValueError on an
+    unrecognized container — a real error path, not a stub."""
+    if payload[:4] == b"RIFF":
+        rate, samples = _decode_wav(payload)
+        return "audio/wav", rate, samples
+    if payload[:2] == b"P6":
+        width, raster = _decode_ppm(payload)
+        return "image/ppm", width, raster
+    raise ValueError(f"unrecognized media container: {payload[:4]!r}")
+
+
+def encode_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize *real* media payloads from a text column: even ids
+    become WAV audio (each byte an int16 PCM sample), odd ids become P6
+    PPM images (bytes as RGB channels). Narrow mapInPandas — rows stay
+    in their partitions, memory bounded by one Arrow batch."""
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("payload", BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_bytes(t.encode("utf-8")) if rid % 2 == 0
+                else encode_ppm_bytes(t.encode("utf-8"))
+                for rid, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    from iceberg_core_spark.session import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(run, out_schema)
+
+
+def decode_media_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real decode: sniff container magic, parse headers (stdlib struct),
+    extract integer sample statistics from the payload bytes alone.
+    Output columns are exact integers so the query is fully
+    oracle-checkable. Narrow op; one Arrow batch in memory at a time."""
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("media_type", StringType()),
+        StructField("n_units", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+        StructField("rate_or_width", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                media_type, row, samples = decode_payload(bytes(payload))
+                n = len(samples) if media_type == "audio/wav" \
+                    else len(samples) // 3
+                vals = samples.astype(np.int64)
+                if vals.size == 0:
+                    rows.append((rid, media_type, n, 0, None, None, row))
+                else:
+                    rows.append((rid, media_type, n, int(vals.sum()),
+                                 int(vals.min()), int(vals.max()), row))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "media_type", "n_units", "sum_val",
+                         "min_val", "max_val", "rate_or_width"],
+            )
+
+    from iceberg_core_spark.session import spread
+
+    return spread(df.select(id_col, binary_col)).mapInPandas(run, out_schema)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real encoder: blake2b(payload) seeds
     a fixed-dim pseudo-embedding. Same bytes → same vector, any machine."""
@@ -83,10 +249,12 @@ def decode_and_featurize(
 ) -> DataFrame:
     """binary payload → feature vector via ``mapInPandas`` (Arrow batches).
 
-    Real pipeline shape: decode (PIL.Image.open / audio resample / frame
-    sample) → model features. Here the decode step is stubbed; the
-    distributed plumbing (schema, batching, skew-neutral narrow map) is
-    the deliverable.
+    ``fake=True``: deterministic blake2b-seeded pseudo-embedding of the
+    raw bytes (stands in for a learned encoder — the one step that truly
+    needs external model libraries). ``fake=False``: REAL decode — the
+    payload is parsed as a WAV/PPM container (``decode_payload``) and
+    the feature vector is a normalized sample-value histogram plus
+    moment statistics of the decoded samples.
     """
     out_schema = StructType([
         StructField(id_col, df.schema[id_col].dataType),
@@ -94,18 +262,28 @@ def decode_and_featurize(
         StructField("features", ArrayType(FloatType())),
     ])
 
+    def decoded_features(payload: bytes) -> list[float]:
+        _, _, samples = decode_payload(payload)
+        vals = samples.astype(np.float64)
+        if vals.size == 0:
+            return [0.0] * dim
+        hist, _ = np.histogram(vals, bins=dim - 4, range=(0.0, 256.0))
+        feats = np.concatenate([
+            hist / vals.size,
+            [vals.mean() / 256.0, vals.std() / 256.0,
+             vals.min() / 256.0, vals.max() / 256.0],
+        ])
+        return [float(x) for x in feats.astype(np.float32)]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg — "
-                    "not available in this container; use fake=True"
-                )
             payloads = pdf[binary_col]
+            fn = (lambda p: _fake_features(bytes(p), dim)) if fake \
+                else (lambda p: decoded_features(bytes(p)))
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "features": payloads.map(lambda p: _fake_features(bytes(p), dim)),
+                "features": payloads.map(fn),
             })
 
     from iceberg_core_spark.session import spread

@@ -1,6 +1,8 @@
 """Multimodal binary-column plumbing: schema, Arrow batch shapes,
-determinism of the stubbed featurizer, and the explicit decode stub."""
+determinism of the featurizer, and the REAL stdlib container codecs
+(WAV RIFF chunk walk, P6 PPM header parse) with planted payloads."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, FloatType, LongType
@@ -8,6 +10,11 @@ from pyspark.sql.types import ArrayType, BinaryType, FloatType, LongType
 from iceberg_core_spark.multimodal import (
     attach_metadata,
     decode_and_featurize,
+    decode_media_features,
+    decode_payload,
+    encode_media,
+    encode_ppm_bytes,
+    encode_wav_bytes,
     to_binary,
 )
 from iceberg_core_spark.session import load_table
@@ -48,6 +55,57 @@ def test_featurize_deterministic(spark, docs_bin):
     assert a == b
 
 
-def test_real_decode_raises_not_implemented(spark, docs_bin):
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        decode_and_featurize(docs_bin, fake=False).collect()
+PLANTED = b"The quick brown fox jumps over the lazy dog 0123456789"
+
+
+def test_wav_roundtrip_planted():
+    payload = encode_wav_bytes(PLANTED)
+    # spec-level header facts, parsed back from bytes alone
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    media_type, rate, samples = decode_payload(payload)
+    assert media_type == "audio/wav"
+    assert rate == 16000
+    assert samples.dtype == np.int16
+    assert np.array_equal(
+        samples, np.frombuffer(PLANTED, np.uint8).astype(np.int16))
+
+
+def test_ppm_roundtrip_planted():
+    payload = encode_ppm_bytes(PLANTED)
+    assert payload[:2] == b"P6"
+    media_type, width, raster = decode_payload(payload)
+    assert media_type == "image/ppm"
+    assert width == len(PLANTED) // 3
+    assert np.array_equal(
+        raster, np.frombuffer(PLANTED[: width * 3], np.uint8))
+
+
+def test_decode_rejects_unknown_container():
+    with pytest.raises(ValueError, match="unrecognized media container"):
+        decode_payload(b"\x89PNG\r\n\x1a\n not actually supported")
+
+
+def test_decode_media_features_planted(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abcdefg")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            decode_media_features(encode_media(df)).collect()}
+    wav, ppm = rows[0], rows[1]
+    b6 = np.frombuffer(b"abcdef", np.uint8)
+    assert (wav.media_type, wav.n_units, wav.rate_or_width) == (
+        "audio/wav", 6, 16000)
+    assert (wav.sum_val, wav.min_val, wav.max_val) == (
+        int(b6.sum()), int(b6.min()), int(b6.max()))
+    # odd id → PPM, trailing byte of "abcdefg" dropped (width 2 = 6 bytes)
+    assert (ppm.media_type, ppm.n_units, ppm.rate_or_width) == (
+        "image/ppm", 2, 2)
+    assert ppm.sum_val == int(b6.sum())
+
+
+def test_real_featurize_from_decoded_samples(spark):
+    df = spark.createDataFrame([(0, "hello media"), (1, "hello media")],
+                               ["doc_id", "text"])
+    feats = decode_and_featurize(encode_media(df), fake=False).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    # same text, different containers (wav vs ppm-truncated) → both real
+    assert all(abs(sum(r.features[:12]) - 1.0) < 1e-5 for r in feats)
