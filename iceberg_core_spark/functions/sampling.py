@@ -64,11 +64,33 @@ def sample_stratified(
     df: DataFrame,
     strata_col: str,
     fractions: dict,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum DETERMINISTIC sample: e.g. downsample the dominant
+    language while keeping the tail — the standard corpus rebalancing
+    move. Same hash-bucket membership rule as ``split_assign``
+    (keep iff ``md5-bucket(id||salt) < fraction·N``), so the sample is
+    reproducible across runs/engines and stable under re-ingestion —
+    properties Bernoulli ``sampleBy`` cannot give. Map-side; no
+    shuffle; no driver-side stratum discovery."""
+    n = 10_000
+    b = hash_bucket(id_col, salt, n)
+    thresh = F.lit(0)
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(round(frac * n)))).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def sample_stratified_random(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sample (``sampleBy``): e.g. downsample the
-    dominant language while keeping the tail — the standard corpus
-    rebalancing move. Map-side; no shuffle."""
+    """Per-stratum Bernoulli sample (``sampleBy``) for when independent
+    randomness per run is wanted rather than stable membership."""
     return df.sampleBy(strata_col, fractions, seed)
 
 
@@ -106,21 +128,41 @@ GROUP BY 1, 2
 """
 
 
+STRATA_FRACTIONS = {"de": 0.1, "en": 0.5, "es": 0.1, "fr": 0.5, "zh": 0.1}
+
+
 def sample_stratified_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only (Bernoulli randomness is engine-local): stratified
-    downsample by language, then per-lang counts — the assertion that
-    matters (rates ≈ requested) lives in the unit test."""
-    d = load_table(spark, sf, "documents")
-    langs = [r.lang for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.1 if i % 2 == 0 else 0.5)
-                 for i, lang in enumerate(sorted(langs))}
-    s = sample_stratified(d, "lang", fractions)
-    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    """Fully oracle-checkable: deterministic hash-bucket stratified
+    downsample (downsample three languages to 10%, keep en/fr at 50%),
+    then per-lang counts + extremal ids. Membership is the identical
+    md5 expression in DuckDB — exact value match, not a rate check."""
+    s = sample_stratified(load_table(spark, sf, "documents"),
+                          "lang", STRATA_FRACTIONS)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM b
+WHERE bucket < CASE WHEN lang IN ('en', 'fr') THEN 5000 ELSE 1000 END
+GROUP BY lang
+"""
 
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "split_train_test": (split_train_test, SPLIT_TRAIN_TEST_SQL),
-    "sample_stratified": (sample_stratified_q, None),
+    "sample_stratified": (sample_stratified_q, SAMPLE_STRATIFIED_SQL),
 }

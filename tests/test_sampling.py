@@ -47,6 +47,26 @@ def test_stratified_rates(spark):
     assert 0.05 < got["de"] / 4000 < 0.16
 
 
+def test_stratified_membership_stable(spark):
+    d = _docs(spark, 3000)
+    fr = {"en": 0.5, "de": 0.1}
+    a = sorted(r.doc_id for r in SP.sample_stratified(d, "lang", fr).collect())
+    b = sorted(r.doc_id for r in SP.sample_stratified(d, "lang", fr).collect())
+    assert a == b  # hash-bucket membership, not Bernoulli
+    # different salt re-deals
+    c = sorted(r.doc_id
+               for r in SP.sample_stratified(d, "lang", fr, salt="v2").collect())
+    assert a != c
+
+
+def test_stratified_oracle_match(spark):
+    from tests.oracle import duck_connection, compare
+
+    fn, sql = SP.QUERIES["sample_stratified"]
+    compare(fn(spark, SF_DIR), duck_connection(SF_DIR), sql,
+            "sample_stratified")
+
+
 def test_registered_queries_run(spark):
     for name in ("split_train_test", "sample_stratified"):
         fn, _ = SP.QUERIES[name]
