@@ -364,3 +364,54 @@ def read_avro_ocf(spark, paths: list[str] | str, spark_schema=None):
     rdd = spark.sparkContext.parallelize(paths, max(1, len(paths)))
     return spark.createDataFrame(rdd.mapPartitions(decode_partition),
                                  spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# registered query: OCF ingest roundtrip (reference R1 — its native source)
+# ---------------------------------------------------------------------------
+
+NATION_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "nation",
+    "fields": [
+        {"name": "n_nationkey", "type": "long"},
+        {"name": "n_name", "type": "string"},
+        {"name": "n_regionkey", "type": "long"},
+    ],
+}
+
+
+def scan_avro(spark, sf: str):
+    """Driver-checkable OCF roundtrip: materialize the nation table as
+    one Avro OCF file PER REGION (deflate codec — the reference's
+    compressed-container shape, filesystemStorageAdapter.go:50-54), then
+    read the directory back with ``read_avro_ocf`` (one decode task per
+    file, R13 shape; routes through spark-avro when the jar is present).
+    Oracle = the source table: the encode→decode pipeline must be
+    content-preserving. Fixture prep collects 25 rows driver-side; the
+    measured operator is the distributed read."""
+    import tempfile
+
+    from iceberg_core_spark.session import load_table
+
+    work = tempfile.mkdtemp(prefix="ice_scan_avro_")
+    rows = [r.asDict() for r in load_table(spark, sf, "nation").collect()]
+    by_region: dict[int, list[dict]] = {}
+    for r in rows:
+        by_region.setdefault(r["n_regionkey"], []).append(r)
+    for rk, rws in sorted(by_region.items()):
+        write_avro_ocf(
+            os.path.join(work, f"nation-r{rk}.avro"),
+            NATION_AVRO_SCHEMA,
+            sorted(rws, key=lambda r: r["n_nationkey"]),
+        )
+    return read_avro_ocf(spark, work)
+
+
+SCAN_AVRO_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+QUERIES = {
+    "scan_avro": (scan_avro, SCAN_AVRO_SQL),
+}

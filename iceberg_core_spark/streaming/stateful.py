@@ -85,3 +85,80 @@ def running_user_stats(events: DataFrame,
             update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: real cross-micro-batch stateful aggregation whose
+# final state is exactly reproducible by a batch GROUP BY (the oracle)
+# ---------------------------------------------------------------------------
+
+def stateful_stats(spark, sf: str):
+    """Drive ``running_user_stats`` as a REAL streaming query: stage the
+    events table as three files, stream them one file per micro-batch
+    (``maxFilesPerTrigger=1``) so per-user state genuinely persists and
+    accumulates across batches, drain with availableNow, then keep each
+    user's final emission (the row with the highest running n_events —
+    emissions are cumulative). Oracle: the batch GROUP BY twin."""
+    import os
+    import tempfile
+    import uuid
+
+    import duckdb
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="ice_stateful_q_")
+    src_dir = os.path.join(work, "incoming")
+    os.makedirs(src_dir)
+    # ts is TIMESTAMP(NANOS) and unused — stage only the needed columns
+    con = duckdb.connect()
+    for k in range(3):
+        con.sql(
+            f"COPY (SELECT user_id, event_id, value "
+            f"FROM '{os.path.join(sf, 'events.parquet')}' "
+            f"WHERE event_id % 3 = {k} ORDER BY event_id) "
+            f"TO '{src_dir}/part-{k}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = running_user_stats(src)
+    qname = "stateful_stats_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stateful_stats drain did not finish in 300s")
+
+    emitted = spark.table(qname)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+STATEFUL_STATS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(event_id) AS last_event_id
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES = {
+    "stateful_stats": (stateful_stats, STATEFUL_STATS_SQL),
+}
