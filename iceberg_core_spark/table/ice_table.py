@@ -514,6 +514,7 @@ class IceTable:
         expected_parent: int | None = None,
         base_mode: str = "list",
         bucket_by: tuple[str, int] | None = None,
+        base_files_df: DataFrame | None = None,
     ) -> Snapshot:
         """``expected_parent``: snapshot id the caller's read state is
         based on (None for create). If another writer commits first, the
@@ -529,7 +530,12 @@ class IceTable:
         parent snapshot's — when that parent is sidecar-backed, or the
         commit is large, the whole manifest update runs as a Spark job
         over sidecar DataFrames (``_commit_distributed``) and the driver
-        never materializes one entry per file."""
+        never materializes one entry per file.
+
+        ``base_files_df``: carried-over entries as a sidecar-schema
+        DataFrame (e.g. compaction survivors = parent sidecar anti-join
+        victims) — forces the distributed commit path; entries never
+        materialize on the driver."""
         # inherit stats/clustering/bucket config from the current snapshot
         if stat_cols is None or zorder_by is None or bucket_by is None:
             cur = self.manifest.current_snapshot_id()
@@ -623,16 +629,19 @@ class IceTable:
                           else len(parent_snap.files))
         else:
             base_count = len(base_files)
-        if operation in ("create", "append", "overwrite") and (
-            len(rel_paths) + base_count > Manifest.inline_max
-            or (parent_snap is not None and parent_snap.files_ref
-                and operation == "append")
+        if base_files_df is not None or (
+            operation in ("create", "append", "overwrite") and (
+                len(rel_paths) + base_count > Manifest.inline_max
+                or (parent_snap is not None and parent_snap.files_ref
+                    and operation == "append")
+            )
         ):
             return self._commit_distributed(
                 df.schema, operation, partition_col, key_col, rel_paths,
                 stat_cols, zorder_by, delete_predicates,
                 dedupe_identical_files, expected_parent,
                 source_batch_id, source_lineage, bucket_by,
+                base_override_df=base_files_df,
             )
 
         part_dtype = (
@@ -737,6 +746,7 @@ class IceTable:
         source_batch_id: int | None,
         source_lineage: str | None,
         bucket_by: tuple[str, int] | None = None,
+        base_override_df: DataFrame | None = None,
     ) -> Snapshot:
         """Manifest commit where entries never materialize on the driver:
         footer stats + hashes run in Spark tasks once (to a temp entries
@@ -782,7 +792,12 @@ class IceTable:
             while True:
                 sid = 0 if parent is None else parent + 1
                 base_df, base_tmp, preds = None, None, delete_predicates or []
-                if parent is not None and operation != "overwrite":
+                if base_override_df is not None:
+                    # caller computed the carried-over entry set itself
+                    # (e.g. compaction survivors); no rebase exists for
+                    # such read-modify-write ops, so use it as-is
+                    base_df = base_override_df
+                elif parent is not None and operation != "overwrite":
                     psnap = man.load(parent, load_files=False)
                     if operation == "append":
                         preds = psnap.delete_predicates
@@ -842,7 +857,10 @@ class IceTable:
                     man.remove_sidecar(ref)
                     if base_tmp:
                         man.remove_sidecar(base_tmp)
-                    if operation == "create":
+                    if operation not in ("append", "overwrite"):
+                        # create has no parent to rebase onto; compact &
+                        # other read-modify-write ops based their output
+                        # on state that changed — caller must re-run
                         rm_data([r.path for r in
                                  new_df.select("path").collect()])
                         raise
@@ -865,14 +883,26 @@ class IceTable:
     # read / query
     # ------------------------------------------------------------------
     def schema(self, snapshot_id: int | None = None) -> StructType:
-        snap = self.manifest.load(snapshot_id)
+        # metadata-only: never materialize a sidecar file list for this
+        snap = self.manifest.load(snapshot_id, load_files=False)
         return StructType.fromJson(__import__("json").loads(snap.schema_json))
 
     def scan(self, snapshot_id: int | None = None) -> DataFrame:
         """Full-table scan of one snapshot (time travel via snapshot_id).
         Merge-on-read delete predicates are applied here, scoped to the
-        files they were issued against."""
-        snap = self.manifest.load(snapshot_id)
+        files they were issued against. Sidecar-backed snapshots read
+        only (path, seq) — a full scan of a 1M-file table never parses
+        1M JSON entries on the driver."""
+        snap = self.manifest.load(snapshot_id, load_files=False)
+        if snap.files_ref:
+            files = [
+                ManifestFile(path=p, partition=None, key_min=None,
+                             key_max=None, rows=0, bytes=0,
+                             content_hash="", seq=s)
+                for p, s in self.manifest.read_sidecar_path_seq(
+                    snap.files_ref)
+            ]
+            return self._read_with_deletes(files, snap, snapshot_id)
         return self._read_with_deletes(snap.files, snap, snapshot_id)
 
     def _read_with_deletes(self, files, snap, snapshot_id=None) -> DataFrame:
@@ -1051,34 +1081,36 @@ class IceTable:
         Added = set difference of the two snapshots' file lists by
         path, so it is exact for every operation type; for
         sidecar-backed snapshots the difference runs as a DataFrame
-        anti-join over the two sidecars (metadata-only — the driver
-        materializes only the added entries). Note rows REWRITTEN by
-        compact/upsert/delete re-emit (their files are new); on
-        append-only ingest, the common case, the feed is exactly-once.
-        MoR delete predicates of the ``until`` snapshot apply."""
+        anti-join over the two sidecars, and only (path, seq) PAIRS —
+        never per-file entries — reach the driver: the reader needs
+        paths, MoR scoping needs seq, nothing needs stats. A backfill
+        commit adding 100k files costs 100k short strings, not 100k
+        parsed JSON entries. Note rows REWRITTEN by compact/upsert/
+        delete re-emit (their files are new); on append-only ingest,
+        the common case, the feed is exactly-once. MoR delete
+        predicates of the ``until`` snapshot apply."""
         cur = self.manifest.load(until, load_files=False)
         base = self.manifest.load(since, load_files=False)
-        import json as _json
 
         if cur.files_ref or base.files_ref:
             def side(snap):
                 if snap.files_ref:
                     return self.spark.read.parquet(
-                        self.manifest.sidecar_path(snap.files_ref))
-                rows = [(f.path, _json.dumps(f.to_json()), f.seq)
-                        for f in snap.files]
+                        self.manifest.sidecar_path(snap.files_ref)
+                    ).select("path", "seq")
+                rows = [(f.path, f.seq) for f in snap.files]
                 return self.spark.createDataFrame(
-                    rows or [("", "", 0)],
-                    "path string, entry_json string, seq long"
+                    rows or [("", 0)], "path string, seq long"
                 ).filter(F.col("path") != "")
 
             added_df = side(cur).join(
                 side(base).select("path"), "path", "left_anti")
-            added = []
-            for r in added_df.select("entry_json", "seq").collect():
-                f = ManifestFile.from_json(_json.loads(r.entry_json))
-                f.seq = r.seq if r.seq is not None else 0
-                added.append(f)
+            added = [
+                ManifestFile(path=r.path, partition=None, key_min=None,
+                             key_max=None, rows=0, bytes=0, content_hash="",
+                             seq=r.seq if r.seq is not None else 0)
+                for r in added_df.collect()
+            ]
         else:
             base_paths = {f.path for f in base.files}
             added = [f for f in cur.files if f.path not in base_paths]
@@ -1205,8 +1237,13 @@ class IceTable:
 
         For key/partition ranges use delete_range, which rewrites only
         overlapping files."""
-        snap = self.manifest.load()
         if mode == "mor":
+            # TRULY metadata-only: the data files are unchanged by
+            # definition of merge-on-read, so a sidecar-backed parent's
+            # file list is inherited by REFERENCE (same files_ref) —
+            # no file entry is ever materialized on the driver, even on
+            # a 1M-file table. Inline parents copy the (small) list.
+            snap = self.manifest.load(load_files=False)
             if not isinstance(condition, str):
                 raise TypeError("mor delete takes a SQL string predicate")
             # Validate against the table schema NOW (parse alone is not
@@ -1233,9 +1270,12 @@ class IceTable:
                 zorder_by=snap.zorder_by,
                 bucket_col=snap.bucket_col,
                 n_buckets=snap.n_buckets,
+                files_ref=snap.files_ref,
+                files_count=snap.files_count,
             )
             self.manifest.commit(new)
             return new
+        snap = self.manifest.load()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         retained = self.scan().filter(_not_true(cond))
         return self._write_commit(retained, "delete", snap.partition_col,
@@ -1266,19 +1306,58 @@ class IceTable:
         Partitions holding >= ``min_files`` files are re-read, re-sorted
         and rewritten as full-size files; untouched partitions keep their
         files byte-identical. One new snapshot swaps the entries.
+
+        Sidecar-backed tables stay metadata-distributed end to end:
+        victim selection is a window count over the sidecar DataFrame,
+        only victim (path, seq) pairs reach the driver (the reader needs
+        the paths), and the survivor entries flow into the new sidecar
+        as a DataFrame anti-join via the distributed commit — per-file
+        entries never materialize on the driver.
         """
+        snap = self.manifest.load(load_files=False)
+        max_del_seq = max(
+            (p["seq"] for p in snap.delete_predicates), default=None
+        )
+        if snap.files_ref:
+            from pyspark.sql import Window
+
+            mdf = self.spark.read.parquet(
+                self.manifest.sidecar_path(snap.files_ref))
+            n_in_part = F.count(F.lit(1)).over(
+                Window.partitionBy("partition_n"))
+            cond = n_in_part >= F.lit(min_files)
+            # any file carrying MoR deletes (seq predates a predicate)
+            # is compacted too, so compaction always rewrites
+            # outstanding deletes away
+            if max_del_seq is not None:
+                cond = cond | (F.col("seq") < F.lit(max_del_seq))
+            victims_df = mdf.withColumn("__victim", cond) \
+                .filter("__victim").select("path", "seq")
+            victims = [
+                ManifestFile(path=r.path, partition=None, key_min=None,
+                             key_max=None, rows=0, bytes=0,
+                             content_hash="",
+                             seq=r.seq if r.seq is not None else 0)
+                for r in victims_df.collect()
+            ]
+            if not victims:
+                return snap
+            keep_df = mdf.join(victims_df.select("path"), "path",
+                               "left_anti")
+            df = self._read_with_deletes(victims, snap)
+            return self._write_commit(
+                df, "compact", snap.partition_col, snap.key_col,
+                target_rows_per_file, base_files=[],
+                expected_parent=snap.snapshot_id,
+                base_files_df=keep_df,
+            )
+
         snap = self.manifest.load()
         by_part: dict[Any, list[ManifestFile]] = {}
         for f in snap.files:
             by_part.setdefault(f.partition, []).append(f)
         victims = {f.path: f for fs in by_part.values()
                    if len(fs) >= min_files for f in fs}
-        # any file carrying MoR deletes (seq predates a predicate) is
-        # compacted too, so compaction always rewrites outstanding
-        # deletes away
-        max_del_seq = max(
-            (p["seq"] for p in snap.delete_predicates), default=None
-        )
         if max_del_seq is not None:
             for f in snap.files:
                 if f.seq < max_del_seq:
@@ -1295,23 +1374,53 @@ class IceTable:
             expected_parent=snap.snapshot_id,
         )
 
+    def _snapshot_paths(self, snap: Snapshot) -> set[str]:
+        """File PATHS of one snapshot without materializing entries:
+        sidecar-backed lists read only the ``path`` column (no
+        entry_json parse, no Spark job); inline lists are small."""
+        if snap.files_ref:
+            import pyarrow.parquet as pq
+
+            try:
+                return set(
+                    pq.read_table(self.manifest.sidecar_path(snap.files_ref),
+                                  columns=["path"])["path"].to_pylist()
+                )
+            except FileNotFoundError:
+                # sidecar already gone (interrupted earlier expiry) —
+                # nothing left to account for
+                return set()
+        return {f.path for f in snap.files}
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop old snapshots and delete data files no live snapshot
-        references. Returns expired snapshot ids."""
-        snaps = self.manifest.snapshots()
+        references. Returns expired snapshot ids.
+
+        Metadata cost is paths-only: sidecars are column-projected for
+        ``path`` — per-file entries are never parsed. A sidecar SHARED
+        with a kept snapshot (metadata-only commits such as MoR deletes
+        inherit the parent's files_ref by reference) is preserved."""
+        snaps = self.manifest.snapshots(load_files=False)
         if len(snaps) <= keep_last:
             return []
         keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-        live = {f.path for s in keep for f in s.files}
+        live: set[str] = set()
+        for s in keep:
+            live |= self._snapshot_paths(s)
+        live_refs = {s.files_ref for s in keep if s.files_ref}
+        # collect BEFORE removing: dropped snapshots may share a sidecar
+        # (metadata-only commits), so path reads must precede deletion
+        dead: set[str] = set()
         for s in drop:
-            for f in s.files:
-                if f.path not in live:
-                    p = os.path.join(self.root, f.path)
-                    if os.path.exists(p):
-                        os.remove(p)
+            dead |= self._snapshot_paths(s)
+        for path in dead - live:
+            p = os.path.join(self.root, path)
+            if os.path.exists(p):
+                os.remove(p)
+        for s in drop:
             os.remove(os.path.join(self.manifest.dir, f"snapshot-{s.snapshot_id}.json"))
-            if s.files_ref:
-                self.manifest.remove_sidecar(s.files_ref)
+        for ref in {s.files_ref for s in drop if s.files_ref} - live_refs:
+            self.manifest.remove_sidecar(ref)
             # drop the snapshot's bucketed-registration hardlink dir —
             # the links would otherwise keep deleted files' inodes alive
             linkdir = os.path.join(self.root, "_bucketed",

@@ -342,6 +342,20 @@ class Manifest:
             out.append(f)
         return out
 
+    def read_sidecar_path_seq(self, files_ref: str) -> list[tuple[str, int]]:
+        """(path, seq) pairs of a sidecar WITHOUT parsing entry_json —
+        for consumers that only need to locate files and scope MoR
+        predicates (full scans, incremental feeds): column-projected
+        pyarrow read, no JSON parse, no Spark job."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self.sidecar_path(files_ref),
+                            columns=["path", "seq"])
+        return [
+            (p, s if s is not None else 0)
+            for p, s in zip(tbl["path"].to_pylist(), tbl["seq"].to_pylist())
+        ]
+
     def _write_files_sidecar(self, fs: list[ManifestFile],
                              stat_cols: list[str], files_ref: str) -> None:
         """One row per file: normalized orderable pruning stats + the

@@ -155,3 +155,100 @@ def test_distributed_commit_never_materializes_entries(
     t.append(extra, dedupe_identical_files=True)
     assert t.scan().count() == 2600
     assert t.file_count() == before
+
+
+# ---------------------------------------------------------------------------
+# round-3: metadata paths must not materialize per-file entries on the
+# driver (VERDICT r2 items 3-4) — enforced by making full-entry
+# materialization raise
+# ---------------------------------------------------------------------------
+
+def _forbid_entry_materialization(monkeypatch):
+    def boom(self, files_ref):
+        raise AssertionError(
+            "driver materialized per-file manifest entries "
+            f"(sidecar {files_ref})"
+        )
+    monkeypatch.setattr(Manifest, "_read_files_sidecar", boom)
+
+
+def test_mor_delete_metadata_only_on_sidecar(spark, tmp_path,
+                                             small_inline_max, monkeypatch):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    parent = t.manifest.load(load_files=False)
+    assert parent.files_ref is not None
+    _forbid_entry_materialization(monkeypatch)
+    snap = t.delete_where("part = 1", mode="mor")
+    # the parent's sidecar is inherited BY REFERENCE — the data is
+    # unchanged by definition of merge-on-read
+    assert snap.files_ref == parent.files_ref
+    assert snap.files_count == parent.files_count
+    # scan applies the predicate without ever parsing entries
+    assert t.scan().count() == 1500  # part==1 rows (500) hidden
+    assert t.file_count() == parent.files_count
+
+
+def test_compact_sidecar_no_entry_materialization(spark, tmp_path,
+                                                  small_inline_max,
+                                                  monkeypatch):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    before = t.file_count()
+    _forbid_entry_materialization(monkeypatch)
+    snap = t.compact(target_rows_per_file=10_000)
+    assert snap.operation == "compact"
+    assert t.scan().count() == 2000
+    assert t.file_count() < before
+
+
+def test_compact_sidecar_rewrites_mor_deletes(spark, tmp_path,
+                                              small_inline_max, monkeypatch):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("part = 2", mode="mor")
+    _forbid_entry_materialization(monkeypatch)
+    snap = t.compact(target_rows_per_file=10_000)
+    assert snap.delete_predicates == []  # rewritten away
+    assert t.scan().count() == 1500
+    monkeypatch.undo()
+    # survivor entries kept their stats; victims re-derived them
+    full = t.manifest.load()
+    assert all(f.content_hash for f in full.files)
+
+
+def test_scan_incremental_paths_only(spark, tmp_path, small_inline_max,
+                                     monkeypatch):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.append(spark.range(2000, 2300).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload"))
+    _forbid_entry_materialization(monkeypatch)
+    inc = t.scan_incremental(since=s0)
+    assert sorted(r.id for r in inc.collect()) == list(range(2000, 2300))
+
+
+def test_expire_preserves_shared_sidecar(spark, tmp_path, small_inline_max):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("part = 1", mode="mor")  # shares parent's files_ref
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired
+    cur = t.manifest.load(load_files=False)
+    # the kept snapshot's (shared) sidecar must survive expiry
+    assert os.path.exists(t.manifest.sidecar_path(cur.files_ref))
+    assert t.scan().count() == 1500
+
+
+def test_expire_with_shared_sidecar_among_dropped(spark, tmp_path,
+                                                  small_inline_max):
+    """Regression: two DROPPED snapshots sharing one sidecar (create +
+    MoR delete) must both expire cleanly — paths are collected before
+    any sidecar is removed."""
+    t = _mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("part = 1", mode="mor")   # shares create's files_ref
+    t.append(spark.range(2000, 2100).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload"))
+    t.compact(target_rows_per_file=10_000)
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == 3
+    # MoR predicate (issued BEFORE the append) hid only the original
+    # part==1 rows — the later append's files carry a higher seq and
+    # are untouched; compaction then rewrote the predicate away
+    assert t.scan().count() == 1500 + 100
