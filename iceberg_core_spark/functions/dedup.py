@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 def fround(col, n: int) -> F.Column:
     """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n in
@@ -326,14 +327,16 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 30,
     work_dir: str | None = None,
+    driver_threshold_edges: int = 1_000_000,
+    memory_threshold_edges: int = 4_000_000,
 ) -> DataFrame:
     """Near-dup PAIRS → GROUPS: assign every id the MIN id reachable
     through the pair graph (connected components), the step that turns
     pairwise dedup output into "keep one canonical doc per duplicate
     cluster". Returns (id_col, canon_id).
 
-    Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting (the
-    published MapReduce-era CC construction — Kiveris et al.,
+    Scale algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting
+    (the published MapReduce-era CC construction — Kiveris et al.,
     "Connected Components in MapReduce and Beyond"), re-expressed as
     DataFrame aggregations. Each round rewires every edge toward the
     minimum id seen in its neighborhood; the edge set collapses into
@@ -344,18 +347,28 @@ def connected_components(
     produce exactly such chains: measured 15 rounds vs 5 on the sf0.1
     documents pair graph.)
 
-    Iteration materializes the edge set to Parquet each half-round
-    (``work_dir``, default a temp dir): genuinely-iterative DataFrame
-    jobs need STORAGE-backed lineage truncation — chained
-    localCheckpoints measurably degrade (re-execution through the RDD
-    chain), while a parquet slot costs a constant ~0.3 s/round and is
-    the same discipline GraphX applies with periodic checkpoints. Each
-    half-round's output is also consumed MORE THAN ONCE by the next
-    (as neighborhood, as min-aggregate input), so without the
-    materialization the star subtrees would re-execute per reference.
-    The fixpoint test's edge counts come from the written files'
-    parquet FOOTERS — metadata-only, zero extra Spark jobs per round
-    (the loop at sf scale is round-latency-bound, not data-bound).
+    ADAPTIVE execution (round 3), decided by the measured deduped edge
+    count — the result is bit-identical on every path:
+
+    - ``<= driver_threshold_edges``: the graph is solved EXACTLY with
+      one union-find over the collected (u, v) pairs — a 1M-edge graph
+      is 16 MB and milliseconds of path-compressed find/union, versus
+      ~10 distributed shuffle rounds of pure scheduling overhead. This
+      is the common case after LSH banding (edges ≪ corpus) and the
+      same small-graph cutoff production graph systems apply.
+    - ``<= memory_threshold_edges``: star iteration with edge sets as
+      eager localCheckpoints (in-memory RDD blocks, lineage truncated;
+      per-round cost is scheduling, not I/O).
+    - larger: star iteration with Parquet slots in ``work_dir`` —
+      fault-tolerant storage-backed lineage truncation whose row counts
+      come free from file FOOTERS (metadata-only). A 100 TB pair graph
+      iterates storage-backed exactly as before.
+
+    Iteration must materialize the edge set each half-round: genuinely-
+    iterative DataFrame jobs need lineage truncation, and each half-
+    round's output is consumed MORE THAN ONCE by the next (as
+    neighborhood, as min-aggregate input), so without materialization
+    the star subtrees would re-execute per reference.
     ``ids`` supplies the full node set — docs in no pair become
     singleton clusters (canon = self).
     """
@@ -367,31 +380,95 @@ def connected_components(
     owned = work_dir is None
     wd = work_dir or tempfile.mkdtemp(prefix="cc_work_")
     slot = [0]
+    last_n = [None]  # edge count of the latest materialized slot
+    mats: dict[int, DataFrame] = {}
 
     def materialize(df: DataFrame) -> tuple[DataFrame, int]:
-        """Write one round's edges; row count read back from footers
-        (metadata-only — no job)."""
+        """Materialize one half-round's edges, adaptively: memory
+        (eager localCheckpoint + count job over cached blocks) below
+        the threshold, Parquet slot (count from footers, no job) above
+        it. The FIRST slot (size unknown) also checkpoints to executor
+        memory-and-disk — distributed and spill-safe at any size — and
+        re-lands as a Parquet slot only if it measures huge."""
         import pyarrow.parquet as pq
 
         slot[0] += 1
-        path = f"{wd}/edges_{slot[0]}"
-        df.write.mode("overwrite").parquet(path)
-        n = sum(
-            pq.read_metadata(os.path.join(dp, f)).num_rows
-            for dp, _d, fs in os.walk(path)
-            for f in fs if f.endswith(".parquet")
-        )
-        return spark.read.parquet(path), n
+        if last_n[0] is None or last_n[0] <= memory_threshold_edges:
+            out = df.localCheckpoint(eager=True)
+            n = out.count()
+            if n > memory_threshold_edges:
+                # measured huge: move to a fault-tolerant parquet slot
+                # (written from the cached blocks, not recomputed)
+                path = f"{wd}/edges_{slot[0]}"
+                out.write.mode("overwrite").parquet(path)
+                out = spark.read.parquet(path)
+        else:
+            path = f"{wd}/edges_{slot[0]}"
+            df.write.mode("overwrite").parquet(path)
+            n = sum(
+                pq.read_metadata(os.path.join(dp, f)).num_rows
+                for dp, _d, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")
+            )
+            out = spark.read.parquet(path)
+        mats[slot[0]] = out
+        last_n[0] = n
+        return out, n
 
     from pyspark.sql import Window
 
     try:
-        # undirected edge set, kept deduped with self-loops dropped
+        # raw undirected edge set, self-loops dropped. NOT deduped yet:
+        # union-find is duplicate-insensitive and the star path dedups
+        # in its own materialization — skipping distinct() here saves a
+        # full shuffle on the common (small-graph) path. The raw count
+        # only gates the path choice, so overcounting duplicates merely
+        # errs toward the distributed path — the safe direction.
         edges, n_edges = materialize(
             pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
+
+        if n_edges <= driver_threshold_edges:
+            # small-graph fast path: exact union-find over the collected
+            # edges (bounded by the threshold — 1M edges ≈ 16 MB, Arrow
+            # transfer), same result as the star iteration, none of its
+            # per-round jobs
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            pdf = edges.toPandas()
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN so roots are component minima
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            labels = [(x, find(x)) for x in list(parent)]
+            id_type = ids.schema[id_col].dataType
+            lab_schema = StructType([
+                StructField("id", id_type), StructField("canon", id_type),
+            ])
+            star = F.broadcast(spark.createDataFrame(labels, lab_schema))
+            return (
+                ids.select(F.col(id_col).alias("id"))
+                .join(star, "id", "left")
+                .select(
+                    F.col("id").alias(id_col),
+                    F.coalesce("canon", "id").alias("canon_id"),
+                )
+            )
+
+        # distributed star iteration: dedupe the edge set once, then
+        # alternate large/small-star to fixpoint
+        edges, n_edges = materialize(edges.distinct())
 
         # min(Γ(u) ∪ {u}) per neighborhood as a WINDOW aggregate: one
         # partitionBy(u) shuffle replaces the groupBy+re-join pair (two
@@ -442,7 +519,7 @@ def connected_components(
             # footer-count equality is the fixpoint probe, then one
             # anti-join confirms set equality exactly.
             if n_edges == n_before:
-                prev = spark.read.parquet(f"{wd}/edges_{slot[0] - 2}")
+                prev = mats[slot[0] - 2]
                 if edges.exceptAll(prev).limit(1).count() == 0:
                     break
         else:

@@ -98,10 +98,13 @@ def test_connected_components_chain_and_singleton(spark):
     assert got[7].canon_id == 7
 
 
-def test_connected_components_shuffled_chain(spark):
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_connected_components_shuffled_chain(spark, driver_threshold):
     """Ids SHUFFLED along a long chain — the adversarial layout where
     plain min-label propagation needs Θ(length) rounds; the star
-    rewriting must still converge (and to the right min)."""
+    rewriting must still converge (and to the right min). Run on BOTH
+    adaptive paths: driver union-find and distributed star iteration
+    (forced via driver_threshold_edges=0)."""
     import random
 
     rng = random.Random(5)
@@ -112,7 +115,8 @@ def test_connected_components_shuffled_chain(spark):
     )
     ids = spark.createDataFrame([(i,) for i in range(120)], ["doc_id"])
     cc = {r.doc_id: r.canon_id
-          for r in D.connected_components(pairs, ids).collect()}
+          for r in D.connected_components(
+              pairs, ids, driver_threshold_edges=driver_threshold).collect()}
     assert set(cc.values()) == {0}
 
 
@@ -245,9 +249,16 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         pairs = spark.createDataFrame(
             edges or [(0, 0)], ["doc_a", "doc_b"])
         ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
-        got = {r.doc_id: r.canon_id
-               for r in D.connected_components(pairs, ids).collect()}
-        assert got == want, f"seed {seed}: CC disagrees with union-find"
+        # both adaptive paths must agree with the oracle: the driver
+        # union-find fast path AND the distributed star iteration
+        for thresh in (1_000_000, 0):
+            got = {r.doc_id: r.canon_id
+                   for r in D.connected_components(
+                       pairs, ids,
+                       driver_threshold_edges=thresh).collect()}
+            assert got == want, (
+                f"seed {seed} thresh {thresh}: CC disagrees with union-find"
+            )
 
 
 def test_dedup_clusters_minhash_invariants(spark, sf_dir):
