@@ -385,11 +385,11 @@ def connected_components(
 
     def materialize(df: DataFrame) -> tuple[DataFrame, int]:
         """Materialize one half-round's edges, adaptively: memory
-        (eager localCheckpoint + count job over cached blocks) below
-        the threshold, Parquet slot (count from footers, no job) above
-        it. The FIRST slot (size unknown) also checkpoints to executor
-        memory-and-disk — distributed and spill-safe at any size — and
-        re-lands as a Parquet slot only if it measures huge."""
+        (eager localCheckpoint + count job over cached blocks) at or
+        below the threshold, Parquet slot (count from footers, no job)
+        above it. A memory slot that measures huge re-lands as a
+        Parquet slot (written from the cached blocks, not recomputed),
+        so mid-iteration growth degrades gracefully."""
         import pyarrow.parquet as pq
 
         slot[0] += 1
@@ -418,16 +418,24 @@ def connected_components(
     from pyspark.sql import Window
 
     try:
-        # raw undirected edge set, self-loops dropped. NOT deduped yet:
+        # Raw undirected edge set, self-loops dropped, NOT deduped yet:
         # union-find is duplicate-insensitive and the star path dedups
         # in its own materialization — skipping distinct() here saves a
         # full shuffle on the common (small-graph) path. The raw count
         # only gates the path choice, so overcounting duplicates merely
-        # errs toward the distributed path — the safe direction.
-        edges, n_edges = materialize(
+        # errs toward the distributed path — the safe direction. The
+        # probe uses a RELEASABLE cache (persist, not localCheckpoint):
+        # the pair pipeline computes once, and the blocks are freed
+        # before returning instead of pinning executor storage for the
+        # session's lifetime.
+        from pyspark import StorageLevel
+
+        raw = (
             pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
             .filter(F.col("u") != F.col("v"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        n_edges = raw.count()
 
         if n_edges <= driver_threshold_edges:
             # small-graph fast path: exact union-find over the collected
@@ -444,7 +452,8 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            pdf = edges.toPandas()
+            pdf = raw.toPandas()
+            raw.unpersist()
             for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
                 ru, rv = find(u), find(v)
                 if ru != rv:
@@ -466,9 +475,12 @@ def connected_components(
                 )
             )
 
-        # distributed star iteration: dedupe the edge set once, then
-        # alternate large/small-star to fixpoint
-        edges, n_edges = materialize(edges.distinct())
+        # distributed star iteration: dedupe the edge set once (first
+        # real slot), release the probe cache, then alternate
+        # large/small-star to fixpoint
+        last_n[0] = n_edges
+        edges, n_edges = materialize(raw.distinct())
+        raw.unpersist()
 
         # min(Γ(u) ∪ {u}) per neighborhood as a WINDOW aggregate: one
         # partitionBy(u) shuffle replaces the groupBy+re-join pair (two

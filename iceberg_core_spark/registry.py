@@ -71,7 +71,12 @@ def all_queries() -> dict[str, Entry]:
         "dedup_embedding", "dedup_clusters", "corpus_clean",
         "sim_search", "sim_search_batch", "multimodal_meta",
         "multimodal_features", "multimodal_chunks", "text_ngrams",
-        "dedup_minhash_lsh", "dedup_simhash",
+        # streaming module changed in r3 (type-driven ts handling):
+        # re-verify the changed ingest pipeline + the central
+        # event-time window; remaining stream/LLM rows-only queries
+        # keep their (module-stale) r2 rows — documented trade-off,
+        # hash-match coverage outranks rows-only refresh in 50 slots
+        "stream_ingest", "win_tumbling",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

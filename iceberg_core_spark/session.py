@@ -133,8 +133,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncates to
     microsecond TimestampType — the same ns→µs truncation DuckDB applies,
     so oracle comparisons see identical values.
+
+    TIMESTAMP_NTZ columns (current driver datasets store ``events.ts``
+    as TIMESTAMP(MICROS, isAdjustedToUTC=false)) are normalized to
+    session-timezone TimestampType: streaming watermarks/windows accept
+    only TIMESTAMP, and with the engine's pinned UTC session timezone
+    the wall-clock values are unchanged — DuckDB sees the identical
+    naive values either way.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_columns(path)
@@ -143,4 +151,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df

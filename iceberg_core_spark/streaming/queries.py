@@ -96,22 +96,30 @@ def stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
                 os.path.join(src_dir, "events.parquet"))
     table_root = os.path.join(work, "events_table")
 
-    # events.parquet stores ts as TIMESTAMP(NANOS): stream it as raw
-    # nanos longs and normalize ns→µs in-stream (same truncation as
-    # load_table, so the oracle sees identical values).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(
-        os.path.join(src_dir, "events.parquet")
-    ).schema
+    # ts handling is TYPE-DRIVEN: when events.parquet stores ts as
+    # TIMESTAMP(NANOS) (older driver datasets), stream it as raw nanos
+    # longs and normalize ns→µs in-stream (same truncation as
+    # load_table, so the oracle sees identical values); when it is a
+    # native timestamp type (current datasets: TIMESTAMP micros NTZ),
+    # stream it as-is with no transform.
+    from iceberg_core_spark.session import _nanos_columns
+
+    src_file = os.path.join(src_dir, "events.parquet")
+    nanos_cols = _nanos_columns(src_file)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src_file).schema
+    transform = (
+        (lambda s: s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+        if "ts" in nanos_cols else None
+    )
 
     q = stream_ingest_to_table(
         spark, src_dir, table_root, raw_schema,
         partition_col="user_id", key_col="ts",
         trigger={"availableNow": True},
         checkpoint_dir=os.path.join(work, "ckpt"),
-        transform=lambda s: s.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        ),
+        transform=transform,
     )
     if not q.awaitTermination(300):
         q.stop()

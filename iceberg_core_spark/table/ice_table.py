@@ -1419,14 +1419,14 @@ class IceTable:
                 os.remove(p)
         for s in drop:
             os.remove(os.path.join(self.manifest.dir, f"snapshot-{s.snapshot_id}.json"))
-        for ref in {s.files_ref for s in drop if s.files_ref} - live_refs:
-            self.manifest.remove_sidecar(ref)
             # drop the snapshot's bucketed-registration hardlink dir —
             # the links would otherwise keep deleted files' inodes alive
             linkdir = os.path.join(self.root, "_bucketed",
                                    f"v{s.snapshot_id}")
             if os.path.isdir(linkdir):
                 shutil.rmtree(linkdir, ignore_errors=True)
+        for ref in {s.files_ref for s in drop if s.files_ref} - live_refs:
+            self.manifest.remove_sidecar(ref)
         # remove now-empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):

@@ -39,3 +39,18 @@ def test_tpch_oracle_match(spark, con, name, fn, sql):
     df = fn(spark, SF_DIR)
     assert df.count() > 0, f"{name} degenerate (0 rows)"
     compare(df, con, sql, name)
+
+
+from iceberg_core_spark.sources.avro_ocf import QUERIES as AVRO
+from iceberg_core_spark.streaming.stateful import QUERIES as STATEFUL
+
+R3_CASES = [(n, fn, sql) for n, (fn, sql) in {**AVRO, **STATEFUL}.items()
+            if sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", R3_CASES,
+                         ids=[c[0] for c in R3_CASES])
+def test_r3_source_oracle_match(spark, con, name, fn, sql):
+    """Round-3 registered sources: OCF ingest roundtrip + stateful
+    streaming stats, driver-style oracle compare."""
+    compare(fn(spark, SF_DIR), con, sql, name)

@@ -115,14 +115,22 @@ def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
 
     src = str(tmp_path / "incoming")
     os.makedirs(src)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shutil.copy(os.path.join(SF_DIR, "events.parquet"),
                 os.path.join(src, "events.parquet"))
+    # type-driven ts handling, mirroring stream_ingest: nanos datasets
+    # stream raw longs + convert, timestamp datasets stream as-is
+    from iceberg_core_spark.session import _nanos_columns
+
+    nanos = _nanos_columns(os.path.join(src, "events.parquet"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(src, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if "ts" in nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # NTZ → session-TZ timestamp (UTC): watermarks need TIMESTAMP
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_counts(stream, watermark="10 minutes")
     q = (
         agg.writeStream.format("memory").queryName("tumbling_out")
