@@ -9,7 +9,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PICKS = [
-    ("filter_range", "Reference-shaped range query — predicate pushed to the raw-nanos scan (PushedFilters show the ns-mapped bounds); conversion sits above the pruned scan."),
+    ("filter_range", "Reference-shaped range query — type-driven: on TIMESTAMP(NANOS) data the predicate pushes to the raw-nanos scan (ns-mapped bounds); on native timestamp data (current datasets) the timestamp bounds push directly. Either way PushedFilters reaches the scan."),
+    ("multimodal_features", "Real media decode — two chained Arrow-batched mapInPandas (encode WAV/PPM, parse headers + sample stats) in ONE stage after the spread shuffle; no other exchange at any scale (narrow per-row work)."),
     ("agg_hash", "TPC-H Q1 shape — two HashAggregate levels (partial_ on the map side before the shuffle); whole-stage codegen spans (*)."),
     ("join_broadcast", "Fact x dim — BroadcastHashJoin; the lineitem side never shuffles."),
     ("tpch_q5", "6-way join — dims broadcast, the one fact-fact join shuffles once; AQE re-plans at runtime."),
