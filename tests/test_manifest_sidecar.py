@@ -252,3 +252,41 @@ def test_expire_with_shared_sidecar_among_dropped(spark, tmp_path,
     # part==1 rows — the later append's files carry a higher seq and
     # are untouched; compaction then rewrote the predicate away
     assert t.scan().count() == 1500 + 100
+
+
+def test_stale_sidecar_compact_conflicts_and_cleans(spark, tmp_path,
+                                                    small_inline_max):
+    """A stale distributed (base_files_df) compact commit must raise
+    CommitConflictError and delete its newly written data files — same
+    contract as the inline read-modify-write path (test_occ)."""
+    import pytest as _pytest
+
+    from iceberg_core_spark.table.manifest import CommitConflictError
+
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    snap = t.manifest.load(load_files=False)
+    mdf = spark.read.parquet(t.manifest.sidecar_path(snap.files_ref))
+
+    # another writer advances the table first
+    t.append(spark.range(2000, 2050).selectExpr(
+        "id", "id % 4 as part", "cast(id as string) as payload"))
+
+    with _pytest.raises(CommitConflictError):
+        t._write_commit(
+            spark.range(9000, 9010).selectExpr(
+                "id", "id % 4 as part", "cast(id as string) as payload"),
+            "compact", snap.partition_col, snap.key_col, 1_000_000,
+            base_files=[], expected_parent=snap.snapshot_id,
+            base_files_df=mdf,
+        )
+    t2 = IceTable(spark, root)
+    assert t2.scan().count() == 2050  # loser's rows absent
+    cur = t2.manifest.load(load_files=False)
+    live = {p for p, _s in t2.manifest.read_sidecar_path_seq(cur.files_ref)}
+    on_disk = {
+        os.path.relpath(os.path.join(dp, n), root)
+        for dp, _d, ns in os.walk(os.path.join(root, "data"))
+        for n in ns if n.endswith(".parquet")
+    }
+    assert on_disk == live  # loser's files deleted, not orphaned

@@ -241,3 +241,16 @@ def test_stream_ingest_into_bucketed_table(spark, tmp_path):
         assert spark.table("bkt_stream_t").count() == 15
     finally:
         spark.sql("DROP TABLE `bkt_stream_t`")
+
+
+def test_load_table_ts_is_timestamp_type(spark):
+    """Contract: load_table normalizes events.ts to session-timezone
+    TimestampType regardless of the parquet physical type (NANOS long
+    or TIMESTAMP_NTZ) — streaming watermarks/windows accept only
+    TIMESTAMP, so a type drift here breaks every event-time operator."""
+    from pyspark.sql.types import TimestampType
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    # and it is watermark-compatible
+    ev.withWatermark("ts", "10 minutes")
