@@ -1438,6 +1438,62 @@ class IceTable:
                     shutil.rmtree(full)
         return [s.snapshot_id for s in drop]
 
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state — as a NEW
+        commit (Iceberg's rollback semantics: history is append-only,
+        the bad snapshots stay inspectable until expired). Metadata-only:
+        the target's file list is inherited by reference (same sidecar /
+        same inline entries), so rolling back a 1M-file table writes one
+        small JSON document."""
+        target = self.manifest.load(snapshot_id, load_files=False)
+        cur = self.manifest.load(load_files=False)
+        if target.snapshot_id == cur.snapshot_id:
+            return cur
+        new = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            timestamp_ms=Manifest.now_ms(),
+            operation="rollback",
+            schema_json=target.schema_json,
+            partition_col=target.partition_col,
+            key_col=target.key_col,
+            files=list(target.files),
+            delete_predicates=target.delete_predicates,
+            stat_cols=target.stat_cols,
+            zorder_by=target.zorder_by,
+            bucket_col=target.bucket_col,
+            n_buckets=target.n_buckets,
+            files_ref=target.files_ref,
+            files_count=target.files_count,
+        )
+        self.manifest.commit(new)
+        return new
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data files under the table root referenced by NO
+        snapshot (crash leftovers: a writer that died between data write
+        and manifest commit). Paths-only metadata cost — sidecars are
+        column-projected, entries never parse. Returns removed paths.
+
+        Safe by the commit protocol: a file becomes referenced only by
+        an already-committed snapshot, and this walks ALL snapshots, so
+        anything unreferenced lost its commit race or crashed."""
+        live: set[str] = set()
+        for s in self.manifest.snapshots(load_files=False):
+            live |= self._snapshot_paths(s)
+        data_dir = os.path.join(self.root, "data")
+        removed = []
+        if os.path.isdir(data_dir):
+            for dp, _d, names in os.walk(data_dir):
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(dp, n), self.root)
+                    if rel not in live:
+                        os.remove(os.path.join(dp, n))
+                        removed.append(rel)
+        return removed
+
     def snapshots(self) -> list[Snapshot]:
         return self.manifest.snapshots()
 

@@ -290,3 +290,38 @@ def test_stale_sidecar_compact_conflicts_and_cleans(spark, tmp_path,
         for n in ns if n.endswith(".parquet")
     }
     assert on_disk == live  # loser's files deleted, not orphaned
+
+
+def test_rollback_metadata_only_shared_ref(spark, tmp_path,
+                                           small_inline_max, monkeypatch):
+    """rollback() restores an earlier snapshot's state as a NEW commit
+    without materializing entries; it shares the target's sidecar and
+    survives expiry of intermediate snapshots."""
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    good = t.manifest.load(load_files=False)
+    t.delete_where("part != 99", mode="cow")   # "bad" commit: empties table
+    assert t.scan().count() == 0
+    _forbid_entry_materialization(monkeypatch)
+    rb = t.rollback(good.snapshot_id)
+    assert rb.operation == "rollback"
+    assert rb.files_ref == good.files_ref       # shared by reference
+    assert t.scan().count() == 2000             # state restored
+    monkeypatch.undo()
+    # expiring everything but the rollback keeps the shared sidecar
+    t.expire_snapshots(keep_last=1)
+    assert t.scan().count() == 2000
+
+
+def test_remove_orphans_deletes_only_unreferenced(spark, tmp_path,
+                                                  small_inline_max):
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    # plant an orphan (simulates a writer that died pre-commit)
+    orphan_dir = os.path.join(root, "data", "s99-deadbeef")
+    os.makedirs(orphan_dir)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    removed = t.remove_orphans()
+    assert removed and all(r.startswith("data/s99-deadbeef") for r in removed)
+    assert t.scan().count() == 2000  # live data untouched
+    assert t.remove_orphans() == []  # idempotent
