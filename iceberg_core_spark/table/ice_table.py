@@ -996,14 +996,14 @@ class IceTable:
                     mdf = mdf.filter(keep_ge("key_max_n", clo))
                 if chi is not None:
                     mdf = mdf.filter(keep_le("key_min_n", chi))
-        import json as _json
-
-        out = []
-        for r in mdf.select("entry_json", "seq").collect():
-            f = ManifestFile.from_json(_json.loads(r.entry_json))
-            f.seq = r.seq if r.seq is not None else 0
-            out.append(f)
-        return out
+        # survivors ship as (path, seq) stubs — the read path needs file
+        # locations and MoR seq scoping, never the stats that pruned them
+        return [
+            ManifestFile(path=r.path, partition=None, key_min=None,
+                         key_max=None, rows=0, bytes=0, content_hash="",
+                         seq=r.seq if r.seq is not None else 0)
+            for r in mdf.select("path", "seq").collect()
+        ]
 
     def range_scan(self, ranges: dict[str, tuple[Any, Any]],
                    snapshot_id: int | None = None) -> DataFrame:
