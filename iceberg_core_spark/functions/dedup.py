@@ -382,6 +382,25 @@ def connected_components(
     slot = [0]
     last_n = [None]  # edge count of the latest materialized slot
     mats: dict[int, DataFrame] = {}
+    # executor-storage bookkeeping: localCheckpoint blocks are NOT in the
+    # CacheManager (df.unpersist() can't free them), so each slot's RDD
+    # ids are captured by diffing JavaSparkContext.getPersistentRDDs
+    # around the checkpoint, and released explicitly — a long-lived
+    # session iterating many huge graphs must not accumulate storage
+    # waiting on driver GC
+    slot_rdds: dict[int, set] = {}
+
+    def _persistent_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _release_slot(s: int) -> None:
+        mats.pop(s, None)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in slot_rdds.pop(s, ()):  # noqa: B905
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
 
     def materialize(df: DataFrame) -> tuple[DataFrame, int]:
         """Materialize one half-round's edges, adaptively: memory
@@ -389,19 +408,25 @@ def connected_components(
         below the threshold, Parquet slot (count from footers, no job)
         above it. A memory slot that measures huge re-lands as a
         Parquet slot (written from the cached blocks, not recomputed),
-        so mid-iteration growth degrades gracefully."""
+        so mid-iteration growth degrades gracefully. Only the last
+        three slots stay materialized (the fixpoint probe reads
+        slot-2); older memory slots' checkpoint blocks are unpersisted
+        eagerly."""
         import pyarrow.parquet as pq
 
         slot[0] += 1
         if last_n[0] is None or last_n[0] <= memory_threshold_edges:
+            before = _persistent_ids()
             out = df.localCheckpoint(eager=True)
             n = out.count()
+            slot_rdds[slot[0]] = _persistent_ids() - before
             if n > memory_threshold_edges:
                 # measured huge: move to a fault-tolerant parquet slot
                 # (written from the cached blocks, not recomputed)
                 path = f"{wd}/edges_{slot[0]}"
                 out.write.mode("overwrite").parquet(path)
                 out = spark.read.parquet(path)
+                _release_slot(slot[0])  # blocks copied to parquet
         else:
             path = f"{wd}/edges_{slot[0]}"
             df.write.mode("overwrite").parquet(path)
@@ -413,6 +438,7 @@ def connected_components(
             out = spark.read.parquet(path)
         mats[slot[0]] = out
         last_n[0] = n
+        _release_slot(slot[0] - 3)  # probe never reads past slot-2
         return out, n
 
     from pyspark.sql import Window
@@ -562,6 +588,11 @@ def connected_components(
             result = result.localCheckpoint(eager=True)
         return result
     finally:
+        # free EVERY remaining slot's checkpoint blocks — the result is
+        # parquet-backed (or its own fresh checkpoint), so no registered
+        # query holds a reference into the iteration's storage
+        for s in list(slot_rdds):
+            _release_slot(s)
         if owned:
             shutil.rmtree(wd, ignore_errors=True)
 

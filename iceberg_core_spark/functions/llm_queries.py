@@ -25,7 +25,7 @@ from iceberg_core_spark.multimodal import (
     decode_and_featurize,
     to_binary,
 )
-from iceberg_core_spark.session import load_table
+from iceberg_core_spark.session import load_table, scan_partition_estimate
 
 _STOP_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
@@ -66,7 +66,7 @@ def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = base.repartition(
         max(spark.sparkContext.defaultParallelism,
-            base.rdd.getNumPartitions())
+            scan_partition_estimate(base))
     )
 
     toks = F.col("toks")
@@ -543,18 +543,27 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     scale; reference analog: block decode streamAdapter.go:15-42."""
     from iceberg_core_spark.multimodal import decode_media_features, encode_media
 
-    d = load_table(spark, sf, "documents").filter(F.length("text") >= 3)
+    # byte-based filter: encode/decode operate on UTF-8 BYTES, so the
+    # oracle filter must see the identical length for non-ASCII text
+    # (octet_length != length once multibyte chars appear)
+    d = load_table(spark, sf, "documents").filter(F.octet_length("text") >= 3)
     return decode_media_features(encode_media(d))
 
 
+# Byte-based on both sides: the engine encodes text as UTF-8 bytes, so
+# the oracle walks hex(encode(text)) two hex digits at a time — byte i is
+# ('0x' || substr(hx, 2i-1, 2))::BIGINT. Correct for any non-ASCII text
+# (DuckDB 1.0 has no get_byte; ord(substr(text,..)) would yield code
+# points, not bytes).
 MULTIMODAL_FEATURES_SQL = """
 WITH d AS (
-  SELECT doc_id, text, length(text) AS len,
-         CASE WHEN doc_id % 2 = 0 THEN length(text)
-              ELSE 3 * (length(text) // 3) END AS used
-  FROM documents WHERE length(text) >= 3
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len,
+         CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text))
+              ELSE 3 * (octet_length(encode(text)) // 3) END AS used
+  FROM documents WHERE octet_length(encode(text)) >= 3
 ), pos AS (
-  SELECT doc_id, text, len, used,
+  SELECT doc_id, hx, len, used,
          unnest(generate_series(1, used)) AS i
   FROM d
 )
@@ -563,9 +572,9 @@ SELECT doc_id,
             ELSE 'image/ppm' END AS media_type,
        CAST(CASE WHEN doc_id % 2 = 0 THEN max(len)
                  ELSE max(len) // 3 END AS BIGINT) AS n_units,
-       CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS sum_val,
-       CAST(min(ord(substr(text, i, 1))) AS BIGINT) AS min_val,
-       CAST(max(ord(substr(text, i, 1))) AS BIGINT) AS max_val,
+       CAST(sum(('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS BIGINT) AS sum_val,
+       CAST(min(('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS BIGINT) AS min_val,
+       CAST(max(('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS BIGINT) AS max_val,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 16000
                  ELSE max(len) // 3 END AS BIGINT) AS rate_or_width
 FROM pos

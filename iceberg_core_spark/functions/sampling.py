@@ -155,7 +155,9 @@ WITH b AS (
 SELECT lang, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM b
-WHERE bucket < CASE WHEN lang IN ('en', 'fr') THEN 5000 ELSE 1000 END
+WHERE bucket < CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 5000
+                         WHEN 'es' THEN 1000 WHEN 'fr' THEN 5000
+                         WHEN 'zh' THEN 1000 ELSE 0 END
 GROUP BY lang
 """
 

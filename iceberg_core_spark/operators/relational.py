@@ -124,11 +124,14 @@ def filter_range(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's sole query shape (R15): partition value + inclusive
     key range. Partition pruning + min/max skipping + residual filter.
 
-    events.ts is stored as TIMESTAMP(NANOS): the range predicate is
-    applied to the RAW nanos long (pushes down to row-group skipping —
-    a filter on the converted µs column cannot push through the
-    conversion expression) with exact µs→ns bound mapping, then the
-    µs conversion happens above the pruned scan."""
+    Type-driven ts handling: current driver datasets store events.ts as
+    TIMESTAMP(MICROS, NTZ), where a plain timestamp range predicate
+    pushes down directly (the common branch below). If a dataset stores
+    ts as TIMESTAMP(NANOS) — which Spark's reader can only surface as a
+    raw nanos long — the predicate is applied to the RAW long (pushes to
+    row-group skipping; a filter on the converted µs column cannot push
+    through the conversion expression) with exact µs→ns bound mapping,
+    and the µs conversion happens above the pruned scan."""
     import datetime
 
     from iceberg_core_spark.session import load_table_raw

@@ -107,6 +107,35 @@ def load_table_raw(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(path), nanos_cols
 
 
+def scan_partition_estimate(df) -> int:
+    """Estimate a frame's SCAN partition count from file metadata alone
+    (input file sizes vs ``spark.sql.files.maxPartitionBytes``) — the
+    bin-packing Spark's FilePartition planner applies, without
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion of the
+    analyzed plan on every call (driver-side planning cost per query).
+    Frames with no input files (in-memory, streaming) report
+    defaultParallelism, i.e. "already spread"."""
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return spark.sparkContext.defaultParallelism
+    maxpb = int(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    total = 0
+    for uri in files:
+        p = unquote(urlparse(uri).path) if "://" in uri else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            total += maxpb  # unknown size: count as one full partition
+    return max(1, -(-total // maxpb))
+
+
 def spread(df, min_factor: int = 2):
     """Ensure enough partitions for CPU-bound per-row work.
 
@@ -120,7 +149,7 @@ def spread(df, min_factor: int = 2):
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, target // min_factor):
+    if scan_partition_estimate(df) < max(1, target // min_factor):
         return df.repartition(target)
     return df
 

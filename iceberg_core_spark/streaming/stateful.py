@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -61,7 +62,12 @@ def running_user_stats(events: DataFrame,
         )
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # explicit half-up (floor(x*100 + 0.5)) — Series.round() is
+            # half-to-even, which diverges from SQL round() when x*100
+            # lands exactly on k+0.5; the oracle uses the same expression
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
             last = max(last, int(pdf["event_id"].max()))
         state.update((n, cents, last))
         if timeout_ms is not None:
@@ -153,7 +159,7 @@ def stateful_stats(spark, sf: str):
 STATEFUL_STATS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
        MAX(event_id) AS last_event_id
 FROM events
 GROUP BY user_id

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1469,18 +1470,25 @@ class IceTable:
         self.manifest.commit(new)
         return new
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,
+                       ) -> list[str]:
         """Delete data files under the table root referenced by NO
         snapshot (crash leftovers: a writer that died between data write
         and manifest commit). Paths-only metadata cost — sidecars are
         column-projected, entries never parse. Returns removed paths.
 
-        Safe by the commit protocol: a file becomes referenced only by
-        an already-committed snapshot, and this walks ALL snapshots, so
-        anything unreferenced lost its commit race or crashed."""
+        Concurrent-writer safety: the commit protocol is write-data-
+        then-commit-manifest, so an IN-FLIGHT writer's freshly written
+        files are legitimately unreferenced at walk time. Only files
+        whose mtime is older than ``older_than_ms`` are removed
+        (default 3 days, matching Iceberg's remove_orphan_files
+        older_than discipline) — a live writer commits long before
+        that. Pass ``older_than_ms=0`` only when no other writer can
+        be active (single-writer maintenance window)."""
         live: set[str] = set()
         for s in self.manifest.snapshots(load_files=False):
             live |= self._snapshot_paths(s)
+        cutoff = time.time() - older_than_ms / 1000.0
         data_dir = os.path.join(self.root, "data")
         removed = []
         if os.path.isdir(data_dir):
@@ -1488,10 +1496,17 @@ class IceTable:
                 for n in names:
                     if not n.endswith(".parquet"):
                         continue
-                    rel = os.path.relpath(os.path.join(dp, n), self.root)
-                    if rel not in live:
-                        os.remove(os.path.join(dp, n))
-                        removed.append(rel)
+                    full = os.path.join(dp, n)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in live:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue  # possibly an in-flight writer's file
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue  # concurrent maintenance removed it first
+                    removed.append(rel)
         return removed
 
     def snapshots(self) -> list[Snapshot]:

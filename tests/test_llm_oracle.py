@@ -120,6 +120,29 @@ def test_connected_components_shuffled_chain(spark, driver_threshold):
     assert set(cc.values()) == {0}
 
 
+def test_connected_components_releases_executor_storage(spark):
+    """The distributed star path materializes each half-round as an
+    eager localCheckpoint; those blocks are NOT CacheManager-managed, so
+    connected_components must unpersist them itself — a long-lived
+    session iterating many graphs would otherwise accumulate executor
+    storage until driver GC. After the call, at most ONE persistent RDD
+    beyond the baseline may remain (the returned result's own shallow
+    checkpoint)."""
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], ["doc_a", "doc_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    before = n_persistent()
+    out = D.connected_components(pairs, ids, driver_threshold_edges=0)
+    assert {r.canon_id for r in out.collect()} == {0}
+    # ~10 half-round checkpoints ran; all but the result must be freed
+    assert n_persistent() - before <= 1
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF with enough probes must recover planted near-duplicates of
     the query (they land in the query's nearest cells)."""

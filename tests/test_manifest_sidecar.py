@@ -321,7 +321,20 @@ def test_remove_orphans_deletes_only_unreferenced(spark, tmp_path,
     orphan_dir = os.path.join(root, "data", "s99-deadbeef")
     os.makedirs(orphan_dir)
     spark.range(5).coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    # default retention: a FRESH unreferenced file could be an in-flight
+    # concurrent writer's — it must survive
+    assert t.remove_orphans() == []
+    # backdate past the retention cutoff → now it is a true orphan
+    old = time.time() - 4 * 24 * 3600
+    for dp, _d, names in os.walk(orphan_dir):
+        for n in names:
+            os.utime(os.path.join(dp, n), (old, old))
     removed = t.remove_orphans()
     assert removed and all(r.startswith("data/s99-deadbeef") for r in removed)
     assert t.scan().count() == 2000  # live data untouched
     assert t.remove_orphans() == []  # idempotent
+    # explicit single-writer mode removes regardless of age
+    os.makedirs(orphan_dir, exist_ok=True)
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    assert t.remove_orphans(older_than_ms=0)
+    assert t.scan().count() == 2000

@@ -109,3 +109,33 @@ def test_real_featurize_from_decoded_samples(spark):
     assert all(len(r.features) == 16 for r in feats)
     # same text, different containers (wav vs ppm-truncated) → both real
     assert all(abs(sum(r.features[:12]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_multimodal_features_oracle_non_ascii(spark, tmp_path):
+    """The registered oracle must stay byte-based: for non-ASCII text,
+    character-based SQL (length/ord) diverges from the engine's UTF-8
+    byte arithmetic. 'é!' is 2 chars but 3 bytes — included by the
+    byte filter, and its PPM raster covers all 3 bytes."""
+    import duckdb
+
+    from iceberg_core_spark.functions.llm_queries import (
+        MULTIMODAL_FEATURES_SQL,
+        multimodal_features,
+    )
+    from tests.oracle import compare
+
+    rows = [
+        (0, "héllo wörld"),      # wav over 13 UTF-8 bytes (11 chars)
+        (1, "日本語テキスト"),     # ppm, 21 bytes (7 chars)
+        (2, "ab"),               # 2 bytes: filtered out on both sides
+        (3, "é!"),               # 3 bytes / 2 chars: byte-filter keeps it
+        (4, "naïve résumé"),
+    ]
+    docs = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(docs)
+    got = multimodal_features(spark, str(tmp_path))
+    assert {r.doc_id for r in got.select("doc_id").collect()} == {0, 1, 3, 4}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs}/*.parquet'")
+    compare(got, con, MULTIMODAL_FEATURES_SQL, "multimodal_non_ascii")
