@@ -39,6 +39,7 @@ HEADLINE = [
     "split_train_test",  # reproducible hash-bucket split
     "corpus_clean",      # end-to-end prep pipeline (2-shuffle plan)
     "multimodal_features",  # real WAV/PPM encode→decode→stats (r3)
+    "zorder_range_scan",    # manifest-pruned multi-dim range query (r4)
 ]
 
 
@@ -125,6 +126,10 @@ def main() -> None:
     t0 = time.perf_counter()
     queries["join_bucketed"][0](spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
+    # likewise the z-ordered documents table (zorder_range_scan then
+    # measures the manifest-pruned QUERY, not the one-time clustering)
+    queries["zorder_range_scan"][0](spark, sf_dir).write.format(
+        "noop").mode("overwrite").save()
     prep_sec = round(prep_sec + time.perf_counter() - t0, 3)
 
     # PINNED PROTOCOL (round 3, BASELINE.md addendum): one cold pass +

@@ -9,6 +9,21 @@ oracle is the same split expressed as plain SQL, so the driver verifies
 the feed's VALUES, not just its row count. This is the reference's
 write→read lifecycle (reference filesystemStorageAdapter_test.go:8-75)
 upgraded to incremental consumption.
+
+``zorder_range_scan``: documents are written z-ordered on
+(doc_id, n_chars) and range-queried on n_chars — the NON-key
+dimension, where a key-sorted layout prunes nothing. The reference's
+one pruning trick (filename min/max stats, block.go:143-199)
+generalized to multiple dimensions via Morton clustering; the oracle
+is the identical predicate in plain SQL, and test_table_queries_oracle
+asserts the scan actually reads a strict file subset.
+
+``schema_evolution``: three commits — create (doc_id, lang, n_chars),
+metadata-only ``rename_column("lang", "language")``, then an
+evolve-append that adds a ``quality`` column — read back through the
+unified current schema: pre-rename files resolve through the alias
+chain, pre-add files surface quality as NULL. The oracle reproduces
+the whole lifecycle as one SQL projection over the source table.
 """
 
 from __future__ import annotations
@@ -55,8 +70,96 @@ SELECT * FROM documents WHERE doc_id % 5 = 0
 """
 
 
+_Z_CACHE: dict[str, str] = {}
+
+
+def _zorder_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) the z-ordered documents table. 64-row
+    files keep the demo table multi-file at every test SF so pruning is
+    observable; production tables size files by bytes, not rows — the
+    pruning math is identical."""
+    root = _Z_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_z_"), "docs_z")
+    shutil.rmtree(root, ignore_errors=True)
+    IceTable.create(spark, root, docs, key_col="doc_id",
+                    zorder_by=["doc_id", "n_chars"],
+                    max_rows_per_file=64)
+    _Z_CACHE[sf] = root
+    return root
+
+
+def zorder_range_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _zorder_root(spark, sf))
+    return t.range_scan({"n_chars": (150, 300)})
+
+
+ZORDER_RANGE_SCAN_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars BETWEEN 150 AND 300
+"""
+
+
+_EVO_CACHE: dict[str, str] = {}
+
+
+def _evolution_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) the three-commit evolved table:
+    create → rename lang→language (metadata-only) → evolve-append
+    with a new quality column."""
+    root = _EVO_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_evo_"), "docs_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs.filter("doc_id % 3 != 0"),
+                        key_col="doc_id")
+    t.rename_column("lang", "language")
+    late = (
+        docs.filter("doc_id % 3 = 0")
+        .withColumnRenamed("lang", "language")
+        .withColumn("quality", F.col("n_chars") / F.lit(100.0))
+    )
+    t.append(late, evolve_schema=True, dedupe_identical_files=False)
+    _EVO_CACHE[sf] = root
+    return root
+
+
+def schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _evolution_root(spark, sf))
+    return t.scan().select("doc_id", "language", "n_chars", "quality")
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id,
+       lang AS language,
+       n_chars,
+       CASE WHEN doc_id % 3 = 0 THEN n_chars / 100.0 ELSE NULL END
+         AS quality
+FROM documents
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_incremental": (table_incremental, TABLE_INCREMENTAL_SQL),
+    "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SCAN_SQL),
+    "schema_evolution": (schema_evolution, SCHEMA_EVOLUTION_SQL),
 }

@@ -44,39 +44,44 @@ def all_queries() -> dict[str, Entry]:
     out.update(TPCH)     # headline multi-join analytics
 
     # ORDER MATTERS: the driver's correctness artifact covers the first
-    # 50 registry entries in dict order. Round 3 leads with (a) the 31
-    # queries whose only driver row predates round-2 changes to their
-    # modules (asof.py, tpch.py, relational.py, relational_ext.py), so
-    # they get re-verified on current code; (b) queries new or changed
-    # in round 3 (scan_avro, stateful_stats, sampling, multimodal/dedup
-    # in llm_queries, table_incremental — its table layer changed).
-    # Queries NOT in the priority list keep their fresh r2 rows because
-    # their modules are unchanged since (streaming/queries.py, udfs.py,
-    # bucketed.py, relational.py head, similarity.py).
+    # 50 registry entries in dict order. Round 4 completes the rotation
+    # so every query has a row recorded on post-NTZ code across r3∪r4:
+    # (a) the 7 rows-only queries that have NEVER had a driver row
+    # recorded on current code; (b) the stream trio whose module
+    # changed in r3 after their r2 rows; (c) the 23 queries whose only
+    # green row predates r3's session.py load-path change; (d) queries
+    # new or changed in round 4 (table layer rename/orphans —
+    # zorder_range_scan, schema_evolution, table_incremental; dedup.py
+    # slot-release; llm_queries/sampling/stateful oracle fixes;
+    # agg_hash + udfs ride session.spread's estimator change and are
+    # already in (c)). Queries NOT listed keep their r3 rows: their
+    # modules are unchanged in r4 (relational.py tail, relational_ext,
+    # asof, tpch q3/q5, avro, streaming/queries, similarity).
     priority = [
-        # (a) r1-only rows on since-changed modules — re-verify first
-        "join_semi", "join_anti", "join_theta", "join_asof",
-        "win_rank", "win_rank_ext", "win_analytic", "win_frame",
-        "win_range_frame", "sort_limit", "topk_per_group",
-        "union_all", "set_intersect", "set_except",
-        "scalar_cond", "scalar_string2", "scalar_subquery",
-        "scalar_subquery_corr", "explode_tokens", "map_funcs",
-        "array_hof", "agg_stats", "agg_pivot", "agg_string_agg",
-        "agg_salted", "agg_median", "agg_minmax_by", "agg_conditional",
-        "tpch_q3", "tpch_q5", "tpch_q10",
-        # (b) new or changed in round 3
-        "scan_avro", "stateful_stats", "table_incremental",
-        "split_train_test", "sample_stratified",
-        "text_analysis", "dedup_exact", "dedup_near_jaccard",
-        "dedup_embedding", "dedup_clusters", "corpus_clean",
-        "sim_search", "sim_search_batch", "multimodal_meta",
-        "multimodal_features", "multimodal_chunks", "text_ngrams",
-        # streaming module changed in r3 (type-driven ts handling):
-        # re-verify the changed ingest pipeline + the central
-        # event-time window; remaining stream/LLM rows-only queries
-        # keep their (module-stale) r2 rows — documented trade-off,
-        # hash-match coverage outranks rows-only refresh in 50 slots
-        "stream_ingest", "win_tumbling",
+        # (a) never-recorded rows-only production twins
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+        "dedup_clusters_minhash", "sim_search_lsh", "sim_search_ivf",
+        "agg_approx_distinct",
+        # (b) stream trio: module changed in r3 after their r2 rows
+        "win_sliding", "win_session", "stream_join",
+        # (c) r2 rows predating the r3 load-path change
+        "scan_parquet", "project", "filter_pred", "filter_range",
+        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
+        "scalar_json", "agg_hash", "agg_distinct", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "join_broadcast",
+        "join_sortmerge", "join_left", "join_right", "join_full",
+        "udf_scalar", "udaf_group_stats", "udtf_tokenize",
+        "join_bucketed",
+        # (d) new or changed in round 4
+        "zorder_range_scan", "schema_evolution", "table_incremental",
+        "dedup_exact", "dedup_near_jaccard", "dedup_embedding",
+        "dedup_clusters", "text_analysis", "text_ngrams",
+        "corpus_clean", "multimodal_meta", "multimodal_chunks",
+        "multimodal_features", "stateful_stats", "split_train_test",
+        "sample_stratified",
+        # r3 flagged tpch_q10 warm-median as perf-suspect; refresh its
+        # row alongside the clean-session bench confirmation
+        "tpch_q10",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -45,7 +45,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from iceberg_core_spark.table.manifest import (
     CommitConflictError,
@@ -462,6 +462,15 @@ class IceTable:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             new_cols = [c for c in df.columns if c not in table_cols]
+            retired = {r["from"] for r in snap.renames}
+            bad = sorted(set(new_cols) & retired)
+            if bad:
+                raise ValueError(
+                    f"column name(s) {bad} were retired by a rename and "
+                    "stay reserved — old files still carry them "
+                    "physically, so reusing them would capture those "
+                    "bytes via the alias chain"
+                )
             df = df.select(*table_cols, *new_cols)
         elif df.columns != table_cols:
             raise ValueError(
@@ -624,6 +633,10 @@ class IceTable:
             self.manifest.load(expected_parent, load_files=False)
             if expected_parent is not None else None
         )
+        # rename history rides every commit (a concurrent rename would
+        # change schema_json, which the CAS rebase refuses — so the
+        # inherited list stays valid across a rebase)
+        inherited_renames = parent_snap.renames if parent_snap else []
         if base_mode == "parent" and parent_snap is not None:
             base_count = (parent_snap.files_count or 0
                           if parent_snap.files_ref
@@ -643,6 +656,7 @@ class IceTable:
                 dedupe_identical_files, expected_parent,
                 source_batch_id, source_lineage, bucket_by,
                 base_override_df=base_files_df,
+                renames=inherited_renames,
             )
 
         part_dtype = (
@@ -704,6 +718,7 @@ class IceTable:
                 n_buckets=bucket_by[1] if bucket_by else None,
                 source_batch_id=source_batch_id,
                 source_lineage=source_lineage,
+                renames=inherited_renames,
             )
             try:
                 self.manifest.commit(snap)
@@ -748,6 +763,7 @@ class IceTable:
         source_lineage: str | None,
         bucket_by: tuple[str, int] | None = None,
         base_override_df: DataFrame | None = None,
+        renames: list[dict] | None = None,
     ) -> Snapshot:
         """Manifest commit where entries never materialize on the driver:
         footer stats + hashes run in Spark tasks once (to a temp entries
@@ -849,6 +865,7 @@ class IceTable:
                     n_buckets=bucket_by[1] if bucket_by else None,
                     source_batch_id=source_batch_id,
                     source_lineage=source_lineage,
+                    renames=renames or [],
                     files_ref=ref,
                     files_count=dir_rows(man.sidecar_path(ref)),
                 )
@@ -1166,13 +1183,40 @@ class IceTable:
 
     def _read_files(self, files: list[ManifestFile],
                     snapshot_id: int | None = None) -> DataFrame:
-        schema = self.schema(snapshot_id)
+        """Schema-on-read over a file subset. Columns a file lacks read
+        as NULL (additive evolution); renamed columns resolve through
+        their alias chain — ``coalesce(current, prior, ...)`` over the
+        read schema widened with the retired names — so files written
+        before a rename keep reading correctly with zero rewrite."""
+        snap = self.manifest.load(snapshot_id, load_files=False)
+        schema = StructType.fromJson(
+            __import__("json").loads(snap.schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f.path) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths).select(
-            *[F.col(f.name) for f in schema.fields]
-        )
+        current = {f.name for f in schema.fields}
+        # alias chains, newest physical name first: renames are stored
+        # oldest-first, so a→b then b→c folds to {"c": ["b", "a"]}
+        chains: dict[str, list[str]] = {}
+        for r in snap.renames:
+            chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
+        chains = {k: v for k, v in chains.items() if k in current}
+        if not chains:
+            return self.spark.read.schema(schema).parquet(*paths).select(
+                *[F.col(f.name) for f in schema.fields]
+            )
+        read_schema = StructType(list(schema.fields))
+        for final, olds in chains.items():
+            dt = schema[final].dataType  # renames never change the type
+            for o in olds:
+                read_schema = read_schema.add(o, dt)
+        df = self.spark.read.schema(read_schema).parquet(*paths)
+        return df.select(*[
+            F.coalesce(F.col(f.name),
+                       *[F.col(o) for o in chains[f.name]]).alias(f.name)
+            if f.name in chains else F.col(f.name)
+            for f in schema.fields
+        ])
 
     # ------------------------------------------------------------------
     # row-level changes (copy-on-write, Iceberg CoW semantics)
@@ -1271,6 +1315,7 @@ class IceTable:
                 zorder_by=snap.zorder_by,
                 bucket_col=snap.bucket_col,
                 n_buckets=snap.n_buckets,
+                renames=snap.renames,
                 files_ref=snap.files_ref,
                 files_count=snap.files_count,
             )
@@ -1464,11 +1509,79 @@ class IceTable:
             zorder_by=target.zorder_by,
             bucket_col=target.bucket_col,
             n_buckets=target.n_buckets,
+            renames=target.renames,
             files_ref=target.files_ref,
             files_count=target.files_count,
         )
         self.manifest.commit(new)
         return new
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a column as a METADATA-ONLY commit — no data rewrite,
+        the file list is inherited by reference (rollback-style), so
+        renaming a column of a 1M-file table writes one small JSON
+        document. Name-based analog of Iceberg's field-id rename: the
+        old name is recorded in the snapshot's rename history and the
+        read path resolves pre-rename files via a coalesce alias chain
+        (see _read_files).
+
+        Constraints (each protects schema-on-read of existing files):
+        type is preserved; the new name must be unused AND not a
+        retired alias (reusing one would capture old files' bytes);
+        layout-bearing columns (partition/key/stat/zorder/bucket) are
+        refused — manifest stats are keyed by physical column name."""
+        snap = self.manifest.load(load_files=False)
+        schema = StructType.fromJson(
+            __import__("json").loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        retired = {r["from"] for r in snap.renames}
+        if new in retired:
+            raise ValueError(
+                f"column name {new!r} was retired by an earlier rename "
+                "and stays reserved (old files still carry it physically)"
+            )
+        if snap.delete_predicates:
+            raise ValueError(
+                "pending merge-on-read delete predicates reference "
+                "physical column names; compact() before renaming"
+            )
+        layout = ({snap.partition_col, snap.key_col, snap.bucket_col}
+                  | set(snap.stat_cols) | set(snap.zorder_by))
+        if old in layout:
+            raise ValueError(
+                f"{old!r} is layout-bearing (partition/key/stat/zorder/"
+                "bucket); its manifest stats are keyed by physical name "
+                "— rewrite via compact() with a new layout instead"
+            )
+        new_schema = StructType([
+            StructField(new, f.dataType, f.nullable)
+            if f.name == old else f
+            for f in schema.fields
+        ])
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            timestamp_ms=Manifest.now_ms(),
+            operation="rename",
+            schema_json=new_schema.json(),
+            partition_col=snap.partition_col,
+            key_col=snap.key_col,
+            files=list(snap.files),
+            delete_predicates=snap.delete_predicates,
+            stat_cols=snap.stat_cols,
+            zorder_by=snap.zorder_by,
+            bucket_col=snap.bucket_col,
+            n_buckets=snap.n_buckets,
+            renames=snap.renames + [{"from": old, "to": new}],
+            files_ref=snap.files_ref,
+            files_count=snap.files_count,
+        )
+        self.manifest.commit(new_snap)
+        return new_snap
 
     def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,
                        ) -> list[str]:

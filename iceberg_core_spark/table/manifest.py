@@ -219,6 +219,14 @@ class Snapshot:
     # reprocessing, not replay, and must append.
     source_batch_id: int | None = None
     source_lineage: str | None = None
+    # Column-rename history, oldest first: each entry {"from": old,
+    # "to": new}. The name-based analog of Iceberg's field-id rename:
+    # a rename is a metadata-only commit, and the read path resolves a
+    # renamed column as coalesce(current name, prior names) so files
+    # written before the rename (whose physical column is the old name)
+    # keep reading correctly. Retired names stay reserved — see
+    # IceTable.rename_column / append(evolve_schema=True).
+    renames: list[dict] = field(default_factory=list)
     # Set when the file list lives in a Parquet sidecar
     # (``_manifest/files-<id>.parquet`` — a single file when written by
     # the driver, a directory when written by a Spark job) rather than
@@ -245,6 +253,7 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "source_batch_id": self.source_batch_id,
             "source_lineage": self.source_lineage,
+            "renames": self.renames,
         }
 
     @classmethod
@@ -265,6 +274,7 @@ class Snapshot:
             n_buckets=d.get("n_buckets"),
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
+            renames=d.get("renames", []),
             files_ref=d.get("files_ref"),
             files_count=d.get("files_count"),
         )

@@ -39,6 +39,56 @@ def test_append_without_evolve_rejects(spark, tmp_path):
         t.append(wider)
 
 
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column must not rewrite data: same file list, new schema;
+    pre-rename files read through the alias chain."""
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    before = t.manifest.load()
+    snap = t.rename_column("latitude", "lat")
+    assert snap.operation == "rename"
+    assert [f.path for f in snap.files] == [f.path for f in before.files]
+    assert "lat" in t.scan().columns and "latitude" not in t.scan().columns
+    assert t.scan().first().lat == 37.0  # value read via the alias
+    # chained rename resolves through BOTH retired names
+    t.rename_column("lat", "lat_deg")
+    assert t.scan().first().lat_deg == 37.0
+
+
+def test_rename_then_append_mixed_physical_names(spark, tmp_path):
+    """Files written after the rename carry the NEW physical name; a
+    scan must merge both generations correctly."""
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    t.rename_column("latitude", "lat")
+    new_schema_df = location_df(
+        spark, [location_row(timestamp=2, latitude=38.5)]
+    ).withColumnRenamed("latitude", "lat")
+    t.append(new_schema_df)
+    got = {r.timestamp: r.lat for r in t.scan().collect()}
+    assert got == {1: 37.0, 2: 38.5}
+
+
+def test_rename_guards(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="layout-bearing"):
+        t.rename_column(KEY_COL, "key2")
+    t.rename_column("latitude", "lat")
+    with pytest.raises(ValueError, match="retired"):
+        t.rename_column("longitude", "latitude")  # reuse retired name
+    # evolve-append may not reintroduce a retired name either: this df
+    # still carries the OLD "latitude" name, now a retired alias
+    wider = location_df(spark, [location_row(timestamp=2)])
+    with pytest.raises(ValueError, match="retired"):
+        t.append(wider, evolve_schema=True)
+
+
 def test_to_view_sql_roundtrip(spark, tmp_path):
     rows = [location_row(timestamp=t) for t in (1, 2, 3)]
     t = IceTable.create(spark, str(tmp_path / "t"),
