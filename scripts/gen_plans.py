@@ -21,6 +21,9 @@ PICKS = [
     ("dedup_embedding_lsh", "Embedding near-dup, bucketed — hyperplane-bucket equi-join (1-bit multiprobe explode on one side); only (bucket, id) shuffles, vectors re-joined by id for exact cosine on candidates."),
     ("join_bucketed", "Co-located fact-fact join — both sides bucketBy(orderkey) at write; NO Exchange on either join input (asserted with broadcast disabled in tests)."),
     ("split_train_test", "Hash-bucket split — pure map-side projection (md5 bucket), aggregation is the only shuffle; split assignment itself never shuffles."),
+    ("zorder_range_scan", "Multi-dim pruned range query — the scan's file list comes PRE-PRUNED from manifest min/max stats on the Morton-clustered dimension (strict file subset, asserted in tests); the residual BETWEEN pushes to the surviving files' row groups."),
+    ("schema_evolution", "Three-commit evolved table — rename resolves as a coalesce(current, retired) projection INSIDE the scan's codegen stage and the evolve-added column NULL-fills via schema-on-read; zero exchanges, zero data rewrite."),
+    ("dedup_clusters", "Pairs → connected components — skinny candidate equi-join, verify stage repartitioned to cluster width (compute-proportional parallelism, not AQE's bytes-based coalescing), CC solved adaptively (driver union-find at this edge count)."),
 ]
 
 
