@@ -156,10 +156,120 @@ FROM documents
 """
 
 
+_UPSERT_CACHE: dict[str, str] = {}
+
+
+def _upsert_root(spark: SparkSession, sf: str) -> str:
+    """Full documents table, then one upsert replacing every doc_id%5==0
+    row with a deterministic modification (CoW merge: one left-anti
+    shuffle on the key)."""
+    root = _UPSERT_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_ups_"), "docs_ups")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs, key_col="doc_id")
+    t.upsert(
+        docs.filter("doc_id % 5 = 0").select(
+            "doc_id", F.lit("xx").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars")),
+        key_cols=["doc_id"],
+    )
+    _UPSERT_CACHE[sf] = root
+    return root
+
+
+def table_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _upsert_root(spark, sf)).scan()
+
+
+TABLE_UPSERT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+            ELSE n_chars END AS n_chars
+FROM documents
+"""
+
+
+_MOR_CACHE: dict[str, str] = {}
+
+
+def _mor_root(spark: SparkSession, sf: str) -> str:
+    """Documents table with a pending MERGE-ON-READ delete (metadata-only
+    commit; the predicate filters at scan time)."""
+    root = _MOR_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_mor_"), "docs_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs, key_col="doc_id",
+                        max_rows_per_file=64)
+    t.delete_where("lang = 'de'", mode="mor")
+    _MOR_CACHE[sf] = root
+    return root
+
+
+def table_delete_mor(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _mor_root(spark, sf)).scan()
+
+
+TABLE_DELETE_MOR_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'
+"""
+
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _compact_root(spark: SparkSession, sf: str) -> str:
+    """Same lifecycle as _mor_root plus a compaction: small files merge,
+    the pending MoR predicate is rewritten away — contents identical."""
+    root = _COMPACT_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_cmp_"), "docs_cmp")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs, key_col="doc_id",
+                        max_rows_per_file=64)
+    t.delete_where("lang = 'de'", mode="mor")
+    t.compact()
+    _COMPACT_CACHE[sf] = root
+    return root
+
+
+def table_compact(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _compact_root(spark, sf)).scan()
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_incremental": (table_incremental, TABLE_INCREMENTAL_SQL),
     "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SCAN_SQL),
     "schema_evolution": (schema_evolution, SCHEMA_EVOLUTION_SQL),
+    # r5 rotation leads (registered past this round's 50-slot window):
+    "table_upsert": (table_upsert, TABLE_UPSERT_SQL),
+    "table_delete_mor": (table_delete_mor, TABLE_DELETE_MOR_SQL),
+    "table_compact": (table_compact, TABLE_DELETE_MOR_SQL),
 }
