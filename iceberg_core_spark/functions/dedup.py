@@ -77,20 +77,22 @@ def jaccard(a, b) -> F.Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
-def _spread_verify(cand: DataFrame) -> DataFrame:
+def _spread_verify(cand: DataFrame,
+                   cols: tuple[str, str] = ("doc_a", "doc_b")) -> DataFrame:
     """Give the VERIFY stage compute-proportional parallelism. The
     candidate frame is skinny (two id columns — a few bytes/row), so
     AQE's bytes-based coalescing collapses it to ~1 partition; the
-    per-candidate exact Jaccard (an O(|tokens|) set intersection per
-    row) then runs serially — measured 2.5 s of dedup_clusters' 3.3 s
-    at sf0.1 on one core. Hash-repartitioning the id pairs to cluster
-    width costs ~nothing (skinny rows) and spreads verification across
-    every core; at real scale, where the candidate set is already
-    wide, it pins the stage at cluster width instead of letting
-    coalescing undershoot compute-heavy work."""
+    per-candidate exact verification (O(|tokens|) set intersection,
+    or an interpreted-HOF cosine over embedding arrays) then runs
+    serially — measured 2.5 s of dedup_clusters' 3.3 s at sf0.1 on
+    one core. Hash-repartitioning the id pairs to cluster width costs
+    ~nothing (skinny rows) and spreads verification across every
+    core; at real scale, where the candidate set is already wide, it
+    pins the stage at cluster width instead of letting coalescing
+    undershoot compute-heavy work."""
     spark = cand.sparkSession
     return cand.repartition(
-        spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
+        spark.sparkContext.defaultParallelism, *cols)
 
 
 def ngram_jaccard_pairs(
@@ -698,12 +700,13 @@ def embedding_dup_pairs_lsh(
             for i in range(n_planes)
         ]
     right = bucketed.select("id", F.explode(F.array(*probes)).alias("bk"))
-    cand = (
+    cand = _spread_verify(
         left.alias("l")
         .join(right.alias("r"), "bk")
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        cols=("id_a", "id_b"),
     )
     pairs = (
         cand.join(vecs.select(F.col("id").alias("id_a"),
