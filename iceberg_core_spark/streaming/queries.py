@@ -135,6 +135,71 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming exact-dedup (dropDuplicatesWithinWatermark):
+    events are staged as two files — the full table, then every 7th
+    event again (exact full-row duplicates, the at-least-once replay a
+    training-data ingest must absorb) — streamed one file per
+    micro-batch so the duplicate arrives in a LATER batch and is
+    dropped by cross-batch state, not by in-batch distinct. The
+    watermark horizon spans the dataset, so state covers every key and
+    the result is exactly the distinct event set; the oracle is the
+    source table itself. Output is order-insensitive to file ordering:
+    whichever copy arrives first is emitted, and copies are identical
+    rows."""
+    import uuid
+
+    import duckdb
+
+    work = tempfile.mkdtemp(prefix="ice_sdedup_q_")
+    src_dir = os.path.join(work, "incoming")
+    os.makedirs(src_dir)
+    con = duckdb.connect()
+    ev = os.path.join(sf, "events.parquet")
+    con.sql(
+        f"COPY (SELECT event_id, user_id, ts, value FROM '{ev}' "
+        f"ORDER BY event_id) TO '{src_dir}/part-0.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT event_id, user_id, ts, value FROM '{ev}' "
+        f"WHERE event_id % 7 = 0 ORDER BY event_id) "
+        f"TO '{src_dir}/part-1.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    from iceberg_core_spark.streaming.ingest import stream_dedup
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # watermarks reject TIMESTAMP_NTZ; under the engine's pinned UTC
+    # session timezone the cast preserves wall-clock values
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_dedup(src, ["event_id"], ts_col="ts",
+                       watermark="60 days")
+    qname = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup drain did not finish in 300s")
+    return spark.table(qname)
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, ts, value FROM events
+"""
+
+
 def stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the watermarked stream-stream band join (clicks
     within 30 min before each purchase, same user). The operator is
@@ -177,4 +242,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "win_session": (win_session, WIN_SESSION_SQL),
     "stream_ingest": (stream_ingest, STREAM_INGEST_SQL),
     "stream_join": (stream_join, STREAM_JOIN_SQL),
+    # r5 rotation lead (registered past this round's 50-slot window)
+    "stream_dedup": (stream_dedup_q, STREAM_DEDUP_SQL),
 }
