@@ -56,7 +56,11 @@ def all_queries() -> dict[str, Entry]:
     # agg_hash + udfs ride session.spread's estimator change and are
     # already in (c)). Queries NOT listed keep their r3 rows: their
     # modules are unchanged in r4 (relational.py tail, relational_ext,
-    # asof, tpch q3/q5, avro, streaming/queries, similarity).
+    # asof, tpch q3/q5, avro, similarity). streaming/queries.py gained
+    # stream_dedup in r4 (append-only diff); its out-of-window rows
+    # (stream_ingest, win_tumbling) stay covered on current code by
+    # the parametrized repo oracle tests, and the in-window stream
+    # trio re-verifies the same module's shared paths.
     priority = [
         # (a) never-recorded rows-only production twins
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
