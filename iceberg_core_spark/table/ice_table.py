@@ -1015,7 +1015,13 @@ class IceTable:
                 if chi is not None:
                     mdf = mdf.filter(keep_le("key_min_n", chi))
         # survivors ship as (path, seq) stubs — the read path needs file
-        # locations and MoR seq scoping, never the stats that pruned them
+        # locations and MoR seq scoping, never the stats that pruned
+        # them. Documented ceiling: this is the same planning shape
+        # Iceberg itself uses (the driver must enumerate the files a
+        # scan reads); at ~100 bytes/stub, 1M SURVIVING files is
+        # ~100 MB of driver heap. Queries whose predicate prunes
+        # poorly on a huge table should raise driver memory or tighten
+        # the predicate — the pruned-out majority never materializes.
         return [
             ManifestFile(path=r.path, partition=None, key_min=None,
                          key_max=None, rows=0, bytes=0, content_hash="",
