@@ -262,14 +262,39 @@ def table_compact(spark: SparkSession, sf: str) -> DataFrame:
     return IceTable(spark, _compact_root(spark, sf)).scan()
 
 
+# Compaction must NOT change table contents — it only merges small files
+# and rewrites pending MoR deletes away — so its oracle is by design the
+# same SQL as table_delete_mor's (not a copy-paste slip); the repo test
+# additionally asserts the data file count drops.
+TABLE_COMPACT_SQL = TABLE_DELETE_MOR_SQL
+
+
+def table_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan the upsert table AS OF its first snapshot — the pre-upsert
+    contents must be fully reconstructable after later commits (snapshot
+    isolation / time travel; Iceberg's ``VERSION AS OF``). Reuses the
+    cached two-commit upsert root; oracle = the unmodified source."""
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _upsert_root(spark, sf))
+    first = t.manifest.snapshots(load_files=False)[0].snapshot_id
+    return t.scan(snapshot_id=first)
+
+
+TABLE_TIME_TRAVEL_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_incremental": (table_incremental, TABLE_INCREMENTAL_SQL),
     "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SCAN_SQL),
     "schema_evolution": (schema_evolution, SCHEMA_EVOLUTION_SQL),
-    # r5 rotation leads (registered past this round's 50-slot window):
+    # r5 rotation leads (registered past r4's 50-slot window):
     "table_upsert": (table_upsert, TABLE_UPSERT_SQL),
     "table_delete_mor": (table_delete_mor, TABLE_DELETE_MOR_SQL),
-    "table_compact": (table_compact, TABLE_DELETE_MOR_SQL),
+    "table_compact": (table_compact, TABLE_COMPACT_SQL),
+    "table_time_travel": (table_time_travel, TABLE_TIME_TRAVEL_SQL),
 }

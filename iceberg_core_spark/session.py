@@ -107,14 +107,41 @@ def load_table_raw(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(path), nanos_cols
 
 
+_SIZE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _size_bytes(val: str | int, default: int) -> int:
+    """Parse a Spark byte-size config value. Spark accepts both plain
+    longs and suffixed strings ('128m', '128MB', '4g'); sessions not
+    built by get_spark can legitimately carry the suffixed form, so a
+    bare int() would crash every spread() call in such a session."""
+    try:
+        s = str(val).strip().lower()
+        for suf, mult in sorted(_SIZE_SUFFIXES.items(),
+                                key=lambda kv: -len(kv[0])):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)]) * mult)
+        return int(s)
+    except (ValueError, TypeError):
+        return default
+
+
 def scan_partition_estimate(df) -> int:
     """Estimate a frame's SCAN partition count from file metadata alone
-    (input file sizes vs ``spark.sql.files.maxPartitionBytes``) — the
-    bin-packing Spark's FilePartition planner applies, without
-    ``df.rdd.getNumPartitions()``, which forces an RDD conversion of the
-    analyzed plan on every call (driver-side planning cost per query).
-    Frames with no input files (in-memory, streaming) report
-    defaultParallelism, i.e. "already spread"."""
+    — Spark's FilePartition formula (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalPadded / defaultParallelism)); each file
+    padded by the open cost) — without ``df.rdd.getNumPartitions()``,
+    which forces an RDD conversion of the analyzed plan on every call
+    (driver-side planning cost per query).
+
+    Frames with NO input files (in-memory / post-shuffle / streaming)
+    fall back to the RDD partition count — the only truth source there;
+    a genuinely single-partition in-memory frame must not be reported
+    as "already spread". Streaming frames (no RDD either) report
+    defaultParallelism."""
     from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
@@ -123,17 +150,28 @@ def scan_partition_estimate(df) -> int:
     except Exception:
         files = []
     if not files:
-        return spark.sparkContext.defaultParallelism
-    maxpb = int(spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:  # streaming frames have no RDD view
+            return spark.sparkContext.defaultParallelism
+    maxpb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+                       str(128 * 1024 * 1024)),
+        128 * 1024 * 1024)
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes",
+                       str(4 * 1024 * 1024)),
+        4 * 1024 * 1024)
     total = 0
     for uri in files:
         p = unquote(urlparse(uri).path) if "://" in uri else uri
         try:
-            total += os.path.getsize(p)
+            total += os.path.getsize(p) + open_cost
         except OSError:
             total += maxpb  # unknown size: count as one full partition
-    return max(1, -(-total // maxpb))
+    bytes_per_core = total // max(1, spark.sparkContext.defaultParallelism)
+    split = min(maxpb, max(open_cost, bytes_per_core))
+    return max(1, -(-total // split))
 
 
 def spread(df, min_factor: int = 2):

@@ -135,24 +135,19 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
-def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL streaming exact-dedup (dropDuplicatesWithinWatermark):
-    events are staged as two files — the full table, then every 7th
-    event again (exact full-row duplicates, the at-least-once replay a
-    training-data ingest must absorb) — streamed one file per
-    micro-batch so the duplicate arrives in a LATER batch and is
-    dropped by cross-batch state, not by in-batch distinct. The
-    watermark horizon spans the dataset, so state covers every key and
-    the result is exactly the distinct event set; the oracle is the
-    source table itself. Output is order-insensitive to file ordering:
-    whichever copy arrives first is emitted, and copies are identical
-    rows."""
-    import uuid
+_SDEDUP_SRC_CACHE: dict[str, str] = {}
 
+
+def _sdedup_src(sf: str) -> str:
+    """Stage (once per corpus, like the _*_root builders) the two-file
+    replay source: the full events table, then every 7th event again."""
+    src_dir = _SDEDUP_SRC_CACHE.get(sf)
+    if src_dir is not None and os.path.isdir(src_dir):
+        return src_dir
     import duckdb
 
-    work = tempfile.mkdtemp(prefix="ice_sdedup_q_")
-    src_dir = os.path.join(work, "incoming")
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="ice_sdedup_q_"),
+                           "incoming")
     os.makedirs(src_dir)
     con = duckdb.connect()
     ev = os.path.join(sf, "events.parquet")
@@ -166,9 +161,33 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         f"TO '{src_dir}/part-1.parquet' (FORMAT PARQUET)"
     )
     con.close()
+    _SDEDUP_SRC_CACHE[sf] = src_dir
+    return src_dir
+
+
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming exact-dedup (dropDuplicatesWithinWatermark):
+    events are staged as two files — the full table, then every 7th
+    event again (exact full-row duplicates, the at-least-once replay a
+    training-data ingest must absorb) — streamed one file per
+    micro-batch so the duplicate arrives in a LATER batch and is
+    dropped by cross-batch state, not by in-batch distinct. The
+    watermark horizon spans the dataset, so state covers every key and
+    the result is exactly the distinct event set; the oracle is the
+    source table itself. Output is order-insensitive to file ordering:
+    whichever copy arrives first is emitted, and copies are identical
+    rows.
+
+    The staged source is cached per sf; the checkpoint must be FRESH
+    per invocation (a reused availableNow checkpoint would consider
+    the files already processed and emit nothing), so it lives in a
+    per-run temp dir removed after the drain."""
+    import uuid
 
     from iceberg_core_spark.streaming.ingest import stream_dedup
 
+    src_dir = _sdedup_src(sf)
+    ckpt_work = tempfile.mkdtemp(prefix="ice_sdedup_ckpt_")
     schema = spark.read.parquet(src_dir).schema
     src = (
         spark.readStream.schema(schema)
@@ -185,13 +204,16 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("checkpointLocation", os.path.join(ckpt_work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_dedup drain did not finish in 300s")
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_dedup drain did not finish in 300s")
+    finally:
+        shutil.rmtree(ckpt_work, ignore_errors=True)
     return spark.table(qname)
 
 

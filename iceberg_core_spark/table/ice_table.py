@@ -59,6 +59,18 @@ from iceberg_core_spark.table.manifest import (
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
 
 
+def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
+    """Fold a snapshot's rename history into alias chains keyed by the
+    CURRENT name, prior physical names newest-first: renames are stored
+    oldest-first, so a→b then b→c folds to {"c": ["b", "a"]}. Shared by
+    the read path (coalesce over retired columns) and the pruning path
+    (stat lookup under a file's then-physical name)."""
+    chains: dict[str, list[str]] = {}
+    for r in renames:
+        chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
+    return chains
+
+
 def _not_true(cond):
     """DELETE semantics: a row is deleted only when the predicate is
     TRUE; rows where it evaluates NULL are KEPT. A bare ~cond would
@@ -822,9 +834,17 @@ class IceTable:
                         base_df = spark.read.parquet(
                             man.sidecar_path(psnap.files_ref))
                     elif psnap.files:
+                        # include retired alias names: pre-rename files
+                        # carry their stats under the then-physical name
+                        # and pruning resolves through the chain
+                        retired = [o for olds in
+                                   _fold_chains(renames or []).values()
+                                   for o in olds]
                         base_tmp = f"tmp-base-{os.urandom(4).hex()}.parquet"
                         man._write_files_sidecar(
-                            psnap.files, stat_cols, base_tmp)
+                            psnap.files,
+                            list(dict.fromkeys(stat_cols + retired)),
+                            base_tmp)
                         base_df = spark.read.parquet(
                             man.sidecar_path(base_tmp))
 
@@ -844,8 +864,14 @@ class IceTable:
                             "path", "left_anti")
                 final_new = keep_df.drop("content_hash").withColumn(
                     "seq", F.lit(sid).cast("long"))
+                # allowMissingColumns: after a stat-column rename the
+                # parent sidecar tracks smin_<old> while new entries
+                # track smin_<new>; each file's stats live under its
+                # then-physical name (NULL elsewhere) and pruning
+                # coalesces over the alias chain
                 out_df = (final_new if base_df is None
-                          else base_df.unionByName(final_new))
+                          else base_df.unionByName(
+                              final_new, allowMissingColumns=True))
                 ref = f"files-{sid}-{os.urandom(4).hex()}.parquet"
                 out_df.write.parquet(man.sidecar_path(ref))
 
@@ -963,8 +989,19 @@ class IceTable:
         so a point query on a 1M-file table parses a handful of entries,
         not a million. Bounds are normalized (epoch micros/days) to
         match the sidecar's orderable stat encoding; NULL stats are
-        conservatively kept, mirroring ManifestFile.overlaps*."""
+        conservatively kept, mirroring ManifestFile.overlaps*.
+
+        Stats of a RENAMED column resolve through the same alias chain
+        the read path uses: a file written before the rename keeps its
+        stats under the then-physical name, so the stat for current
+        name ``c`` is the first of [c, prior, ...] the file actually
+        carries (each file has exactly one physical name per column)."""
         ranges = ranges or {}
+        chains = _fold_chains(snap.renames)
+
+        def stat_names(col: str) -> list[str]:
+            return [col] + chains.get(col, [])
+
         if not snap.files_ref:
             files = snap.files
             if partition is not None and snap.partition_col:
@@ -972,7 +1009,15 @@ class IceTable:
             if (lo is not None or hi is not None) and snap.key_col:
                 files = [f for f in files if f.overlaps(lo, hi)]
             for col, (clo, chi) in ranges.items():
-                files = [f for f in files if f.overlaps_col(col, clo, chi)]
+                names = stat_names(col)
+
+                def overlaps_chain(f, names=names, clo=clo, chi=chi):
+                    phys = next(
+                        (n for n in names if n in f.col_stats), None)
+                    return (True if phys is None
+                            else f.overlaps_col(phys, clo, chi))
+
+                files = [f for f in files if overlaps_chain(f)]
                 if snap.key_col == col:
                     files = [f for f in files if f.overlaps(clo, chi)]
             return files
@@ -983,13 +1028,21 @@ class IceTable:
             self.manifest.sidecar_path(snap.files_ref)
         )
 
-        def keep_ge(colname, bound):  # col is a MAX stat: keep if >= lo
-            return F.col(colname).isNull() | (
-                F.col(colname) >= F.lit(_norm_stat(bound)))
+        def keep_ge(stat, bound):  # stat is a MAX column: keep if >= lo
+            return stat.isNull() | (stat >= F.lit(_norm_stat(bound)))
 
-        def keep_le(colname, bound):  # col is a MIN stat: keep if <= hi
-            return F.col(colname).isNull() | (
-                F.col(colname) <= F.lit(_norm_stat(bound)))
+        def keep_le(stat, bound):  # stat is a MIN column: keep if <= hi
+            return stat.isNull() | (stat <= F.lit(_norm_stat(bound)))
+
+        def chain_stat(prefix: str, col: str):
+            """coalesce over the alias chain's sidecar stat columns —
+            per file exactly one is non-NULL (its physical name at
+            write time); files predating a stat column are NULL
+            everywhere and are conservatively kept. None when no chain
+            member has a stat column at all (no pruning possible)."""
+            cols = [f"{prefix}_{n}" for n in stat_names(col)
+                    if f"{prefix}_{n}" in mdf.columns]
+            return F.coalesce(*[F.col(c) for c in cols]) if cols else None
 
         if partition is not None and snap.partition_col:
             # NULL partition_n = stat unavailable (e.g. unsupported stat
@@ -1000,20 +1053,21 @@ class IceTable:
             )
         if snap.key_col:
             if lo is not None:
-                mdf = mdf.filter(keep_ge("key_max_n", lo))
+                mdf = mdf.filter(keep_ge(F.col("key_max_n"), lo))
             if hi is not None:
-                mdf = mdf.filter(keep_le("key_min_n", hi))
+                mdf = mdf.filter(keep_le(F.col("key_min_n"), hi))
         for col, (clo, chi) in ranges.items():
-            if f"smin_{col}" in mdf.columns:
+            smin, smax = chain_stat("smin", col), chain_stat("smax", col)
+            if smin is not None:
                 if clo is not None:
-                    mdf = mdf.filter(keep_ge(f"smax_{col}", clo))
+                    mdf = mdf.filter(keep_ge(smax, clo))
                 if chi is not None:
-                    mdf = mdf.filter(keep_le(f"smin_{col}", chi))
+                    mdf = mdf.filter(keep_le(smin, chi))
             if snap.key_col == col:
                 if clo is not None:
-                    mdf = mdf.filter(keep_ge("key_max_n", clo))
+                    mdf = mdf.filter(keep_ge(F.col("key_max_n"), clo))
                 if chi is not None:
-                    mdf = mdf.filter(keep_le("key_min_n", chi))
+                    mdf = mdf.filter(keep_le(F.col("key_min_n"), chi))
         # survivors ship as (path, seq) stubs — the read path needs file
         # locations and MoR seq scoping, never the stats that pruned
         # them. Documented ceiling: this is the same planning shape
@@ -1201,12 +1255,8 @@ class IceTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f.path) for f in files]
         current = {f.name for f in schema.fields}
-        # alias chains, newest physical name first: renames are stored
-        # oldest-first, so a→b then b→c folds to {"c": ["b", "a"]}
-        chains: dict[str, list[str]] = {}
-        for r in snap.renames:
-            chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
-        chains = {k: v for k, v in chains.items() if k in current}
+        chains = {k: v for k, v in _fold_chains(snap.renames).items()
+                  if k in current}
         if not chains:
             return self.spark.read.schema(schema).parquet(*paths).select(
                 *[F.col(f.name) for f in schema.fields]
@@ -1534,60 +1584,77 @@ class IceTable:
         Constraints (each protects schema-on-read of existing files):
         type is preserved; the new name must be unused AND not a
         retired alias (reusing one would capture old files' bytes);
-        layout-bearing columns (partition/key/stat/zorder/bucket) are
-        refused — manifest stats are keyed by physical column name."""
+        partition/key/bucket columns are refused — file routing and key
+        min/max stats are keyed by physical column name. STAT and
+        Z-ORDER columns MAY be renamed: the snapshot's stat_cols /
+        zorder_by lists move to the new name and pruning resolves each
+        file's stats through the same alias chain the read path uses
+        (pre-rename entries keep stats under the old physical name).
+
+        A metadata-only rename is safe to auto-retry after a lost
+        commit race: it carries no data files of its own, so it reloads
+        the winner snapshot, re-validates every guard against it, and
+        re-commits on top — CommitConflictError only surfaces when a
+        guard genuinely fails against the new state (e.g. the winner
+        added a conflicting column)."""
+        import json as _json
+
         snap = self.manifest.load(load_files=False)
-        schema = StructType.fromJson(
-            __import__("json").loads(snap.schema_json))
-        names = [f.name for f in schema.fields]
-        if old not in names:
-            raise ValueError(f"no such column: {old!r}")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
-        retired = {r["from"] for r in snap.renames}
-        if new in retired:
-            raise ValueError(
-                f"column name {new!r} was retired by an earlier rename "
-                "and stays reserved (old files still carry it physically)"
+        while True:
+            schema = StructType.fromJson(_json.loads(snap.schema_json))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            retired = {r["from"] for r in snap.renames}
+            if new in retired:
+                raise ValueError(
+                    f"column name {new!r} was retired by an earlier rename "
+                    "and stays reserved (old files still carry it physically)"
+                )
+            if snap.delete_predicates:
+                raise ValueError(
+                    "pending merge-on-read delete predicates reference "
+                    "physical column names; compact() before renaming"
+                )
+            if old in {snap.partition_col, snap.key_col, snap.bucket_col}:
+                raise ValueError(
+                    f"{old!r} is partition/key/bucket-bearing; file "
+                    "routing and key min/max stats are keyed by physical "
+                    "name — rewrite via compact() with a new layout instead"
+                )
+            new_schema = StructType([
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old else f
+                for f in schema.fields
+            ])
+            new_snap = Snapshot(
+                snapshot_id=snap.snapshot_id + 1,
+                parent_id=snap.snapshot_id,
+                timestamp_ms=Manifest.now_ms(),
+                operation="rename",
+                schema_json=new_schema.json(),
+                partition_col=snap.partition_col,
+                key_col=snap.key_col,
+                files=list(snap.files),
+                delete_predicates=snap.delete_predicates,
+                stat_cols=[new if c == old else c for c in snap.stat_cols],
+                zorder_by=[new if c == old else c for c in snap.zorder_by],
+                bucket_col=snap.bucket_col,
+                n_buckets=snap.n_buckets,
+                renames=snap.renames + [{"from": old, "to": new}],
+                files_ref=snap.files_ref,
+                files_count=snap.files_count,
             )
-        if snap.delete_predicates:
-            raise ValueError(
-                "pending merge-on-read delete predicates reference "
-                "physical column names; compact() before renaming"
-            )
-        layout = ({snap.partition_col, snap.key_col, snap.bucket_col}
-                  | set(snap.stat_cols) | set(snap.zorder_by))
-        if old in layout:
-            raise ValueError(
-                f"{old!r} is layout-bearing (partition/key/stat/zorder/"
-                "bucket); its manifest stats are keyed by physical name "
-                "— rewrite via compact() with a new layout instead"
-            )
-        new_schema = StructType([
-            StructField(new, f.dataType, f.nullable)
-            if f.name == old else f
-            for f in schema.fields
-        ])
-        new_snap = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
-            parent_id=snap.snapshot_id,
-            timestamp_ms=Manifest.now_ms(),
-            operation="rename",
-            schema_json=new_schema.json(),
-            partition_col=snap.partition_col,
-            key_col=snap.key_col,
-            files=list(snap.files),
-            delete_predicates=snap.delete_predicates,
-            stat_cols=snap.stat_cols,
-            zorder_by=snap.zorder_by,
-            bucket_col=snap.bucket_col,
-            n_buckets=snap.n_buckets,
-            renames=snap.renames + [{"from": old, "to": new}],
-            files_ref=snap.files_ref,
-            files_count=snap.files_count,
-        )
-        self.manifest.commit(new_snap)
-        return new_snap
+            try:
+                self.manifest.commit(new_snap)
+                return new_snap
+            except CommitConflictError:
+                winner = self.manifest.load(load_files=False)
+                if winner.snapshot_id == snap.snapshot_id:
+                    raise  # not a lost race — surface the real error
+                snap = winner
 
     def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,
                        ) -> list[str]:

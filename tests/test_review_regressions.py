@@ -160,3 +160,57 @@ def test_zorder_wide_timestamp_span(spark, tmp_path):
     pruned = t.range_scan({"ts": (lo, hi)})
     assert len(pruned.inputFiles()) < t.file_count()
     assert pruned.count() == 4
+
+
+def test_size_suffixed_conf_parses(spark):
+    # r4 advice: sessions not built by get_spark can carry Spark's
+    # suffixed size strings ('128m'); int() crashed every spread() call
+    from iceberg_core_spark.session import _size_bytes
+
+    assert _size_bytes("128m", 1) == 128 * 1024 * 1024
+    assert _size_bytes("128MB", 1) == 128 * 1024 * 1024
+    assert _size_bytes("4g", 1) == 4 * 1024 * 1024 * 1024
+    assert _size_bytes(str(1 << 20), 1) == 1 << 20
+    assert _size_bytes(1 << 20, 1) == 1 << 20
+    assert _size_bytes("garbage", 77) == 77
+
+    from iceberg_core_spark.session import scan_partition_estimate
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        assert scan_partition_estimate(df) >= 1  # no ValueError
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_partition_estimate_in_memory_frames(spark):
+    # r4 advice: frames with no input files must not be reported as
+    # "already spread" — a single-partition in-memory frame feeding
+    # CPU-bound work would serialize on one core
+    from iceberg_core_spark.session import scan_partition_estimate, spread
+
+    one = spark.range(1000).coalesce(1)
+    assert scan_partition_estimate(one) == 1
+    assert spread(one).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+    many = spark.range(1000).repartition(16)
+    assert scan_partition_estimate(many) == 16
+
+
+def test_partition_estimate_matches_spark_planner(spark, tmp_path):
+    # open-cost padding: 8 tiny files estimate like Spark's
+    # FilePartition formula (several partitions), not "1 because
+    # total bytes < maxPartitionBytes" — which inserted a redundant
+    # repartition shuffle on many-small-file scans
+    from iceberg_core_spark.session import scan_partition_estimate
+
+    p = str(tmp_path / "many")
+    spark.range(8).repartition(8).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = scan_partition_estimate(df)
+    actual = df.rdd.getNumPartitions()
+    assert est >= 2
+    assert abs(est - actual) <= max(2, actual // 2)

@@ -77,7 +77,7 @@ def test_rename_guards(spark, tmp_path):
                         partition_col=PARTITION_COL, key_col=KEY_COL)
     with pytest.raises(ValueError, match="no such column"):
         t.rename_column("nope", "x")
-    with pytest.raises(ValueError, match="layout-bearing"):
+    with pytest.raises(ValueError, match="partition/key/bucket"):
         t.rename_column(KEY_COL, "key2")
     t.rename_column("latitude", "lat")
     with pytest.raises(ValueError, match="retired"):
@@ -87,6 +87,36 @@ def test_rename_guards(spark, tmp_path):
     wider = location_df(spark, [location_row(timestamp=2)])
     with pytest.raises(ValueError, match="retired"):
         t.append(wider, evolve_schema=True)
+
+
+def test_rename_retries_lost_commit_race(spark, tmp_path):
+    """A metadata-only rename losing the commit CAS must reload the
+    winner, re-validate its guards, and retry — not surface
+    CommitConflictError for a safely retryable operation."""
+    root = str(tmp_path / "t")
+    t = IceTable.create(spark, root,
+                        location_df(spark, [location_row(timestamp=1)]),
+                        partition_col=PARTITION_COL, key_col=KEY_COL)
+    racer = IceTable(spark, root)
+    real_commit = t.manifest.commit
+    fired = {"n": 0}
+
+    def racing_commit(snap):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a concurrent append wins the CAS between rename's read
+            # and its commit attempt
+            racer.append(location_df(spark, [location_row(timestamp=2)]),
+                         dedupe_identical_files=False)
+        return real_commit(snap)
+
+    t.manifest.commit = racing_commit
+    snap = t.rename_column("latitude", "lat")
+    t.manifest.commit = real_commit
+    assert snap.operation == "rename"
+    assert fired["n"] == 1
+    got = {r.timestamp: r.lat for r in t.scan().collect()}
+    assert got == {1: 37.0, 2: 37.0}  # winner's row survived the rename
 
 
 def test_to_view_sql_roundtrip(spark, tmp_path):

@@ -74,6 +74,54 @@ def test_zorder_persists_across_appends(spark, grid_df, tmp_path):
     assert zt.scan().count() == 64 * 64
 
 
+def test_rename_zdim_prune_append_compact(spark, grid_df, tmp_path):
+    """Schema evolution × z-order × compaction composition: rename a
+    z-ordered dimension (metadata-only — allowed because pruning
+    resolves stats through the alias chain), verify pruning on the NEW
+    name over pre-rename files, append post-rename files (stats under
+    the new physical name), then compact and range_scan again — the
+    rewrite must preserve contents and restore single-name stats."""
+    zt = IceTable.create(spark, str(tmp_path / "zr"),
+                         grid_df.filter(F.col("payload") < 2048),
+                         key_col="x", zorder_by=["x", "y"],
+                         max_rows_per_file=256)
+    zt.rename_column("y", "depth")
+    snap = zt.manifest.load()
+    assert snap.zorder_by == ["x", "depth"]  # layout config followed
+    assert snap.stat_cols == ["x", "depth"]
+    assert all("y" in f.col_stats for f in snap.files)  # old physical
+
+    # pruning on the renamed dimension still works over pre-rename files
+    box = {"depth": (0, 7)}
+    assert _files_read(zt.range_scan(box)) < zt.file_count()
+    got = sorted(r.payload for r in zt.range_scan(box).collect())
+    expect = sorted(r.payload for r in grid_df.filter(
+        (F.col("payload") < 2048) & F.col("y").between(0, 7)).collect())
+    assert got == expect
+
+    # post-rename appends write stats under the NEW physical name;
+    # a scan + pruned range_scan spans both stat generations
+    zt.append(
+        grid_df.filter(F.col("payload") >= 2048)
+        .withColumnRenamed("y", "depth"),
+        dedupe_identical_files=False)
+    mixed = sorted(r.payload for r in
+                   zt.range_scan({"depth": (30, 40)}).collect())
+    expect_mixed = sorted(r.payload for r in grid_df.filter(
+        F.col("y").between(30, 40)).collect())
+    assert mixed == expect_mixed
+
+    # compact: rewritten files carry the new physical name; contents
+    # and pruning on the renamed dimension survive the rewrite
+    zt.compact(target_rows_per_file=512)
+    snap2 = zt.manifest.load()
+    assert all("depth" in f.col_stats for f in snap2.files)
+    assert _files_read(zt.range_scan(box)) < zt.file_count()
+    after = sorted(r.payload for r in
+                   zt.range_scan({"depth": (30, 40)}).collect())
+    assert after == expect_mixed
+
+
 def test_zorder_rejects_bad_types(spark, tmp_path):
     df = __import__("iceberg_core_spark.session", fromlist=["load_table"])
     docs = df.load_table(spark, "/root/testdata/sf0.001", "documents")
