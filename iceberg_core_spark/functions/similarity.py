@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +132,32 @@ def ivf_topk(
     )
 
 
+def _write_centroid_doc(root: str, model, train_df, vec_col: str,
+                        id_col: str) -> dict:
+    """Atomically (re)write the index's centroid doc, recording the
+    fit-time mean squared distance to the nearest centroid (KMeans
+    trainingCost / n over the training sample) — the baseline
+    :meth:`IvfIndex.staleness` compares against."""
+    import json
+    import os
+
+    n_train = train_df.count()
+    mean_sq = (float(model.summary.trainingCost) / n_train
+               if n_train else 0.0)
+    meta = {
+        "centroids": [[float(x) for x in c]
+                      for c in model.clusterCenters()],
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "fit_mean_sq_dist": mean_sq,
+    }
+    tmp = os.path.join(root, IvfIndex.CENTROIDS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, IvfIndex.CENTROIDS_FILE))
+    return meta
+
+
 class IvfIndex:
     """Build-once / query-many IVF index — the scale form of ``ivf_topk``
     (which re-fits k-means per call and exists as the one-shot twin).
@@ -143,6 +170,32 @@ class IvfIndex:
     doc beside the table. ``topk`` loads centroids (driver-side, tiny),
     picks the nearest cells with numpy, and scans only those partitions
     with an exact-cosine rerank.
+
+    STALENESS: the quantizer is fit ONCE — as the corpus drifts
+    (appends from a shifted distribution), the centroids stop modeling
+    the data and probing n_probe cells misses a growing share of true
+    neighbors (recall decays; results silently degrade, queries do not
+    fail). Two sampled monitors, each one narrow scan + an
+    Arrow-batched numpy pass, no shuffle:
+
+    - :meth:`staleness` — quantization-error ratio: sampled mean
+      squared distance to the nearest centroid ÷ the same quantity
+      recorded at fit time. ≈1.0 on a fresh index; rises as the
+      distribution drifts away from the centroids (catches drift even
+      when every stored cell is still consistent). Rebuild around
+      ≥1.5–2.
+    - :meth:`assignment_drift` — sampled fraction of vectors whose
+      stored cell is NOT their nearest current centroid (~0 when
+      healthy). Catches assignments out of sync with the centroid doc
+      (bulk loads that skipped assignment, manual centroid edits).
+
+    Operational discipline for a 100 TB deployment: check both after
+    bulk ingests from a new source and on a maintenance cadence;
+    :meth:`rebuild` costs one k-means sample fit + one full
+    reassignment rewrite — an offline maintenance job, never a
+    query-path cost; readers keep the old snapshot until the new
+    commit lands (snapshot isolation). Scale n_cells with corpus
+    growth (rows/cell roughly constant keeps probe cost flat).
     """
 
     CENTROIDS_FILE = "_ivf_centroids.json"
@@ -161,6 +214,9 @@ class IvfIndex:
         self.centroids = np.asarray(meta["centroids"], dtype=float)
         self.vec_col = meta["vec_col"]
         self.id_col = meta["id_col"]
+        # fit-time mean squared distance to nearest centroid — the
+        # baseline for the staleness() ratio (absent on pre-r5 indexes)
+        self.fit_mean_sq_dist = meta.get("fit_mean_sq_dist")
 
     @classmethod
     def build(
@@ -200,16 +256,106 @@ class IvfIndex:
         )
         IceTable.create(spark, root, assigned, partition_col="cell",
                         key_col=id_col, max_rows_per_file=max_rows_per_file)
-        meta = {
-            "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
-            "vec_col": vec_col,
-            "id_col": id_col,
-        }
-        tmp = os.path.join(root, cls.CENTROIDS_FILE + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(root, cls.CENTROIDS_FILE))
+        _write_centroid_doc(root, model, train, vec_col, id_col)
         return cls(spark, root)
+
+    def _sampled_nearest(self, sample_fraction: float, seed: int):
+        """Sampled (nearest-cell, squared-distance, stored-cell) frame:
+        one narrow scan + an Arrow-batched numpy pass against the
+        (tiny, closure-shipped) centroid matrix; no shuffle."""
+        from pyspark.sql.functions import pandas_udf
+
+        cents = self.centroids  # (k, d)
+
+        @pandas_udf("nearest int, d2 double")
+        def near(vs: pd.Series) -> pd.DataFrame:
+            m = np.vstack(vs.values)  # (batch, d)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.DataFrame({
+                "nearest": d2.argmin(axis=1).astype("int32"),
+                "d2": d2.min(axis=1),
+            })
+
+        sample = self.table.scan().select(
+            F.col(self.vec_col).cast("array<double>").alias("__v"),
+            F.col("cell"))
+        if sample_fraction < 1.0:
+            sample = sample.sample(fraction=sample_fraction, seed=seed)
+        return sample.select(near(F.col("__v")).alias("n"), "cell") \
+            .select("n.nearest", "n.d2", "cell")
+
+    def assignment_drift(self, sample_fraction: float = 0.1,
+                         seed: int = 7) -> float:
+        """Sampled fraction of vectors whose stored cell is NOT their
+        nearest current centroid (see class docstring: catches
+        assignments out of sync with the centroid doc). ~0 when
+        healthy."""
+        row = self._sampled_nearest(sample_fraction, seed).select(
+            (F.col("nearest") != F.col("cell")).cast("int").alias("moved")
+        ).agg(F.avg("moved").alias("rate")).first()
+        return float(row.rate) if row.rate is not None else 0.0
+
+    def staleness(self, sample_fraction: float = 0.1,
+                  seed: int = 7) -> float:
+        """Quantization-error ratio: sampled mean squared distance to
+        the nearest centroid ÷ the fit-time baseline. ≈1.0 fresh;
+        rises as the corpus drifts away from the centroids (see class
+        docstring — rebuild around ≥1.5–2). Raises on indexes built
+        before the baseline was recorded (rebuild once to record it)."""
+        if self.fit_mean_sq_dist is None:
+            raise ValueError(
+                "index has no fit-time quantization-error baseline "
+                "(built by an older version) — rebuild() records one")
+        row = self._sampled_nearest(sample_fraction, seed) \
+            .agg(F.avg("d2").alias("msd")).first()
+        if row.msd is None:
+            return 1.0
+        return float(row.msd) / float(self.fit_mean_sq_dist)
+
+    def rebuild(
+        self,
+        df: DataFrame | None = None,
+        n_cells: int | None = None,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_rows_per_file: int = 1_000_000,
+    ) -> "IvfIndex":
+        """Refit the coarse quantizer and reassign every vector — the
+        maintenance step for a drifted index (see class docstring).
+        ``df`` defaults to the index's own stored vectors (pass the
+        current corpus frame to also pick up rows added outside the
+        index); ``n_cells`` defaults to the existing cell count.
+        The reassignment lands as ONE overwrite commit on the
+        assignment table (readers keep the previous snapshot until it
+        lands) and the centroid doc is replaced atomically."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        source = (df if df is not None
+                  else self.table.scan().select(self.id_col, self.vec_col))
+        k = n_cells if n_cells is not None else len(self.centroids)
+        feat = source.select(
+            F.col(self.id_col),
+            F.col(self.vec_col).cast("array<double>").alias("__arr"),
+        ).withColumn("__vec", array_to_vector("__arr"))
+        train = (
+            feat.sample(fraction=sample_fraction, seed=seed)
+            if sample_fraction is not None else feat
+        )
+        model = KMeans(k=k, seed=seed, featuresCol="__vec",
+                       predictionCol="__cell").fit(train)
+        assigned = model.transform(feat).select(
+            F.col(self.id_col),
+            F.col("__arr").alias(self.vec_col),
+            F.col("__cell").cast("int").alias("cell"),
+        )
+        self.table.overwrite(assigned,
+                             max_rows_per_file=max_rows_per_file)
+        meta = _write_centroid_doc(self.root, model, train,
+                                   self.vec_col, self.id_col)
+        self.centroids = np.asarray(meta["centroids"], dtype=float)
+        self.fit_mean_sq_dist = meta["fit_mean_sq_dist"]
+        return self
 
     def topk(self, query_vec: list[float], k: int = 10,
              n_probe: int = 4) -> DataFrame:

@@ -148,10 +148,102 @@ LIMIT 20
 """
 
 
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """Pricing-summary shape: single-table scan-heavy aggregate over
+    ~all of lineitem — the canonical map-side-partial aggregation
+    benchmark (tiny group cardinality: returnflag × linestatus). No
+    join, one shuffle of partial aggregates; the scan reads only the 7
+    referenced columns (column pruning) with the date filter pushed.
+    Averages are computed as exact decimal sums divided by the count
+    in DOUBLE — IEEE division of identical inputs is deterministic
+    across engines, unlike engine-native AVG over doubles."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate")
+        <= F.lit("1999-09-01 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting-revenue shape: pure filter + global aggregate, zero
+    joins — the predicate-pushdown showcase. All three filters reach
+    the parquet scan (PushedFilters: shipdate range, discount band,
+    quantity cap), so row groups outside the year skip entirely; the
+    single-row result is a two-phase (partial + final) sum."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,6)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
     "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
+    "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
 }

@@ -187,6 +187,68 @@ def test_ivf_index_build_once_query_many(spark, tmp_path):
     assert len(probed.inputFiles()) < idx.table.file_count()
 
 
+def test_ivf_staleness_monitors_and_rebuild(spark, tmp_path):
+    """The build-once quantizer's two staleness monitors are
+    complementary and rebuild() resets both: (a) drifted appends that
+    WERE assigned to their nearest (stale) centroid raise the
+    quantization-error ratio while assignment_drift stays ~0;
+    (b) misassigned rows raise assignment_drift; (c) rebuild refits +
+    reassigns in one overwrite commit and both monitors return to
+    fresh values with the shifted region queryable."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    base = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(base, ["vec_id", "embedding"])
+    root = str(tmp_path / "ivf")
+    idx = S.IvfIndex.build(spark, emb, root, n_cells=8)
+    assert 0.5 < idx.staleness(sample_fraction=1.0) < 1.5
+    assert idx.assignment_drift(sample_fraction=1.0) < 0.05
+
+    def assigned_df(rows):
+        return spark.createDataFrame(
+            rows, ["vec_id", "embedding", "cell"]
+        ).select("vec_id", "embedding", F.col("cell").cast("int"))
+
+    # (a) new source at +6 offset, assigned via the stale centroids
+    # (the documented streaming-append path): error ratio explodes,
+    # assignment consistency does not
+    cents = idx.centroids
+    shifted = []
+    for i in range(150):
+        v = rng.standard_normal(16) + 6.0
+        cell = int(((cents - v) ** 2).sum(axis=1).argmin())
+        shifted.append((1000 + i, [float(x) for x in v], cell))
+    idx.table.append(assigned_df(shifted), dedupe_identical_files=False)
+    assert idx.staleness(sample_fraction=1.0) > 2.0
+    assert idx.assignment_drift(sample_fraction=1.0) < 0.05
+
+    # (b) rows bulk-loaded with WRONG cells: drift monitor fires
+    wrong = [(2000 + i, v, (c + 1) % 8)
+             for i, (_vid, v, c) in enumerate(shifted[:50])]
+    idx.table.append(assigned_df(wrong), dedupe_identical_files=False)
+    assert idx.assignment_drift(sample_fraction=1.0) > 0.05
+
+    # (c) rebuild: refit on the stored corpus, one overwrite commit
+    idx.rebuild()
+    assert idx.table.scan().count() == 500
+    assert 0.5 < idx.staleness(sample_fraction=1.0) < 1.5
+    assert idx.assignment_drift(sample_fraction=1.0) < 0.05
+    ops = [s.operation
+           for s in idx.table.manifest.snapshots(load_files=False)]
+    assert ops == ["create", "append", "append", "overwrite"]
+    # the shifted region is now modeled: its vectors come back from a
+    # pruned probe (query = a shifted vector; itself must rank first)
+    qv = shifted[3][1]
+    probed = idx.topk(qv, k=5, n_probe=2)
+    got = [r.vec_id for r in probed.collect()]
+    assert got[0] == shifted[3][0]
+    assert len(probed.inputFiles()) < idx.table.file_count() or \
+        idx.table.file_count() <= 2
+
+
 def test_embedding_dedup_lsh_finds_planted_pairs(spark):
     """The bucketed near-dup twin must recover planted high-cosine pairs
     (cos ≈ 0.995+: per-plane sign-flip prob ≈ 0.03, so 1-bit multiprobe

@@ -72,6 +72,66 @@ def test_stream_ingest_batches_commit_snapshots(spark, tmp_path):
     assert sorted(r.timestamp for r in got) == [100000, 100100]
 
 
+def test_stream_ingest_feeds_incremental_consumer(spark, tmp_path):
+    """Streaming ingest meeting the consumer API end to end: each
+    micro-batch's foreachBatch commit is a snapshot, and
+    scan_incremental over any snapshot range returns EXACTLY the
+    micro-batch contents that landed in it — the reference's
+    latency-bounded ingest (blockManager_test.go:38-42) feeding an
+    incremental change-feed reader instead of a full rescan."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [location_row(timestamp=100 + i) for i in range(3)],
+        [location_row(timestamp=200 + i, user_id="userid2")
+         for i in range(2)],
+        [location_row(timestamp=300 + i) for i in range(4)],
+    ]
+
+    def drain(n):
+        _drop_file(spark, batches[n], src, f"b{n}.parquet")
+        q = stream_ingest_to_table(
+            spark, src, table_root, location_df(spark, []).schema,
+            partition_col=PARTITION_COL, key_col=KEY_COL,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+        )
+        assert q.awaitTermination(120)
+
+    for n in range(len(batches)):
+        drain(n)
+
+    t = IceTable(spark, table_root)
+    snaps = t.manifest.snapshots(load_files=False)
+    assert len(snaps) == 3  # one commit per micro-batch
+    assert [s.source_batch_id for s in snaps] == [0, 1, 2]
+
+    def ts_set(df):
+        return sorted(r.timestamp for r in df.collect())
+
+    # feed since the first commit == batches 1+2, since second == batch 2
+    s0, s1, s2 = (s.snapshot_id for s in snaps)
+    feed_01 = ts_set(t.scan_incremental(since=s0))
+    expect_01 = sorted(r.timestamp for b in batches[1:]
+                       for r in location_df(spark, b).collect())
+    assert feed_01 == expect_01
+    feed_2 = ts_set(t.scan_incremental(since=s1))
+    expect_2 = sorted(r.timestamp
+                      for r in location_df(spark, batches[2]).collect())
+    assert feed_2 == expect_2
+    # bounded range: (s0, s1] is exactly batch 1
+    feed_mid = ts_set(t.scan_incremental(since=s0, until=s1))
+    expect_mid = sorted(r.timestamp
+                        for r in location_df(spark, batches[1]).collect())
+    assert feed_mid == expect_mid
+    # and the full scan equals the union of all batches (no loss/dup)
+    assert ts_set(t.scan()) == sorted(
+        r.timestamp for b in batches
+        for r in location_df(spark, b).collect())
+
+
 def test_stream_ingest_latency_bounded_by_trigger(spark, tmp_path):
     """Age-flush analog: with a processingTime trigger, a dropped file
     becomes queryable within ~2 trigger intervals (reference asserts
