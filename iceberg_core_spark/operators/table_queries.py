@@ -269,6 +269,46 @@ def table_compact(spark: SparkSession, sf: str) -> DataFrame:
 TABLE_COMPACT_SQL = TABLE_DELETE_MOR_SQL
 
 
+_WAP_CACHE: dict[str, str] = {}
+
+
+def _wap_root(spark: SparkSession, sf: str) -> str:
+    """Documents table with one UNPUBLISHED write-audit-publish stage:
+    create with the doc_id%4!=0 subset, then append the %4==0 remainder
+    staged on branch 'audit' — the staged files live in the snapshot
+    chain but are hidden from main reads until publish_branch()."""
+    root = _WAP_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_wap_"), "docs_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs.filter("doc_id % 4 != 0"),
+                        key_col="doc_id")
+    t.append(docs.filter("doc_id % 4 = 0"), branch="audit",
+             dedupe_identical_files=False)
+    _WAP_CACHE[sf] = root
+    return root
+
+
+def table_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """MAIN view while a staged audit branch is pending: exactly the
+    pre-stage contents — the staged append's rows must NOT leak
+    (Iceberg's write-audit-publish discipline; the branch view and the
+    publish flip are covered by tests/test_branches.py)."""
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _wap_root(spark, sf)).scan()
+
+
+TABLE_WAP_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 != 0
+"""
+
+
 def table_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Scan the upsert table AS OF its first snapshot — the pre-upsert
     contents must be fully reconstructable after later commits (snapshot
@@ -297,4 +337,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_delete_mor": (table_delete_mor, TABLE_DELETE_MOR_SQL),
     "table_compact": (table_compact, TABLE_COMPACT_SQL),
     "table_time_travel": (table_time_travel, TABLE_TIME_TRAVEL_SQL),
+    "table_wap": (table_wap, TABLE_WAP_SQL),
 }

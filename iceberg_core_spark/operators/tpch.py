@@ -238,12 +238,182 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority-checking shape: EXISTS decorrelated to a LEFT SEMI
+    join (Catalyst's native strategy for correlated EXISTS). The
+    reference schema has no commit/receipt dates, so the late-lineitem
+    predicate is ``l_shipdate > o_orderdate`` — same plan shape: a
+    condition semi-join where only the orders side survives, then a tiny
+    5-group count. At 100 TB the semi join shuffles both sides on
+    orderkey once and ships NO lineitem payload columns past the join
+    (semi joins project the left side only)."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-modes-and-priority shape (schema has no l_shipmode, so
+    l_returnflag stands in as the 3-value grouping column): one
+    fact-fact join on orderkey, then dual conditional counts — the
+    canonical SUM(CASE...) pivot. Group cardinality 3, so the aggregate
+    is almost entirely map-side partial."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion-effect shape: one ship-month of lineitem ⋈ part, promo
+    revenue as a percentage of total — conditional aggregate over a
+    join, single-row result. part grows with SF but stays
+    dimension-sized (p_partkey is unique), so AQE turns the join into a
+    broadcast when the build side fits; both sums ride one partial+final
+    aggregation. Ratio computed as exact decimal sums divided in DOUBLE
+    so both engines agree bit-for-bit."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(rev).cast("double")).alias("promo_revenue")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume-customer shape: self-aggregated lineitem HAVING
+    filter feeds a semi join back onto the 3-way join, top 100 by order
+    value. The HAVING subquery is ONE extra aggregation over lineitem's
+    orderkey — at scale both lineitem passes shuffle on the same key, so
+    AQE reuses the exchange; the survivors (rare orders) semi-join
+    before the wide customer join, shrinking it to the qualifying keys."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
     "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
+    "tpch_q4": (tpch_q4, TPCH_Q4_SQL),
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
     "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
+    "tpch_q12": (tpch_q12, TPCH_Q12_SQL),
+    "tpch_q14": (tpch_q14, TPCH_Q14_SQL),
+    "tpch_q18": (tpch_q18, TPCH_Q18_SQL),
 }

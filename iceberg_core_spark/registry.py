@@ -44,48 +44,54 @@ def all_queries() -> dict[str, Entry]:
     out.update(TPCH)     # headline multi-join analytics
 
     # ORDER MATTERS: the driver's correctness artifact covers the first
-    # 50 registry entries in dict order. Round 4 completes the rotation
-    # so every query has a row recorded on post-NTZ code across r3∪r4:
-    # (a) the 7 rows-only queries that have NEVER had a driver row
-    # recorded on current code; (b) the stream trio whose module
-    # changed in r3 after their r2 rows; (c) the 23 queries whose only
-    # green row predates r3's session.py load-path change; (d) queries
-    # new or changed in round 4 (table layer rename/orphans —
-    # zorder_range_scan, schema_evolution, table_incremental; dedup.py
-    # slot-release; llm_queries/sampling/stateful oracle fixes;
-    # agg_hash + udfs ride session.spread's estimator change and are
-    # already in (c)). Queries NOT listed keep their r3 rows: their
-    # modules are unchanged in r4 (relational.py tail, relational_ext,
-    # asof, tpch q3/q5, avro, similarity). streaming/queries.py gained
-    # stream_dedup in r4 (append-only diff); its out-of-window rows
-    # (stream_ingest, win_tumbling) stay covered on current code by
-    # the parametrized repo oracle tests, and the in-window stream
-    # trio re-verifies the same module's shared paths.
+    # 50 registry entries in dict order. Round-5 window, per the
+    # rotation discipline (every query whose module — or dependency —
+    # changed since its last driver row gets back in the window):
+    # (a) queries with NO driver row yet: the 4 late-r4 registrations
+    # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/
+    # q12/q14/q18, table_time_travel, table_wap);
+    # (b) table-layer queries: ice_table.py/manifest.py changed in r5
+    # (WAP staging, tags, rename-stat-cols, estimator);
+    # (c) streaming/queries.py changed post-r4-window (stream_dedup
+    # caching + checkpoint cleanup);
+    # (d) tpch.py gained q1/q4/q6/q12/q14/q18 around the r3-row
+    # veterans q3/q5/q10 — refresh them on current code;
+    # (e) similarity.py changed post-window (IVF staleness monitors);
+    # (f) session.py estimator rewrite (suffix parse, real split
+    # formula) rides under every spread() user: aggs, udfs,
+    # multimodal, text, dedup;
+    # (g) remaining slots refresh the OLDEST standing rows (r3 rows on
+    # unchanged modules: semi/anti/theta/asof joins, avro scan).
+    # Queries NOT listed keep green rows on code unchanged since they
+    # were recorded (relational.py scan/project/filter/scalar/agg/
+    # join/window tails, relational_ext, bucketed, sampling, stateful,
+    # stream trio r4 rows).
     priority = [
-        # (a) never-recorded rows-only production twins
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-        "dedup_clusters_minhash", "sim_search_lsh", "sim_search_ivf",
-        "agg_approx_distinct",
-        # (b) stream trio: module changed in r3 after their r2 rows
-        "win_sliding", "win_session", "stream_join",
-        # (c) r2 rows predating the r3 load-path change
-        "scan_parquet", "project", "filter_pred", "filter_range",
-        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
-        "scalar_json", "agg_hash", "agg_distinct", "agg_rollup",
-        "agg_cube", "agg_grouping_sets", "join_broadcast",
-        "join_sortmerge", "join_left", "join_right", "join_full",
-        "udf_scalar", "udaf_group_stats", "udtf_tokenize",
-        "join_bucketed",
-        # (d) new or changed in round 4
-        "zorder_range_scan", "schema_evolution", "table_incremental",
-        "dedup_exact", "dedup_near_jaccard", "dedup_embedding",
-        "dedup_clusters", "text_analysis", "text_ngrams",
-        "corpus_clean", "multimodal_meta", "multimodal_chunks",
-        "multimodal_features", "stateful_stats", "split_train_test",
-        "sample_stratified",
-        # r3 flagged tpch_q10 warm-median as perf-suspect; refresh its
-        # row alongside the clean-session bench confirmation
-        "tpch_q10",
+        # (a) no driver row yet — r5 leads
+        "table_upsert", "table_delete_mor", "table_compact",
+        "stream_dedup", "table_time_travel", "table_wap",
+        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q14",
+        "tpch_q18",
+        # (b) table layer (ice_table/manifest/table_queries r5 diff)
+        "table_incremental", "zorder_range_scan", "schema_evolution",
+        # (c) streaming/queries.py post-window diff
+        "stream_ingest", "win_tumbling", "win_sliding", "win_session",
+        "stream_join",
+        # (d) tpch.py veterans re-verified beside the new queries
+        "tpch_q3", "tpch_q5", "tpch_q10",
+        # (e) similarity.py post-window diff (IVF monitors)
+        "sim_search", "sim_search_batch", "sim_search_lsh",
+        "sim_search_ivf",
+        # (f) session.py estimator riders (spread users)
+        "agg_hash", "udf_scalar", "udaf_group_stats", "udtf_tokenize",
+        "multimodal_meta", "multimodal_chunks", "multimodal_features",
+        "text_analysis", "text_ngrams", "corpus_clean",
+        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
+        "dedup_clusters", "dedup_clusters_minhash",
+        # (g) oldest standing rows (r3, unchanged modules)
+        "join_semi", "join_anti", "join_theta", "join_asof",
+        "scan_avro",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -38,6 +38,7 @@ Scale design:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -69,6 +70,15 @@ def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
     for r in renames:
         chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
     return chains
+
+
+def _hidden_seqs(snap, branch: str | None = None) -> set:
+    """Data sequence numbers hidden by write-audit-publish staging:
+    every snapshot id staged on a branch OTHER than ``branch`` (None =
+    the main view, which hides all staged commits). File visibility is
+    ``f.seq not in hidden`` — the same integer scoping MoR deletes use."""
+    staged = snap.staged or {}
+    return {s for b, ids in staged.items() if b != branch for s in ids}
 
 
 def _not_true(cond):
@@ -441,8 +451,16 @@ class IceTable:
                dedupe_identical_files: bool = True,
                evolve_schema: bool = False,
                source_batch_id: int | None = None,
-               source_lineage: str | None = None) -> Snapshot:
+               source_lineage: str | None = None,
+               branch: str | None = None) -> Snapshot:
         """Append rows as a new snapshot.
+
+        ``branch``: STAGE the append on a named audit branch instead of
+        publishing it (write-audit-publish): the commit lands in the
+        snapshot chain, but its files stay hidden from main reads until
+        :meth:`publish_branch` — audit the staged rows first with
+        ``scan(branch=...)``, then publish (metadata-only) or
+        :meth:`drop_branch` them.
 
         ``dedupe_identical_files``: a new file whose content hash already
         exists in the current snapshot is dropped — the reference's
@@ -510,10 +528,24 @@ class IceTable:
             source_lineage=source_lineage,
             expected_parent=snap.snapshot_id,
             base_mode="parent",
+            branch=branch,
         )
+
+    def _require_no_staged(self, snap, op: str) -> None:
+        """File-rewriting ops refuse to run while any branch has
+        unpublished staged snapshots: a rewrite re-sequences files,
+        which would corrupt the seq-based visibility scoping staged
+        hiding relies on. Publish or drop the branch first."""
+        if snap.staged:
+            raise ValueError(
+                f"{op} refused: branches {sorted(snap.staged)} have "
+                "unpublished staged snapshots (write-audit-publish) — "
+                "publish_branch() or drop_branch() first"
+            )
 
     def overwrite(self, df: DataFrame, max_rows_per_file: int = 1_000_000) -> Snapshot:
         snap = self.manifest.load()
+        self._require_no_staged(snap, "overwrite")
         return self._write_commit(df, "overwrite", snap.partition_col,
                                   snap.key_col, max_rows_per_file,
                                   base_files=[],
@@ -537,6 +569,7 @@ class IceTable:
         base_mode: str = "list",
         bucket_by: tuple[str, int] | None = None,
         base_files_df: DataFrame | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """``expected_parent``: snapshot id the caller's read state is
         based on (None for create). If another writer commits first, the
@@ -649,6 +682,9 @@ class IceTable:
         # change schema_json, which the CAS rebase refuses — so the
         # inherited list stays valid across a rebase)
         inherited_renames = parent_snap.renames if parent_snap else []
+        # staged (write-audit-publish) bookkeeping rides too: an
+        # ordinary append must not un-hide someone else's staged files
+        inherited_staged = dict(parent_snap.staged) if parent_snap else {}
         if base_mode == "parent" and parent_snap is not None:
             base_count = (parent_snap.files_count or 0
                           if parent_snap.files_ref
@@ -669,6 +705,7 @@ class IceTable:
                 source_batch_id, source_lineage, bucket_by,
                 base_override_df=base_files_df,
                 renames=inherited_renames,
+                branch=branch,
             )
 
         part_dtype = (
@@ -714,6 +751,9 @@ class IceTable:
             commit_sid = 0 if parent is None else parent + 1
             for f in new_files:
                 f.seq = commit_sid  # data sequence number = adding snapshot
+            staged = {b: list(ids) for b, ids in inherited_staged.items()}
+            if branch:
+                staged.setdefault(branch, []).append(commit_sid)
             snap = Snapshot(
                 snapshot_id=commit_sid,
                 parent_id=parent,
@@ -730,6 +770,7 @@ class IceTable:
                 n_buckets=bucket_by[1] if bucket_by else None,
                 source_batch_id=source_batch_id,
                 source_lineage=source_lineage,
+                staged=staged,
                 renames=inherited_renames,
             )
             try:
@@ -756,6 +797,7 @@ class IceTable:
                 if operation == "append":
                     base_files = list(winner.files)
                     delete_predicates = winner.delete_predicates
+                    inherited_staged = dict(winner.staged)
                     new_files = drop_dupes(new_files, base_files)
                 # overwrite: replaces everything regardless of winner
 
@@ -776,6 +818,7 @@ class IceTable:
         bucket_by: tuple[str, int] | None = None,
         base_override_df: DataFrame | None = None,
         renames: list[dict] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Manifest commit where entries never materialize on the driver:
         footer stats + hashes run in Spark tasks once (to a temp entries
@@ -820,6 +863,14 @@ class IceTable:
             parent = expected_parent
             while True:
                 sid = 0 if parent is None else parent + 1
+                psnap = (man.load(parent, load_files=False)
+                         if parent is not None else None)
+                # staged (write-audit-publish) bookkeeping rides every
+                # commit; a branch append adds its own id to its branch
+                staged = ({b: list(ids) for b, ids in psnap.staged.items()}
+                          if psnap is not None else {})
+                if branch:
+                    staged.setdefault(branch, []).append(sid)
                 base_df, base_tmp, preds = None, None, delete_predicates or []
                 if base_override_df is not None:
                     # caller computed the carried-over entry set itself
@@ -827,7 +878,6 @@ class IceTable:
                     # such read-modify-write ops, so use it as-is
                     base_df = base_override_df
                 elif parent is not None and operation != "overwrite":
-                    psnap = man.load(parent, load_files=False)
                     if operation == "append":
                         preds = psnap.delete_predicates
                     if psnap.files_ref:
@@ -891,6 +941,7 @@ class IceTable:
                     n_buckets=bucket_by[1] if bucket_by else None,
                     source_batch_id=source_batch_id,
                     source_lineage=source_lineage,
+                    staged=staged,
                     renames=renames or [],
                     files_ref=ref,
                     files_count=dir_rows(man.sidecar_path(ref)),
@@ -931,12 +982,24 @@ class IceTable:
         snap = self.manifest.load(snapshot_id, load_files=False)
         return StructType.fromJson(__import__("json").loads(snap.schema_json))
 
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
-        """Full-table scan of one snapshot (time travel via snapshot_id).
+    def scan(self, snapshot_id: int | None = None,
+             branch: str | None = None,
+             ref: str | None = None) -> DataFrame:
+        """Full-table scan of one snapshot (time travel via snapshot_id,
+        or by name via ``ref`` — a tag created with :meth:`create_tag`).
         Merge-on-read delete predicates are applied here, scoped to the
         files they were issued against. Sidecar-backed snapshots read
         only (path, seq) — a full scan of a 1M-file table never parses
-        1M JSON entries on the driver."""
+        1M JSON entries on the driver.
+
+        ``branch``: audit view — files staged on THAT branch
+        (append(..., branch=...)) become visible; files staged on other
+        branches stay hidden. Default (None) is the published main
+        view: every unpublished staged file is hidden."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         snap = self.manifest.load(snapshot_id, load_files=False)
         if snap.files_ref:
             files = [
@@ -946,15 +1009,24 @@ class IceTable:
                 for p, s in self.manifest.read_sidecar_path_seq(
                     snap.files_ref)
             ]
-            return self._read_with_deletes(files, snap, snapshot_id)
-        return self._read_with_deletes(snap.files, snap, snapshot_id)
+            return self._read_with_deletes(files, snap, snapshot_id,
+                                           branch=branch)
+        return self._read_with_deletes(snap.files, snap, snapshot_id,
+                                       branch=branch)
 
-    def _read_with_deletes(self, files, snap, snapshot_id=None) -> DataFrame:
+    def _read_with_deletes(self, files, snap, snapshot_id=None,
+                           branch: str | None = None) -> DataFrame:
         """Read files, applying each MoR predicate only to files whose
         data sequence number predates it (f.seq < predicate seq —
         Iceberg's sequence-number scoping). Files sharing the same
         applicable-predicate set are read in one group (one scan each;
-        groups = number of distinct delete generations, typically 0-2)."""
+        groups = number of distinct delete generations, typically 0-2).
+        Unpublished staged files (write-audit-publish) are dropped here
+        unless ``branch`` names their branch — every read path (scan,
+        query, range_scan, scan_incremental) funnels through this."""
+        hidden = _hidden_seqs(snap, branch)
+        if hidden:
+            files = [f for f in files if f.seq not in hidden]
         if not snap.delete_predicates or not files:
             return self._read_files(files, snapshot_id)
         groups: dict[tuple[int, ...], list] = {}
@@ -1118,6 +1190,8 @@ class IceTable:
         ``spark.sql(f"DROP TABLE {name}")`` (links stay until
         expire_snapshots removes the snapshot)."""
         snap = self.manifest.load(snapshot_id)
+        # the catalog scan reads raw files and cannot hide staged ones
+        self._require_no_staged(snap, "as_bucketed_table")
         if not snap.bucket_col:
             raise ValueError("table was not created with bucket_by")
         if snap.delete_predicates:
@@ -1289,6 +1363,7 @@ class IceTable:
         amortizes better — out of scope here, the API stays the same.
         """
         snap = self.manifest.load()
+        self._require_no_staged(snap, "delete_range")
         affected, keep = [], []
         for f in snap.files:
             hit = True
@@ -1345,6 +1420,10 @@ class IceTable:
             # no file entry is ever materialized on the driver, even on
             # a 1M-file table. Inline parents copy the (small) list.
             snap = self.manifest.load(load_files=False)
+            # seq scoping applies the predicate to every file with
+            # seq < delete seq — including unpublished STAGED files,
+            # whose rows the auditor has not accepted yet; refuse
+            self._require_no_staged(snap, "delete_where")
             if not isinstance(condition, str):
                 raise TypeError("mor delete takes a SQL string predicate")
             # Validate against the table schema NOW (parse alone is not
@@ -1371,6 +1450,7 @@ class IceTable:
                 zorder_by=snap.zorder_by,
                 bucket_col=snap.bucket_col,
                 n_buckets=snap.n_buckets,
+                staged=dict(snap.staged),
                 renames=snap.renames,
                 files_ref=snap.files_ref,
                 files_count=snap.files_count,
@@ -1378,6 +1458,7 @@ class IceTable:
             self.manifest.commit(new)
             return new
         snap = self.manifest.load()
+        self._require_no_staged(snap, "delete_where")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         retained = self.scan().filter(_not_true(cond))
         return self._write_commit(retained, "delete", snap.partition_col,
@@ -1389,6 +1470,7 @@ class IceTable:
         rows, new keys are inserted (CoW full-merge; the shuffle is one
         left-anti join on the keys)."""
         snap = self.manifest.load()
+        self._require_no_staged(snap, "upsert")
         existing = self.scan().join(
             df.select(*key_cols).dropDuplicates(key_cols), key_cols,
             "left_anti",
@@ -1417,6 +1499,7 @@ class IceTable:
         entries never materialize on the driver.
         """
         snap = self.manifest.load(load_files=False)
+        self._require_no_staged(snap, "compact")
         max_del_seq = max(
             (p["seq"] for p in snap.delete_predicates), default=None
         )
@@ -1501,11 +1584,19 @@ class IceTable:
         Metadata cost is paths-only: sidecars are column-projected for
         ``path`` — per-file entries are never parsed. A sidecar SHARED
         with a kept snapshot (metadata-only commits such as MoR deletes
-        inherit the parent's files_ref by reference) is preserved."""
+        inherit the parent's files_ref by reference) is preserved.
+        Snapshots pinned by a TAG (create_tag) are never expired —
+        named time travel stays valid until the tag is dropped."""
         snaps = self.manifest.snapshots(load_files=False)
         if len(snaps) <= keep_last:
             return []
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        tagged = set(self.tags().values())
+        keep = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s.snapshot_id in tagged
+        ]
+        drop = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
+        if not drop:
+            return []
         live: set[str] = set()
         for s in keep:
             live |= self._snapshot_paths(s)
@@ -1565,12 +1656,187 @@ class IceTable:
             zorder_by=target.zorder_by,
             bucket_col=target.bucket_col,
             n_buckets=target.n_buckets,
+            staged=dict(target.staged),
             renames=target.renames,
             files_ref=target.files_ref,
             files_count=target.files_count,
         )
         self.manifest.commit(new)
         return new
+
+    # ------------------------------------------------------------------
+    # write-audit-publish branches + named refs (tags)
+    # ------------------------------------------------------------------
+    def branches(self) -> dict[str, list[int]]:
+        """Branch name → staged snapshot ids (unpublished WAP stages)."""
+        return {b: list(v)
+                for b, v in self.manifest.load(load_files=False).staged.items()}
+
+    def publish_branch(self, name: str) -> Snapshot:
+        """Publish a staged audit branch: a METADATA-ONLY commit that
+        removes ``name`` from the staged dict, so every file its
+        appends added becomes visible to main reads atomically — the
+        'publish' of write-audit-publish. The file list is inherited by
+        reference (same sidecar / inline entries), so publishing on a
+        1M-file table writes one small JSON document. Safe to
+        auto-retry after a lost commit race: it carries no data files,
+        so it reloads the winner and re-commits on top (the staged ids
+        travel with every commit, so the winner still carries them)."""
+        snap = self.manifest.load(load_files=False)
+        while True:
+            if name not in snap.staged:
+                raise ValueError(f"no staged branch {name!r} "
+                                 f"(staged: {sorted(snap.staged)})")
+            new = Snapshot(
+                snapshot_id=snap.snapshot_id + 1,
+                parent_id=snap.snapshot_id,
+                timestamp_ms=Manifest.now_ms(),
+                operation="publish",
+                schema_json=snap.schema_json,
+                partition_col=snap.partition_col,
+                key_col=snap.key_col,
+                files=list(snap.files),
+                delete_predicates=snap.delete_predicates,
+                stat_cols=snap.stat_cols,
+                zorder_by=snap.zorder_by,
+                bucket_col=snap.bucket_col,
+                n_buckets=snap.n_buckets,
+                staged={b: list(v) for b, v in snap.staged.items()
+                        if b != name},
+                renames=snap.renames,
+                files_ref=snap.files_ref,
+                files_count=snap.files_count,
+            )
+            try:
+                self.manifest.commit(new)
+                return new
+            except CommitConflictError:
+                winner = self.manifest.load(load_files=False)
+                if winner.snapshot_id == snap.snapshot_id:
+                    raise  # not a lost race — surface the real error
+                snap = winner
+
+    def drop_branch(self, name: str) -> Snapshot:
+        """Abandon a staged audit branch (the audit REJECTED the data):
+        commits a snapshot whose file list excludes every file the
+        branch's staged appends added, then deletes those data files.
+        Admin-plane op: materializes the current file list on the
+        driver (rare by construction — audits are short-lived; the
+        planning ceiling is the documented ~100-byte/file stub budget)."""
+        snap = self.manifest.load()
+        while True:
+            if name not in snap.staged:
+                raise ValueError(f"no staged branch {name!r} "
+                                 f"(staged: {sorted(snap.staged)})")
+            ids = set(snap.staged[name])
+            dropped = [f for f in snap.files if f.seq in ids]
+            kept = [f for f in snap.files if f.seq not in ids]
+            new = Snapshot(
+                snapshot_id=snap.snapshot_id + 1,
+                parent_id=snap.snapshot_id,
+                timestamp_ms=Manifest.now_ms(),
+                operation="drop-branch",
+                schema_json=snap.schema_json,
+                partition_col=snap.partition_col,
+                key_col=snap.key_col,
+                files=kept,
+                delete_predicates=snap.delete_predicates,
+                stat_cols=snap.stat_cols,
+                zorder_by=snap.zorder_by,
+                bucket_col=snap.bucket_col,
+                n_buckets=snap.n_buckets,
+                staged={b: list(v) for b, v in snap.staged.items()
+                        if b != name},
+                renames=snap.renames,
+            )
+            try:
+                self.manifest.commit(new)
+            except CommitConflictError:
+                winner = self.manifest.load()
+                if winner.snapshot_id == snap.snapshot_id:
+                    raise
+                snap = winner
+                continue
+            # data files go LAST: earlier snapshots still reference
+            # them until expire_snapshots, but a dropped branch's files
+            # are referenced only by this table's history — remove now
+            # (matching Iceberg's expire-after-branch-delete effect for
+            # a single-table layout); failures leave orphans that
+            # remove_orphans() reaps.
+            for f in dropped:
+                p = os.path.join(self.root, f.path)
+                if os.path.exists(p):
+                    os.remove(p)
+            return new
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.manifest.dir, "refs")
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(
+                f"invalid ref name {name!r}: use letters, digits, '.', "
+                "'_', '-' (it becomes a filename under _manifest/refs)"
+            )
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create an immutable named ref (Iceberg tag) pointing at one
+        snapshot — time travel by NAME (``scan(ref=...)``), and the
+        snapshot it pins is protected from expire_snapshots. The tag
+        file is claimed with the same exclusive-link trick the commit
+        protocol uses, so two writers can never silently overwrite each
+        other's tag."""
+        self._check_ref_name(name)
+        sid = (snapshot_id if snapshot_id is not None
+               else self.manifest.current_snapshot_id())
+        if sid is None or not os.path.exists(
+            os.path.join(self.manifest.dir, f"snapshot-{sid}.json")
+        ):
+            raise ValueError(f"no such snapshot: {sid}")
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        tmp = path + f".tmp-{os.urandom(4).hex()}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": sid,
+                       "timestamp_ms": Manifest.now_ms()}, f)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable — "
+                "drop_tag() first to repoint)"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        """Tag name → snapshot id for every named ref."""
+        d = self._refs_dir()
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for n in sorted(os.listdir(d)):
+                if n.endswith(".json"):
+                    with open(os.path.join(d, n)) as f:
+                        out[n[:-5]] = json.load(f)["snapshot_id"]
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._refs_dir(), f"{name}.json")) as f:
+                return json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            os.remove(os.path.join(self._refs_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a column as a METADATA-ONLY commit — no data rewrite,
@@ -1643,6 +1909,7 @@ class IceTable:
                 zorder_by=[new if c == old else c for c in snap.zorder_by],
                 bucket_col=snap.bucket_col,
                 n_buckets=snap.n_buckets,
+                staged=dict(snap.staged),  # never un-hide staged files
                 renames=snap.renames + [{"from": old, "to": new}],
                 files_ref=snap.files_ref,
                 files_count=snap.files_count,

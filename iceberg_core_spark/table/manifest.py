@@ -219,6 +219,16 @@ class Snapshot:
     # reprocessing, not replay, and must append.
     source_batch_id: int | None = None
     source_lineage: str | None = None
+    # Write-audit-publish staging (Iceberg's WAP / audit-branch
+    # pattern adapted to this linear snapshot log): branch name →
+    # list of snapshot ids whose appended files are STAGED — present
+    # in the chain (audit scans see them via scan(branch=...)) but
+    # hidden from every other read until a publish_branch() commit
+    # removes the branch from this dict. Hiding is by data sequence
+    # number (file.seq ∈ staged ids), the same integer scoping MoR
+    # deletes use, so it costs one driver-side set test per file at
+    # planning time and nothing at scan time.
+    staged: dict = field(default_factory=dict)
     # Column-rename history, oldest first: each entry {"from": old,
     # "to": new}. The name-based analog of Iceberg's field-id rename:
     # a rename is a metadata-only commit, and the read path resolves a
@@ -253,6 +263,7 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "source_batch_id": self.source_batch_id,
             "source_lineage": self.source_lineage,
+            "staged": self.staged,
             "renames": self.renames,
         }
 
@@ -274,6 +285,7 @@ class Snapshot:
             n_buckets=d.get("n_buckets"),
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
+            staged=d.get("staged", {}),
             renames=d.get("renames", []),
             files_ref=d.get("files_ref"),
             files_count=d.get("files_count"),
