@@ -19,9 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # relational core
     "agg_hash",          # TPC-H Q1 shape: scan+filter+hash agg
+    "tpch_q1",           # pricing summary: map-side partial agg (r5)
     "tpch_q3",           # 3-way join + agg + top-10
     "tpch_q5",           # 6-way join
     "tpch_q10",          # 4-way join + top-20
+    "tpch_q18",          # having semi-join + 3-way join + top-100 (r5)
     "join_broadcast",    # fact x dim broadcast
     "join_sortmerge",    # fact x fact shuffle join
     "join_asof",         # union + carry-forward window

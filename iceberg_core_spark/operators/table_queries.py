@@ -326,6 +326,51 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+_SPEC_CACHE: dict[str, str] = {}
+
+
+def _spec_evolution_root(spark: SparkSession, sf: str) -> str:
+    """Partition-spec-evolved documents table: lang-partitioned first
+    half → metadata-only set_partition_spec('source') → source-routed
+    second half. stat_cols=['source'] at create so pre-evolution files
+    stay min/max-prunable on the NEW partition column."""
+    root = _SPEC_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_spec_"), "docs_spec")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs.filter("doc_id % 2 = 0"),
+                        partition_col="lang", key_col="doc_id",
+                        stat_cols=["source"], max_rows_per_file=64)
+    t.set_partition_spec("source")
+    t.append(docs.filter("doc_id % 2 = 1"), dedupe_identical_files=False)
+    _SPEC_CACHE[sf] = root
+    return root
+
+
+def table_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition query on the POST-evolution column across the mixed
+    layout: pre-evolution files prune via source min/max stats (+
+    residual filter), post-evolution files via their recorded partition
+    value — one exact answer over both generations. The reference's
+    fixed-for-life partition routing (blockManager.go:42-52) upgraded
+    to Iceberg spec evolution; pruning asserted in
+    tests/test_partition_evolution.py."""
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _spec_evolution_root(spark, sf)).query(
+        partition="src3")
+
+
+TABLE_PARTITION_EVOLUTION_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE source = 'src3'
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -338,4 +383,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_compact": (table_compact, TABLE_COMPACT_SQL),
     "table_time_travel": (table_time_travel, TABLE_TIME_TRAVEL_SQL),
     "table_wap": (table_wap, TABLE_WAP_SQL),
+    "table_partition_evolution": (table_partition_evolution,
+                                  TABLE_PARTITION_EVOLUTION_SQL),
 }

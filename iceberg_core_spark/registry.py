@@ -70,6 +70,7 @@ def all_queries() -> dict[str, Entry]:
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
+        "table_partition_evolution",
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q14",
         "tpch_q18",
         # (b) table layer (ice_table/manifest/table_queries r5 diff)
@@ -91,7 +92,6 @@ def all_queries() -> dict[str, Entry]:
         "dedup_clusters", "dedup_clusters_minhash",
         # (g) oldest standing rows (r3, unchanged modules)
         "join_semi", "join_anti", "join_theta", "join_asof",
-        "scan_avro",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -685,6 +685,10 @@ class IceTable:
         # staged (write-audit-publish) bookkeeping rides too: an
         # ordinary append must not un-hide someone else's staged files
         inherited_staged = dict(parent_snap.staged) if parent_snap else {}
+        # partition-spec history rides too: files written under an older
+        # spec keep pruning correctly only while the history survives
+        inherited_specs = (list(parent_snap.partition_specs)
+                           if parent_snap else [])
         if base_mode == "parent" and parent_snap is not None:
             base_count = (parent_snap.files_count or 0
                           if parent_snap.files_ref
@@ -770,6 +774,7 @@ class IceTable:
                 n_buckets=bucket_by[1] if bucket_by else None,
                 source_batch_id=source_batch_id,
                 source_lineage=source_lineage,
+                partition_specs=inherited_specs,
                 staged=staged,
                 renames=inherited_renames,
             )
@@ -798,6 +803,7 @@ class IceTable:
                     base_files = list(winner.files)
                     delete_predicates = winner.delete_predicates
                     inherited_staged = dict(winner.staged)
+                    inherited_specs = list(winner.partition_specs)
                     new_files = drop_dupes(new_files, base_files)
                 # overwrite: replaces everything regardless of winner
 
@@ -941,6 +947,8 @@ class IceTable:
                     n_buckets=bucket_by[1] if bucket_by else None,
                     source_batch_id=source_batch_id,
                     source_lineage=source_lineage,
+                    partition_specs=(list(psnap.partition_specs)
+                                     if psnap is not None else []),
                     staged=staged,
                     renames=renames or [],
                     files_ref=ref,
@@ -1077,7 +1085,18 @@ class IceTable:
         if not snap.files_ref:
             files = snap.files
             if partition is not None and snap.partition_col:
-                files = [f for f in files if f.partition == partition]
+                def part_keep(f):
+                    if snap.spec_col_for(f.seq) == snap.partition_col:
+                        return f.partition == partition  # exact
+                    # older partition spec: fall back to this column's
+                    # min/max stats (conservative; residual corrects)
+                    phys = next(
+                        (n for n in stat_names(snap.partition_col)
+                         if n in f.col_stats), None)
+                    return (True if phys is None
+                            else f.overlaps_col(phys, partition, partition))
+
+                files = [f for f in files if part_keep(f)]
             if (lo is not None or hi is not None) and snap.key_col:
                 files = [f for f in files if f.overlaps(lo, hi)]
             for col, (clo, chi) in ranges.items():
@@ -1119,10 +1138,32 @@ class IceTable:
         if partition is not None and snap.partition_col:
             # NULL partition_n = stat unavailable (e.g. unsupported stat
             # type): conservatively keep; the residual filter corrects
-            mdf = mdf.filter(
+            same_spec_keep = (
                 F.col("partition_n").isNull()
                 | (F.col("partition_n") == F.lit(_norm_stat(partition)))
             )
+            if not snap.partition_specs:
+                mdf = mdf.filter(same_spec_keep)
+            else:
+                # spec evolution: only seq ranges written under the
+                # CURRENT column trust partition_n; older-spec files
+                # fall back to the column's min/max stats (or keep)
+                smin = chain_stat("smin", snap.partition_col)
+                smax = chain_stat("smax", snap.partition_col)
+                older_keep = (F.lit(True) if smin is None else
+                              keep_ge(smax, partition)
+                              & keep_le(smin, partition))
+                cur_spec = F.lit(False)
+                lo_seq = 0
+                for e in snap.partition_specs:
+                    if e["col"] == snap.partition_col:
+                        cur_spec = cur_spec | (
+                            (F.col("seq") >= F.lit(lo_seq))
+                            & (F.col("seq") < F.lit(e["until_seq"])))
+                    lo_seq = e["until_seq"]
+                cur_spec = cur_spec | (F.col("seq") >= F.lit(lo_seq))
+                mdf = mdf.filter(
+                    F.when(cur_spec, same_spec_keep).otherwise(older_keep))
         if snap.key_col:
             if lo is not None:
                 mdf = mdf.filter(keep_ge(F.col("key_max_n"), lo))
@@ -1367,7 +1408,12 @@ class IceTable:
         affected, keep = [], []
         for f in snap.files:
             hit = True
+            # only a file written under the CURRENT spec can be cleared
+            # by its recorded partition value; older-spec files are
+            # conservatively rewritten (the retained-rows filter keeps
+            # their non-matching rows byte-exact)
             if partition is not None and snap.partition_col and \
+                    snap.spec_col_for(f.seq) == snap.partition_col and \
                     f.partition != partition:
                 hit = False
             if hit and snap.key_col and not f.overlaps(lo, hi):
@@ -1432,28 +1478,12 @@ class IceTable:
             self.spark.createDataFrame([], self.schema()).filter(
                 F.expr(condition)
             ).schema
-            new = Snapshot(
-                snapshot_id=snap.snapshot_id + 1,
-                parent_id=snap.snapshot_id,
-                timestamp_ms=Manifest.now_ms(),
-                operation="delete-mor",
-                schema_json=snap.schema_json,
-                partition_col=snap.partition_col,
-                key_col=snap.key_col,
-                files=list(snap.files),
+            new = snap.child(
+                "delete-mor",
                 delete_predicates=snap.delete_predicates + [{
                     "expr": condition,
                     "seq": snap.snapshot_id + 1,  # applies to seq < this
                 }],
-                # layout/stats config must survive a metadata-only commit
-                stat_cols=snap.stat_cols,
-                zorder_by=snap.zorder_by,
-                bucket_col=snap.bucket_col,
-                n_buckets=snap.n_buckets,
-                staged=dict(snap.staged),
-                renames=snap.renames,
-                files_ref=snap.files_ref,
-                files_count=snap.files_count,
             )
             self.manifest.commit(new)
             return new
@@ -1642,24 +1672,12 @@ class IceTable:
         cur = self.manifest.load(load_files=False)
         if target.snapshot_id == cur.snapshot_id:
             return cur
-        new = Snapshot(
+        # inherit everything from the TARGET state, but chain onto the
+        # current head (history stays append-only)
+        new = target.child(
+            "rollback",
             snapshot_id=cur.snapshot_id + 1,
             parent_id=cur.snapshot_id,
-            timestamp_ms=Manifest.now_ms(),
-            operation="rollback",
-            schema_json=target.schema_json,
-            partition_col=target.partition_col,
-            key_col=target.key_col,
-            files=list(target.files),
-            delete_predicates=target.delete_predicates,
-            stat_cols=target.stat_cols,
-            zorder_by=target.zorder_by,
-            bucket_col=target.bucket_col,
-            n_buckets=target.n_buckets,
-            staged=dict(target.staged),
-            renames=target.renames,
-            files_ref=target.files_ref,
-            files_count=target.files_count,
         )
         self.manifest.commit(new)
         return new
@@ -1687,25 +1705,10 @@ class IceTable:
             if name not in snap.staged:
                 raise ValueError(f"no staged branch {name!r} "
                                  f"(staged: {sorted(snap.staged)})")
-            new = Snapshot(
-                snapshot_id=snap.snapshot_id + 1,
-                parent_id=snap.snapshot_id,
-                timestamp_ms=Manifest.now_ms(),
-                operation="publish",
-                schema_json=snap.schema_json,
-                partition_col=snap.partition_col,
-                key_col=snap.key_col,
-                files=list(snap.files),
-                delete_predicates=snap.delete_predicates,
-                stat_cols=snap.stat_cols,
-                zorder_by=snap.zorder_by,
-                bucket_col=snap.bucket_col,
-                n_buckets=snap.n_buckets,
+            new = snap.child(
+                "publish",
                 staged={b: list(v) for b, v in snap.staged.items()
                         if b != name},
-                renames=snap.renames,
-                files_ref=snap.files_ref,
-                files_count=snap.files_count,
             )
             try:
                 self.manifest.commit(new)
@@ -1731,23 +1734,13 @@ class IceTable:
             ids = set(snap.staged[name])
             dropped = [f for f in snap.files if f.seq in ids]
             kept = [f for f in snap.files if f.seq not in ids]
-            new = Snapshot(
-                snapshot_id=snap.snapshot_id + 1,
-                parent_id=snap.snapshot_id,
-                timestamp_ms=Manifest.now_ms(),
-                operation="drop-branch",
-                schema_json=snap.schema_json,
-                partition_col=snap.partition_col,
-                key_col=snap.key_col,
+            new = snap.child(
+                "drop-branch",
                 files=kept,
-                delete_predicates=snap.delete_predicates,
-                stat_cols=snap.stat_cols,
-                zorder_by=snap.zorder_by,
-                bucket_col=snap.bucket_col,
-                n_buckets=snap.n_buckets,
                 staged={b: list(v) for b, v in snap.staged.items()
                         if b != name},
-                renames=snap.renames,
+                files_ref=None,
+                files_count=None,
             )
             try:
                 self.manifest.commit(new)
@@ -1838,6 +1831,67 @@ class IceTable:
         except FileNotFoundError:
             raise KeyError(f"no such ref: {name!r}") from None
 
+    # ------------------------------------------------------------------
+    # partition-spec evolution
+    # ------------------------------------------------------------------
+    def set_partition_spec(self, new_col: str | None) -> Snapshot:
+        """Evolve the identity-partition column (Iceberg's partition
+        spec evolution): a METADATA-ONLY commit — nothing rewrites.
+        Future writes route on ``new_col`` (None = unpartitioned);
+        existing files keep their write-time layout and a
+        ``query(partition=...)`` on the new column still prunes them:
+
+        - files written under the CURRENT spec prune by their recorded
+          partition value (exact, as before);
+        - files written under an OLDER spec fall back to their
+          per-column min/max stats for the queried column (the same
+          conservative overlap test range_scan uses) — and are always
+          corrected by the residual filter, since the partition value
+          is stored INSIDE every data file as an ordinary column.
+
+        ``new_col`` is auto-added to stat_cols so files written under
+        this spec stay stats-prunable across FUTURE spec changes. The
+        write-time spec of each file is resolved from the snapshot's
+        ``partition_specs`` seq-range history (Snapshot.spec_col_for) —
+        O(1) metadata per change, valid for sidecar-backed tables
+        without touching a single entry. Safe to auto-retry after a
+        lost commit race (metadata-only, rename_column-style)."""
+        snap = self.manifest.load(load_files=False)
+        while True:
+            if new_col == snap.partition_col:
+                return snap
+            if snap.bucket_col:
+                raise ValueError(
+                    "bucketed layout has no identity partition spec — "
+                    "rewrite via compact()/overwrite() into a new table"
+                )
+            if new_col is not None:
+                schema = StructType.fromJson(json.loads(snap.schema_json))
+                if new_col not in [f.name for f in schema.fields]:
+                    raise ValueError(f"no such column: {new_col!r}")
+                retired = {r["from"] for r in snap.renames}
+                if new_col in retired:
+                    raise ValueError(
+                        f"column name {new_col!r} was retired by a rename"
+                    )
+            new = snap.child(
+                "set-spec",
+                partition_col=new_col,
+                partition_specs=snap.partition_specs + [
+                    {"col": snap.partition_col,
+                     "until_seq": snap.snapshot_id + 1}],
+                stat_cols=(list(dict.fromkeys(snap.stat_cols + [new_col]))
+                           if new_col else list(snap.stat_cols)),
+            )
+            try:
+                self.manifest.commit(new)
+                return new
+            except CommitConflictError:
+                winner = self.manifest.load(load_files=False)
+                if winner.snapshot_id == snap.snapshot_id:
+                    raise  # not a lost race — surface the real error
+                snap = winner
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a column as a METADATA-ONLY commit — no data rewrite,
         the file list is inherited by reference (rollback-style), so
@@ -1895,24 +1949,12 @@ class IceTable:
                 if f.name == old else f
                 for f in schema.fields
             ])
-            new_snap = Snapshot(
-                snapshot_id=snap.snapshot_id + 1,
-                parent_id=snap.snapshot_id,
-                timestamp_ms=Manifest.now_ms(),
-                operation="rename",
+            new_snap = snap.child(
+                "rename",
                 schema_json=new_schema.json(),
-                partition_col=snap.partition_col,
-                key_col=snap.key_col,
-                files=list(snap.files),
-                delete_predicates=snap.delete_predicates,
                 stat_cols=[new if c == old else c for c in snap.stat_cols],
                 zorder_by=[new if c == old else c for c in snap.zorder_by],
-                bucket_col=snap.bucket_col,
-                n_buckets=snap.n_buckets,
-                staged=dict(snap.staged),  # never un-hide staged files
                 renames=snap.renames + [{"from": old, "to": new}],
-                files_ref=snap.files_ref,
-                files_count=snap.files_count,
             )
             try:
                 self.manifest.commit(new_snap)

@@ -219,6 +219,13 @@ class Snapshot:
     # reprocessing, not replay, and must append.
     source_batch_id: int | None = None
     source_lineage: str | None = None
+    # Partition-spec evolution history (Iceberg's spec evolution
+    # adapted to seq scoping): entries {"col": <then partition_col or
+    # None>, "until_seq": <first seq written under the NEXT spec>},
+    # oldest first. A file's write-time spec is the first entry with
+    # file.seq < until_seq (falling through to the current
+    # partition_col) — O(1) metadata per spec change, nothing rewrites.
+    partition_specs: list = field(default_factory=list)
     # Write-audit-publish staging (Iceberg's WAP / audit-branch
     # pattern adapted to this linear snapshot log): branch name →
     # list of snapshot ids whose appended files are STAGED — present
@@ -263,9 +270,49 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "source_batch_id": self.source_batch_id,
             "source_lineage": self.source_lineage,
+            "partition_specs": self.partition_specs,
             "staged": self.staged,
             "renames": self.renames,
         }
+
+    def spec_col_for(self, seq: int) -> Any:
+        """Partition column a file with data sequence number ``seq``
+        was written under (see ``partition_specs``)."""
+        for e in self.partition_specs:
+            if seq < e["until_seq"]:
+                return e["col"]
+        return self.partition_col
+
+    def child(self, operation: str, **overrides) -> "Snapshot":
+        """Skeleton for the NEXT snapshot, inheriting every carry-over
+        field (schema, layout config, MoR predicates, staged branches,
+        rename history, partition-spec history, and the file list BY
+        REFERENCE — same files_ref / same inline entries). Metadata-only
+        commits (publish, rename, rollback, spec change, MoR delete)
+        build on this so no carry-over field can be forgotten; pass
+        ``overrides`` for what the operation actually changes."""
+        d = dict(
+            snapshot_id=self.snapshot_id + 1,
+            parent_id=self.snapshot_id,
+            timestamp_ms=Manifest.now_ms(),
+            operation=operation,
+            schema_json=self.schema_json,
+            partition_col=self.partition_col,
+            key_col=self.key_col,
+            files=list(self.files),
+            delete_predicates=list(self.delete_predicates),
+            stat_cols=list(self.stat_cols),
+            zorder_by=list(self.zorder_by),
+            bucket_col=self.bucket_col,
+            n_buckets=self.n_buckets,
+            partition_specs=[dict(e) for e in self.partition_specs],
+            staged={b: list(v) for b, v in self.staged.items()},
+            renames=list(self.renames),
+            files_ref=self.files_ref,
+            files_count=self.files_count,
+        )
+        d.update(overrides)
+        return Snapshot(**d)
 
     @classmethod
     def from_json(cls, d: dict) -> "Snapshot":
@@ -285,6 +332,7 @@ class Snapshot:
             n_buckets=d.get("n_buckets"),
             source_batch_id=d.get("source_batch_id"),
             source_lineage=d.get("source_lineage"),
+            partition_specs=d.get("partition_specs", []),
             staged=d.get("staged", {}),
             renames=d.get("renames", []),
             files_ref=d.get("files_ref"),
