@@ -47,6 +47,7 @@ def stream_ingest_to_table(
     source_format: str = "parquet",
     transform=None,
     bucket_by: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> StreamingQuery:
     """File-source stream → partitioned, clustered, manifest-committed
     table. ``trigger`` e.g. {"processingTime": "1 seconds"} (the
@@ -58,7 +59,16 @@ def stream_ingest_to_table(
     ``bucket_by=(col, n)``: ingest into a hash-bucket layout instead of
     partition/key clustering — every appended micro-batch keeps the
     bucket spec, so the growing table stays joinable exchange-free via
-    ``as_bucketed_table`` (pass ``partition_col=None`` with this)."""
+    ``as_bucketed_table`` (pass ``partition_col=None`` with this).
+
+    ``branch``: STAGED ingest (write-audit-publish) — every micro-batch
+    lands on the named audit branch instead of publishing instantly:
+    consumers of the main view see nothing until
+    ``IceTable.publish_branch(branch)`` flips the audited data visible
+    in one metadata-only commit (or ``drop_branch`` discards it). The
+    quality gate a 100 TB ingest pipeline runs between landing and
+    serving. If the table does not exist yet, an empty create carries
+    the schema so even the FIRST batch stages."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -88,6 +98,22 @@ def stream_ingest_to_table(
             return
         table = IceTable(spark, table_root)
         if table.manifest.current_snapshot_id() is None:
+            if branch:
+                # staged ingest must hide even the first batch: an
+                # EMPTY create (schema only, no files) publishes the
+                # table shell, then the batch appends onto the branch
+                IceTable.create(
+                    spark, table_root, batch_df.limit(0),
+                    partition_col=partition_col, key_col=key_col,
+                    max_rows_per_file=max_rows_per_file,
+                    bucket_by=bucket_by,
+                )
+                table.append(batch_df,
+                             max_rows_per_file=max_rows_per_file,
+                             dedupe_identical_files=True,
+                             source_batch_id=batch_id,
+                             source_lineage=lineage, branch=branch)
+                return
             # single atomic commit carries the batch stamp — no window
             # between table creation and replay-detection metadata
             IceTable.create(
@@ -107,7 +133,8 @@ def stream_ingest_to_table(
             return
         table.append(batch_df, max_rows_per_file=max_rows_per_file,
                      dedupe_identical_files=True,
-                     source_batch_id=batch_id, source_lineage=lineage)
+                     source_batch_id=batch_id, source_lineage=lineage,
+                     branch=branch)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

@@ -314,3 +314,40 @@ def test_load_table_ts_is_timestamp_type(spark):
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
     # and it is watermark-compatible
     ev.withWatermark("ts", "10 minutes")
+
+
+def test_stream_ingest_staged_on_branch_then_published(spark, tmp_path):
+    """Write-audit-publish over STREAMING ingest: micro-batches land on
+    an audit branch (main consumers see nothing — even the very first
+    batch stages behind an empty schema-only create), the audit view
+    sees everything, and one metadata-only publish flips the audited
+    batches visible. The landing→quality-gate→serving shape of a
+    100 TB ingest pipeline."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [location_row(timestamp=100 + i) for i in range(3)],
+        [location_row(timestamp=200 + i, user_id="userid2")
+         for i in range(2)],
+    ]
+    for n, rows in enumerate(batches):
+        _drop_file(spark, rows, src, f"b{n}.parquet")
+        q = stream_ingest_to_table(
+            spark, src, table_root, location_df(spark, []).schema,
+            partition_col=PARTITION_COL, key_col=KEY_COL,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+            branch="audit",
+        )
+        assert q.awaitTermination(120)
+
+    t = IceTable(spark, table_root)
+    assert t.scan().count() == 0  # nothing published yet
+    assert t.scan(branch="audit").count() == 5  # audit sees both batches
+    t.publish_branch("audit")
+    assert t.scan().count() == 5
+    # replay protection still intact across the staged path
+    assert [s.source_batch_id for s in t.manifest.snapshots(
+        load_files=False) if s.source_batch_id is not None] == [0, 1]
