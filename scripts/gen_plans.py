@@ -24,6 +24,11 @@ PICKS = [
     ("zorder_range_scan", "Multi-dim pruned range query — the scan's file list comes PRE-PRUNED from manifest min/max stats on the Morton-clustered dimension (strict file subset, asserted in tests); the residual BETWEEN pushes to the surviving files' row groups."),
     ("schema_evolution", "Three-commit evolved table — rename resolves as a coalesce(current, retired) projection INSIDE the scan's codegen stage and the evolve-added column NULL-fills via schema-on-read; zero exchanges, zero data rewrite."),
     ("dedup_clusters", "Pairs → connected components — skinny candidate equi-join, verify stage repartitioned to cluster width (compute-proportional parallelism, not AQE's bytes-based coalescing), CC solved adaptively (driver union-find at this edge count)."),
+    ("tpch_q1", "Pricing summary — single scan, two HashAggregate levels over a 6-group key; the shipdate filter pushes to the scan and only the 7 referenced columns read (ReadSchema)."),
+    ("tpch_q4", "EXISTS decorrelated — LeftSemi join on orderkey with the extra shipdate>orderdate condition; only the orders side survives the join (no lineitem payload past it)."),
+    ("tpch_q18", "HAVING semi-join — lineitem aggregates once to find big orders, survivors LeftSemi-shrink orders BEFORE the wide customer join; both lineitem passes shuffle on the same key."),
+    ("table_wap", "Write-audit-publish main view — the staged append's files are dropped at PLANNING time (seq-scoped visibility), so the scan reads exactly the published file set; no runtime filter, no extra plan node."),
+    ("table_partition_evolution", "Partition query across evolved specs — the file list comes pre-pruned: post-evolution files by recorded partition value, pre-evolution files by source min/max stats; residual equality filter pushes to the surviving files."),
 ]
 
 
