@@ -358,6 +358,62 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """
 
 
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-shipping shape: supplier-nation × customer-nation revenue
+    matrix for one ship-year (the classic Q7 pair filter generalized to
+    the full matrix — the driver schema's synthetic nations make any
+    single pair sparse). Plan: one fact-fact join on orderkey, then
+    supplier/customer key joins with the two nation dims broadcast
+    under DIFFERENT aliases; the matrix aggregate is partial+final over
+    a bounded (25×25) key space."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nkey)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, {_REV} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation
+"""
+
+
 def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """Large-volume-customer shape: self-aggregated lineitem HAVING
     filter feeds a semi join back onto the 3-way join, top 100 by order
@@ -412,6 +468,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q4": (tpch_q4, TPCH_Q4_SQL),
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
     "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
+    "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
     "tpch_q12": (tpch_q12, TPCH_Q12_SQL),
     "tpch_q14": (tpch_q14, TPCH_Q14_SQL),

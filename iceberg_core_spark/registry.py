@@ -71,8 +71,8 @@ def all_queries() -> dict[str, Entry]:
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
         "table_partition_evolution",
-        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q14",
-        "tpch_q18",
+        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q12",
+        "tpch_q14", "tpch_q18",
         # (b) table layer (ice_table/manifest/table_queries r5 diff)
         "table_incremental", "zorder_range_scan", "schema_evolution",
         # (c) streaming/queries.py post-window diff
@@ -91,7 +91,7 @@ def all_queries() -> dict[str, Entry]:
         "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
         "dedup_clusters", "dedup_clusters_minhash",
         # (g) oldest standing rows (r3, unchanged modules)
-        "join_semi", "join_anti", "join_theta", "join_asof",
+        "join_anti", "join_theta", "join_asof",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -2007,6 +2007,64 @@ class IceTable:
     def snapshots(self) -> list[Snapshot]:
         return self.manifest.snapshots()
 
+    # ------------------------------------------------------------------
+    # metadata tables (Iceberg's <table>.files / <table>.history analog)
+    # ------------------------------------------------------------------
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """One snapshot's data-file inventory as a DataFrame — path,
+        partition value, key min/max, rows, bytes, content hash, seq —
+        for maintenance queries (small-file counts, bytes per
+        partition, skew inspection) without touching data files.
+        Sidecar-backed snapshots return the sidecar scan itself
+        (normalized stat columns; entries never materialize on the
+        driver); inline snapshots lift their entries into a local
+        DataFrame."""
+        snap = self.manifest.load(snapshot_id, load_files=False)
+        if snap.files_ref:
+            return self.spark.read.parquet(
+                self.manifest.sidecar_path(snap.files_ref))
+        rows = [
+            (f.path, str(f.partition) if f.partition is not None else None,
+             str(f.key_min) if f.key_min is not None else None,
+             str(f.key_max) if f.key_max is not None else None,
+             f.rows, f.bytes, f.content_hash, f.seq)
+            for f in snap.files
+        ]
+        schema = ("path string, partition string, key_min string, "
+                  "key_max string, rows long, bytes long, "
+                  "content_hash string, seq long")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """Commit history as a DataFrame — snapshot id, parent,
+        timestamp, operation, file/row counts, batch lineage, staged
+        branches — the audit-trail view (Iceberg's history/snapshots
+        metadata tables folded into one). Metadata-only: sidecar file
+        lists are never materialized (files_count rides the snapshot
+        doc)."""
+        rows = []
+        for s in self.manifest.snapshots(load_files=False):
+            n_files = (s.files_count if s.files_ref else len(s.files))
+            n_rows = (None if s.files_ref
+                      else sum(f.rows for f in s.files))
+            rows.append((
+                s.snapshot_id, s.parent_id, s.timestamp_ms, s.operation,
+                n_files, n_rows, s.partition_col, s.key_col,
+                s.source_lineage, s.source_batch_id,
+                json.dumps(s.staged) if s.staged else None,
+                len(s.delete_predicates),
+            ))
+        schema = ("snapshot_id long, parent_id long, timestamp_ms long, "
+                  "operation string, n_files long, n_rows long, "
+                  "partition_col string, key_col string, "
+                  "source_lineage string, source_batch_id long, "
+                  "staged string, n_delete_predicates long")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
     def file_count(self) -> int:
         snap = self.manifest.load(load_files=False)
         if snap.files_ref and snap.files_count is not None:

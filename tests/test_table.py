@@ -204,3 +204,39 @@ def test_scan_incremental_through_sidecars(spark, tmp_path, monkeypatch):
         "id", "id % 4 as part", "cast(id as string) as payload"))
     got = sorted(r.id for r in t.scan_incremental(s0).collect())
     assert got == list(range(200, 230))
+
+
+def test_files_df_metadata_table(spark, tmp_path):
+    """files_df = Iceberg's <table>.files metadata table: the data-file
+    inventory as a DataFrame, no data bytes touched."""
+    from tests.fixtures import location_df, location_row
+
+    rows = [location_row(timestamp=100000 + i) for i in range(10)]
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), location_df(spark, rows),
+        partition_col="user_id", key_col="timestamp",
+        max_rows_per_file=3,
+    )
+    fdf = t.files_df()
+    assert fdf.count() == t.file_count()
+    agg = fdf.selectExpr("sum(rows) r", "sum(bytes) b").first()
+    assert agg.r == 10 and agg.b > 0
+    assert fdf.filter("seq = 0").count() == fdf.count()
+
+
+def test_history_df_metadata_table(spark, tmp_path):
+    from tests.fixtures import location_df, location_row
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        location_df(spark, [location_row(timestamp=1)]),
+        partition_col="user_id", key_col="timestamp",
+    )
+    t.append(location_df(spark, [location_row(timestamp=2)]),
+             dedupe_identical_files=False, branch="audit")
+    t.publish_branch("audit")
+    h = t.history_df().orderBy("snapshot_id").collect()
+    assert [r.operation for r in h] == ["create", "append", "publish"]
+    assert h[1].staged is not None and "audit" in h[1].staged
+    assert h[2].staged is None
+    assert h[0].parent_id is None and h[2].parent_id == 1
