@@ -460,6 +460,325 @@ LIMIT 100
 """
 
 
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """National-market-share shape: 8-way join, one product type sold
+    into one region over two years, share of revenue supplied by one
+    nation per order-year — the canonical conditional-ratio-over-a-wide-
+    join. Plan: the two fact tables join once on orderkey; part/supplier
+    are dimension-sized (AQE broadcasts when the build side fits);
+    nation (two aliases) and region are fixed dims, hints stay. Both
+    ratio legs are exact decimal sums divided in DOUBLE."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"))
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nkey)
+        .join(F.broadcast(r), n1.c_rkey == r.r_regionkey)
+        .join(F.broadcast(n2), sup.s_nationkey == n2.s_nkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(nation_rev).cast("double")
+              / F.sum(rev).cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-order-distribution shape: LEFT OUTER join with an
+    ON-clause filter (orders surviving a priority predicate — the
+    schema's stand-in for the comment NOT LIKE), then a two-level
+    aggregate: orders per customer, customers per order-count. The
+    outer join keeps order-less customers as count 0 — the part an
+    inner join would silently drop. Both aggregations shuffle on small
+    keys (custkey, then a tiny count domain)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order-revenue shape: the correlated scalar
+    subquery (20% of each part's average quantity) decorrelated into a
+    per-part aggregate joined back on partkey — Catalyst's standard
+    rewrite, expressed directly. At scale the per-part cap aggregate
+    and the probe side shuffle on the same key (partkey), so AQE reuses
+    the exchange; the brand/size filter prunes the part dim before the
+    join. Averages are exact decimal sums divided by counts in DOUBLE."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 25)
+    )
+    cap = (
+        li.groupBy(F.col("l_partkey").alias("cap_partkey"))
+        .agg((F.lit(0.2)
+              * F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .cast("double")
+              / F.count(F.lit(1))).alias("qty_cap"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(cap, li.l_partkey == cap.cap_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+TPCH_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 25
+  AND l_quantity < (
+    SELECT 0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted-revenue shape: disjunction of three conjunctive
+    brand/size/quantity clauses over lineitem ⋈ part — the canonical
+    OR-of-ANDs predicate test. The join key plus the disjunction is one
+    equi-join with a residual filter; the common `p_partkey =
+    l_partkey` factors out so Catalyst still plans an equi-join (not a
+    cartesian), and the shared `p_size >= 1` bound pushes to the part
+    scan."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    clause = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting shape: EXISTS + NOT EXISTS
+    self-joins on lineitem. The schema has no commit/receipt dates, so
+    "late" is shipping >60 days after the order date. A supplier is
+    counted when it shipped late on a finished multi-supplier order
+    where NO other supplier was late (sole blame). Plan: the lateness
+    base joins orders once; the EXISTS becomes a left-semi and the NOT
+    EXISTS a left-anti self-join, both shuffling on orderkey — three
+    hash joins on the same key, no payload duplication (semi/anti
+    project the left side only)."""
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"),
+                   F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = li.select(F.col("l_orderkey").alias("l3_orderkey"),
+                   F.col("l_suppkey").alias("l3_suppkey"),
+                   F.col("l_shipdate").alias("l3_shipdate"))
+    sup = load_table(spark, sf, "supplier")
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("l2_orderkey"))
+                & (F.col("l_suppkey") != F.col("l2_suppkey")),
+                "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("l3_orderkey"))
+              & (F.col("l_suppkey") != F.col("l3_suppkey"))
+              & (F.col("l3_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+              "left_anti")
+    )
+    return (
+        waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+_Q22_CODES = ("13", "31", "23", "29", "30", "18", "17", "02", "05", "11")
+
+
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-sales-opportunity shape: scalar subquery (average balance
+    of positive-balance customers in a code set) + anti join (dormant:
+    no orders since 1999) + grouped count/sum. The schema has no phone,
+    so the country code is the last two digits of c_name; the classic
+    "no orders at all" anti join is "no RECENT orders" because the
+    generator gives every customer at least one order. Plan: the
+    1-row average broadcasts as a cross join (scalar), the anti join
+    shuffles on custkey, and the final aggregate is tiny (≤100
+    codes)."""
+    c = load_table(spark, sf, "customer").withColumn(
+        "cntrycode", F.expr("right(c_name, 2)")
+    ).filter(F.col("cntrycode").isin(*_Q22_CODES))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey,
+              "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+TPCH_Q22_SQL = """
+WITH cust AS (
+  SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE right(c_name, 2) IN
+    ('13','31','23','29','30','18','17','02','05','11')
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM cust
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*)
+    FROM cust WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -469,8 +788,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
     "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
+    "tpch_q8": (tpch_q8, TPCH_Q8_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
     "tpch_q12": (tpch_q12, TPCH_Q12_SQL),
+    "tpch_q13": (tpch_q13, TPCH_Q13_SQL),
     "tpch_q14": (tpch_q14, TPCH_Q14_SQL),
+    "tpch_q17": (tpch_q17, TPCH_Q17_SQL),
     "tpch_q18": (tpch_q18, TPCH_Q18_SQL),
+    "tpch_q19": (tpch_q19, TPCH_Q19_SQL),
+    "tpch_q21": (tpch_q21, TPCH_Q21_SQL),
+    "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
 }

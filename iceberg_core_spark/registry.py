@@ -48,8 +48,9 @@ def all_queries() -> dict[str, Entry]:
     # rotation discipline (every query whose module — or dependency —
     # changed since its last driver row gets back in the window):
     # (a) queries with NO driver row yet: the 4 late-r4 registrations
-    # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/
-    # q12/q14/q18, table_time_travel, table_wap);
+    # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/q7/
+    # q8/q12/q13/q14/q17/q18/q19/q21/q22, table_time_travel, table_wap,
+    # table_partition_evolution);
     # (b) table-layer queries: ice_table.py/manifest.py changed in r5
     # (WAP staging, tags, rename-stat-cols, estimator);
     # (c) streaming/queries.py changed post-r4-window (stream_dedup
@@ -60,19 +61,22 @@ def all_queries() -> dict[str, Entry]:
     # (f) session.py estimator rewrite (suffix parse, real split
     # formula) rides under every spread() user: aggs, udfs,
     # multimodal, text, dedup;
-    # (g) remaining slots refresh the OLDEST standing rows (r3 rows on
-    # unchanged modules: semi/anti/theta/asof joins, avro scan).
     # Queries NOT listed keep green rows on code unchanged since they
-    # were recorded (relational.py scan/project/filter/scalar/agg/
+    # were recorded: relational.py scan/project/filter/scalar/agg/
     # join/window tails, relational_ext, bucketed, sampling, stateful,
-    # stream trio r4 rows).
+    # stream trio r4 rows; join_anti/theta/asof r3 rows (modules
+    # untouched since); and the rows-only dedup_simhash /
+    # dedup_embedding_lsh / dedup_clusters_minhash r4 rows (dedup.py /
+    # llm_queries.py unchanged in r5 — a rows-only refresh verifies
+    # nothing new, so their slots went to the six new TPC-H queries).
     priority = [
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
         "table_partition_evolution",
-        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q12",
-        "tpch_q14", "tpch_q18",
+        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
+        "tpch_q19", "tpch_q21", "tpch_q22",
         # (b) table layer (ice_table/manifest/table_queries r5 diff)
         "table_incremental", "zorder_range_scan", "schema_evolution",
         # (c) streaming/queries.py post-window diff
@@ -88,10 +92,7 @@ def all_queries() -> dict[str, Entry]:
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
         "text_analysis", "text_ngrams", "corpus_clean",
         "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
-        "dedup_clusters", "dedup_clusters_minhash",
-        # (g) oldest standing rows (r3, unchanged modules)
-        "join_anti", "join_theta", "join_asof",
+        "dedup_embedding", "dedup_clusters",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -27,6 +27,8 @@ PICKS = [
     ("tpch_q1", "Pricing summary — single scan, two HashAggregate levels over a 6-group key; the shipdate filter pushes to the scan and only the 7 referenced columns read (ReadSchema)."),
     ("tpch_q4", "EXISTS decorrelated — LeftSemi join on orderkey with the extra shipdate>orderdate condition; only the orders side survives the join (no lineitem payload past it)."),
     ("tpch_q18", "HAVING semi-join — lineitem aggregates once to find big orders, survivors LeftSemi-shrink orders BEFORE the wide customer join; both lineitem passes shuffle on the same key."),
+    ("tpch_q21", "EXISTS/NOT-EXISTS self-joins — the late-lineitem base joins orders once, then LeftSemi (another supplier exists) and LeftAnti (no OTHER late supplier) self-joins on orderkey; semi/anti project the left side only, so no lineitem payload rides the self-joins."),
+    ("tpch_q17", "Decorrelated scalar subquery — the per-part 0.2*avg cap aggregates lineitem on partkey and joins back on the same key; at scale both sides shuffle on partkey and AQE reuses the exchange; the brand/size filter prunes part before the join."),
     ("table_wap", "Write-audit-publish main view — the staged append's files are dropped at PLANNING time (seq-scoped visibility), so the scan reads exactly the published file set; no runtime filter, no extra plan node."),
     ("table_partition_evolution", "Partition query across evolved specs — the file list comes pre-pruned: post-evolution files by recorded partition value, pre-evolution files by source min/max stats; residual equality filter pushes to the surviving files."),
 ]

@@ -55,6 +55,27 @@ def test_semi_anti_join_physical(spark):
     assert "LeftAnti" in plan_of(R.join_anti(spark, SF_DIR))
 
 
+def test_q21_self_joins_semi_anti_no_cartesian(spark):
+    """Q21's EXISTS/NOT-EXISTS must plan as LeftSemi/LeftAnti equi-joins
+    on orderkey — never a cartesian (the non-equi suppkey<>suppkey part
+    must ride as a join condition, not strand the join keyless)."""
+    from iceberg_core_spark.operators.tpch import tpch_q21
+
+    s = plan_of(tpch_q21(spark, SF_DIR))
+    assert "LeftSemi" in s and "LeftAnti" in s
+    assert "Cartesian" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """Q17's per-part cap joins back as an equi-join on partkey with a
+    partial+final aggregate feeding it."""
+    from iceberg_core_spark.operators.tpch import tpch_q17
+
+    s = plan_of(tpch_q17(spark, SF_DIR))
+    assert "Cartesian" not in s and "BroadcastNestedLoop" not in s
+    assert s.count("HashAggregate") >= 2  # partial+final cap aggregate
+
+
 def test_agg_partial_final(spark):
     # map-side partial aggregation (two HashAggregate levels)
     s = plan_of(R.agg_hash(spark, SF_DIR))
