@@ -2015,14 +2015,27 @@ class IceTable:
         partition value, key min/max, rows, bytes, content hash, seq —
         for maintenance queries (small-file counts, bytes per
         partition, skew inspection) without touching data files.
-        Sidecar-backed snapshots return the sidecar scan itself
-        (normalized stat columns; entries never materialize on the
-        driver); inline snapshots lift their entries into a local
-        DataFrame."""
+        Sidecar-backed snapshots return a projection of the sidecar
+        scan (entries never materialize on the driver); inline
+        snapshots lift their entries into a local DataFrame. Both
+        paths yield the SAME schema — path, partition, key_min,
+        key_max, rows, bytes, content_hash, seq (stats stringified;
+        the hash is extracted from entry_json JVM-side)."""
         snap = self.manifest.load(snapshot_id, load_files=False)
         if snap.files_ref:
-            return self.spark.read.parquet(
+            raw = self.spark.read.parquet(
                 self.manifest.sidecar_path(snap.files_ref))
+            return raw.select(
+                F.col("path"),
+                F.col("partition_n").cast("string").alias("partition"),
+                F.col("key_min_n").cast("string").alias("key_min"),
+                F.col("key_max_n").cast("string").alias("key_max"),
+                F.col("rows"),
+                F.col("bytes"),
+                F.get_json_object("entry_json", "$.content_hash")
+                .alias("content_hash"),
+                F.col("seq"),
+            )
         rows = [
             (f.path, str(f.partition) if f.partition is not None else None,
              str(f.key_min) if f.key_min is not None else None,
@@ -2036,6 +2049,29 @@ class IceTable:
         if not rows:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition file inventory rollup (Iceberg's
+        ``<table>.partitions`` analog): file/row/byte totals and average
+        file size per partition value — the compaction planner's input
+        (small-file pressure and partition skew in one scan). Built as
+        an aggregate OVER ``files_df``, so sidecar-backed snapshots
+        aggregate the sidecar scan distributedly; per-file entries never
+        materialize on the driver. Raw inventory semantics (like
+        Iceberg): staged and MoR-affected files are counted — this is a
+        file-layout view, not a row-visibility view."""
+        f = self.files_df(snapshot_id)
+        return (
+            f.groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("rows").alias("row_count"),
+                F.sum("bytes").alias("total_bytes"),
+                (F.sum("bytes") / F.count(F.lit(1)))
+                .alias("avg_file_bytes"),
+                F.max("seq").alias("last_seq"),
+            )
+        )
 
     def history_df(self) -> DataFrame:
         """Commit history as a DataFrame — snapshot id, parent,

@@ -224,6 +224,60 @@ def test_files_df_metadata_table(spark, tmp_path):
     assert fdf.filter("seq = 0").count() == fdf.count()
 
 
+def test_files_partitions_df_sidecar_schema_parity(spark, tmp_path,
+                                                   monkeypatch):
+    """Sidecar-backed and inline snapshots must expose the SAME
+    files_df schema, and partitions_df must aggregate the sidecar scan
+    without materializing entries."""
+    from iceberg_core_spark.table.manifest import Manifest
+    from tests.fixtures import location_df, location_row
+
+    rows = [location_row(timestamp=100000 + i,
+                         user_id=f"user{i % 2}") for i in range(8)]
+    df = location_df(spark, rows)
+    inline = IceTable.create(
+        spark, str(tmp_path / "inline"), df,
+        partition_col="user_id", key_col="timestamp",
+        max_rows_per_file=2)
+    monkeypatch.setattr(Manifest, "inline_max", 1)
+    sidecar = IceTable.create(
+        spark, str(tmp_path / "side"), df,
+        partition_col="user_id", key_col="timestamp",
+        max_rows_per_file=2)
+    assert sidecar.manifest.load(load_files=False).files_ref is not None
+    assert inline.files_df().columns == sidecar.files_df().columns
+    hashes = [r.content_hash for r in sidecar.files_df().collect()]
+    assert all(h and len(h) == 64 for h in hashes)  # sha256 hex
+    p = {r.partition: r for r in sidecar.partitions_df().collect()}
+    assert set(p) == {"user0", "user1"}
+    assert all(r.row_count == 4 and r.file_count == 2
+               for r in p.values())
+
+
+def test_partitions_df_metadata_table(spark, tmp_path):
+    """partitions_df = Iceberg's <table>.partitions analog: per-
+    partition file/row/byte rollup for compaction planning; must agree
+    with a direct files_df aggregation and with the data itself."""
+    from tests.fixtures import location_df, location_row
+
+    rows = [location_row(timestamp=100000 + i,
+                         user_id=f"user{i % 3}") for i in range(12)]
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), location_df(spark, rows),
+        partition_col="user_id", key_col="timestamp",
+        max_rows_per_file=2,
+    )
+    p = {r.partition: r for r in t.partitions_df().collect()}
+    assert set(p) == {"user0", "user1", "user2"}
+    assert sum(r.row_count for r in p.values()) == 12
+    assert sum(r.file_count for r in p.values()) == t.file_count()
+    for r in p.values():
+        assert r.row_count == 4 and r.file_count == 2
+        assert r.total_bytes > 0
+        assert abs(r.avg_file_bytes - r.total_bytes / r.file_count) < 1e-9
+        assert r.last_seq == 0
+
+
 def test_history_df_metadata_table(spark, tmp_path):
     from tests.fixtures import location_df, location_row
 
