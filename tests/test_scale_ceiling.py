@@ -139,6 +139,26 @@ def test_pruned_query_survivor_stubs_100k(big_manifest_table):
     assert all(f.key_min is None and not f.col_stats for f in survivors)
 
 
+def test_partitions_df_distributed_100k(big_manifest_table):
+    """partitions_df over a 100k-file sidecar must aggregate the
+    sidecar SCAN (a Spark job), not driver-side entries: planning +
+    execution stays in seconds and the driver never parses 100k
+    entry_json documents."""
+    t, _base = big_manifest_table
+    t0 = time.monotonic()
+    tracemalloc.start()
+    rows = t.partitions_df().collect()
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    elapsed = time.monotonic() - t0
+    # synthetic entries carry partition=None → a single rollup row
+    assert len(rows) == 1
+    assert rows[0].file_count == N_FILES
+    assert rows[0].row_count == 5 * N_FILES
+    assert peak < 50 * 1024 * 1024, f"driver peak {peak/1e6:.0f} MB"
+    assert elapsed < 60, f"partitions_df took {elapsed:.0f}s"
+
+
 def test_sidecar_bytes_on_disk_100k(big_manifest_table):
     """The 100k sidecar itself stays small on disk (column-compressed
     parquet) — the metadata plane scales sublinearly with entry count."""
