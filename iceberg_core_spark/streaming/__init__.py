@@ -1,4 +1,5 @@
 from iceberg_core_spark.streaming.ingest import (
+    stream_cdc_to_table,
     stream_ingest_to_table,
     session_agg,
     sliding_counts,
@@ -9,6 +10,7 @@ from iceberg_core_spark.streaming.ingest import (
 
 __all__ = [
     "stream_ingest_to_table",
+    "stream_cdc_to_table",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

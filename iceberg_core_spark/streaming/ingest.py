@@ -143,6 +143,85 @@ def stream_ingest_to_table(
     return writer.start()
 
 
+def stream_cdc_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    schema: StructType,
+    key_cols: list[str],
+    partition_col: str | None = None,
+    key_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    seq_col: str | None = None,
+    max_rows_per_file: int = 8192,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+    source_format: str = "parquet",
+    transform=None,
+) -> StreamingQuery:
+    """Streaming MERGE (CDC apply) into an IceTable: each micro-batch
+    upserts on ``key_cols``; with ``op_col`` set, rows marked
+    ``delete_op`` delete their key instead (full-row images,
+    last-writer-wins within a batch via ``seq_col``). The composition
+    the reference's append-only ingest (blockManager.go:29-72) cannot
+    express — change streams applied with exactly-once effect.
+
+    Replay protection is the batch-id guard alone (same lineage
+    contract as stream_ingest_to_table): a replayed micro-batch id is
+    skipped whole, so the at-least-once foreachBatch applies each
+    change set once. Content-hash dedupe does not apply here — a merge
+    REWRITES files, it does not land new ones.
+
+    Scale shape: when ``partition_col`` is one of ``key_cols``, each
+    batch rewrites only the partitions it touches (IceTable.upsert's
+    scoped merge); cost tracks the touched-partition volume, not table
+    size. The first batch creates the table (schema minus op/seq
+    columns) and applies itself as a merge onto the empty shell."""
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .load(source_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+
+    import uuid as _uuid
+
+    lineage = checkpoint_dir or f"cdc-ephemeral-{_uuid.uuid4()}"
+    strip = ([op_col] if op_col else []) + ([seq_col] if seq_col else [])
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = IceTable(spark, table_root)
+        if table.manifest.current_snapshot_id() is None:
+            IceTable.create(
+                spark, table_root, batch_df.drop(*strip).limit(0),
+                partition_col=partition_col, key_col=key_col,
+                max_rows_per_file=max_rows_per_file,
+            )
+        else:
+            last = table.last_committed_batch(lineage)
+            if last is not None and batch_id <= last:
+                return
+        if op_col is None:
+            table.upsert(batch_df.drop(*strip), key_cols=key_cols,
+                         source_batch_id=batch_id,
+                         source_lineage=lineage)
+        else:
+            table.apply_cdc(batch_df, key_cols=key_cols, op_col=op_col,
+                            delete_op=delete_op, seq_col=seq_col,
+                            source_batch_id=batch_id,
+                            source_lineage=lineage)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (batch/streaming-agnostic DataFrame → DataFrame)
 # ---------------------------------------------------------------------------

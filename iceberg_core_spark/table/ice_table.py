@@ -1495,19 +1495,112 @@ class IceTable:
                                   snap.key_col, 1_000_000, base_files=[],
                                   expected_parent=snap.snapshot_id)
 
-    def upsert(self, df: DataFrame, key_cols: list[str]) -> Snapshot:
+    def upsert(self, df: DataFrame, key_cols: list[str],
+               source_batch_id: int | None = None,
+               source_lineage: str | None = None) -> Snapshot:
         """Merge: rows matching ``key_cols`` are replaced by ``df``'s
-        rows, new keys are inserted (CoW full-merge; the shuffle is one
-        left-anti join on the keys)."""
+        rows, new keys are inserted (CoW; the shuffle is one left-anti
+        join on the keys).
+
+        Partition-scoped rewrite: when the table's partition column is
+        one of ``key_cols`` (so a key can never change partitions), only
+        files in the partitions the batch actually touches are rewritten
+        — every other file carries over byte-identical, delete_range's
+        affected/keep split applied to MERGE. That is what makes
+        per-micro-batch streaming upserts viable at 100 TB: cost scales
+        with the touched partitions, not the table. Without the
+        partition column in the keys, the merge falls back to a full
+        rewrite (a moved key's old row could hide in any file).
+
+        ``source_batch_id``/``source_lineage`` stamp the commit for
+        streaming replay protection (same contract as append)."""
+        return self._merge_cow(
+            all_keys=df.select(*key_cols).dropDuplicates(key_cols),
+            upserts=df, key_cols=key_cols, operation="upsert",
+            source_batch_id=source_batch_id,
+            source_lineage=source_lineage)
+
+    def apply_cdc(self, df: DataFrame, key_cols: list[str],
+                  op_col: str = "op", delete_op: str = "D",
+                  seq_col: str | None = None,
+                  source_batch_id: int | None = None,
+                  source_lineage: str | None = None) -> Snapshot:
+        """Apply a change-data-capture batch in one CoW merge: rows
+        whose ``op_col`` equals ``delete_op`` delete their key, every
+        other row upserts (full-row images; ``op_col``/``seq_col`` are
+        stripped before writing). ``seq_col`` orders multiple changes to
+        the SAME key within the batch (last writer wins); without it the
+        batch must carry at most one row per key — a duplicate key would
+        pick an arbitrary winner, so that case raises.
+
+        Same partition-scoped rewrite rule as :meth:`upsert`."""
+        strip = [op_col] + ([seq_col] if seq_col else [])
+        if seq_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc())
+            latest = (df.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
+        else:
+            dupes = (df.groupBy(*key_cols).count()
+                     .filter(F.col("count") > 1).limit(1).count())
+            if dupes:
+                raise ValueError(
+                    "CDC batch has multiple rows per key; pass seq_col "
+                    "to order them (last writer wins)")
+            latest = df
+        return self._merge_cow(
+            all_keys=latest.select(*key_cols),
+            upserts=latest.filter(
+                F.col(op_col) != F.lit(delete_op)).drop(*strip),
+            key_cols=key_cols, operation="cdc",
+            source_batch_id=source_batch_id,
+            source_lineage=source_lineage)
+
+    def _merge_cow(self, all_keys: DataFrame, upserts: DataFrame,
+                   key_cols: list[str], operation: str,
+                   source_batch_id: int | None,
+                   source_lineage: str | None) -> Snapshot:
+        """Shared CoW merge: remove ``all_keys`` from the affected file
+        set, union ``upserts`` back in, carry unaffected files over
+        untouched. MoR predicates are materialized into the rewritten
+        files and survive only for kept files that still predate them
+        (delete_range's seq-scoping rule)."""
         snap = self.manifest.load()
-        self._require_no_staged(snap, "upsert")
-        existing = self.scan().join(
-            df.select(*key_cols).dropDuplicates(key_cols), key_cols,
-            "left_anti",
-        )
-        merged = existing.unionByName(df)
-        return self._write_commit(merged, "upsert", snap.partition_col,
-                                  snap.key_col, 1_000_000, base_files=[],
+        self._require_no_staged(snap, operation)
+        part_col = snap.partition_col
+        affected, keep = list(snap.files), []
+        if part_col and part_col in key_cols:
+            parts = {r[0] for r in
+                     all_keys.select(part_col).distinct().collect()}
+            if None not in parts:
+                str_parts = {str(p) for p in parts}
+                affected, keep = [], []
+                for f in snap.files:
+                    # current-spec files scope exactly by recorded
+                    # partition value; older-spec files rewrite
+                    # conservatively (their non-matching rows survive
+                    # the anti-join byte-equal, just re-encoded)
+                    if (snap.spec_col_for(f.seq) == part_col
+                            and f.partition is not None
+                            and str(f.partition) not in str_parts):
+                        keep.append(f)
+                    else:
+                        affected.append(f)
+        existing = self._read_with_deletes(affected, snap).join(
+            all_keys, key_cols, "left_anti")
+        merged = existing.unionByName(upserts)
+        remaining_preds = [
+            p for p in snap.delete_predicates
+            if any(f.seq < p["seq"] for f in keep)
+        ]
+        return self._write_commit(merged, operation, snap.partition_col,
+                                  snap.key_col, 1_000_000,
+                                  base_files=keep,
+                                  delete_predicates=remaining_preds,
+                                  source_batch_id=source_batch_id,
+                                  source_lineage=source_lineage,
                                   expected_parent=snap.snapshot_id)
 
     # ------------------------------------------------------------------

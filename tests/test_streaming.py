@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from iceberg_core_spark.session import load_table
 from iceberg_core_spark.streaming import (
+    stream_cdc_to_table,
     stream_dedup,
     stream_ingest_to_table,
     tumbling_counts,
@@ -351,3 +352,74 @@ def test_stream_ingest_staged_on_branch_then_published(spark, tmp_path):
     # replay protection still intact across the staged path
     assert [s.source_batch_id for s in t.manifest.snapshots(
         load_files=False) if s.source_batch_id is not None] == [0, 1]
+
+
+def _drop_cdc_file(spark, schema, rows, src_dir, name):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src_dir, "_stage"))
+    part = [
+        f for f in os.listdir(os.path.join(src_dir, "_stage"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.move(os.path.join(src_dir, "_stage", part),
+                os.path.join(src_dir, name))
+    shutil.rmtree(os.path.join(src_dir, "_stage"))
+
+
+def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path):
+    """Streaming MERGE: micro-batch 1 seeds the table through the CDC
+    path, micro-batch 2 (a restart on the same checkpoint) updates one
+    key, deletes one, inserts one — each batch applied with exactly-once
+    effect, untouched partitions carried over byte-identical."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("part", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("op", StringType()),
+        StructField("seq", LongType()),
+    ])
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    root = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run():
+        q = stream_cdc_to_table(
+            spark, src, root, schema, key_cols=["part", "k"],
+            partition_col="part", key_col="k", op_col="op",
+            seq_col="seq", trigger={"availableNow": True},
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 1.0, "I", 1), ("a", 2, 2.0, "I", 1),
+        ("b", 1, 10.0, "I", 1),
+    ], src, "b1.parquet")
+    run()
+    t = IceTable(spark, root)
+    assert t.scan().count() == 3
+    assert "op" not in t.scan().columns
+    files_after_b1 = {f.path: f for f in t.manifest.load().files}
+    b_files = {p for p, f in files_after_b1.items() if f.partition == "b"}
+
+    # batch 2 touches only partition a: update k=1, delete k=2, insert k=3
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 99.0, "U", 1), ("a", 2, 0.0, "D", 1),
+        ("a", 3, 3.0, "I", 1),
+    ], src, "b2.parquet")
+    run()
+    got = {(r.part, r.k): r.v for r in t.scan().collect()}
+    assert got == {("a", 1): 99.0, ("a", 3): 3.0, ("b", 1): 10.0}
+    after = {f.path for f in t.manifest.load().files}
+    assert b_files <= after  # partition b carried over, not rewritten
+
+    # restart with nothing new: no extra snapshot (no-data batch)
+    sid = t.manifest.current_snapshot_id()
+    run()
+    assert t.manifest.current_snapshot_id() == sid
+    ops = [s.operation for s in t.snapshots()]
+    assert ops[0] == "create" and ops.count("cdc") == 2

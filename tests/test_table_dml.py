@@ -58,6 +58,78 @@ def test_upsert_replaces_and_inserts(spark, table):
     assert first.count() == 8
 
 
+def test_upsert_partition_scoped_carries_untouched_files(spark, table):
+    """With the partition column in the merge keys, an upsert touching
+    only u1 must carry every u2 file over byte-identical — the scoped
+    rewrite that makes per-micro-batch merges viable at scale."""
+    before = {f.path: f for f in table.manifest.load().files}
+    changes = location_df(spark, [
+        location_row(timestamp=100, user_id="u1", latitude=99.0),
+        location_row(timestamp=500, user_id="u1"),
+    ])
+    table.upsert(changes, key_cols=[PARTITION_COL, KEY_COL])
+    after = {f.path for f in table.manifest.load().files}
+    u2_before = {p for p, f in before.items() if f.partition == "u2"}
+    u1_before = {p for p, f in before.items() if f.partition == "u1"}
+    assert u2_before <= after              # untouched partition kept
+    assert not (u1_before & after)         # touched partition rewritten
+    assert table.scan().count() == 9
+    assert table.query("u1", 100, 100).first().latitude == 99.0
+
+
+def test_upsert_key_without_partition_full_rewrite_moves_key(spark,
+                                                             table):
+    """Without the partition column in the keys a key may change
+    partitions, so the merge must rewrite the full table: the old row
+    must not survive in its former partition."""
+    moved = location_df(spark, [
+        location_row(timestamp=100, user_id="u3", latitude=42.0),
+    ])
+    table.upsert(moved, key_cols=[KEY_COL])
+    rows = table.scan().filter(F.col(KEY_COL) == 100).collect()
+    assert len(rows) == 1 and rows[0].user_id == "u3"
+    assert table.scan().count() == 7  # 8 - two ts=100 rows + 1
+
+
+def test_apply_cdc_upserts_deletes_last_writer_wins(spark, table):
+    """One CDC batch: two competing updates to the same key (seq
+    orders them), a delete, and an insert — applied in one commit."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from tests.fixtures import LOCATION_SCHEMA
+
+    specs = [
+        (location_row(timestamp=100, user_id="u1", latitude=50.0), "U", 1),
+        (location_row(timestamp=100, user_id="u1", latitude=77.0), "U", 2),
+        (location_row(timestamp=200, user_id="u2"), "D", 1),
+        (location_row(timestamp=500, user_id="u1", latitude=5.0), "I", 1),
+    ]
+    schema = type(LOCATION_SCHEMA)(
+        list(LOCATION_SCHEMA.fields)
+        + [StructField("op", StringType()),
+           StructField("seq", LongType())])
+    cdc = spark.createDataFrame(
+        [{**r.asDict(), "op": op, "seq": seq} for r, op, seq in specs],
+        schema)
+    table.apply_cdc(cdc, key_cols=[PARTITION_COL, KEY_COL],
+                    op_col="op", seq_col="seq")
+    assert table.query("u1", 100, 100).first().latitude == 77.0
+    assert table.query("u2", 200, 200).count() == 0
+    assert table.query("u1", 500, 500).first().latitude == 5.0
+    assert table.scan().count() == 8  # 8 - 1 delete + 1 insert
+    assert "op" not in table.scan().columns
+    assert table.manifest.load().operation == "cdc"
+
+
+def test_apply_cdc_duplicate_key_without_seq_raises(spark, table):
+    dup = location_df(spark, [
+        location_row(timestamp=100, user_id="u1", latitude=1.0),
+        location_row(timestamp=100, user_id="u1", latitude=2.0),
+    ]).withColumn("op", F.lit("U"))
+    with pytest.raises(ValueError, match="seq_col"):
+        table.apply_cdc(dup, key_cols=[PARTITION_COL, KEY_COL],
+                        op_col="op")
+
+
 def test_delete_then_query_pruning_still_works(spark, table):
     table.delete_range(partition="u2", lo=100, hi=200)
     assert table.query("u2", 100, 400).count() == 2
