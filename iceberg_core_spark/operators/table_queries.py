@@ -373,6 +373,62 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE source = 'src3'
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_CDC_CACHE: dict[str, str] = {}
+
+
+def _cdc_root(spark: SparkSession, sf: str) -> str:
+    """Documents table partitioned by lang, then ONE CDC batch applied
+    through apply_cdc: every doc_id%7==0 row deletes, every remaining
+    doc_id%5==0 row updates (n_chars+1000), and ten new 'xx' docs
+    insert. The partition column rides in the merge keys, so the merge
+    rewrites only the touched partitions (scoped CoW) — the driver
+    row verifies the merged RESULT against plain SQL."""
+    root = _CDC_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_cdc_"), "docs_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs, partition_col="lang",
+                        key_col="doc_id")
+    upd = (docs.filter("doc_id % 5 = 0 AND doc_id % 7 <> 0")
+           .withColumn("n_chars", F.col("n_chars") + 1000)
+           .withColumn("op", F.lit("U")))
+    dels = docs.filter("doc_id % 7 = 0").withColumn("op", F.lit("D"))
+    ins = spark.range(10).select(
+        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.lit(42).cast("long").alias("n_chars"),
+        F.lit("I").alias("op"))
+    t.apply_cdc(upd.unionByName(dels).unionByName(ins),
+                key_cols=["lang", "doc_id"], op_col="op")
+    _CDC_CACHE[sf] = root
+    return root
+
+
+def table_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _cdc_root(spark, sf)).scan()
+
+
+TABLE_CDC_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+            ELSE n_chars END AS n_chars
+FROM documents
+WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 1000000 + x AS doc_id, 'xx' AS lang, CAST(42 AS BIGINT) AS n_chars
+FROM range(10) t(x)
+"""
+
+
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_incremental": (table_incremental, TABLE_INCREMENTAL_SQL),
     "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SCAN_SQL),
@@ -385,4 +441,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_wap": (table_wap, TABLE_WAP_SQL),
     "table_partition_evolution": (table_partition_evolution,
                                   TABLE_PARTITION_EVOLUTION_SQL),
+    "table_cdc": (table_cdc, TABLE_CDC_SQL),
 }

@@ -73,7 +73,7 @@ def all_queries() -> dict[str, Entry]:
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
-        "table_partition_evolution",
+        "table_partition_evolution", "table_cdc",
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
@@ -84,9 +84,11 @@ def all_queries() -> dict[str, Entry]:
         "stream_join",
         # (d) tpch.py veterans re-verified beside the new queries
         "tpch_q3", "tpch_q5", "tpch_q10",
-        # (e) similarity.py post-window diff (IVF monitors)
-        "sim_search", "sim_search_batch", "sim_search_lsh",
-        "sim_search_ivf",
+        # (e) similarity.py post-window diff (IVF monitors; the diff is
+        # localized to IvfIndex — sim_search refreshes the module's
+        # shared prelude, sim_search_batch keeps its r3 row to free a
+        # slot for table_cdc)
+        "sim_search", "sim_search_lsh", "sim_search_ivf",
         # (f) session.py estimator riders (spread users)
         "agg_hash", "udf_scalar", "udaf_group_stats", "udtf_tokenize",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
