@@ -154,6 +154,7 @@ def stream_cdc_to_table(
     op_col: str | None = None,
     delete_op: str = "D",
     seq_col: str | None = None,
+    mode: str = "cow",
     max_rows_per_file: int = 8192,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
@@ -176,8 +177,12 @@ def stream_cdc_to_table(
     Scale shape: when ``partition_col`` is one of ``key_cols``, each
     batch rewrites only the partitions it touches (IceTable.upsert's
     scoped merge); cost tracks the touched-partition volume, not table
-    size. The first batch creates the table (schema minus op/seq
-    columns) and applies itself as a merge onto the empty shell."""
+    size. ``mode="mor"`` (requires ``op_col``) goes further for
+    high-frequency change streams: each batch appends its rows plus an
+    equality-delete key file — O(batch) per trigger, zero rewrites —
+    and a periodic ``compact()`` materializes the deletes. The first
+    batch creates the table (schema minus op/seq columns) and applies
+    itself as a merge onto the empty shell."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -207,12 +212,12 @@ def stream_cdc_to_table(
                 return
         if op_col is None:
             table.upsert(batch_df.drop(*strip), key_cols=key_cols,
-                         source_batch_id=batch_id,
+                         mode=mode, source_batch_id=batch_id,
                          source_lineage=lineage)
         else:
             table.apply_cdc(batch_df, key_cols=key_cols, op_col=op_col,
                             delete_op=delete_op, seq_col=seq_col,
-                            source_batch_id=batch_id,
+                            mode=mode, source_batch_id=batch_id,
                             source_lineage=lineage)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")

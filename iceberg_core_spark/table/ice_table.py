@@ -81,6 +81,18 @@ def _hidden_seqs(snap, branch: str | None = None) -> set:
     return {s for b, ids in staged.items() if b != branch for s in ids}
 
 
+def _resolve_pred_seqs(preds: list[dict] | None, sid: int) -> list[dict]:
+    """Resolve the ``"seq": "commit"`` sentinel to the snapshot id the
+    commit actually lands as. A predicate created in the same commit as
+    its exempt data files (apply_cdc mode="mor") cannot know its seq up
+    front — rebase/retry can shift the id — so both commit paths
+    resolve it at Snapshot construction time."""
+    return [
+        {**p, "seq": sid} if p.get("seq") == "commit" else p
+        for p in (preds or [])
+    ]
+
+
 def _not_true(cond):
     """DELETE semantics: a row is deleted only when the predicate is
     TRUE; rows where it evaluates NULL are KEPT. A bare ~cond would
@@ -696,10 +708,10 @@ class IceTable:
         else:
             base_count = len(base_files)
         if base_files_df is not None or (
-            operation in ("create", "append", "overwrite") and (
+            operation in ("create", "append", "overwrite", "cdc-mor") and (
                 len(rel_paths) + base_count > Manifest.inline_max
                 or (parent_snap is not None and parent_snap.files_ref
-                    and operation == "append")
+                    and operation in ("append", "cdc-mor"))
             )
         ):
             return self._commit_distributed(
@@ -767,7 +779,8 @@ class IceTable:
                 partition_col=partition_col,
                 key_col=key_col,
                 files=base_files + new_files,
-                delete_predicates=delete_predicates or [],
+                delete_predicates=_resolve_pred_seqs(
+                    delete_predicates, commit_sid),
                 stat_cols=stat_cols,
                 zorder_by=zorder_by,
                 bucket_col=bucket_by[0] if bucket_by else None,
@@ -940,7 +953,7 @@ class IceTable:
                     partition_col=partition_col,
                     key_col=key_col,
                     files=[],
-                    delete_predicates=preds,
+                    delete_predicates=_resolve_pred_seqs(preds, sid),
                     stat_cols=stat_cols,
                     zorder_by=zorder_by,
                     bucket_col=bucket_by[0] if bucket_by else None,
@@ -1048,14 +1061,26 @@ class IceTable:
         for key, fs in groups.items():
             df = self._read_files(fs, snapshot_id)
             for i in key:
-                df = df.filter(
-                    _not_true(F.expr(snap.delete_predicates[i]["expr"]))
-                )
+                df = self._apply_delete_pred(df, snap.delete_predicates[i])
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _apply_delete_pred(self, df: DataFrame, pred: dict) -> DataFrame:
+        """Apply one MoR delete to a scan: either a SQL predicate
+        (delete_where) or an EQUALITY-DELETE key set (Iceberg v2
+        equality deletes, written by apply_cdc(mode="mor")) — the scan
+        anti-joins the file's rows against the key file. The key set is
+        one micro-batch's keys, so the anti-join's build side stays
+        batch-sized (AQE broadcasts it when it fits)."""
+        if "eq_ref" in pred:
+            keys = self.spark.read.parquet(
+                os.path.join(self.root, pred["eq_ref"])
+            ).select(*pred["key_cols"])
+            return df.join(keys, pred["key_cols"], "left_anti")
+        return df.filter(_not_true(F.expr(pred["expr"])))
 
     def _pruned_files(self, snap, partition: Any = None, lo: Any = None,
                       hi: Any = None,
@@ -1496,6 +1521,7 @@ class IceTable:
                                   expected_parent=snap.snapshot_id)
 
     def upsert(self, df: DataFrame, key_cols: list[str],
+               mode: str = "cow",
                source_batch_id: int | None = None,
                source_lineage: str | None = None) -> Snapshot:
         """Merge: rows matching ``key_cols`` are replaced by ``df``'s
@@ -1512,10 +1538,18 @@ class IceTable:
         partition column in the keys, the merge falls back to a full
         rewrite (a moved key's old row could hide in any file).
 
+        ``mode="mor"``: merge-on-read — the batch's rows append and its
+        key set lands as an equality-delete file hiding the replaced
+        rows (see :meth:`apply_cdc`); O(batch) per call, no rewrite.
+
         ``source_batch_id``/``source_lineage`` stamp the commit for
         streaming replay protection (same contract as append)."""
+        all_keys = df.select(*key_cols).dropDuplicates(key_cols)
+        if mode == "mor":
+            return self._cdc_mor(all_keys, df, key_cols,
+                                 source_batch_id, source_lineage)
         return self._merge_cow(
-            all_keys=df.select(*key_cols).dropDuplicates(key_cols),
+            all_keys=all_keys,
             upserts=df, key_cols=key_cols, operation="upsert",
             source_batch_id=source_batch_id,
             source_lineage=source_lineage)
@@ -1523,17 +1557,26 @@ class IceTable:
     def apply_cdc(self, df: DataFrame, key_cols: list[str],
                   op_col: str = "op", delete_op: str = "D",
                   seq_col: str | None = None,
+                  mode: str = "cow",
                   source_batch_id: int | None = None,
                   source_lineage: str | None = None) -> Snapshot:
-        """Apply a change-data-capture batch in one CoW merge: rows
-        whose ``op_col`` equals ``delete_op`` delete their key, every
-        other row upserts (full-row images; ``op_col``/``seq_col`` are
+        """Apply a change-data-capture batch in one commit: rows whose
+        ``op_col`` equals ``delete_op`` delete their key, every other
+        row upserts (full-row images; ``op_col``/``seq_col`` are
         stripped before writing). ``seq_col`` orders multiple changes to
         the SAME key within the batch (last writer wins); without it the
         batch must carry at most one row per key — a duplicate key would
         pick an arbitrary winner, so that case raises.
 
-        Same partition-scoped rewrite rule as :meth:`upsert`."""
+        ``mode="cow"``: one CoW merge, same partition-scoped rewrite
+        rule as :meth:`upsert`. ``mode="mor"``: merge-on-read — the
+        batch's new rows append as ordinary data files and its key set
+        lands as an EQUALITY-DELETE file (Iceberg v2 equality deletes);
+        scans anti-join older files against the key set, seq-scoped so
+        the batch's own files are exempt. Per-batch cost is O(batch) —
+        no existing file is rewritten — which is the 100 TB
+        high-frequency-CDC trade; ``compact()`` materializes the
+        accumulated deletes away."""
         strip = [op_col] + ([seq_col] if seq_col else [])
         if seq_col is not None:
             from pyspark.sql import Window
@@ -1550,13 +1593,48 @@ class IceTable:
                     "CDC batch has multiple rows per key; pass seq_col "
                     "to order them (last writer wins)")
             latest = df
+        all_keys = latest.select(*key_cols)
+        upserts = latest.filter(
+            F.col(op_col) != F.lit(delete_op)).drop(*strip)
+        if mode == "mor":
+            return self._cdc_mor(all_keys, upserts, key_cols,
+                                 source_batch_id, source_lineage)
         return self._merge_cow(
-            all_keys=latest.select(*key_cols),
-            upserts=latest.filter(
-                F.col(op_col) != F.lit(delete_op)).drop(*strip),
+            all_keys=all_keys, upserts=upserts,
             key_cols=key_cols, operation="cdc",
             source_batch_id=source_batch_id,
             source_lineage=source_lineage)
+
+    def _cdc_mor(self, all_keys: DataFrame, upserts: DataFrame,
+                 key_cols: list[str],
+                 source_batch_id: int | None,
+                 source_lineage: str | None) -> Snapshot:
+        """Merge-on-read CDC commit: write the key set under
+        ``deletes/``, append the upsert rows through the standard write
+        path (sidecar parents stay on the distributed commit — no
+        driver entry materialization), and attach the equality-delete
+        predicate with the ``"commit"`` seq sentinel so it scopes to
+        exactly the pre-commit files. The delete file outlives
+        compaction until ``expire_snapshots`` drops every snapshot that
+        references it (time travel still needs it)."""
+        snap = self.manifest.load(load_files=False)  # sidecar stays lazy
+        self._require_no_staged(snap, "cdc")
+        ref = os.path.join("deletes", f"eqdel-{os.urandom(6).hex()}")
+        all_keys.write.parquet(os.path.join(self.root, ref))
+        pred = {"eq_ref": ref, "key_cols": list(key_cols),
+                "seq": "commit"}
+        try:
+            return self._write_commit(
+                upserts, "cdc-mor", snap.partition_col, snap.key_col,
+                1_000_000, base_files=list(snap.files),
+                delete_predicates=snap.delete_predicates + [pred],
+                source_batch_id=source_batch_id,
+                source_lineage=source_lineage,
+                expected_parent=snap.snapshot_id, base_mode="parent")
+        except CommitConflictError:
+            shutil.rmtree(os.path.join(self.root, ref),
+                          ignore_errors=True)
+            raise
 
     def _merge_cow(self, all_keys: DataFrame, upserts: DataFrame,
                    key_cols: list[str], operation: str,
@@ -1743,6 +1821,18 @@ class IceTable:
                 shutil.rmtree(linkdir, ignore_errors=True)
         for ref in {s.files_ref for s in drop if s.files_ref} - live_refs:
             self.manifest.remove_sidecar(ref)
+        # equality-delete files live until no surviving snapshot's
+        # predicates reference them (time travel reads them at scan)
+        live_eq = {p["eq_ref"] for s in keep
+                   for p in s.delete_predicates if "eq_ref" in p}
+        dead_eq = {p["eq_ref"] for s in drop
+                   for p in s.delete_predicates if "eq_ref" in p}
+        for ref in dead_eq - live_eq:
+            p = os.path.join(self.root, ref)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
         # remove now-empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
@@ -2095,6 +2185,26 @@ class IceTable:
                     except FileNotFoundError:
                         continue  # concurrent maintenance removed it first
                     removed.append(rel)
+        # equality-delete sets a crashed CDC writer never committed:
+        # same mtime retention, referenced sets stay (scans read them)
+        live_eq = {
+            p["eq_ref"] for s in self.manifest.snapshots(load_files=False)
+            for p in s.delete_predicates if "eq_ref" in p
+        }
+        del_dir = os.path.join(self.root, "deletes")
+        if os.path.isdir(del_dir):
+            for n in os.listdir(del_dir):
+                rel = os.path.join("deletes", n)
+                full = os.path.join(del_dir, n)
+                if rel in live_eq:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
+                removed.append(rel)
         return removed
 
     def snapshots(self) -> list[Snapshot]:

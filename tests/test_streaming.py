@@ -366,11 +366,15 @@ def _drop_cdc_file(spark, schema, rows, src_dir, name):
     shutil.rmtree(os.path.join(src_dir, "_stage"))
 
 
-def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path,
+                                                        mode):
     """Streaming MERGE: micro-batch 1 seeds the table through the CDC
     path, micro-batch 2 (a restart on the same checkpoint) updates one
     key, deletes one, inserts one — each batch applied with exactly-once
-    effect, untouched partitions carried over byte-identical."""
+    effect. cow: untouched partitions carried over byte-identical;
+    mor: NOTHING rewritten, the batch lands as files + an
+    equality-delete key set."""
     from pyspark.sql.types import (DoubleType, LongType, StringType,
                                    StructField, StructType)
 
@@ -390,7 +394,7 @@ def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path):
         q = stream_cdc_to_table(
             spark, src, root, schema, key_cols=["part", "k"],
             partition_col="part", key_col="k", op_col="op",
-            seq_col="seq", trigger={"availableNow": True},
+            seq_col="seq", mode=mode, trigger={"availableNow": True},
             checkpoint_dir=ckpt,
         )
         q.awaitTermination(120)
@@ -422,4 +426,8 @@ def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path):
     run()
     assert t.manifest.current_snapshot_id() == sid
     ops = [s.operation for s in t.snapshots()]
-    assert ops[0] == "create" and ops.count("cdc") == 2
+    expected_op = "cdc" if mode == "cow" else "cdc-mor"
+    assert ops[0] == "create" and ops.count(expected_op) == 2
+    if mode == "mor":
+        # nothing was rewritten across either batch
+        assert set(files_after_b1) <= after

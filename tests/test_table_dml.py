@@ -120,6 +120,120 @@ def test_apply_cdc_upserts_deletes_last_writer_wins(spark, table):
     assert table.manifest.load().operation == "cdc"
 
 
+def _cdc_batch(spark):
+    from pyspark.sql.types import LongType, StringType, StructField
+    from tests.fixtures import LOCATION_SCHEMA
+
+    specs = [
+        (location_row(timestamp=100, user_id="u1", latitude=77.0), "U"),
+        (location_row(timestamp=200, user_id="u2"), "D"),
+        (location_row(timestamp=500, user_id="u1", latitude=5.0), "I"),
+    ]
+    schema = type(LOCATION_SCHEMA)(
+        list(LOCATION_SCHEMA.fields) + [StructField("op", StringType())])
+    return spark.createDataFrame(
+        [{**r.asDict(), "op": op} for r, op in specs], schema)
+
+
+def test_apply_cdc_mor_zero_rewrite(spark, table):
+    """mode='mor': the batch lands as new files + one equality-delete
+    key set — every pre-existing file survives untouched, yet scans
+    show the merged state; time travel still sees the original."""
+    before = {f.path for f in table.manifest.load().files}
+    snap = table.apply_cdc(_cdc_batch(spark),
+                           key_cols=[PARTITION_COL, KEY_COL],
+                           op_col="op", mode="mor")
+    after = {f.path for f in table.manifest.load().files}
+    assert before <= after                     # zero rewrite
+    assert snap.operation == "cdc-mor"
+    eq = [p for p in snap.delete_predicates if "eq_ref" in p]
+    assert len(eq) == 1 and eq[0]["seq"] == snap.snapshot_id
+    assert table.query("u1", 100, 100).first().latitude == 77.0
+    assert table.query("u2", 200, 200).count() == 0
+    assert table.query("u1", 500, 500).first().latitude == 5.0
+    assert table.scan().count() == 8
+    assert table.scan(snapshot_id=0).count() == 8  # original intact
+    assert table.scan(snapshot_id=0).filter(
+        f"{KEY_COL} = 500").count() == 0
+
+
+def test_apply_cdc_mor_chained_batches(spark, table):
+    """A second MoR batch must hide rows the FIRST MoR batch appended
+    (its files predate the second predicate's seq)."""
+    table.apply_cdc(_cdc_batch(spark),
+                    key_cols=[PARTITION_COL, KEY_COL],
+                    op_col="op", mode="mor")
+    second = _cdc_batch(spark).filter(F.col(KEY_COL) == 500) \
+        .withColumn("latitude", F.lit(123.0))
+    table.apply_cdc(second, key_cols=[PARTITION_COL, KEY_COL],
+                    op_col="op", mode="mor")
+    assert table.query("u1", 500, 500).first().latitude == 123.0
+    assert table.scan().count() == 8
+
+
+def test_cdc_mor_compact_then_expire_cleans_delete_files(spark, table):
+    """compact() materializes equality deletes away (scan unchanged,
+    predicates cleared); the delete file survives for time travel
+    until expire_snapshots drops every snapshot referencing it."""
+    import os
+
+    snap = table.apply_cdc(_cdc_batch(spark),
+                           key_cols=[PARTITION_COL, KEY_COL],
+                           op_col="op", mode="mor")
+    eq_ref = [p for p in snap.delete_predicates if "eq_ref" in p][0][
+        "eq_ref"]
+    eq_path = os.path.join(table.root, eq_ref)
+    want = sorted((r.user_id, r.timestamp, r.latitude)
+                  for r in table.scan().collect())
+    table.compact(min_files=2)
+    cur = table.manifest.load()
+    assert cur.operation == "compact" and not cur.delete_predicates
+    got = sorted((r.user_id, r.timestamp, r.latitude)
+                 for r in table.scan().collect())
+    assert got == want
+    assert os.path.exists(eq_path)  # older snapshots still need it
+    table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(eq_path)
+
+
+def test_apply_cdc_mor_sidecar_distributed_commit(spark, tmp_path,
+                                                  monkeypatch):
+    """On a sidecar-backed table the cdc-mor commit must take the
+    distributed path (entries never materialize on the driver) and the
+    predicate's sentinel seq must resolve to the landed snapshot id."""
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 1)
+    rows = [location_row(timestamp=t, user_id=u)
+            for u in ("u1", "u2") for t in (100, 200, 300, 400)]
+    t = IceTable.create(spark, str(tmp_path / "side"),
+                        location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL,
+                        max_rows_per_file=2)
+    assert t.manifest.load(load_files=False).files_ref is not None
+    snap = t.apply_cdc(_cdc_batch(spark),
+                       key_cols=[PARTITION_COL, KEY_COL],
+                       op_col="op", mode="mor")
+    cur = t.manifest.load(load_files=False)
+    assert cur.files_ref is not None  # stayed sidecar-backed
+    eq = [p for p in cur.delete_predicates if "eq_ref" in p]
+    assert len(eq) == 1 and eq[0]["seq"] == snap.snapshot_id
+    assert t.query("u1", 100, 100).first().latitude == 77.0
+    assert t.query("u2", 200, 200).count() == 0
+    assert t.scan().count() == 8
+
+
+def test_upsert_mor_appends_and_hides(spark, table):
+    before = {f.path for f in table.manifest.load().files}
+    table.upsert(location_df(spark, [
+        location_row(timestamp=100, user_id="u1", latitude=42.0)]),
+        key_cols=[PARTITION_COL, KEY_COL], mode="mor")
+    after = {f.path for f in table.manifest.load().files}
+    assert before <= after
+    assert table.query("u1", 100, 100).first().latitude == 42.0
+    assert table.scan().count() == 8
+
+
 def test_apply_cdc_duplicate_key_without_seq_raises(spark, table):
     dup = location_df(spark, [
         location_row(timestamp=100, user_id="u1", latitude=1.0),
