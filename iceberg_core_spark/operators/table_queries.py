@@ -417,6 +417,49 @@ def table_cdc(spark: SparkSession, sf: str) -> DataFrame:
     return IceTable(spark, _cdc_root(spark, sf)).scan()
 
 
+_CDC_MOR_CACHE: dict[str, str] = {}
+
+
+def _cdc_mor_root(spark: SparkSession, sf: str) -> str:
+    """Same change batch as ``_cdc_root`` applied with mode="mor":
+    the batch appends rows + an equality-delete key file instead of
+    rewriting partitions — the scan anti-joins the key set against
+    pre-batch files. Same final state, so the same SQL oracle; the
+    driver row verifies the merge-on-read read path end to end."""
+    root = _CDC_MOR_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_cdcm_"), "docs_cdcm")
+    shutil.rmtree(root, ignore_errors=True)
+    t = IceTable.create(spark, root, docs, partition_col="lang",
+                        key_col="doc_id")
+    upd = (docs.filter("doc_id % 5 = 0 AND doc_id % 7 <> 0")
+           .withColumn("n_chars", F.col("n_chars") + 1000)
+           .withColumn("op", F.lit("U")))
+    dels = docs.filter("doc_id % 7 = 0").withColumn("op", F.lit("D"))
+    ins = spark.range(10).select(
+        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.lit(42).cast("long").alias("n_chars"),
+        F.lit("I").alias("op"))
+    t.apply_cdc(upd.unionByName(dels).unionByName(ins),
+                key_cols=["lang", "doc_id"], op_col="op", mode="mor")
+    _CDC_MOR_CACHE[sf] = root
+    return root
+
+
+def table_cdc_mor(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _cdc_mor_root(spark, sf)).scan()
+
+
 TABLE_CDC_SQL = """
 SELECT doc_id, lang,
        CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
@@ -427,6 +470,10 @@ UNION ALL
 SELECT 1000000 + x AS doc_id, 'xx' AS lang, CAST(42 AS BIGINT) AS n_chars
 FROM range(10) t(x)
 """
+
+# merge-on-read applies the SAME change batch, so contents are
+# identical by definition — one oracle serves both (like table_compact)
+TABLE_CDC_MOR_SQL = TABLE_CDC_SQL
 
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -442,4 +489,5 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_partition_evolution": (table_partition_evolution,
                                   TABLE_PARTITION_EVOLUTION_SQL),
     "table_cdc": (table_cdc, TABLE_CDC_SQL),
+    "table_cdc_mor": (table_cdc_mor, TABLE_CDC_MOR_SQL),
 }

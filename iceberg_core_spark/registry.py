@@ -68,12 +68,14 @@ def all_queries() -> dict[str, Entry]:
     # untouched since); and the rows-only dedup_simhash /
     # dedup_embedding_lsh / dedup_clusters_minhash r4 rows (dedup.py /
     # llm_queries.py unchanged in r5 — a rows-only refresh verifies
-    # nothing new, so their slots went to the six new TPC-H queries).
+    # nothing new, so their slots went to the six new TPC-H queries);
+    # text_ngrams' r4 row likewise stands (own module unchanged),
+    # freeing a slot for table_cdc_mor.
     priority = [
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
-        "table_partition_evolution", "table_cdc",
+        "table_partition_evolution", "table_cdc", "table_cdc_mor",
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
@@ -92,7 +94,7 @@ def all_queries() -> dict[str, Entry]:
         # (f) session.py estimator riders (spread users)
         "agg_hash", "udf_scalar", "udaf_group_stats", "udtf_tokenize",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
-        "text_analysis", "text_ngrams", "corpus_clean",
+        "text_analysis", "corpus_clean",
         "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
         "dedup_embedding", "dedup_clusters",
     ]

@@ -1644,28 +1644,83 @@ class IceTable:
         set, union ``upserts`` back in, carry unaffected files over
         untouched. MoR predicates are materialized into the rewritten
         files and survive only for kept files that still predate them
-        (delete_range's seq-scoping rule)."""
-        snap = self.manifest.load()
+        (delete_range's seq-scoping rule).
+
+        Sidecar-backed tables run the affected/keep split as a
+        DataFrame predicate over the sidecar (compact's discipline):
+        only the affected files' (path, seq) stubs reach the driver —
+        a merge into one partition of a 1M-file table plans a
+        partition's worth of stubs, not a million entries."""
+        snap = self.manifest.load(load_files=False)  # sidecar stays lazy
         self._require_no_staged(snap, operation)
         part_col = snap.partition_col
+
+        def batch_parts():
+            if not (part_col and part_col in key_cols):
+                return None
+            got = {r[0] for r in
+                   all_keys.select(part_col).distinct().collect()}
+            return None if None in got else got
+
+        if snap.files_ref:
+            from iceberg_core_spark.table.manifest import _norm_stat
+
+            mdf = self.spark.read.parquet(
+                self.manifest.sidecar_path(snap.files_ref))
+            affected_df, keep_df = mdf, None
+            # spec history means older files' recorded partition_n is a
+            # DIFFERENT column's value — scope only on a uniform spec
+            parts = batch_parts() if not snap.partition_specs else None
+            if parts is not None:
+                norm = {_norm_stat(p) for p in parts}
+                if None not in norm:
+                    miss = (F.col("partition_n").isNotNull()
+                            & ~F.col("partition_n").isin(*norm))
+                    affected_df = mdf.filter(~miss)
+                    keep_df = mdf.filter(miss)
+            victims = [
+                ManifestFile(path=r.path, partition=None, key_min=None,
+                             key_max=None, rows=0, bytes=0,
+                             content_hash="",
+                             seq=r.seq if r.seq is not None else 0)
+                for r in affected_df.select("path", "seq").collect()
+            ]
+            existing = self._read_with_deletes(victims, snap).join(
+                all_keys, key_cols, "left_anti")
+            merged = existing.unionByName(upserts)
+            if keep_df is None:
+                keep_df = mdf.limit(0)  # full rewrite, nothing kept
+                remaining = []
+            else:
+                min_seq = keep_df.agg(
+                    F.min(F.coalesce(F.col("seq"), F.lit(0)))).first()[0]
+                remaining = [] if min_seq is None else [
+                    p for p in snap.delete_predicates
+                    if min_seq < p["seq"]
+                ]
+            return self._write_commit(
+                merged, operation, snap.partition_col, snap.key_col,
+                1_000_000, base_files=[], delete_predicates=remaining,
+                source_batch_id=source_batch_id,
+                source_lineage=source_lineage,
+                expected_parent=snap.snapshot_id, base_files_df=keep_df)
+
         affected, keep = list(snap.files), []
-        if part_col and part_col in key_cols:
-            parts = {r[0] for r in
-                     all_keys.select(part_col).distinct().collect()}
-            if None not in parts:
-                str_parts = {str(p) for p in parts}
-                affected, keep = [], []
-                for f in snap.files:
-                    # current-spec files scope exactly by recorded
-                    # partition value; older-spec files rewrite
-                    # conservatively (their non-matching rows survive
-                    # the anti-join byte-equal, just re-encoded)
-                    if (snap.spec_col_for(f.seq) == part_col
-                            and f.partition is not None
-                            and str(f.partition) not in str_parts):
-                        keep.append(f)
-                    else:
-                        affected.append(f)
+        parts = batch_parts()
+        if parts is not None:
+            str_parts = {str(p) for p in parts}
+            affected, keep = [], []
+            for f in snap.files:
+                # current-spec files scope exactly by recorded
+                # partition value; older-spec files rewrite
+                # conservatively (their non-matching rows survive
+                # the anti-join byte-equal, just re-encoded)
+                if (snap.spec_col_for(f.seq) == part_col
+                        and f.partition is not None
+                        and str(f.partition) not in str_parts):
+                    keep.append(f)
+                else:
+                    affected.append(f)
         existing = self._read_with_deletes(affected, snap).join(
             all_keys, key_cols, "left_anti")
         merged = existing.unionByName(upserts)

@@ -223,6 +223,37 @@ def test_apply_cdc_mor_sidecar_distributed_commit(spark, tmp_path,
     assert t.scan().count() == 8
 
 
+def test_merge_cow_sidecar_scoped_distributed(spark, tmp_path,
+                                              monkeypatch):
+    """CoW merge on a sidecar-backed table: the affected/keep split
+    runs as a DataFrame predicate over the sidecar — untouched
+    partitions carry over byte-identical through the distributed
+    commit, and the result is exact."""
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 1)
+    rows = [location_row(timestamp=t, user_id=u)
+            for u in ("u1", "u2") for t in (100, 200, 300, 400)]
+    t = IceTable.create(spark, str(tmp_path / "side"),
+                        location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL,
+                        max_rows_per_file=2)
+    before = {r.path: r.partition for r in t.files_df().collect()}
+    u2_before = {p for p, part in before.items() if part == "u2"}
+    assert u2_before
+    t.upsert(location_df(spark, [
+        location_row(timestamp=100, user_id="u1", latitude=88.0),
+        location_row(timestamp=900, user_id="u1")]),
+        key_cols=[PARTITION_COL, KEY_COL])
+    cur = t.manifest.load(load_files=False)
+    assert cur.files_ref is not None
+    after = {r.path for r in t.files_df().collect()}
+    assert u2_before <= after          # untouched partition kept
+    assert t.scan().count() == 9
+    assert t.query("u1", 100, 100).first().latitude == 88.0
+    assert t.query("u2", 100, 400).count() == 4
+
+
 def test_upsert_mor_appends_and_hides(spark, table):
     before = {f.path for f in table.manifest.load().files}
     table.upsert(location_df(spark, [
