@@ -30,6 +30,7 @@ PICKS = [
     ("tpch_q21", "EXISTS/NOT-EXISTS self-joins — the late-lineitem base joins orders once, then LeftSemi (another supplier exists) and LeftAnti (no OTHER late supplier) self-joins on orderkey; semi/anti project the left side only, so no lineitem payload rides the self-joins."),
     ("tpch_q17", "Decorrelated scalar subquery — the per-part 0.2*avg cap aggregates lineitem on partkey and joins back on the same key; at scale both sides shuffle on partkey and AQE reuses the exchange; the brand/size filter prunes part before the join."),
     ("table_wap", "Write-audit-publish main view — the staged append's files are dropped at PLANNING time (seq-scoped visibility), so the scan reads exactly the published file set; no runtime filter, no extra plan node."),
+    ("table_cdc_mor", "Equality-delete merge-on-read scan — pre-batch files anti-join (LeftAnti) the batch's key file while the batch's own files scan clean (seq-scoped groups union), so un-compacted CDC reads cost one broadcast-size anti-join, never a rewrite."),
     ("table_partition_evolution", "Partition query across evolved specs — the file list comes pre-pruned: post-evolution files by recorded partition value, pre-evolution files by source min/max stats; residual equality filter pushes to the surviving files."),
 ]
 
