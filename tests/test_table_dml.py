@@ -265,6 +265,20 @@ def test_upsert_mor_appends_and_hides(spark, table):
     assert table.scan().count() == 8
 
 
+def test_cdc_mor_scan_plan_is_antijoin_union(spark, table):
+    """The MoR read path must plan as: pre-batch files LeftAnti the
+    key set, unioned with the batch's own clean files — and compaction
+    must remove the anti-join from the plan entirely."""
+    table.apply_cdc(_cdc_batch(spark),
+                    key_cols=[PARTITION_COL, KEY_COL],
+                    op_col="op", mode="mor")
+    plan = table.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Union" in plan
+    table.compact(min_files=1)
+    plan2 = table.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan2
+
+
 def test_apply_cdc_duplicate_key_without_seq_raises(spark, table):
     dup = location_df(spark, [
         location_row(timestamp=100, user_id="u1", latitude=1.0),
