@@ -107,6 +107,36 @@ def test_stale_read_modify_write_conflicts_and_cleans_up(spark, root):
     assert on_disk == live
 
 
+def test_stale_cdc_mor_conflicts_and_cleans_delete_file(spark, root):
+    """A cdc-mor commit losing the CAS race must raise, remove its new
+    data files AND its equality-delete key file (no orphan delete set
+    lingering under deletes/)."""
+    t_a = _mk(spark, root)
+    snap_a = t_a.manifest.load(load_files=False)
+
+    IceTable(spark, root).append(
+        location_df(spark, [location_row(timestamp=500)]))
+
+    from pyspark.sql import functions as F
+
+    batch = location_df(
+        spark, [location_row(timestamp=100, latitude=9.0)]
+    ).withColumn("op", F.lit("U"))
+    stale = IceTable(spark, root)
+    orig_load = stale.manifest.load
+    stale.manifest.load = lambda *a, **k: (  # pin the stale read state
+        snap_a if not a or a[0] is None else orig_load(*a, **k))
+    with pytest.raises(CommitConflictError):
+        stale.apply_cdc(batch, key_cols=[PARTITION_COL, KEY_COL],
+                        op_col="op", mode="mor")
+    del_dir = os.path.join(root, "deletes")
+    leftovers = os.listdir(del_dir) if os.path.isdir(del_dir) else []
+    assert leftovers == []
+    final = IceTable(spark, root)
+    assert not final.manifest.load(load_files=False).delete_predicates
+    assert final.scan().count() == 4  # winner's append intact, no merge
+
+
 def test_current_hint_recovery_after_crash(spark, root):
     """A writer crashing between the snapshot-file claim and the CURRENT
     update must not hide its committed snapshot: readers advance the
