@@ -55,6 +55,30 @@ def main() -> None:
         FROM events_v GROUP BY event_type ORDER BY n DESC
     """).show(5, truncate=False)
 
+    # 4b. CDC apply: one change batch (an update and a delete, as
+    #     full-row images) merged in a single commit. The partition
+    #     column rides in the keys, so only touched partitions rewrite;
+    #     mode="mor" would instead append the rows plus an
+    #     equality-delete key file (O(batch), zero rewrites).
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    r_upd, r_del = table.scan().dropDuplicates(
+        ["user_id", "ts"]).limit(2).collect()
+    cdc_schema = StructType(
+        list(table.schema().fields) + [StructField("op", StringType())])
+    batch = spark.createDataFrame(
+        [{**r_upd.asDict(), "value": 99.9, "op": "U"},
+         {**r_del.asDict(), "op": "D"}], cdc_schema)
+    n_before = table.scan().count()
+    table.apply_cdc(batch, key_cols=["user_id", "ts"], op_col="op")
+    print(f"CDC apply: {n_before} -> {table.scan().count()} rows "
+          f"(one update, one delete)")
+
+    # 4c. Metadata tables: the compaction planner's view.
+    table.partitions_df().orderBy(F.col("total_bytes").desc()).show(3)
+    print("history:", [r.operation for r in
+                       table.history_df().orderBy("snapshot_id").collect()])
+
     # 5. As-of join: each purchase matched to the user's latest click.
     purchases = events.filter(F.col("event_type") == "purchase")
     clicks = events.filter(F.col("event_type") == "click") \
