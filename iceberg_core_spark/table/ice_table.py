@@ -1425,8 +1425,9 @@ class IceTable:
         file-pruning logic the read path uses, applied to writes.
 
         Scale note: this is Iceberg copy-on-write; at heavy delete
-        rates a merge-on-read design (delete files merged at scan)
-        amortizes better — out of scope here, the API stays the same.
+        rates the merge-on-read paths amortize better —
+        ``delete_where(mode="mor")`` for predicates,
+        ``apply_cdc(mode="mor")`` for keyed change streams.
         """
         snap = self.manifest.load()
         self._require_no_staged(snap, "delete_range")
