@@ -46,6 +46,67 @@ def test_range_query_equals_bruteforce(spark, tmp_path_factory, keys, bounds):
     assert sorted(r.timestamp for r in t.scan().collect()) == sorted(keys)
 
 
+# CDC model check: a random sequence of change batches applied through
+# apply_cdc (both CoW and MoR) must equal a plain dict replay.
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),     # key within partition
+        st.integers(min_value=0, max_value=2),     # partition index
+        st.sampled_from(["U", "D"]),
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batch1=_CDC_OPS, batch2=_CDC_OPS,
+       mode=st.sampled_from(["cow", "mor"]))
+def test_apply_cdc_matches_dict_model(spark, tmp_path_factory, batch1,
+                                      batch2, mode):
+    """Two random change batches (updates/deletes with in-batch
+    ordering) applied through apply_cdc equal a sequential dict
+    replay — for BOTH the copy-on-write and merge-on-read paths."""
+    root = str(tmp_path_factory.mktemp("cdcprop") / "t")
+    seed = [location_row(timestamp=k, user_id=f"u{p}", latitude=0.0)
+            for p in range(3) for k in range(5)]
+    t = IceTable.create(spark, root, location_df(spark, seed),
+                        partition_col=PARTITION_COL, key_col=KEY_COL,
+                        max_rows_per_file=4)
+    model = {(f"u{p}", k): 0.0 for p in range(3) for k in range(5)}
+
+    from pyspark.sql.types import LongType, StringType, StructField
+    from tests.fixtures import LOCATION_SCHEMA
+
+    cdc_schema = type(LOCATION_SCHEMA)(
+        list(LOCATION_SCHEMA.fields)
+        + [StructField("op", StringType()),
+           StructField("seq", LongType())])
+
+    for batch in (batch1, batch2):
+        rows = []
+        for i, (k, p, op, lat) in enumerate(batch):
+            r = location_row(timestamp=k, user_id=f"u{p}",
+                             latitude=round(lat, 3))
+            rows.append({**r.asDict(), "op": op, "seq": i})
+        t.apply_cdc(spark.createDataFrame(rows, cdc_schema),
+                    key_cols=[PARTITION_COL, KEY_COL],
+                    op_col="op", seq_col="seq", mode=mode)
+        last = {}
+        for k, p, op, lat in batch:     # last write per key wins
+            last[(f"u{p}", k)] = (op, round(lat, 3))
+        for key, (op, lat) in last.items():
+            if op == "D":
+                model.pop(key, None)
+            else:
+                model[key] = lat
+    got = {(r.user_id, r.timestamp): r.latitude
+           for r in t.scan().collect()}
+    assert got == model
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(
