@@ -18,6 +18,7 @@ Entry = tuple[QueryFn, str | None]
 def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.relational import QUERIES as REL
 
+    from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
@@ -32,6 +33,7 @@ def all_queries() -> dict[str, Entry]:
 
     out: dict[str, Entry] = {}
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
+    out.update(DECONTAM) # eval-set decontamination (cross-corpus near-dup)
     out.update(SAMPLING) # hash-bucket split + stratified sampling
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(STATEFUL) # applyInPandasWithState running stats (NEW r3)
@@ -69,13 +71,15 @@ def all_queries() -> dict[str, Entry]:
     # dedup_embedding_lsh / dedup_clusters_minhash r4 rows (dedup.py /
     # llm_queries.py unchanged in r5 — a rows-only refresh verifies
     # nothing new, so their slots went to the six new TPC-H queries);
-    # text_ngrams' r4 row likewise stands (own module unchanged),
-    # freeing a slot for table_cdc_mor.
+    # text_ngrams' and corpus_clean's r4 rows likewise stand (own
+    # module llm_queries.py unchanged), freeing slots for
+    # table_cdc_mor and corpus_decontaminate (both NEW, no row).
     priority = [
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
         "table_partition_evolution", "table_cdc", "table_cdc_mor",
+        "corpus_decontaminate",
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
@@ -94,7 +98,7 @@ def all_queries() -> dict[str, Entry]:
         # (f) session.py estimator riders (spread users)
         "agg_hash", "udf_scalar", "udaf_group_stats", "udtf_tokenize",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
-        "text_analysis", "corpus_clean",
+        "text_analysis",
         "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
         "dedup_embedding", "dedup_clusters",
     ]
