@@ -156,9 +156,24 @@ def _partition_value_from_path(relpath: str, dtype) -> Any:
     — exact by construction (parquet writers may TRUNCATE long string
     statistics, so deriving it from row-group min stats could record a
     wrong value and silently prune matching files)."""
+    import urllib.parse
+
+    raw = None
+    for comp in relpath.replace("\\", "/").split("/"):
+        if comp.startswith(_PART_DIR_COL + "="):
+            raw = urllib.parse.unquote(comp.split("=", 1)[1])
+            break
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return _cast_partition_string(raw, dtype)
+
+
+def _cast_partition_string(raw: str, dtype) -> Any:
+    """Hive-style partition string → typed value for ``dtype`` (shared
+    by the internal ``_p=`` layout parser and add_files' external
+    ``<col>=<value>`` migration layout)."""
     import datetime as _dt
     import decimal as _decimal
-    import urllib.parse
 
     from pyspark.sql.types import (
         BooleanType,
@@ -174,13 +189,6 @@ def _partition_value_from_path(relpath: str, dtype) -> Any:
         TimestampType,
     )
 
-    raw = None
-    for comp in relpath.replace("\\", "/").split("/"):
-        if comp.startswith(_PART_DIR_COL + "="):
-            raw = urllib.parse.unquote(comp.split("=", 1)[1])
-            break
-    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-        return None
     if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
         return int(raw)
     if isinstance(dtype, BooleanType):
@@ -1413,6 +1421,136 @@ class IceTable:
             if f.name in chains else F.col(f.name)
             for f in schema.fields
         ])
+
+    def add_files(self, paths: list[str], link: bool = True) -> Snapshot:
+        """Register EXISTING parquet files into the table without
+        rewriting their bytes — Iceberg's ``add_files`` migration path
+        (a user switching a directory of plain parquet onto the table
+        layer pays metadata cost, not a data rewrite).
+
+        - Files must match the table schema exactly (validated against
+          the first file's footer before anything commits).
+        - Partitioned tables require each source path to carry a
+          hive-style ``<partition_col>=<value>`` segment (the standard
+          migration layout); that value becomes the file's recorded
+          partition.
+        - Bytes are HARDLINKED into the table root (zero copy on the
+          same filesystem; cross-device falls back to a copy), so the
+          source tree stays intact while the table owns its files —
+          expire_snapshots / remove_orphans manage them like any other.
+        - Stats + content hash are computed in Spark tasks (the same
+          distributed ``_collect_file_stats`` every commit uses), so
+          manifest min/max pruning works on the added files
+          immediately; files whose content hash already exists in the
+          table are skipped (the reference's idempotent re-ingest,
+          block.go:109-115).
+
+        Bucketed tables refuse: arbitrary external files cannot
+        satisfy a recorded bucket layout. Driver note: the commit
+        materializes the parent file list (same ceiling as
+        delete_range); the added entries themselves are bounded by the
+        migration size."""
+        snap = self.manifest.load()
+        self._require_no_staged(snap, "add_files")
+        if snap.bucket_col:
+            raise ValueError(
+                "add_files cannot guarantee the table's bucket layout; "
+                "use append() so rows hash into their buckets")
+        if not paths:
+            return snap
+        schema = self.schema()
+        part_col = snap.partition_col
+        part_dtype = schema[part_col].dataType if part_col else None
+        token = os.urandom(6).hex()
+        dest_dir = os.path.join(self.root, "data", f"added-{token}")
+        os.makedirs(dest_dir, exist_ok=True)
+        rel_paths, part_vals = [], {}
+        for i, src in enumerate(paths):
+            src = os.path.abspath(src)
+            pv = None
+            if part_col:
+                seg = next(
+                    (s for s in src.split(os.sep)
+                     if s.startswith(part_col + "=")), None)
+                if seg is None:
+                    shutil.rmtree(dest_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"partitioned table: {src!r} has no "
+                        f"{part_col}=<value> path segment")
+                pv = _cast_partition_string(
+                    seg.split("=", 1)[1], part_dtype)
+            dst = os.path.join(dest_dir,
+                               f"{i:06d}-{os.path.basename(src)}")
+            try:
+                if not link:
+                    raise OSError("copy requested")
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+            rel = os.path.relpath(dst, self.root)
+            rel_paths.append(rel)
+            part_vals[rel] = pv
+        got = self.spark.read.parquet(
+            os.path.join(self.root, rel_paths[0])).schema
+        want = {f.name: f.dataType.simpleString() for f in schema.fields}
+        have = {f.name: f.dataType.simpleString() for f in got.fields}
+        if want != have:
+            shutil.rmtree(dest_dir, ignore_errors=True)
+            raise ValueError(
+                f"add_files schema mismatch: files have {have}, "
+                f"table has {want}")
+        stats = _collect_file_stats(self.spark, self.root, rel_paths,
+                                    snap.key_col, tuple(snap.stat_cols))
+        new_files = [
+            ManifestFile(
+                path=st["path"], partition=part_vals.get(st["path"]),
+                key_min=st["key_min"], key_max=st["key_max"],
+                rows=st["rows"], bytes=st["bytes"],
+                content_hash=st["content_hash"],
+                col_stats=st["col_stats"],
+            )
+            for st in stats if st["rows"] > 0
+        ]
+
+        def dedupe(files, against):
+            hashes = {f.content_hash for f in against}
+            kept = []
+            for f in files:
+                if f.content_hash in hashes:
+                    p = os.path.join(self.root, f.path)
+                    if os.path.exists(p):
+                        os.remove(p)
+                else:
+                    kept.append(f)
+            return kept
+
+        kept = dedupe(new_files, snap.files)
+        cur = snap
+        while True:
+            if not kept:
+                shutil.rmtree(dest_dir, ignore_errors=True)
+                return cur
+            new = cur.child("add_files")
+            for f in kept:
+                f.seq = new.snapshot_id
+            new.files = list(cur.files) + kept
+            # a files_ref inherited from cur would shadow the new list
+            new.files_ref = None
+            new.files_count = None
+            try:
+                self.manifest.commit(new)
+                return new
+            except CommitConflictError:
+                winner = self.manifest.load()
+                if winner.schema_json != cur.schema_json:
+                    for f in kept:
+                        p = os.path.join(self.root, f.path)
+                        if os.path.exists(p):
+                            os.remove(p)
+                    shutil.rmtree(dest_dir, ignore_errors=True)
+                    raise  # concurrent schema change: no safe rebase
+                kept = dedupe(kept, winner.files)
+                cur = winner
 
     # ------------------------------------------------------------------
     # row-level changes (copy-on-write, Iceberg CoW semantics)

@@ -224,6 +224,76 @@ def test_files_df_metadata_table(spark, tmp_path):
     assert fdf.filter("seq = 0").count() == fdf.count()
 
 
+def test_add_files_metadata_only_migration(spark, tmp_path):
+    """add_files registers existing parquet without rewriting bytes:
+    hardlinked (same inode), stats-pruned, content-hash-idempotent."""
+    import os
+
+    from tests.fixtures import location_df, location_row
+
+    ext = tmp_path / "external" / "user_id=userid9"
+    ext.mkdir(parents=True)
+    location_df(spark, [location_row(timestamp=700 + i,
+                                     user_id="userid9")
+                        for i in range(6)]) \
+        .coalesce(1).write.mode("overwrite").parquet(str(ext / "_w"))
+    src = [str(ext / "_w" / n) for n in os.listdir(ext / "_w")
+           if n.endswith(".parquet")]
+    assert len(src) == 1
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        location_df(spark, [location_row(timestamp=1)]),
+        partition_col="user_id", key_col="timestamp")
+    snap = t.add_files(src)
+    assert snap.operation == "add_files"
+    assert t.scan().count() == 7
+    added = [f for f in t.manifest.load().files if f.seq == snap.snapshot_id]
+    assert len(added) == 1
+    f = added[0]
+    assert f.partition == "userid9"
+    assert f.key_min == 700 and f.key_max == 705
+    # zero copy: table file shares the source inode (hardlink)
+    assert os.stat(src[0]).st_ino == os.stat(
+        os.path.join(t.root, f.path)).st_ino
+    # pruning: a disjoint range reads none of the added bytes
+    assert t.query("userid9", 100, 600).count() == 0
+    assert t.query("userid9", 700, 702).count() == 3
+    # idempotent: re-adding the same file is a no-op (content hash)
+    again = t.add_files(src)
+    assert again.snapshot_id == snap.snapshot_id
+    assert t.scan().count() == 7
+
+
+def test_add_files_rejects_schema_mismatch_and_missing_partition(
+        spark, tmp_path):
+    from tests.fixtures import location_df, location_row
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        location_df(spark, [location_row(timestamp=1)]),
+        partition_col="user_id", key_col="timestamp")
+    # no user_id=<value> segment
+    flat = tmp_path / "flat"
+    location_df(spark, [location_row(timestamp=2)]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(flat))
+    import os
+    srcs = [str(flat / n) for n in os.listdir(flat)
+            if n.endswith(".parquet")]
+    with pytest.raises(ValueError, match="path segment"):
+        t.add_files(srcs)
+    # wrong schema
+    bad = tmp_path / "bad" / "user_id=u1"
+    bad.mkdir(parents=True)
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        str(bad / "w"))
+    bsrcs = [str(bad / "w" / n) for n in os.listdir(bad / "w")
+             if n.endswith(".parquet")]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.add_files(bsrcs)
+    assert t.scan().count() == 1  # table untouched
+
+
 def test_files_partitions_df_sidecar_schema_parity(spark, tmp_path,
                                                    monkeypatch):
     """Sidecar-backed and inline snapshots must expose the SAME
