@@ -1693,6 +1693,83 @@ class IceTable:
             source_batch_id=source_batch_id,
             source_lineage=source_lineage)
 
+    def overwrite_partitions(self, df: DataFrame,
+                             source_batch_id: int | None = None,
+                             source_lineage: str | None = None,
+                             ) -> Snapshot:
+        """Dynamic partition overwrite (Spark's INSERT OVERWRITE with
+        dynamic partitionOverwriteMode, Iceberg's replacePartitions):
+        every partition VALUE present in ``df`` is replaced wholesale by
+        ``df``'s rows for it; partitions ``df`` does not mention carry
+        over byte-identical — the daily-partition-reload primitive. On
+        an unpartitioned table this is a plain overwrite.
+
+        Same distributed affected/keep split as the CoW merge (sidecar
+        tables stay off the driver); MoR predicates survive only for
+        kept files that predate them."""
+        snap = self.manifest.load(load_files=False)
+        self._require_no_staged(snap, "overwrite-partitions")
+        part_col = snap.partition_col
+        if not part_col:
+            return self._write_commit(
+                df, "overwrite", None, snap.key_col, 1_000_000,
+                base_files=[], source_batch_id=source_batch_id,
+                source_lineage=source_lineage,
+                expected_parent=snap.snapshot_id)
+        parts = {r[0] for r in df.select(part_col).distinct().collect()}
+        if None in parts:
+            raise ValueError(
+                "overwrite_partitions: NULL partition values in the "
+                "incoming frame cannot address a partition")
+        if snap.partition_specs:
+            # files written under an older spec scatter any partition's
+            # rows across arbitrary files — neither keeping nor dropping
+            # them is safe for a partition-addressed overwrite
+            raise ValueError(
+                "overwrite_partitions needs a uniform partition spec; "
+                "compact() the pre-evolution files first")
+        if snap.files_ref:
+            from iceberg_core_spark.table.manifest import _norm_stat
+
+            norm = {_norm_stat(p) for p in parts}
+            if None not in norm:
+                mdf = self.spark.read.parquet(
+                    self.manifest.sidecar_path(snap.files_ref))
+                keep_df = mdf.filter(
+                    F.col("partition_n").isNotNull()
+                    & ~F.col("partition_n").isin(*norm))
+                min_seq = keep_df.agg(
+                    F.min(F.coalesce(F.col("seq"), F.lit(0)))).first()[0]
+                remaining = [] if min_seq is None else [
+                    p for p in snap.delete_predicates
+                    if min_seq < p["seq"]
+                ]
+                return self._write_commit(
+                    df, "overwrite-partitions", part_col, snap.key_col,
+                    1_000_000, base_files=[],
+                    delete_predicates=remaining,
+                    source_batch_id=source_batch_id,
+                    source_lineage=source_lineage,
+                    expected_parent=snap.snapshot_id,
+                    base_files_df=keep_df)
+            snap = self.manifest.load()  # rare encoding: driver split
+        str_parts = {str(p) for p in parts}
+        keep = [
+            f for f in snap.files
+            if f.partition is not None
+            and str(f.partition) not in str_parts
+        ]
+        remaining = [
+            p for p in snap.delete_predicates
+            if any(f.seq < p["seq"] for f in keep)
+        ]
+        return self._write_commit(
+            df, "overwrite-partitions", part_col, snap.key_col,
+            1_000_000, base_files=keep, delete_predicates=remaining,
+            source_batch_id=source_batch_id,
+            source_lineage=source_lineage,
+            expected_parent=snap.snapshot_id)
+
     def apply_cdc(self, df: DataFrame, key_cols: list[str],
                   op_col: str = "op", delete_op: str = "D",
                   seq_col: str | None = None,

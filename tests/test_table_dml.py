@@ -265,6 +265,50 @@ def test_upsert_mor_appends_and_hides(spark, table):
     assert table.scan().count() == 8
 
 
+def test_overwrite_partitions_dynamic(spark, table):
+    """Dynamic partition overwrite: u1 is replaced wholesale by the
+    incoming rows; u2 carries over byte-identical."""
+    before = {f.path: f for f in table.manifest.load().files}
+    u2_before = {p for p, f in before.items() if f.partition == "u2"}
+    snap = table.overwrite_partitions(location_df(spark, [
+        location_row(timestamp=1, user_id="u1"),
+        location_row(timestamp=2, user_id="u1"),
+    ]))
+    assert snap.operation == "overwrite-partitions"
+    after = {f.path for f in table.manifest.load().files}
+    assert u2_before <= after
+    got = sorted((r.user_id, r.timestamp)
+                 for r in table.scan().collect())
+    assert got == [("u1", 1), ("u1", 2),
+                   ("u2", 100), ("u2", 200), ("u2", 300), ("u2", 400)]
+
+
+def test_overwrite_partitions_sidecar(spark, tmp_path, monkeypatch):
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 1)
+    rows = [location_row(timestamp=t, user_id=u)
+            for u in ("u1", "u2") for t in (100, 200)]
+    t = IceTable.create(spark, str(tmp_path / "side"),
+                        location_df(spark, rows),
+                        partition_col=PARTITION_COL, key_col=KEY_COL,
+                        max_rows_per_file=1)
+    u2_files = {r.path for r in t.files_df().collect()
+                if r.partition == "u2"}
+    t.overwrite_partitions(location_df(
+        spark, [location_row(timestamp=9, user_id="u1")]))
+    assert u2_files <= {r.path for r in t.files_df().collect()}
+    got = sorted((r.user_id, r.timestamp) for r in t.scan().collect())
+    assert got == [("u1", 9), ("u2", 100), ("u2", 200)]
+
+
+def test_overwrite_partitions_refuses_mixed_specs(spark, table):
+    table.set_partition_spec("source")  # re-layout FUTURE data
+    with pytest.raises(ValueError, match="uniform partition spec"):
+        table.overwrite_partitions(location_df(
+            spark, [location_row(timestamp=1, user_id="u1")]))
+
+
 def test_cdc_mor_scan_plan_is_antijoin_union(spark, table):
     """The MoR read path must plan as: pre-batch files LeftAnti the
     key set, unioned with the batch's own clean files — and compaction
