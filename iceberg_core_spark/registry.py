@@ -19,6 +19,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.relational import QUERIES as REL
 
     from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
+    from iceberg_core_spark.functions.packing import QUERIES as PACKING
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, Entry]:
     out: dict[str, Entry] = {}
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
     out.update(DECONTAM) # eval-set decontamination (cross-corpus near-dup)
+    out.update(PACKING)  # token-budget sequence packing
     out.update(SAMPLING) # hash-bucket split + stratified sampling
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(STATEFUL) # applyInPandasWithState running stats (NEW r3)
@@ -71,15 +73,16 @@ def all_queries() -> dict[str, Entry]:
     # dedup_embedding_lsh / dedup_clusters_minhash r4 rows (dedup.py /
     # llm_queries.py unchanged in r5 — a rows-only refresh verifies
     # nothing new, so their slots went to the six new TPC-H queries);
-    # text_ngrams' and corpus_clean's r4 rows likewise stand (own
-    # module llm_queries.py unchanged), freeing slots for
-    # table_cdc_mor and corpus_decontaminate (both NEW, no row).
+    # text_ngrams'/corpus_clean's/udtf_tokenize's r4 rows likewise
+    # stand (own modules llm_queries.py / udfs.py unchanged), freeing
+    # slots for table_cdc_mor, corpus_decontaminate, and corpus_pack
+    # (all NEW, no row).
     priority = [
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
         "stream_dedup", "table_time_travel", "table_wap",
         "table_partition_evolution", "table_cdc", "table_cdc_mor",
-        "corpus_decontaminate",
+        "corpus_decontaminate", "corpus_pack",
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
@@ -96,7 +99,7 @@ def all_queries() -> dict[str, Entry]:
         # slot for table_cdc)
         "sim_search", "sim_search_lsh", "sim_search_ivf",
         # (f) session.py estimator riders (spread users)
-        "agg_hash", "udf_scalar", "udaf_group_stats", "udtf_tokenize",
+        "agg_hash", "udf_scalar", "udaf_group_stats",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
         "text_analysis",
         "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
