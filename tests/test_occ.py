@@ -137,6 +137,38 @@ def test_stale_cdc_mor_conflicts_and_cleans_delete_file(spark, root):
     assert final.scan().count() == 4  # winner's append intact, no merge
 
 
+def test_add_files_rebases_on_concurrent_append(spark, root, tmp_path):
+    """add_files is append-shaped (new files union a base), so losing
+    the CAS race must REBASE onto the winner — both the concurrent
+    append's rows and the added files survive."""
+    import os
+
+    t = _mk(spark, root)
+    ext = tmp_path / "ext" / f"{PARTITION_COL}=userid9"
+    ext.mkdir(parents=True)
+    location_df(spark, [location_row(timestamp=700, user_id="userid9")]) \
+        .coalesce(1).write.mode("overwrite").parquet(str(ext / "w"))
+    srcs = [str(ext / "w" / n) for n in os.listdir(ext / "w")
+            if n.endswith(".parquet")]
+
+    orig_commit = t.manifest.commit
+    state = {"injected": False}
+
+    def racy_commit(snap):
+        if not state["injected"]:
+            state["injected"] = True
+            IceTable(spark, root).append(
+                location_df(spark, [location_row(timestamp=999)]))
+        return orig_commit(snap)
+
+    t.manifest.commit = racy_commit
+    snap = t.add_files(srcs)
+    assert snap.snapshot_id == 2  # rebased past the winner's commit
+    final = IceTable(spark, root)
+    ts = sorted(r.timestamp for r in final.scan().collect())
+    assert ts == [100, 101, 102, 700, 999]
+
+
 def test_current_hint_recovery_after_crash(spark, root):
     """A writer crashing between the snapshot-file claim and the CURRENT
     update must not hide its committed snapshot: readers advance the
