@@ -54,7 +54,8 @@ def all_queries() -> dict[str, Entry]:
     # (a) queries with NO driver row yet: the 4 late-r4 registrations
     # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/q7/
     # q8/q12/q13/q14/q17/q18/q19/q21/q22, table_time_travel, table_wap,
-    # table_partition_evolution);
+    # table_partition_evolution, table_cdc, table_cdc_mor,
+    # corpus_decontaminate, corpus_pack);
     # (b) table-layer queries: ice_table.py/manifest.py changed in r5
     # (WAP staging, tags, rename-stat-cols, estimator);
     # (c) streaming/queries.py changed post-r4-window (stream_dedup
