@@ -1,0 +1,139 @@
+"""Corpus assembly: source-mixture planning and the deterministic
+global shuffle that turns a cleaned corpus into training shards.
+
+``mixture_plan`` — the "data mixing" step of a pretraining pipeline:
+given per-source token masses, compute each source's actual share and
+the capped sampling rate that would equalize shares (rate = 1 for
+under-represented sources — mixing never upsamples here, it
+downsamples the dominant ones). One hash aggregation over the corpus;
+the share/rate arithmetic runs on the few-row per-source rollup (a
+window over #sources rows — negligible at any corpus size, since
+sources number in the hundreds, not billions).
+
+``shuffle_assign`` — training dataloaders need a reproducible global
+shuffle + shard assignment. Ordering by a cryptographic hash of the
+doc id IS a uniform random permutation, and it is engine-portable
+(md5 evaluates identically everywhere, unlike xxhash64/rand(seed)).
+Shard = high bits of the hash mod n_shards, position = rank of the
+hash within the shard. ONE shuffle (the window partition on shard);
+each shard sorts independently — at 100 TB, n_shards scales with the
+cluster and no global sort ever happens.
+
+Reference analog: none — its output ordering is explicitly
+nondeterministic (completion-order fan-in, SURVEY.md R13); these ops
+exist precisely to pin an ordering contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions import text as T
+from iceberg_core_spark.functions.dedup import fround, fround_sql
+from iceberg_core_spark.session import load_table
+
+N_SHARDS = 8
+
+
+def mixture_plan(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source (n_docs, n_tokens, share, rate): ``share`` is the
+    source's fraction of corpus tokens; ``rate`` the keep-probability
+    that levels every source to the equal-share token budget
+    (``min(1, budget/n_tokens)``). Feed rates into
+    ``sampling.sample_stratified`` to materialize the mix."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    budget = total / F.count(F.lit(1)).over(w)
+    return per.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        fround(F.col("n_tokens") / total, 6).alias("share"),
+        fround(F.least(F.lit(1.0), budget / F.col("n_tokens")), 6).alias(
+            "rate"
+        ),
+    )
+
+
+def corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: equal-share mixture plan over document sources."""
+    return mixture_plan(load_table(spark, sf, "documents"))
+
+
+CORPUS_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT source, n_docs, n_tokens,
+         SUM(n_tokens) OVER () AS total,
+         COUNT(*) OVER () AS n_src
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       {fround_sql('n_tokens / CAST(total AS DOUBLE)', 6)} AS share,
+       {fround_sql(
+           'least(1.0, (total / CAST(n_src AS DOUBLE)) / n_tokens)', 6
+       )} AS rate
+FROM tot
+"""
+
+
+def shuffle_assign(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = N_SHARDS
+) -> DataFrame:
+    """(id, shard, pos): reproducible uniform shuffle. ``shard`` comes
+    from the first 8 hash hex chars mod n_shards; ``pos`` is the 1-based
+    rank of the full hash within the shard (doc id tiebreak — md5
+    collisions are negligible but determinism must not rest on that)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shuf")))
+    d = df.select(F.col(id_col), h.alias("__h"))
+    shard = (
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+        % n_shards
+    )
+    d = d.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return d.select(
+        id_col, "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: 8-shard deterministic shuffle of documents."""
+    return shuffle_assign(load_table(spark, sf, "documents"))
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || 'shuf') AS hh
+  FROM documents
+), s AS (
+  SELECT doc_id, hh,
+         ('0x' || substr(hh, 1, 8))::BIGINT % {N_SHARDS} AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+FROM s
+"""
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_mix": (corpus_mix, CORPUS_MIX_SQL),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+}

@@ -18,8 +18,11 @@ Entry = tuple[QueryFn, str | None]
 def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.relational import QUERIES as REL
 
+    from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
     from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
     from iceberg_core_spark.functions.packing import QUERIES as PACKING
+    from iceberg_core_spark.functions.quality import QUERIES as QUALITY
+    from iceberg_core_spark.functions.vocab import QUERIES as VOCAB
     from iceberg_core_spark.functions.llm_queries import QUERIES as LLM
     from iceberg_core_spark.operators.relational_ext import QUERIES as RELX
     from iceberg_core_spark.operators.udfs import QUERIES as UDF
@@ -36,6 +39,9 @@ def all_queries() -> dict[str, Entry]:
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
     out.update(DECONTAM) # eval-set decontamination (cross-corpus near-dup)
     out.update(PACKING)  # token-budget sequence packing
+    out.update(QUALITY)  # repetition quality signals + PII redaction
+    out.update(VOCAB)    # corpus vocabulary / top-k token frequencies
+    out.update(ASSEMBLY) # source-mixture plan + deterministic shuffle
     out.update(SAMPLING) # hash-bucket split + stratified sampling
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(STATEFUL) # applyInPandasWithState running stats (NEW r3)
@@ -58,8 +64,16 @@ def all_queries() -> dict[str, Entry]:
     # corpus_decontaminate, corpus_pack);
     # (b) table-layer queries: ice_table.py/manifest.py changed in r5
     # (WAP staging, tags, rename-stat-cols, estimator);
-    # (c) streaming/queries.py changed post-r4-window (stream_dedup
-    # caching + checkpoint cleanup);
+    # (c) streaming/queries.py changed post-r4-window — but the diff
+    # since the r4 driver run (14b4e64..HEAD on that file) touches ONLY
+    # stream_dedup_q (source caching + checkpoint cleanup), so the
+    # event-time quartet's green r4 rows (win_tumbling/win_sliding/
+    # win_session/stream_join, recorded on current window code) stand,
+    # and their slots go to the five NEW r5 corpus-assembly queries
+    # (corpus_quality, corpus_pii, vocab_topk, corpus_mix,
+    # corpus_shuffle — new modules quality.py/vocab.py/assembly.py,
+    # no other module touched). stream_ingest stays in-window:
+    # streaming/ingest.py changed in r5 (staged ingest, CDC merge);
     # (d) tpch.py gained q1/q4/q6/q12/q14/q18 around the r3-row
     # veterans q3/q5/q10 — refresh them on current code;
     # (e) similarity.py changed post-window (IVF staleness monitors);
@@ -87,18 +101,21 @@ def all_queries() -> dict[str, Entry]:
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
+        "corpus_quality", "corpus_pii", "vocab_topk",
+        "corpus_mix", "corpus_shuffle",
         # (b) table layer (ice_table/manifest/table_queries r5 diff)
         "table_incremental", "zorder_range_scan", "schema_evolution",
-        # (c) streaming/queries.py post-window diff
-        "stream_ingest", "win_tumbling", "win_sliding", "win_session",
-        "stream_join",
+        # (c) streaming/ingest.py r5 diff rider (the queries.py diff is
+        # stream_dedup-localized; see note above)
+        "stream_ingest",
         # (d) tpch.py veterans re-verified beside the new queries
         "tpch_q3", "tpch_q5", "tpch_q10",
         # (e) similarity.py post-window diff (IVF monitors; the diff is
         # localized to IvfIndex — sim_search refreshes the module's
-        # shared prelude, sim_search_batch keeps its r3 row to free a
-        # slot for table_cdc)
-        "sim_search", "sim_search_lsh", "sim_search_ivf",
+        # shared prelude, sim_search_ivf the changed path;
+        # sim_search_batch keeps its r3 row and sim_search_lsh its
+        # rows-only r4 row — the LSH path is outside the IVF diff)
+        "sim_search", "sim_search_ivf",
         # (f) session.py estimator riders (spread users)
         "agg_hash", "udf_scalar", "udaf_group_stats",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",

@@ -1,0 +1,137 @@
+"""Corpus-assembly ops (quality signals, PII redaction, vocab, mixture,
+shuffle): DuckDB oracle parity for every registered query, plus
+semantic unit tests on crafted inputs the testdata can't cover."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
+from iceberg_core_spark.functions.assembly import shuffle_assign
+from iceberg_core_spark.functions.quality import (
+    QUERIES as QUALITY,
+    pii_counts,
+    redact_pii,
+    repetition_signals,
+)
+from iceberg_core_spark.functions.vocab import QUERIES as VOCAB
+from tests.oracle import compare, duck_connection
+
+QUERIES = {**QUALITY, **VOCAB, **ASSEMBLY}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+CASES = [(n, fn, sql) for n, (fn, sql) in QUERIES.items()]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_corpus_oracle_match(spark, con, name, fn, sql):
+    compare(fn(spark, SF_DIR), con, sql, name)
+
+
+# ---------------------------------------------------------------------------
+# semantic checks
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a a a a"),       # one token repeated
+            (2, "en", "w x y z"),       # all distinct
+            (3, "en", "solo"),          # no bigram population
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(df).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 4 and r1["n_distinct"] == 1
+    assert r1["rep_ratio"] == 0.75
+    assert r1["top_tok_frac"] == 1.0 and r1["top_bigram_frac"] == 1.0
+    r2 = out[2]
+    assert r2["rep_ratio"] == 0.0 and r2["top_tok_frac"] == 0.25
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] is None
+
+
+def test_redact_pii_removes_every_match(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "from 192.168.1.254 and 10.0.0.1 routes"),
+            (3, "call +44 123 4567 or +1 555 0100 today"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "id long, text string",
+    )
+    red = df.select(
+        "id", redact_pii(F.col("text")).alias("clean"),
+        *[v.alias(k) for k, v in pii_counts(F.col("text")).items()],
+    )
+    rows = {r["id"]: r for r in red.collect()}
+    assert rows[1]["n_emails"] == 1 and "<EMAIL>" in rows[1]["clean"]
+    assert rows[2]["n_ips"] == 2 and rows[2]["clean"].count("<IP>") == 2
+    assert rows[3]["n_phones"] == 2
+    assert rows[4]["clean"] == "clean text with no identifiers at all"
+    # residual scan: nothing PII-shaped survives redaction
+    resid = red.select(
+        *[v.alias(k) for k, v in pii_counts(F.col("clean")).items()]
+    ).agg(F.sum("n_emails"), F.sum("n_ips"), F.sum("n_phones")).collect()[0]
+    assert tuple(resid) == (0, 0, 0)
+
+
+def test_shuffle_assign_is_partition(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shuffle_assign(df, n_shards=4)
+    assert out.count() == 1000
+    # every doc exactly once
+    assert out.select("doc_id").distinct().count() == 1000
+    # positions are contiguous 1..k within each shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    ).collect()
+    assert len(per) == 4
+    for r in per:
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+    # roughly uniform (binomial 1000/4 ± 5 sigma)
+    for r in per:
+        assert 180 <= r["n"] <= 320
+
+
+def test_vocab_topk_rank_contract(spark):
+    out = VOCAB["vocab_topk"][0](spark, SF_DIR).collect()
+    # synthetic vocab is tiny (31 words at sf0.001) — k caps, not pads
+    assert 1 <= len(out) <= 100
+    ranks = sorted(r["rnk"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    by_rank = sorted(out, key=lambda r: r["rnk"])
+    tfs = [r["tf"] for r in by_rank]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_mixture_plan_invariants(spark):
+    rows = ASSEMBLY["corpus_mix"][0](spark, SF_DIR).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    budget = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        if r["n_tokens"] <= budget:
+            assert r["rate"] == 1.0
+        else:
+            assert r["rate"] < 1.0
+            assert r["rate"] == pytest.approx(
+                budget / r["n_tokens"], abs=1e-5
+            )
