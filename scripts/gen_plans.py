@@ -32,6 +32,8 @@ PICKS = [
     ("table_wap", "Write-audit-publish main view — the staged append's files are dropped at PLANNING time (seq-scoped visibility), so the scan reads exactly the published file set; no runtime filter, no extra plan node."),
     ("table_cdc_mor", "Equality-delete merge-on-read scan — pre-batch files anti-join (LeftAnti) the batch's key file while the batch's own files scan clean (seq-scoped groups union), so un-compacted CDC reads cost one broadcast-size anti-join, never a rewrite."),
     ("table_partition_evolution", "Partition query across evolved specs — the file list comes pre-pruned: post-evolution files by recorded partition value, pre-evolution files by source min/max stats; residual equality filter pushes to the surviving files."),
+    ("corpus_quality", "Repetition signals — ONE generator explode covers unigram AND bigram populations, then two HashAggregate pairs (partial map-side first), so the single wide shuffle moves near-distinct (doc, gram) pairs; zero Python, zero windows."),
+    ("corpus_shuffle", "Deterministic global shuffle — md5 projection is map-side; the ONLY exchange is hashpartitioning(shard): each shard ranks independently, no global sort at any scale."),
 ]
 
 

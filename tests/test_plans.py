@@ -142,3 +142,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
         spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+
+def test_corpus_quality_one_explode_hash_aggs(spark):
+    """Repetition signals: generator explode feeds partial-first hash
+    aggregation; no Python in the path, no cartesian, no window."""
+    from iceberg_core_spark.functions.quality import corpus_quality
+
+    s = plan_of(corpus_quality(spark, SF_DIR))
+    assert s.count("Generate explode") == 1
+    assert "HashAggregate" in s
+    assert "partial_count" in s or "partial" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "CartesianProduct" not in s
+    assert "Window" not in s
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """Deterministic shuffle: the ONLY exchange is the shard hash
+    partition (per-shard sort, never a global sort), and the scan
+    prunes to the id column."""
+    from iceberg_core_spark.functions.assembly import corpus_shuffle
+
+    df = corpus_shuffle(spark, SF_DIR)
+    s = plan_of(df)
+    assert s.count("Exchange") == 1
+    assert "hashpartitioning(shard" in s
+    assert "rangepartitioning" not in s
+    assert "ReadSchema: struct<doc_id:bigint>" in explain_str(df)
