@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from iceberg_core_spark.table import IceTable
+from iceberg_core_spark.table import IceTable, MaintenancePolicy
 
 
 def stream_ingest_to_table(
@@ -48,6 +48,8 @@ def stream_ingest_to_table(
     transform=None,
     bucket_by: tuple[str, int] | None = None,
     branch: str | None = None,
+    maintenance: "MaintenancePolicy | None" = None,
+    maintenance_every: int = 10,
 ) -> StreamingQuery:
     """File-source stream → partitioned, clustered, manifest-committed
     table. ``trigger`` e.g. {"processingTime": "1 seconds"} (the
@@ -68,7 +70,18 @@ def stream_ingest_to_table(
     in one metadata-only commit (or ``drop_branch`` discards it). The
     quality gate a 100 TB ingest pipeline runs between landing and
     serving. If the table does not exist yet, an empty create carries
-    the schema so even the FIRST batch stages."""
+    the schema so even the FIRST batch stages.
+
+    ``maintenance``: a ``MaintenancePolicy`` makes the ingest
+    self-maintaining — every ``maintenance_every`` micro-batches the
+    driver runs one ``IceTable.maintain()`` tick after the commit
+    (compact fragmented partitions, bound snapshot history). This is
+    the managed fix for the reference's unmanaged small-block
+    proliferation (every MaxSize/MaxAge flush is one file forever,
+    blockManager.go:65-67): file counts stay bounded while the stream
+    runs, replay protection survives history trimming (expire pins
+    each lineage's newest batch stamp), and a staged branch or lost
+    commit race skips the tick instead of killing the stream."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -92,6 +105,11 @@ def stream_ingest_to_table(
     import uuid as _uuid
 
     lineage = checkpoint_dir or f"ephemeral-{_uuid.uuid4()}"
+
+    def maybe_maintain(table: IceTable, batch_id: int) -> None:
+        if maintenance is not None and batch_id > 0 \
+                and batch_id % maintenance_every == 0:
+            table.maintain(maintenance)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -135,6 +153,7 @@ def stream_ingest_to_table(
                      dedupe_identical_files=True,
                      source_batch_id=batch_id, source_lineage=lineage,
                      branch=branch)
+        maybe_maintain(table, batch_id)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

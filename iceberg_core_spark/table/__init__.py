@@ -7,7 +7,7 @@ reference block.go:41-43, is deliberately NOT replicated).
 """
 
 from iceberg_core_spark.table.catalog import IceCatalog
-from iceberg_core_spark.table.ice_table import IceTable
+from iceberg_core_spark.table.ice_table import IceTable, MaintenancePolicy
 from iceberg_core_spark.table.manifest import (
     CommitConflictError,
     Manifest,
@@ -15,5 +15,5 @@ from iceberg_core_spark.table.manifest import (
     Snapshot,
 )
 
-__all__ = ["CommitConflictError", "IceCatalog", "IceTable", "Manifest",
-           "ManifestFile", "Snapshot"]
+__all__ = ["CommitConflictError", "IceCatalog", "IceTable",
+           "MaintenancePolicy", "Manifest", "ManifestFile", "Snapshot"]

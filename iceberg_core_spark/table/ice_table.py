@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 import time
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,19 @@ from iceberg_core_spark.table.manifest import (
 )
 
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds for ``IceTable.maintain()`` — compact once any
+    partition accumulates ``max_files_per_partition`` files, rewrite to
+    ``target_rows_per_file``, and keep at most ``keep_snapshots``
+    history entries (None = never expire). Defaults suit a streaming
+    ingest ticking maintain() every N micro-batches."""
+
+    max_files_per_partition: int = 8
+    target_rows_per_file: int = 1_000_000
+    keep_snapshots: int | None = 20
 
 
 def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
@@ -2058,15 +2072,29 @@ class IceTable:
         with a kept snapshot (metadata-only commits such as MoR deletes
         inherit the parent's files_ref by reference) is preserved.
         Snapshots pinned by a TAG (create_tag) are never expired —
-        named time travel stays valid until the tag is dropped."""
+        named time travel stays valid until the tag is dropped.
+        Likewise, each streaming checkpoint LINEAGE's newest
+        batch-stamped snapshot is pinned: ``last_committed_batch`` is
+        the stream's replay protection, and expiring the snapshot that
+        carries the max batch id (e.g. keep_last=1 right after a
+        maintenance compact) would let an at-least-once foreachBatch
+        replay re-append a batch the table already holds."""
         snaps = self.manifest.snapshots(load_files=False)
         if len(snaps) <= keep_last:
             return []
-        tagged = set(self.tags().values())
+        pinned = set(self.tags().values())
+        newest_stamp: dict[str, tuple[int, int]] = {}
+        for s in snaps:
+            if s.source_lineage and s.source_batch_id is not None:
+                cur = newest_stamp.get(s.source_lineage)
+                cand = (s.source_batch_id, s.snapshot_id)
+                if cur is None or cand > cur:
+                    newest_stamp[s.source_lineage] = cand
+        pinned |= {sid for _, sid in newest_stamp.values()}
         keep = snaps[-keep_last:] + [
-            s for s in snaps[:-keep_last] if s.snapshot_id in tagged
+            s for s in snaps[:-keep_last] if s.snapshot_id in pinned
         ]
-        drop = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
+        drop = [s for s in snaps[:-keep_last] if s.snapshot_id not in pinned]
         if not drop:
             return []
         live: set[str] = set()
@@ -2114,6 +2142,65 @@ class IceTable:
                 ):
                     shutil.rmtree(full)
         return [s.snapshot_id for s in drop]
+
+    def _max_files_per_partition(self, snap) -> int:
+        """Fragmentation probe, metadata-plane only: sidecar-backed
+        tables aggregate the files parquet down to ONE number in a
+        Spark job; inline lists count in Python."""
+        if snap.files_ref:
+            mdf = self.spark.read.parquet(
+                self.manifest.sidecar_path(snap.files_ref))
+            row = (mdf.groupBy("partition_n")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.max("n")).first())
+            return int(row[0] or 0)
+        full = self.manifest.load()
+        counts: dict[Any, int] = {}
+        for f in full.files:
+            counts[f.partition] = counts.get(f.partition, 0) + 1
+        return max(counts.values(), default=0)
+
+    def maintain(self, policy: "MaintenancePolicy") -> dict:
+        """One tick of table maintenance under ``policy``: compact when
+        any partition's file count reaches the threshold (or MoR
+        deletes are outstanding), then bound snapshot history.
+
+        This is the managed answer to the reference's unmanaged
+        small-block proliferation (each MaxSize/MaxAge flush makes one
+        file forever, blockManager.go:65-67 — SURVEY.md §2.C): a
+        continuously-ingesting table calls maintain() on a cadence and
+        file counts stay bounded while contents are untouched.
+
+        Safe to run inside a streaming foreachBatch: a pending
+        write-audit-publish stage skips the tick (rewrites would
+        re-sequence staged visibility), a lost commit race with a
+        concurrent writer skips rather than kills the stream, and
+        expire_snapshots pins every lineage's newest batch stamp so
+        replay protection survives history trimming."""
+        report: dict[str, Any] = {
+            "compacted": False, "expired": [], "skipped": None,
+        }
+        snap = self.manifest.load(load_files=False)
+        if snap.staged:
+            report["skipped"] = "staged-branches-pending"
+            return report
+        frag = self._max_files_per_partition(snap)
+        try:
+            if (frag >= policy.max_files_per_partition
+                    or snap.delete_predicates):
+                self.compact(
+                    target_rows_per_file=policy.target_rows_per_file,
+                    min_files=policy.max_files_per_partition,
+                )
+                report["compacted"] = True
+            if policy.keep_snapshots is not None:
+                report["expired"] = self.expire_snapshots(
+                    keep_last=policy.keep_snapshots)
+        except CommitConflictError:
+            # a concurrent writer won the race — maintenance is
+            # best-effort background work; next tick retries
+            report["skipped"] = "commit-conflict"
+        return report
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Roll the table back to an earlier snapshot's state — as a NEW

@@ -1,0 +1,132 @@
+"""Table auto-maintenance: maintain() policy ticks, lineage-pinned
+snapshot expiry, and self-maintaining streaming ingest — the managed
+fix for the reference's unmanaged small-block proliferation
+(blockManager.go:65-67 flushes one file per MaxSize/MaxAge forever;
+SURVEY.md §2.C records compaction as absent)."""
+
+import os
+
+from iceberg_core_spark.streaming import stream_ingest_to_table
+from iceberg_core_spark.table import IceTable, MaintenancePolicy
+from tests.fixtures import KEY_COL, PARTITION_COL, location_df, location_row
+from tests.test_streaming import _drop_file
+
+
+def _files_per_partition(t: IceTable) -> int:
+    snap = t.manifest.load()
+    counts: dict = {}
+    for f in snap.files:
+        counts[f.partition] = counts.get(f.partition, 0) + 1
+    return max(counts.values(), default=0)
+
+
+def _fragmented_table(spark, root: str) -> IceTable:
+    rows = [location_row(timestamp=100000 + i) for i in range(4)]
+    IceTable.create(
+        spark, root, location_df(spark, rows),
+        partition_col=PARTITION_COL, key_col=KEY_COL, max_rows_per_file=2,
+    )
+    t = IceTable(spark, root)
+    for i in range(5):
+        t.append(location_df(spark, [location_row(timestamp=200000 + i)]))
+    return t
+
+
+def test_maintain_compacts_and_preserves_contents(spark, tmp_path):
+    t = _fragmented_table(spark, str(tmp_path / "t"))
+    before_files = _files_per_partition(t)
+    before_rows = sorted(r.timestamp for r in t.scan().collect())
+    assert before_files >= 7  # create split + 5 single-row appends
+
+    policy = MaintenancePolicy(max_files_per_partition=3,
+                               target_rows_per_file=1000,
+                               keep_snapshots=None)
+    report = t.maintain(policy)
+    assert report["compacted"] is True and report["skipped"] is None
+    assert _files_per_partition(t) < before_files
+    assert sorted(r.timestamp for r in t.scan().collect()) == before_rows
+
+    # second tick: below threshold now — a no-op, no new snapshot
+    head = t.manifest.current_snapshot_id()
+    report2 = t.maintain(policy)
+    assert report2["compacted"] is False
+    assert t.manifest.current_snapshot_id() == head
+
+
+def test_maintain_skips_while_staged(spark, tmp_path):
+    t = _fragmented_table(spark, str(tmp_path / "t"))
+    t.append(location_df(spark, [location_row(timestamp=300000)]),
+             branch="audit")
+    report = t.maintain(MaintenancePolicy(max_files_per_partition=2))
+    assert report["skipped"] == "staged-branches-pending"
+    assert report["compacted"] is False
+    # the stage is still intact and publishable
+    t.publish_branch("audit")
+    assert 300000 in {r.timestamp for r in t.scan().collect()}
+
+
+def test_expire_pins_newest_lineage_stamp(spark, tmp_path):
+    """A maintenance commit on top of batch-stamped appends must not
+    let expire_snapshots erase the stream's replay protection."""
+    root = str(tmp_path / "t")
+    IceTable.create(
+        spark, root, location_df(spark, [location_row(timestamp=100000)]),
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+        source_batch_id=0, source_lineage="ckptL",
+    )
+    t = IceTable(spark, root)
+    for b in (1, 2):
+        t.append(location_df(spark, [location_row(timestamp=100000 + b)]),
+                 source_batch_id=b, source_lineage="ckptL")
+    # un-stamped maintenance commit becomes the head
+    t.compact(min_files=2, target_rows_per_file=1000)
+    assert t.last_committed_batch("ckptL") == 2
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired  # something was trimmed
+    # the stamped snapshot carrying batch 2 survived the trim
+    assert t.last_committed_batch("ckptL") == 2
+    assert t.scan().count() == 3
+
+
+def test_stream_ingest_self_maintaining(spark, tmp_path):
+    """Four restarts × one-row files with max_rows_per_file=1 would
+    leave one file per row; a per-batch maintenance tick keeps the
+    partition's file count at the policy bound while contents and
+    exactly-once behavior are untouched."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = location_df(spark, []).schema
+    policy = MaintenancePolicy(max_files_per_partition=3,
+                               target_rows_per_file=10_000,
+                               keep_snapshots=4)
+
+    for b in range(4):
+        _drop_file(
+            spark,
+            [location_row(timestamp=100000 + 10 * b + i) for i in range(3)],
+            src, f"b{b}.parquet",
+        )
+        q = stream_ingest_to_table(
+            spark, src, table_root, schema,
+            partition_col=PARTITION_COL, key_col=KEY_COL,
+            max_rows_per_file=1,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+            maintenance=policy, maintenance_every=1,
+        )
+        assert q.awaitTermination(120)
+
+    t = IceTable(spark, table_root)
+    # contents: all 12 rows exactly once
+    got = sorted(r.timestamp for r in t.scan().collect())
+    want = sorted(100000 + 10 * b + i for b in range(4) for i in range(3))
+    assert got == want
+    # fragmentation bounded: without maintenance this partition would
+    # hold 12 one-row files; the tick kept it under policy + one batch
+    assert _files_per_partition(t) <= policy.max_files_per_partition + 3
+    # replay protection survived expiry
+    assert t.last_committed_batch(ckpt) == 3
+    # history bounded (pinned lineage stamp may add one)
+    assert len(t.snapshots()) <= policy.keep_snapshots + 1
