@@ -179,6 +179,8 @@ def stream_cdc_to_table(
     checkpoint_dir: str | None = None,
     source_format: str = "parquet",
     transform=None,
+    maintenance: "MaintenancePolicy | None" = None,
+    maintenance_every: int = 10,
 ) -> StreamingQuery:
     """Streaming MERGE (CDC apply) into an IceTable: each micro-batch
     upserts on ``key_cols``; with ``op_col`` set, rows marked
@@ -201,7 +203,14 @@ def stream_cdc_to_table(
     equality-delete key file — O(batch) per trigger, zero rewrites —
     and a periodic ``compact()`` materializes the deletes. The first
     batch creates the table (schema minus op/seq columns) and applies
-    itself as a merge onto the empty shell."""
+    itself as a merge onto the empty shell.
+
+    ``maintenance``/``maintenance_every``: same self-maintenance tick
+    as ``stream_ingest_to_table``. It matters most under
+    ``mode="mor"``: maintain()'s compact trigger also fires on
+    outstanding equality deletes, so the accumulated delete files are
+    periodically materialized away and scans return to clean
+    file-for-file reads without a manual compact()."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -238,6 +247,9 @@ def stream_cdc_to_table(
                             delete_op=delete_op, seq_col=seq_col,
                             mode=mode, source_batch_id=batch_id,
                             source_lineage=lineage)
+        if maintenance is not None and batch_id > 0 \
+                and batch_id % maintenance_every == 0:
+            table.maintain(maintenance)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

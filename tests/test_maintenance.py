@@ -130,3 +130,58 @@ def test_stream_ingest_self_maintaining(spark, tmp_path):
     assert t.last_committed_batch(ckpt) == 3
     # history bounded (pinned lineage stamp may add one)
     assert len(t.snapshots()) <= policy.keep_snapshots + 1
+
+
+def test_stream_cdc_mor_maintenance_materializes_deletes(spark, tmp_path):
+    """Under mode='mor' every batch leaves an equality-delete file
+    behind; the maintenance tick's compact trigger fires on outstanding
+    deletes and materializes them, so the table returns to clean reads
+    without a manual compact()."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from iceberg_core_spark.streaming import stream_cdc_to_table
+    from tests.test_streaming import _drop_cdc_file
+
+    schema = StructType([
+        StructField("part", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("op", StringType()),
+        StructField("seq", LongType()),
+    ])
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    root = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    policy = MaintenancePolicy(max_files_per_partition=64,
+                               target_rows_per_file=10_000,
+                               keep_snapshots=None)
+
+    def run():
+        q = stream_cdc_to_table(
+            spark, src, root, schema, key_cols=["part", "k"],
+            partition_col="part", key_col="k", op_col="op",
+            seq_col="seq", mode="mor", trigger={"availableNow": True},
+            checkpoint_dir=ckpt, maintenance=policy, maintenance_every=1,
+        )
+        assert q.awaitTermination(120)
+
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 1.0, "I", 1), ("a", 2, 2.0, "I", 1),
+    ], src, "b1.parquet")
+    run()
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 99.0, "U", 1), ("a", 2, 0.0, "D", 1),
+    ], src, "b2.parquet")
+    run()
+
+    t = IceTable(spark, root)
+    got = {(r.part, r.k): r.v for r in t.scan().collect()}
+    assert got == {("a", 1): 99.0}
+    # batch 1 (batch_id 0) skipped the tick, batch 2 (batch_id 1)
+    # ran it: the equality deletes it landed were compacted away
+    snap = t.manifest.load(load_files=False)
+    assert snap.delete_predicates == []
+    ops = [s.operation for s in t.snapshots()]
+    assert "compact" in ops and ops.count("cdc-mor") == 2
