@@ -143,3 +143,77 @@ def test_asof_join_matches_reference_impl(spark, left_ts, right_ts):
                 break
         expect[i] = match
     assert got == expect
+
+
+# Corpus ops model check: repetition signals computed by the Spark
+# explode/agg plan must equal a direct Counter-based reference on
+# arbitrary token soups (including single-token and heavy-repeat docs).
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]),
+             min_size=1, max_size=12),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(docs=_DOCS)
+def test_repetition_signals_match_counter_model(spark, docs):
+    from collections import Counter
+
+    from iceberg_core_spark.functions.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        uni = Counter(toks)
+        big = Counter(
+            f"{x} {y}" for x, y in zip(toks, toks[1:])
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(uni)
+
+        def fr6(x):
+            import math
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert r["rep_ratio"] == fr6(1.0 - len(uni) / len(toks))
+        assert r["top_tok_frac"] == fr6(max(uni.values()) / len(toks))
+        if len(toks) >= 2:
+            assert r["top_bigram_frac"] == fr6(
+                max(big.values()) / (len(toks) - 1))
+        else:
+            assert r["top_bigram_frac"] is None
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=60, unique=True),
+       n_shards=st.integers(min_value=1, max_value=7))
+def test_shuffle_assign_is_stable_permutation(spark, ids, n_shards):
+    """Every id appears exactly once, positions are 1..k per shard, and
+    the assignment is a pure function of the id (stable across runs and
+    input partitioning)."""
+    from iceberg_core_spark.functions.assembly import shuffle_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shuffle_assign(df, n_shards=n_shards).collect()}
+    assert set(out) == set(ids)
+    by_shard: dict = {}
+    for sh, pos in out.values():
+        assert 0 <= sh < n_shards
+        by_shard.setdefault(sh, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # stability: a differently-partitioned recomputation agrees exactly
+    out2 = {r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_assign(df.repartition(5),
+                                    n_shards=n_shards).collect()}
+    assert out2 == out
