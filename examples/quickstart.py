@@ -100,6 +100,23 @@ def main() -> None:
     print("top-5 neighbors of vec 0:",
           [(r.vec_id, r.sim) for r in topk.collect()])
 
+    # 7. Corpus assembly: quality-gate, plan the source mixture, and
+    #    deal the surviving docs into reproducible training shards.
+    from iceberg_core_spark.functions.assembly import (
+        mixture_plan, shuffle_assign)
+    from iceberg_core_spark.functions.quality import repetition_signals
+
+    signals = repetition_signals(docs)
+    kept = docs.join(
+        signals.filter(F.col("top_tok_frac") <= 0.5).select("doc_id"),
+        "doc_id")
+    print(f"quality gate: {docs.count()} -> {kept.count()} docs")
+    mixture_plan(kept).orderBy(F.col("share").desc()).show(3)
+    shards = shuffle_assign(kept)
+    print("shard sizes:", sorted(
+        (r.shard, r.n) for r in
+        shards.groupBy("shard").agg(F.count("*").alias("n")).collect()))
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
