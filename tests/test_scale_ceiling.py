@@ -172,3 +172,23 @@ def test_sidecar_bytes_on_disk_100k(big_manifest_table):
                         columns=["entry_json"])
     f = ManifestFile.from_json(json.loads(tbl["entry_json"][0].as_py()))
     assert f.path.endswith(".parquet")
+
+
+def test_maintenance_probe_bounded_100k(big_manifest_table):
+    """maintain()'s fragmentation probe on a sidecar-backed 100k-file
+    snapshot must aggregate Spark-side and return ONE number — no entry
+    materialization, bounded driver time/memory."""
+    t, _ = big_manifest_table
+    snap = t.manifest.load(load_files=False)
+    assert snap.files_ref is not None
+    tracemalloc.start()
+    t0 = time.time()
+    frag = t._max_files_per_partition(snap)
+    elapsed = time.time() - t0
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # every synthetic entry shares partition=None → one partition
+    assert frag == N_FILES
+    assert elapsed < 30, f"probe took {elapsed:.1f}s"
+    # Python-side peak: a scalar came back, not 100k entries (~10 MB)
+    assert peak < 2_000_000, f"peak {peak} bytes"
