@@ -72,8 +72,12 @@ def all_queries() -> dict[str, Entry]:
     # and their slots go to the five NEW r5 corpus-assembly queries
     # (corpus_quality, corpus_pii, vocab_topk, corpus_mix,
     # corpus_shuffle — new modules quality.py/vocab.py/assembly.py,
-    # no other module touched). stream_ingest stays in-window:
-    # streaming/ingest.py changed in r5 (staged ingest, CDC merge);
+    # no other module touched). streaming/ingest.py's later r5 diff
+    # (auto-maintenance) is likewise confined to
+    # stream_ingest_to_table / stream_cdc_to_table — the quartet's
+    # operators (tumbling_counts/sliding_counts/session_agg/
+    # stream_stream_join) are byte-identical. stream_ingest stays
+    # in-window: its own entry point IS the changed function;
     # (d) tpch.py gained q1/q4/q6/q12/q14/q18 around the r3-row
     # veterans q3/q5/q10 — refresh them on current code;
     # (e) similarity.py changed post-window (IVF staleness monitors);
