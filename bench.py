@@ -41,6 +41,8 @@ HEADLINE = [
     "sim_search",
     "split_train_test",  # reproducible hash-bucket split
     "corpus_clean",      # end-to-end prep pipeline (2-shuffle plan)
+    "corpus_quality",    # repetition signals: 1 explode + 2 hash aggs (r5)
+    "corpus_shuffle",    # deterministic shard deal: 1 exchange (r5)
     "multimodal_features",  # real WAV/PPM encode→decode→stats (r3)
     "zorder_range_scan",    # manifest-pruned multi-dim range query (r4)
 ]

@@ -94,6 +94,84 @@ def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def decontaminate_ngram_exact(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram COLLISION decontamination — the GPT-3/PaLM-style
+    check, complementary to the Jaccard path above: a training doc is
+    flagged when any of its token n-grams appears verbatim anywhere in
+    the eval corpus (substring containment, which whole-doc similarity
+    misses — a benchmark question quoted inside a long web page).
+    ``n=13`` is the published default; the registry query uses a
+    smaller n sized to the synthetic corpus's tiny vocabulary.
+
+    Returns (id_col, n_collisions, n_grams, hit_frac): distinct
+    colliding n-grams, the doc's distinct n-gram count, their ratio.
+
+    Scale shape: the eval corpus is benchmark-sized, so its distinct
+    gram set BROADCASTS; the train side explodes map-side and the only
+    shuffle is the final per-doc count-distinct aggregation. No
+    train×train or gram×gram pair ever materializes.
+    """
+    def grams_of(df: DataFrame):
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        g = F.expr(
+            f"transform(sequence(1, size(__t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__t, i, {n})))"
+        )
+        return df.withColumn("__t", toks).select(
+            F.col(id_col),
+            F.array_distinct(
+                F.when(F.size("__t") >= n, g)
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("grams"),
+        )
+
+    eval_grams = (
+        grams_of(eval_df)
+        .select(F.explode("grams").alias("g")).distinct()
+    )
+    t = grams_of(train).select(
+        id_col, F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    return (
+        t.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_collisions"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .select(
+            id_col, "n_collisions", "n_grams",
+            fround(F.col("n_collisions") / F.col("n_grams"), 6).alias(
+                "hit_frac"
+            ),
+        )
+    )
+
+
+N_EXACT = 4  # registry n: 31-word synthetic vocab ⇒ 13-grams never collide
+
+
+def corpus_decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: exact 4-gram collisions against the pseudo eval
+    split (doc_id % 53 == 0), same split as corpus_decontaminate."""
+    docs = load_table(spark, sf, "documents")
+    return decontaminate_ngram_exact(
+        docs.filter("doc_id % 53 <> 0"),
+        docs.filter("doc_id % 53 = 0"),
+        n=N_EXACT,
+    )
+
+
 _JACC_RAW = (
     "len(list_intersect(a_toks, b_toks))"
     " / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)))"
@@ -119,9 +197,42 @@ GROUP BY doc_id
 """
 
 
+CORPUS_DECONTAMINATE_EXACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {N_EXACT} THEN
+           list_transform(range(1, len(t) - {N_EXACT - 2}),
+                          i -> array_to_string(t[i:i+{N_EXACT - 1}], ' '))
+           ELSE [] END) AS grams
+  FROM t
+), train AS (SELECT * FROM tg WHERE doc_id % 53 <> 0),
+   eg AS (
+  SELECT DISTINCT u.g AS g
+  FROM (SELECT * FROM tg WHERE doc_id % 53 = 0), UNNEST(grams) AS u(g)
+), hits AS (
+  SELECT train.doc_id, len(train.grams) AS n_grams, u.g AS g
+  FROM train, UNNEST(grams) AS u(g)
+  JOIN eg ON u.g = eg.g
+)
+SELECT doc_id,
+       COUNT(DISTINCT g) AS n_collisions,
+       MIN(n_grams) AS n_grams,
+       {fround_sql('COUNT(DISTINCT g) / CAST(MIN(n_grams) AS DOUBLE)', 6)}
+         AS hit_frac
+FROM hits GROUP BY doc_id
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_decontaminate": (corpus_decontaminate,
                              CORPUS_DECONTAMINATE_SQL),
+    "corpus_decontaminate_exact": (corpus_decontaminate_exact,
+                                   CORPUS_DECONTAMINATE_EXACT_SQL),
 }

@@ -106,14 +106,17 @@ def all_queries() -> dict[str, Entry]:
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
         "tpch_q19", "tpch_q21", "tpch_q22",
         "corpus_quality", "corpus_pii", "vocab_topk",
-        "corpus_mix", "corpus_shuffle",
+        "corpus_mix", "corpus_shuffle", "corpus_decontaminate_exact",
         # (b) table layer (ice_table/manifest/table_queries r5 diff)
         "table_incremental", "zorder_range_scan", "schema_evolution",
         # (c) streaming/ingest.py r5 diff rider (the queries.py diff is
         # stream_dedup-localized; see note above)
         "stream_ingest",
         # (d) tpch.py veterans re-verified beside the new queries
-        "tpch_q3", "tpch_q5", "tpch_q10",
+        # (q10 keeps its green r4 row — its function is byte-identical
+        # since that row; the slot went to the NEW
+        # corpus_decontaminate_exact, which has no row at all)
+        "tpch_q3", "tpch_q5",
         # (e) similarity.py post-window diff (IVF monitors; the diff is
         # localized to IvfIndex — sim_search refreshes the module's
         # shared prelude, sim_search_ivf the changed path;

@@ -135,3 +135,33 @@ def test_mixture_plan_invariants(spark):
             assert r["rate"] == pytest.approx(
                 budget / r["n_tokens"], abs=1e-5
             )
+
+
+def test_ngram_exact_catches_substring_quote(spark):
+    """The differentiator vs Jaccard decontamination: a long training
+    doc QUOTING a short benchmark item verbatim is flagged by exact
+    n-gram collision even though whole-doc similarity is far below any
+    Jaccard threshold."""
+    from iceberg_core_spark.functions.decontam import (
+        decontaminate,
+        decontaminate_ngram_exact,
+    )
+
+    quote = "what is the capital of france paris"
+    filler = " ".join(f"w{i}" for i in range(300))
+    train = spark.createDataFrame(
+        [(1, f"{filler} {quote} {filler}", "en", len(filler) * 2 + 40),
+         (2, f"{filler} nothing shared here", "en", len(filler) + 20)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, quote, "en", len(quote))],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    hits = decontaminate_ngram_exact(train, eval_df, n=5).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    assert hits[0]["n_collisions"] == 3  # 7 tokens → three 5-grams
+    # whole-doc Jaccard misses it: 7 shared tokens vs 300+300 filler
+    jac = decontaminate(train, eval_df, length_tol=10**9,
+                        threshold=0.5).collect()
+    assert jac == []
