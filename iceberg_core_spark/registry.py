@@ -118,11 +118,16 @@ def all_queries() -> dict[str, Entry]:
         # corpus_decontaminate_exact, which has no row at all)
         "tpch_q3", "tpch_q5",
         # (e) similarity.py post-window diff (IVF monitors; the diff is
-        # localized to IvfIndex — sim_search refreshes the module's
-        # shared prelude, sim_search_ivf the changed path;
-        # sim_search_batch keeps its r3 row and sim_search_lsh its
-        # rows-only r4 row — the LSH path is outside the IVF diff)
-        "sim_search", "sim_search_ivf",
+        # localized to IvfIndex, so sim_search_ivf re-verifies the
+        # changed path; sim_search/sim_search_batch keep their green
+        # rows — their functions and the shared prelude are
+        # byte-identical — and sim_search_lsh its rows-only r4 row.
+        # The freed slot re-verifies join_bucketed instead: its
+        # dependency ice_table.py changed in r5 (WAP, maintenance,
+        # expire pinning) — the create/as_bucketed_table path it uses
+        # is byte-identical, but a driver row on current code beats a
+        # third byte-identical TPC-H refresh
+        "sim_search_ivf", "join_bucketed",
         # (f) session.py estimator riders (spread users)
         "agg_hash", "udf_scalar", "udaf_group_stats",
         "multimodal_meta", "multimodal_chunks", "multimodal_features",
