@@ -34,6 +34,7 @@ PICKS = [
     ("table_partition_evolution", "Partition query across evolved specs — the file list comes pre-pruned: post-evolution files by recorded partition value, pre-evolution files by source min/max stats; residual equality filter pushes to the surviving files."),
     ("corpus_quality", "Repetition signals — ONE generator explode covers unigram AND bigram populations, then two HashAggregate pairs (partial map-side first), so the single wide shuffle moves near-distinct (doc, gram) pairs; zero Python, zero windows."),
     ("corpus_shuffle", "Deterministic global shuffle — md5 projection is map-side; the ONLY exchange is hashpartitioning(shard): each shard ranks independently, no global sort at any scale."),
+    ("corpus_decontaminate_exact", "Exact n-gram collision decontamination — the eval corpus's distinct gram set BROADCASTS (benchmark-sized at any corpus scale); the train side explodes map-side and the only exchange is the per-doc count-distinct aggregation."),
 ]
 
 

@@ -170,3 +170,18 @@ def test_corpus_shuffle_single_exchange(spark):
     assert "hashpartitioning(shard" in s
     assert "rangepartitioning" not in s
     assert "ReadSchema: struct<doc_id:bigint>" in explain_str(df)
+
+
+def test_decontaminate_exact_broadcast_no_pairs(spark):
+    """Exact n-gram decontamination: the benchmark-sized eval gram set
+    broadcasts; no train-train or gram-gram pair join, no cartesian,
+    no Python in the path."""
+    from iceberg_core_spark.functions.decontam import (
+        corpus_decontaminate_exact,
+    )
+
+    s = plan_of(corpus_decontaminate_exact(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
