@@ -149,23 +149,32 @@ def main() -> None:
     #   the headline steady-state number: sf0.1 single-run timings swing
     #   ±15% run-to-run (TODO.md), the median is the stable signal that
     #   scales with input and is therefore the 100 TB-relevant metric.
+    # Warm passes are INTERLEAVED (pass-major: pass 1 over every query,
+    # then pass 2, then pass 3) rather than per-query consecutive.
+    # Metrics are unchanged (same first-warm and median-of-3 per
+    # query); what changes is robustness: a tens-of-seconds host
+    # interference window (the "roaming victim" mode, BASELINE.md r5
+    # addendum) now damages at most ONE of each query's three samples
+    # — which the median rejects — instead of all three samples of
+    # whichever single query it lands on.
     import statistics
 
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    warm_median: dict[str, float] = {}
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         fn, _sql = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        runs = []
-        for _ in range(3):
+    for _pass in range(3):
+        for name in HEADLINE:
+            fn, _sql = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        warm[name] = round(runs[0], 3)
-        warm_median[name] = round(statistics.median(runs), 3)
+            runs[name].append(time.perf_counter() - t0)
+    warm = {name: round(r[0], 3) for name, r in runs.items()}
+    warm_median = {name: round(statistics.median(r), 3)
+                   for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
