@@ -2669,15 +2669,34 @@ class IceTable:
         return len(self.manifest.load().files)
 
     def last_committed_batch(self, lineage: str) -> int | None:
-        """Max micro-batch id committed for a checkpoint lineage, over
-        the FULL snapshot history (a maintenance commit in between must
-        not erase replay protection)."""
-        best = None
-        for s in self.manifest.snapshots(load_files=False):
+        """Max micro-batch id committed for a checkpoint lineage.
+
+        Walks snapshot history NEWEST-FIRST and stops at the first
+        stamped snapshot of this lineage: batch ids are monotone per
+        lineage (this very guard enforces it — a batch only commits if
+        its id exceeds the last), so the newest stamp IS the max. A
+        long-running stream therefore pays O(commits since its last
+        append) JSON loads per micro-batch — typically one or two past
+        interleaved maintenance/other-writer commits — instead of
+        re-reading the entire history every trigger (quadratic over
+        the stream's lifetime). A maintenance commit in between still
+        cannot erase replay protection: the walk keeps going until the
+        lineage's stamp is found, and expire_snapshots pins each
+        lineage's newest stamped snapshot."""
+        d = self.manifest.dir
+        if not os.path.isdir(d):
+            return None
+        sids = sorted(
+            (int(n[len("snapshot-"):-len(".json")])
+             for n in os.listdir(d)
+             if n.startswith("snapshot-") and n.endswith(".json")),
+            reverse=True,
+        )
+        for sid in sids:
+            s = self.manifest.load(sid, load_files=False)
             if s.source_lineage == lineage and s.source_batch_id is not None:
-                best = s.source_batch_id if best is None else max(
-                    best, s.source_batch_id)
-        return best
+                return s.source_batch_id
+        return None
 
     def stats(self) -> dict:
         """Table statistics from the manifest alone (metadata-only, no

@@ -185,3 +185,52 @@ def test_stream_cdc_mor_maintenance_materializes_deletes(spark, tmp_path):
     assert snap.delete_predicates == []
     ops = [s.operation for s in t.snapshots()]
     assert "compact" in ops and ops.count("cdc-mor") == 2
+
+
+def test_last_committed_batch_newest_first_early_exit(spark, tmp_path):
+    """The replay guard walks history newest-first and stops at the
+    lineage's newest stamp (batch ids are monotone per lineage), so a
+    long stream pays O(commits since its last append) per trigger —
+    and interleaved foreign-lineage / maintenance commits neither hide
+    the stamp nor change the answer."""
+    root = str(tmp_path / "t")
+    IceTable.create(
+        spark, root, location_df(spark, [location_row(timestamp=100000)]),
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+        source_batch_id=0, source_lineage="L1",
+    )
+    t = IceTable(spark, root)
+    for b in (1, 2, 3):
+        t.append(location_df(spark, [location_row(timestamp=100000 + b)]),
+                 source_batch_id=b, source_lineage="L1")
+    # interleave: a different stream's lineage and a metadata commit
+    t.append(location_df(spark, [location_row(timestamp=200000)]),
+             source_batch_id=9, source_lineage="L2")
+    t.compact(min_files=2, target_rows_per_file=1000)
+    assert t.last_committed_batch("L1") == 3
+    assert t.last_committed_batch("L2") == 9
+    assert t.last_committed_batch("never-seen") is None
+
+    # early exit: resolving L2 (one commit below head) must not load
+    # the whole history
+    from iceberg_core_spark.table.manifest import Manifest
+
+    loads = []
+    orig = Manifest.load
+
+    def counting_load(self, snapshot_id=None, load_files=True):
+        loads.append(snapshot_id)
+        return orig(self, snapshot_id, load_files=load_files)
+
+    Manifest.load = counting_load
+    try:
+        assert t.last_committed_batch("L2") == 9
+        n_l2 = len(loads)
+        loads.clear()
+        assert t.last_committed_batch("L1") == 3
+        n_l1 = len(loads)
+    finally:
+        Manifest.load = orig
+    n_snaps = len(t.snapshots())
+    assert n_l2 < n_l1 <= n_snaps  # walked only as deep as each stamp
+    assert n_l2 <= 2  # L2's stamp sits right under the compact head
