@@ -155,8 +155,10 @@ FROM s
 # ---------------------------------------------------------------------------
 
 # RE2-safe (and Java-regex-identical) patterns: character classes and
-# bounded counts only — no backreferences, no lookaround.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# bounded counts only — no backreferences, no lookaround. Case covered
+# by explicit classes rather than (?i) so the pattern text needs no
+# dialect-specific flag handling.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{4}"
 

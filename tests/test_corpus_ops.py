@@ -165,3 +165,16 @@ def test_ngram_exact_catches_substring_quote(spark):
     jac = decontaminate(train, eval_df, length_tol=10**9,
                         threshold=0.5).collect()
     assert jac == []
+
+
+def test_redact_pii_mixed_case_email(spark):
+    df = spark.createDataFrame(
+        [(1, "Reach Bob.Smith@Corp.Example.ORG today")],
+        "id long, text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("clean"),
+        *[v.alias(k) for k, v in pii_counts(F.col("text")).items()],
+    ).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["clean"] == "Reach <EMAIL> today"
