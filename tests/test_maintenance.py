@@ -234,3 +234,61 @@ def test_last_committed_batch_newest_first_early_exit(spark, tmp_path):
     n_snaps = len(t.snapshots())
     assert n_l2 < n_l1 <= n_snaps  # walked only as deep as each stamp
     assert n_l2 <= 2  # L2's stamp sits right under the compact head
+
+
+def test_concurrent_appends_race_maintenance_ticker(spark, tmp_path):
+    """Writer threads appending under OCC while a maintenance ticker
+    compacts/expires between them: every append survives (rebase wins
+    or the tick skips on conflict), nothing is lost or duplicated, and
+    fragmentation stays bounded. This is the composition a
+    self-maintaining multi-writer ingest actually runs."""
+    import threading
+
+    root = str(tmp_path / "t")
+    IceTable.create(
+        spark, root,
+        location_df(spark, [location_row(timestamp=1)]),
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+    )
+    policy = MaintenancePolicy(max_files_per_partition=3,
+                               target_rows_per_file=100_000,
+                               keep_snapshots=5)
+    errors: list = []
+    done = threading.Event()
+
+    def writer(wid: int) -> None:
+        t = IceTable(spark, root)
+        try:
+            for i in range(4):
+                ts = 1000 * wid + i
+                t.append(location_df(spark, [location_row(timestamp=ts)]))
+        except Exception as ex:  # pragma: no cover
+            errors.append(("writer", wid, repr(ex)))
+
+    def ticker() -> None:
+        t = IceTable(spark, root)
+        try:
+            while not done.is_set():
+                t.maintain(policy)
+        except Exception as ex:  # pragma: no cover
+            errors.append(("ticker", repr(ex)))
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in (1, 2, 3)]
+    tick = threading.Thread(target=ticker)
+    tick.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(300)
+    done.set()
+    tick.join(300)
+    assert errors == [], errors
+
+    t = IceTable(spark, root)
+    got = sorted(r.timestamp for r in t.scan().collect())
+    want = sorted([1] + [1000 * w + i for w in (1, 2, 3) for i in range(4)])
+    assert got == want  # no lost or duplicated appends
+    # one final tick in quiet conditions bounds fragmentation
+    t.maintain(policy)
+    assert _files_per_partition(t) <= policy.max_files_per_partition
