@@ -1356,6 +1356,68 @@ class IceTable:
             added = [f for f in cur.files if f.path not in base_paths]
         return self._read_with_deletes(added, cur, until)
 
+    def diff_stats(self, since: int,
+                   until: int | None = None) -> DataFrame:
+        """Per-partition delta report between two snapshots — the
+        metadata-plane companion to ``scan_incremental``'s row feed:
+        how many files/rows/bytes each partition gained and lost,
+        without reading a single data byte. The ops view for "what did
+        last night's ingest/compaction actually do to partition X".
+
+        Added = paths in ``until`` absent from ``since``; removed =
+        the reverse — exact for every operation type (a CoW rewrite
+        shows up as adds + removes in the touched partitions).
+        Sidecar-backed snapshots diff as DataFrame anti-joins over the
+        two sidecar parquets (nothing materializes on the driver);
+        inline lists are small by definition. Partition values are
+        reported as strings (mixed-generation layouts normalize).
+        """
+        cur = self.manifest.load(until, load_files=False)
+        base = self.manifest.load(since, load_files=False)
+
+        def side(snap) -> DataFrame:
+            if snap.files_ref:
+                return self.spark.read.parquet(
+                    self.manifest.sidecar_path(snap.files_ref)
+                ).select(
+                    "path",
+                    F.col("partition_n").cast("string").alias("partition"),
+                    "rows", "bytes",
+                )
+            full = self.manifest.load(snap.snapshot_id)
+            data = [
+                (f.path,
+                 None if f.partition is None else str(f.partition),
+                 int(f.rows), int(f.bytes))
+                for f in full.files
+            ]
+            return self.spark.createDataFrame(
+                data, "path string, partition string, rows long, bytes long"
+            )
+
+        cur_df, base_df = side(cur), side(base)
+
+        def rollup(df: DataFrame, suffix: str) -> DataFrame:
+            return df.groupBy("partition").agg(
+                F.count(F.lit(1)).alias(f"files_{suffix}"),
+                F.sum("rows").alias(f"rows_{suffix}"),
+                F.sum("bytes").alias(f"bytes_{suffix}"),
+            )
+
+        added = rollup(
+            cur_df.join(base_df.select("path"), "path", "left_anti"),
+            "added")
+        removed = rollup(
+            base_df.join(cur_df.select("path"), "path", "left_anti"),
+            "removed")
+        out = added.join(removed, "partition", "full_outer")
+        zero = ["files_added", "rows_added", "bytes_added",
+                "files_removed", "rows_removed", "bytes_removed"]
+        return out.select(
+            "partition",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero],
+        )
+
     def to_view(self, name: str, snapshot_id: int | None = None) -> None:
         """Register this table (one snapshot) as a temp view so users can
         ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` — predicates

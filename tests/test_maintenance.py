@@ -292,3 +292,50 @@ def test_concurrent_appends_race_maintenance_ticker(spark, tmp_path):
     # one final tick in quiet conditions bounds fragmentation
     t.maintain(policy)
     assert _files_per_partition(t) <= policy.max_files_per_partition
+
+
+def test_diff_stats_matches_bruteforce(spark, tmp_path):
+    """diff_stats' per-partition deltas must equal a brute-force diff
+    of the two snapshots' file lists — including a CoW rewrite showing
+    up as adds + removes in only the touched partition."""
+    root = str(tmp_path / "t")
+    rows = [location_row(timestamp=100 + i,
+                         user_id=f"u{i % 2}") for i in range(8)]
+    IceTable.create(
+        spark, root, location_df(spark, rows),
+        partition_col=PARTITION_COL, key_col=KEY_COL, max_rows_per_file=2,
+    )
+    t = IceTable(spark, root)
+    first = t.manifest.current_snapshot_id()
+    t.append(location_df(spark, [location_row(timestamp=900,
+                                              user_id="u0")]))
+    # partial file overlap (u1 files hold ts [101,103] and [105,107]):
+    # deleting 100-102 must REWRITE the first file to keep ts 103
+    t.delete_range("u1", 100, 102)
+
+    def files_of(sid):
+        return {f.path: f for f in t.manifest.load(sid).files}
+
+    base, cur = files_of(first), files_of(t.manifest.current_snapshot_id())
+    expect: dict = {}
+    for p, f in cur.items():
+        if p not in base:
+            e = expect.setdefault(str(f.partition), [0, 0, 0, 0, 0, 0])
+            e[0] += 1; e[1] += f.rows; e[2] += f.bytes
+    for p, f in base.items():
+        if p not in cur:
+            e = expect.setdefault(str(f.partition), [0, 0, 0, 0, 0, 0])
+            e[3] += 1; e[4] += f.rows; e[5] += f.bytes
+
+    got = {
+        r["partition"]: [r["files_added"], r["rows_added"],
+                         r["bytes_added"], r["files_removed"],
+                         r["rows_removed"], r["bytes_removed"]]
+        for r in t.diff_stats(first).collect()
+    }
+    assert got == expect
+    # u1 was rewritten: both adds and removes present for it
+    assert got["u1"][0] > 0 and got["u1"][3] > 0
+    # self-diff is empty
+    cur_id = t.manifest.current_snapshot_id()
+    assert t.diff_stats(cur_id, cur_id).count() == 0
