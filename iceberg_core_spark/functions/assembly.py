@@ -115,6 +115,33 @@ def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return shuffle_assign(load_table(spark, sf, "documents"))
 
 
+def write_shards(
+    df: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    n_shards: int = N_SHARDS,
+) -> None:
+    """Materialize the deterministic shuffle: full rows land under
+    ``root/shard=N/`` in ``pos`` order — the on-disk layout a training
+    dataloader consumes sequentially per shard.
+
+    ONE exchange total: the window's hash partition on the shard
+    already co-locates rows, its (shard, hash, id) sort IS pos order,
+    and the partitioned write reuses both — no second shuffle, no
+    global sort. ``pos`` is written so a reader can verify/seek; the
+    hash column is dropped."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shuf")))
+    d = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+         % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    (d.withColumn("pos", F.row_number().over(w))
+     .drop("__h")
+     .write.mode("overwrite").partitionBy("shard").parquet(root))
+
+
 CORPUS_SHUFFLE_SQL = f"""
 WITH h AS (
   SELECT doc_id,
