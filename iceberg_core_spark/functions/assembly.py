@@ -90,6 +90,23 @@ FROM tot
 """
 
 
+def _with_shard_pos(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Shared shuffle rule (the single source of the determinism
+    contract — shuffle_assign and write_shards MUST agree byte for
+    byte): hash = md5(id || 'shuf'), shard = first 8 hex chars mod
+    n_shards, pos = 1-based rank of (hash, id) within the shard.
+    Returns ``df`` + (shard, pos), ``__h`` dropped."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shuf")))
+    d = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % n_shards,
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return d.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
 def shuffle_assign(
     df: DataFrame, id_col: str = "doc_id", n_shards: int = N_SHARDS
 ) -> DataFrame:
@@ -97,17 +114,9 @@ def shuffle_assign(
     from the first 8 hash hex chars mod n_shards; ``pos`` is the 1-based
     rank of the full hash within the shard (doc id tiebreak — md5
     collisions are negligible but determinism must not rest on that)."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shuf")))
-    d = df.select(F.col(id_col), h.alias("__h"))
-    shard = (
-        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
-        % n_shards
-    )
-    d = d.withColumn("shard", shard)
-    w = Window.partitionBy("shard").orderBy("__h", id_col)
-    return d.select(
-        id_col, "shard", F.row_number().over(w).alias("pos")
-    )
+    return _with_shard_pos(
+        df.select(id_col), id_col, n_shards
+    ).select(id_col, "shard", "pos")
 
 
 def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
@@ -128,17 +137,10 @@ def write_shards(
     ONE exchange total: the window's hash partition on the shard
     already co-locates rows, its (shard, hash, id) sort IS pos order,
     and the partitioned write reuses both — no second shuffle, no
-    global sort. ``pos`` is written so a reader can verify/seek; the
-    hash column is dropped."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shuf")))
-    d = df.withColumn("__h", h).withColumn(
-        "shard",
-        (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
-         % n_shards),
-    )
-    w = Window.partitionBy("shard").orderBy("__h", id_col)
-    (d.withColumn("pos", F.row_number().over(w))
-     .drop("__h")
+    global sort. ``pos`` is written so a reader can verify/seek.
+    Shares ``_with_shard_pos`` with ``shuffle_assign``, so written
+    shards are exactly that permutation by construction."""
+    (_with_shard_pos(df, id_col, n_shards)
      .write.mode("overwrite").partitionBy("shard").parquet(root))
 
 

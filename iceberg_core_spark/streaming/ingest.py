@@ -34,6 +34,15 @@ from pyspark.sql.types import StructType
 from iceberg_core_spark.table import IceTable, MaintenancePolicy
 
 
+def _should_tick(batch_id: int, maintenance, every: int) -> bool:
+    """One shared tick rule for both ingest entry points: never on the
+    first batch (nothing to compact), then every ``max(1, every)``
+    batches — a zero/negative cadence means 'every batch', not a
+    ZeroDivisionError inside foreachBatch."""
+    return (maintenance is not None and batch_id > 0
+            and batch_id % max(1, every) == 0)
+
+
 def stream_ingest_to_table(
     spark: SparkSession,
     source_dir: str,
@@ -107,8 +116,7 @@ def stream_ingest_to_table(
     lineage = checkpoint_dir or f"ephemeral-{_uuid.uuid4()}"
 
     def maybe_maintain(table: IceTable, batch_id: int) -> None:
-        if maintenance is not None and batch_id > 0 \
-                and batch_id % maintenance_every == 0:
+        if _should_tick(batch_id, maintenance, maintenance_every):
             table.maintain(maintenance)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -247,8 +255,7 @@ def stream_cdc_to_table(
                             delete_op=delete_op, seq_col=seq_col,
                             mode=mode, source_batch_id=batch_id,
                             source_lineage=lineage)
-        if maintenance is not None and batch_id > 0 \
-                and batch_id % maintenance_every == 0:
+        if _should_tick(batch_id, maintenance, maintenance_every):
             table.maintain(maintenance)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")

@@ -1370,8 +1370,15 @@ class IceTable:
         Sidecar-backed snapshots diff as DataFrame anti-joins over the
         two sidecar parquets (nothing materializes on the driver);
         inline lists are small by definition. Partition values are
-        reported as strings (mixed-generation layouts normalize).
+        reported as strings in the sidecar's NORMALIZED encoding
+        (timestamps as epoch micros etc., `_norm_stat`) — both inline
+        and sidecar sides use the same encoding, so a table that
+        crossed the inline→sidecar threshold between the two snapshots
+        still merges each partition into one row. An unpartitioned
+        table reports one NULL-partition row (null-safe join).
         """
+        from iceberg_core_spark.table.manifest import _norm_stat
+
         cur = self.manifest.load(until, load_files=False)
         base = self.manifest.load(since, load_files=False)
 
@@ -1387,7 +1394,7 @@ class IceTable:
             full = self.manifest.load(snap.snapshot_id)
             data = [
                 (f.path,
-                 None if f.partition is None else str(f.partition),
+                 None if f.partition is None else str(_norm_stat(f.partition)),
                  int(f.rows), int(f.bytes))
                 for f in full.files
             ]
@@ -1409,12 +1416,15 @@ class IceTable:
             "added")
         removed = rollup(
             base_df.join(cur_df.select("path"), "path", "left_anti"),
-            "removed")
-        out = added.join(removed, "partition", "full_outer")
+            "removed").withColumnRenamed("partition", "__rp")
+        out = added.join(
+            removed, added["partition"].eqNullSafe(removed["__rp"]),
+            "full_outer")
         zero = ["files_added", "rows_added", "bytes_added",
                 "files_removed", "rows_removed", "bytes_removed"]
         return out.select(
-            "partition",
+            F.coalesce(added["partition"], removed["__rp"]).alias(
+                "partition"),
             *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero],
         )
 
@@ -2125,7 +2135,10 @@ class IceTable:
                 return set()
         return {f.path for f in snap.files}
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1,
+        lineage_retention_ms: int = 7 * 24 * 3600 * 1000,
+    ) -> list[int]:
         """Drop old snapshots and delete data files no live snapshot
         references. Returns expired snapshot ids.
 
@@ -2140,19 +2153,29 @@ class IceTable:
         the stream's replay protection, and expiring the snapshot that
         carries the max batch id (e.g. keep_last=1 right after a
         maintenance compact) would let an at-least-once foreachBatch
-        replay re-append a batch the table already holds."""
+        replay re-append a batch the table already holds. The pin
+        carries a TTL (``lineage_retention_ms``, default 7 days, the
+        remove_orphans retention discipline): a lineage whose newest
+        stamp is older than the window is dead — its checkpoint would
+        have re-appended long ago if the stream were alive — so dead
+        lineages (e.g. per-run ephemeral checkpoints) cannot accrete
+        pinned snapshots and data files forever."""
         snaps = self.manifest.snapshots(load_files=False)
         if len(snaps) <= keep_last:
             return []
         pinned = set(self.tags().values())
-        newest_stamp: dict[str, tuple[int, int]] = {}
+        now_ms = int(time.time() * 1000)
+        newest_stamp: dict[str, tuple[int, int, int]] = {}
         for s in snaps:
             if s.source_lineage and s.source_batch_id is not None:
                 cur = newest_stamp.get(s.source_lineage)
-                cand = (s.source_batch_id, s.snapshot_id)
+                cand = (s.source_batch_id, s.snapshot_id, s.timestamp_ms)
                 if cur is None or cand > cur:
                     newest_stamp[s.source_lineage] = cand
-        pinned |= {sid for _, sid in newest_stamp.values()}
+        pinned |= {
+            sid for _, sid, ts_ms in newest_stamp.values()
+            if now_ms - ts_ms <= lineage_retention_ms
+        }
         keep = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s.snapshot_id in pinned
         ]
@@ -2745,16 +2768,7 @@ class IceTable:
         cannot erase replay protection: the walk keeps going until the
         lineage's stamp is found, and expire_snapshots pins each
         lineage's newest stamped snapshot."""
-        d = self.manifest.dir
-        if not os.path.isdir(d):
-            return None
-        sids = sorted(
-            (int(n[len("snapshot-"):-len(".json")])
-             for n in os.listdir(d)
-             if n.startswith("snapshot-") and n.endswith(".json")),
-            reverse=True,
-        )
-        for sid in sids:
+        for sid in self.manifest.snapshot_ids(newest_first=True):
             s = self.manifest.load(sid, load_files=False)
             if s.source_lineage == lineage and s.source_batch_id is not None:
                 return s.source_batch_id

@@ -380,6 +380,19 @@ class Manifest:
             snap.files = self._read_files_sidecar(snap.files_ref)
         return snap
 
+    def snapshot_ids(self, newest_first: bool = False) -> list[int]:
+        """Snapshot ids from the directory listing alone — no JSON
+        parsed. The one place that knows the on-disk naming."""
+        if not os.path.isdir(self.dir):
+            return []
+        ids = [
+            int(n[len("snapshot-"):-len(".json")])
+            for n in os.listdir(self.dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        ]
+        ids.sort(reverse=newest_first)
+        return ids
+
     def snapshots(self, load_files: bool = True) -> list[Snapshot]:
         out = []
         if not os.path.isdir(self.dir):

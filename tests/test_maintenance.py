@@ -339,3 +339,29 @@ def test_diff_stats_matches_bruteforce(spark, tmp_path):
     # self-diff is empty
     cur_id = t.manifest.current_snapshot_id()
     assert t.diff_stats(cur_id, cur_id).count() == 0
+
+
+def test_expire_unpins_dead_lineages_after_ttl(spark, tmp_path):
+    """The lineage pin carries a TTL: a lineage whose newest stamp is
+    older than the retention window is dead (per-run ephemeral
+    checkpoints) and must NOT accrete pinned snapshots forever."""
+    root = str(tmp_path / "t")
+    IceTable.create(
+        spark, root, location_df(spark, [location_row(timestamp=100000)]),
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+        source_batch_id=0, source_lineage="ephemeral-dead",
+    )
+    t = IceTable(spark, root)
+    t.append(location_df(spark, [location_row(timestamp=100001)]),
+             source_batch_id=1, source_lineage="ephemeral-dead")
+    t.compact(min_files=2, target_rows_per_file=1000)
+
+    # within retention: the stamped snapshot is pinned
+    assert t.expire_snapshots(keep_last=1)
+    assert t.last_committed_batch("ephemeral-dead") == 1
+    # past retention: the dead lineage no longer pins anything
+    expired = t.expire_snapshots(keep_last=1, lineage_retention_ms=0)
+    assert expired
+    assert t.last_committed_batch("ephemeral-dead") is None
+    assert len(t.snapshots()) == 1
+    assert t.scan().count() == 2  # contents untouched by expiry
