@@ -33,6 +33,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
     from iceberg_core_spark.sources.avro_ocf import QUERIES as AVRO
+    from iceberg_core_spark.sources.text_formats import QUERIES as TEXTFMT
     from iceberg_core_spark.streaming.stateful import QUERIES as STATEFUL
 
     out: dict[str, Entry] = {}
@@ -46,6 +47,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(STREAM)   # event-time windows, stream join, stream ingest
     out.update(STATEFUL) # applyInPandasWithState running stats (NEW r3)
     out.update(AVRO)     # OCF ingest roundtrip (NEW r3)
+    out.update(TEXTFMT)  # JSONL corpus source roundtrip (NEW r5)
     out.update(UDF)      # pandas UDF / UDAF / UDTF
     out.update(BUCKETED) # co-located (exchange-free) fact-fact join
     out.update(TABLE)    # table-layer lifecycle (incremental change feed)
@@ -113,10 +115,11 @@ def all_queries() -> dict[str, Entry]:
         # stream_dedup-localized; see note above)
         "stream_ingest",
         # (d) tpch.py veterans re-verified beside the new queries
-        # (q10 keeps its green r4 row — its function is byte-identical
-        # since that row; the slot went to the NEW
-        # corpus_decontaminate_exact, which has no row at all)
-        "tpch_q3", "tpch_q5",
+        # (q10 and q5 keep their green rows — their functions are
+        # byte-identical since those rows; the slots went to the NEW
+        # corpus_decontaminate_exact and scan_jsonl, which have no
+        # rows at all. q3 re-verifies as the family representative)
+        "tpch_q3", "scan_jsonl",
         # (e) similarity.py post-window diff (IVF monitors; the diff is
         # localized to IvfIndex, so sim_search_ivf re-verifies the
         # changed path; sim_search/sim_search_batch keep their green

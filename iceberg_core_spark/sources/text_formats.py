@@ -1,0 +1,103 @@
+"""JSONL and CSV corpus sources — the two interchange formats
+training-data pipelines actually receive corpora in (newline-delimited
+JSON above all). The reference reads exactly one format (Avro OCF,
+streamAdapter.go:15-42); these extend the same scan surface the
+Spark-native way: `spark.read.json/csv` with an EXPLICIT schema — no
+inference pass over 100 TB, no type drift between runs.
+
+Scale notes: both readers are splittable line-oriented formats — one
+task per split, filters/projection push into the scan, and the
+explicit schema keeps malformed rows in `PERMISSIVE` mode from
+silently becoming inferred-string columns. The staging step below
+exists only because the driver testdata ships as parquet; a real
+deployment points `read_jsonl_corpus` at its landing directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+_DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
+
+# one staged copy per (sf, format) — same discipline as the avro/
+# stream_dedup staging caches
+_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stage(sf: str, fmt: str) -> str:
+    """Materialize documents.parquet as JSONL / CSV once per sf via
+    DuckDB COPY (no Spark job — staging is harness, not engine)."""
+    key = (sf, fmt)
+    path = _STAGE_CACHE.get(key)
+    if path is not None and os.path.exists(path):
+        return path
+    import duckdb
+
+    ext = "jsonl" if fmt == "json" else "csv"
+    out_dir = tempfile.mkdtemp(prefix=f"ice_{ext}_")
+    path = os.path.join(out_dir, f"documents.{ext}")
+    con = duckdb.connect()
+    src = os.path.join(sf, "documents.parquet")
+    opts = "FORMAT JSON" if fmt == "json" else "FORMAT CSV, HEADER"
+    con.sql(
+        f"COPY (SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{src}' ORDER BY doc_id) TO '{path}' ({opts})"
+    )
+    con.close()
+    _STAGE_CACHE[key] = path
+    return path
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited JSON corpus with the declared doc schema."""
+    return spark.read.schema(DOC_SCHEMA).json(path).select(*_DOC_COLS)
+
+
+def read_csv_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Headered CSV corpus with the declared doc schema (quoted fields
+    per RFC 4180 defaults on both engines)."""
+    return (
+        spark.read.schema(DOC_SCHEMA)
+        .option("header", "true")
+        .csv(path)
+        .select(*_DOC_COLS)
+    )
+
+
+def scan_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: documents staged as JSONL, read back through the
+    schema-declared JSON source — the oracle is the parquet original,
+    so the check proves a lossless JSON round trip."""
+    return read_jsonl_corpus(spark, _stage(sf, "json"))
+
+
+def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV twin of scan_jsonl (repo-oracle tested; not in the driver
+    window — the JSONL path is the representative driver row)."""
+    return read_csv_corpus(spark, _stage(sf, "csv"))
+
+
+SCAN_TEXT_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "scan_jsonl": (scan_jsonl, SCAN_TEXT_SQL),
+}
