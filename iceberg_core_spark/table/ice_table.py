@@ -72,6 +72,10 @@ class MaintenancePolicy:
     max_files_per_partition: int = 8
     target_rows_per_file: int = 1_000_000
     keep_snapshots: int | None = 20
+    # None = never scan for orphans; otherwise remove_orphans runs each
+    # tick with this mtime retention (keep well above any writer's
+    # worst-case commit latency — see remove_orphans)
+    orphan_retention_ms: int | None = None
 
 
 def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
@@ -2281,6 +2285,9 @@ class IceTable:
             if policy.keep_snapshots is not None:
                 report["expired"] = self.expire_snapshots(
                     keep_last=policy.keep_snapshots)
+            if policy.orphan_retention_ms is not None:
+                report["orphans_removed"] = self.remove_orphans(
+                    older_than_ms=policy.orphan_retention_ms)
         except CommitConflictError:
             # a concurrent writer won the race — maintenance is
             # best-effort background work; next tick retries

@@ -365,3 +365,39 @@ def test_expire_unpins_dead_lineages_after_ttl(spark, tmp_path):
     assert t.last_committed_batch("ephemeral-dead") is None
     assert len(t.snapshots()) == 1
     assert t.scan().count() == 2  # contents untouched by expiry
+
+
+def test_maintain_orphan_cleanup_tick(spark, tmp_path):
+    """With orphan_retention_ms set, the tick also sweeps crash
+    leftovers: an unreferenced data file older than the retention is
+    removed, table contents untouched."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    IceTable.create(
+        spark, root, location_df(spark, [location_row(timestamp=1)]),
+        partition_col=PARTITION_COL, key_col=KEY_COL,
+    )
+    t = IceTable(spark, root)
+    # plant a crash leftover with an old mtime
+    orphan = os.path.join(root, "data", "crashed-writer.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a committed file")
+    old = _time.time() - 3600
+    os.utime(orphan, (old, old))
+
+    n = t.scan().count()
+    report = t.maintain(MaintenancePolicy(
+        max_files_per_partition=64, keep_snapshots=None,
+        orphan_retention_ms=60_000))
+    assert any("crashed-writer" in p for p in report["orphans_removed"])
+    assert not os.path.exists(orphan)
+    assert t.scan().count() == n
+    # without the knob the tick leaves orphans alone
+    with open(orphan, "wb") as f:
+        f.write(b"again")
+    os.utime(orphan, (old, old))
+    report2 = t.maintain(MaintenancePolicy(max_files_per_partition=64,
+                                           keep_snapshots=None))
+    assert "orphans_removed" not in report2
+    assert os.path.exists(orphan)
