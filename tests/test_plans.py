@@ -185,3 +185,14 @@ def test_decontaminate_exact_broadcast_no_pairs(spark):
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Top-k vocab must plan as TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge), never a global sort; the rank window
+    runs above the limit, over k rows."""
+    from iceberg_core_spark.functions.vocab import vocab_topk
+
+    s = plan_of(vocab_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "rangepartitioning" not in s
