@@ -20,6 +20,7 @@ def all_queries() -> dict[str, Entry]:
 
     from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
     from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
+    from iceberg_core_spark.functions.dedup_portable import QUERIES as PORTABLE
     from iceberg_core_spark.functions.packing import QUERIES as PACKING
     from iceberg_core_spark.functions.quality import QUERIES as QUALITY
     from iceberg_core_spark.functions.vocab import QUERIES as VOCAB
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, Entry]:
     out: dict[str, Entry] = {}
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
     out.update(DECONTAM) # eval-set decontamination (cross-corpus near-dup)
+    out.update(PORTABLE) # fully-oracle-checked MinHash-LSH (md5 hashes)
     out.update(PACKING)  # token-budget sequence packing
     out.update(QUALITY)  # repetition quality signals + PII redaction
     out.update(VOCAB)    # corpus vocabulary / top-k token frequencies
@@ -114,12 +116,14 @@ def all_queries() -> dict[str, Entry]:
         # (c) streaming/ingest.py r5 diff rider (the queries.py diff is
         # stream_dedup-localized; see note above)
         "stream_ingest",
-        # (d) tpch.py veterans re-verified beside the new queries
-        # (q10 and q5 keep their green rows — their functions are
-        # byte-identical since those rows; the slots went to the NEW
-        # corpus_decontaminate_exact and scan_jsonl, which have no
-        # rows at all. q3 re-verifies as the family representative)
-        "tpch_q3", "scan_jsonl",
+        # (d) the tpch veterans q3/q5/q10 all keep their green rows —
+        # their functions are byte-identical since those rows (tpch.py's
+        # r5 diff is purely additive); the three slots went to the NEW
+        # corpus_decontaminate_exact, scan_jsonl, and
+        # dedup_minhash_portable (no rows at all — and the last one
+        # upgrades the MinHash-LSH family from rows-only to a FULL
+        # value-hash check by rebuilding it on engine-portable md5)
+        "scan_jsonl", "dedup_minhash_portable",
         # (e) similarity.py post-window diff (IVF monitors; the diff is
         # localized to IvfIndex, so sim_search_ivf re-verifies the
         # changed path; sim_search/sim_search_batch keep their green

@@ -8,11 +8,12 @@ from pyspark.sql import functions as F
 from iceberg_core_spark.functions import dedup as D
 from iceberg_core_spark.functions import similarity as S
 from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
+from iceberg_core_spark.functions.dedup_portable import QUERIES as PORTABLE
 from iceberg_core_spark.functions.packing import QUERIES as PACKING
 from iceberg_core_spark.functions.llm_queries import QUERIES as _LLM
 from tests.oracle import compare, duck_connection
 
-QUERIES = {**_LLM, **DECONTAM, **PACKING}
+QUERIES = {**_LLM, **DECONTAM, **PACKING, **PORTABLE}
 
 SF_DIR = "/root/testdata/sf0.001"
 
