@@ -120,7 +120,10 @@ def test_incremental_planning_bounded_100k(big_manifest_table):
     elapsed = time.monotonic() - t0
     assert n_inputs == N_FILES - N_BASE
     assert peak < 100 * 1024 * 1024, f"planning peak {peak/1e6:.0f} MB"
-    assert elapsed < 120, f"planning took {elapsed:.0f}s"
+    # generous wall budget: the claim is "not O(100k JSON parses)"
+    # (minutes), not a latency SLO — host-elevation windows (BASELINE.md
+    # r5 addendum) breached a 120 s budget once with the plan unchanged
+    assert elapsed < 300, f"planning took {elapsed:.0f}s"
 
 
 def test_pruned_query_survivor_stubs_100k(big_manifest_table):
