@@ -35,6 +35,7 @@ PICKS = [
     ("corpus_quality", "Repetition signals — ONE generator explode covers unigram AND bigram populations, then two HashAggregate pairs (partial map-side first), so the single wide shuffle moves near-distinct (doc, gram) pairs; zero Python, zero windows."),
     ("corpus_shuffle", "Deterministic global shuffle — md5 projection is map-side; the ONLY exchange is hashpartitioning(shard): each shard ranks independently, no global sort at any scale."),
     ("corpus_decontaminate_exact", "Exact n-gram collision decontamination — the eval corpus's distinct gram set BROADCASTS (benchmark-sized at any corpus scale); the train side explodes map-side and the only exchange is the per-doc count-distinct aggregation."),
+    ("dedup_minhash_portable", "Fully-oracle-checked MinHash-LSH — all 16 md5 min-hash signatures are map-side Column expressions in one projection (no Python, no shuffle); the band self-join moves only (band_idx, band_hash, id) triples; shingle arrays re-join by id for the exact verify."),
 ]
 
 

@@ -196,3 +196,17 @@ def test_vocab_topk_take_ordered(spark):
     s = plan_of(vocab_topk(spark, SF_DIR))
     assert "TakeOrderedAndProject" in s
     assert "rangepartitioning" not in s
+
+
+def test_minhash_portable_skinny_shuffle_no_python(spark):
+    """Portable MinHash-LSH: signature computation is pure map-side
+    Column work (no Python anywhere), and the candidate join is an
+    equi-join — no cartesian."""
+    from iceberg_core_spark.functions.dedup_portable import (
+        dedup_minhash_portable,
+    )
+
+    s = plan_of(dedup_minhash_portable(spark, SF_DIR))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "CartesianProduct" not in s
+    assert "md5" in s  # signatures inside codegen projections
