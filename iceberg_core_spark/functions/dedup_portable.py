@@ -169,9 +169,135 @@ WHERE {fround_sql(_JACC_RAW, 4)} >= {THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# portable SimHash — same upgrade for the second hash family
+# ---------------------------------------------------------------------------
+
+SIM_BITS = 32
+SIM_CHUNKS = 4
+SIM_CHUNK_BITS = SIM_BITS // SIM_CHUNKS
+SIM_MAX_HAMMING = SIM_CHUNKS - 1  # pigeonhole-guaranteed recall
+
+
+def _tok_hash(t):
+    """Portable 32-bit token hash: first 8 md5 hex chars as int64 —
+    non-negative, so no sign subtleties in any bit expression."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def simhash_portable(text_col) -> F.Column:
+    """32-bit SimHash over distinct tokens with md5-derived hashes —
+    the engine-portable twin of ``dedup.simhash64`` (same per-bit
+    vote construction, xxhash64 → md5, 64 → 32 bits)."""
+    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    hashes = F.transform(toks, _tok_hash)
+
+    def vote_fn(mask: int):
+        def merge(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+        return merge
+
+    out = F.lit(0).cast("long")
+    for bit in range(SIM_BITS):
+        mask = 1 << bit
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(mask))
+        out = out + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    return out
+
+
+def simhash_portable_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = SIM_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` bits,
+    candidates blocked on chunk equality (4 chunks of 8 bits →
+    guaranteed recall for hamming <= 3), same shape as the
+    production twin — only (chunk_idx, chunk, id) ever shuffles."""
+    chunk_mask = (1 << SIM_CHUNK_BITS) - 1
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_portable(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned("sh", c * SIM_CHUNK_BITS)
+                .bitwiseAND(F.lit(chunk_mask)).alias("chunk"),
+            )
+            for c in range(SIM_CHUNKS)
+        ])).alias("ck"),
+    ).select("id", "sh", "ck.chunk_idx", "ck.chunk")
+    l = chunks.select(F.col("id").alias("doc_a"),
+                      F.col("sh").alias("sh_a"), "chunk_idx", "chunk")
+    r = chunks.select(F.col("id").alias("doc_b"),
+                      F.col("sh").alias("sh_b"), "chunk_idx", "chunk")
+    cand = (
+        l.join(r, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: the fully oracle-checked SimHash."""
+    return simhash_portable_pairs(load_table(spark, sf, "documents"))
+
+
+def _vote_sql(bit: int) -> str:
+    return (
+        "list_aggregate(list_transform(t, x -> CASE WHEN "
+        f"(('0x' || substr(md5(x), 1, 8))::BIGINT >> {bit}) & 1 = 1 "
+        "THEN 1 ELSE -1 END), 'sum')"
+    )
+
+
+DEDUP_SIMHASH_PORTABLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {', '.join(f'{_vote_sql(b)} AS v{b}' for b in range(SIM_BITS))}
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         {' + '.join(f'CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT '
+                     f'ELSE 0::BIGINT END' for b in range(SIM_BITS))}
+           AS sh
+  FROM votes
+), chunks AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, sh, {c} AS chunk_idx, "
+      f"(sh >> {c * SIM_CHUNK_BITS}) & {(1 << SIM_CHUNK_BITS) - 1} "
+      f"AS chunk FROM fp"
+      for c in range(SIM_CHUNKS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIM_MAX_HAMMING}
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_portable": (dedup_minhash_portable,
                                DEDUP_MINHASH_PORTABLE_SQL),
+    "dedup_simhash_portable": (dedup_simhash_portable,
+                               DEDUP_SIMHASH_PORTABLE_SQL),
 }
