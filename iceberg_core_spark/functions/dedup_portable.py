@@ -132,8 +132,10 @@ _JACC_RAW = (
     " / (len(ta) + len(tb) - len(list_intersect(ta, tb)))"
 )
 
-DEDUP_MINHASH_PORTABLE_SQL = f"""
-WITH words AS (
+# Shared CTE body (words → toks → sig → bands → cand → pairs): both the
+# pair query and the clusters query below are built from this one text,
+# so the oracle pipelines can never drift apart.
+_PAIRS_CTE_BODY = f"""words AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
   FROM documents
 ), toks AS (
@@ -162,10 +164,51 @@ WITH words AS (
   FROM cand
   JOIN toks ta ON ta.doc_id = doc_a
   JOIN toks tb ON tb.doc_id = doc_b
-)
+)"""
+
+DEDUP_MINHASH_PORTABLE_SQL = f"""
+WITH {_PAIRS_CTE_BODY}
 SELECT doc_a, doc_b, {fround_sql(_JACC_RAW, 4)} AS jacc
 FROM pairs
 WHERE {fround_sql(_JACC_RAW, 4)} >= {THRESHOLD}
+"""
+
+
+def dedup_clusters_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end portable dedup: MinHash-LSH candidate pairs (md5
+    hash family, fully SQL-expressible) → connected components →
+    canonical per-document verdict. This is the production
+    ``dedup_clusters_minhash`` pipeline (shingle → band join → verify
+    → cluster) with the hash family swapped so the ENTIRE 100 TB
+    clustering path — including the iterative min-label propagation —
+    is value-hash checked against DuckDB's recursive transitive
+    closure. Scale shape identical to the xxhash64 twin."""
+    from iceberg_core_spark.functions import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_portable_pairs(docs)
+    return D.dedup_cluster_assign(docs, pairs)
+
+
+DEDUP_CLUSTERS_PORTABLE_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTE_BODY}, jpairs AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  WHERE {fround_sql(_JACC_RAW, 4)} >= {THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+), cc AS (
+  SELECT id AS doc_id, MIN(label) AS canon_id FROM reach GROUP BY id
+)
+SELECT doc_id, canon_id, doc_id = canon_id AS keep,
+       COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+FROM cc
 """
 
 
@@ -300,4 +343,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                DEDUP_MINHASH_PORTABLE_SQL),
     "dedup_simhash_portable": (dedup_simhash_portable,
                                DEDUP_SIMHASH_PORTABLE_SQL),
+    "dedup_clusters_portable": (dedup_clusters_portable,
+                                DEDUP_CLUSTERS_PORTABLE_SQL),
 }

@@ -100,11 +100,17 @@ def all_queries() -> dict[str, Entry]:
     # stand (own modules llm_queries.py / udfs.py unchanged), freeing
     # slots for table_cdc_mor, corpus_decontaminate, and corpus_pack
     # (all NEW, no row).
-    # R6 WINDOW LEAD (registered late-r5, past the full 50-slot
+    # R6 WINDOW LEADS (registered late-r5, past the full 50-slot
     # window): dedup_simhash_portable — the SimHash twin of
-    # dedup_minhash_portable (fully oracle-checked via md5 bit votes;
-    # repo-oracle green in tests/test_llm_oracle.py). Rotate it in
-    # first next round, the same way the late-r4 quartet led r5.
+    # dedup_minhash_portable (fully oracle-checked via md5 bit votes)
+    # — and dedup_clusters_portable — the END-TO-END portable dedup
+    # (md5 MinHash-LSH pairs → connected components) whose oracle is
+    # DuckDB's recursive transitive closure over the SAME pairs CTE,
+    # upgrading the production clustering path from rows-only to a
+    # full value-hash check. Both repo-oracle green in
+    # tests/test_llm_oracle.py at sf0.001 AND hand-verified at
+    # sf0.01. Rotate them in first next round, the same way the
+    # late-r4 quartet led r5.
     priority = [
         # (a) no driver row yet — r5 leads
         "table_upsert", "table_delete_mor", "table_compact",
