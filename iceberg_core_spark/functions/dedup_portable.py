@@ -336,6 +336,159 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIM_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# portable hyperplane-LSH embedding dedup — the third hash family
+# ---------------------------------------------------------------------------
+#
+# The production twin (dedup.embedding_dup_pairs_lsh) projects onto
+# seeded Gaussian hyperplanes in float arithmetic; a sign bit computed
+# from a float dot product can flip between engines when the projection
+# lands within rounding error of zero, so it is registered rows-only.
+# This variant removes FP from the bucketing entirely:
+#   - coordinates quantize to integers: q_i = floor(x_i * 1e6) as
+#     BIGINT (the float64 multiply and floor are IEEE-exact and
+#     identical in Spark and DuckDB — both widen the same float32);
+#   - hyperplanes are Rademacher (+1/-1) vectors whose signs come from
+#     Python hashlib.md5 at module import and are embedded as LITERAL
+#     arrays in both the Column expression and the SQL text — no
+#     in-engine RNG, no seed drift;
+#   - the projection is an exact BIGINT dot product; sign >= 0 is the
+#     bucket bit. Bucketing is therefore bit-identical cross-engine,
+#     and the exact-cosine verify reuses the fround'd expression the
+#     all-pairs oracle already proved portable.
+# Scale shape matches the production twin: only (bucket, id) crosses
+# the candidate shuffle; vectors re-join by id for the verify.
+
+EMB_DIM = 64
+EMB_PLANES = 8
+EMB_QUANT = 1_000_000
+EMB_THRESHOLD = 0.4
+
+
+def _rademacher(p: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic +-1 plane entries from md5 — computed in plain
+    Python, so both engines consume them as literals."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"plane{p}dim{i}".encode()).digest()[0] % 2 == 0
+        else -1
+        for i in range(dim)
+    ]
+
+
+_PLANES = [_rademacher(p) for p in range(EMB_PLANES)]
+
+
+def _portable_bucket(v) -> F.Column:
+    """BIGINT LSH bucket: bit p set iff the exact integer projection of
+    the quantized vector onto Rademacher plane p is >= 0."""
+    q = F.transform(v, lambda x: F.floor(x * F.lit(float(EMB_QUANT)))
+                    .cast("long"))
+    out = F.lit(0).cast("long")
+    for p, signs in enumerate(_PLANES):
+        sgn = F.array(*[F.lit(s).cast("long") for s in signs])
+        dot = F.aggregate(
+            F.zip_with(q, sgn, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    return out
+
+
+def embedding_portable_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = EMB_THRESHOLD,
+) -> DataFrame:
+    """(id_a, id_b, sim): pairs sharing an LSH bucket up to 1 flipped
+    bit whose exact cosine clears ``threshold`` — deterministic, so
+    fully value-hash checkable against the same bucketing in SQL."""
+    from iceberg_core_spark.session import spread
+
+    vecs = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    bucketed = vecs.select("id", _portable_bucket(F.col("v")).alias("b"))
+    left = bucketed.select("id", F.col("b").alias("bk"))
+    probes = [F.col("b")] + [
+        F.col("b").bitwiseXOR(F.lit(1 << i).cast("long"))
+        for i in range(EMB_PLANES)
+    ]
+    right = bucketed.select("id", F.explode(F.array(*probes)).alias("bk"))
+    cand = _spread_verify(
+        left.alias("l")
+        .join(right.alias("r"), "bk")
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"]),
+        cols=("id_a", "id_b"),
+    )
+    from iceberg_core_spark.functions.dedup import cosine
+
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+    )
+    sim = fround(cosine(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
+def dedup_embedding_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: the fully oracle-checked hyperplane-LSH."""
+    return embedding_portable_pairs(load_table(spark, sf, "embeddings"))
+
+
+def _plane_dot_sql(p: int) -> str:
+    arr = "[" + ", ".join(str(s) for s in _PLANES[p]) + "]"
+    return (
+        f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> q[i] * ({arr}::BIGINT[])[i]), 'sum')"
+    )
+
+
+_COS_RAW_P = (
+    "list_dot_product(av, bv)"
+    " / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+)
+
+DEDUP_EMBEDDING_LSH_PORTABLE_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {EMB_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+), bucketed AS (
+  SELECT id, dv,
+         {' + '.join(f'CASE WHEN {_plane_dot_sql(p)} >= 0 '
+                     f'THEN {1 << p}::BIGINT ELSE 0::BIGINT END'
+                     for p in range(EMB_PLANES))} AS b
+  FROM v
+), probes AS (
+  SELECT id, unnest([b, {', '.join(f'xor(b, {1 << i}::BIGINT)'
+                                   for i in range(EMB_PLANES))}]) AS bk
+  FROM bucketed
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM (SELECT id, b AS bk FROM bucketed) l
+  JOIN probes r ON l.bk = r.bk AND l.id < r.id
+), pairs AS (
+  SELECT id_a, id_b, a.dv AS av, b.dv AS bv
+  FROM cand
+  JOIN bucketed a ON a.id = id_a
+  JOIN bucketed b ON b.id = id_b
+)
+SELECT id_a, id_b, {fround_sql(_COS_RAW_P, 4)} AS sim
+FROM pairs
+WHERE {fround_sql(_COS_RAW_P, 4)} >= {EMB_THRESHOLD}
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -345,4 +498,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                DEDUP_SIMHASH_PORTABLE_SQL),
     "dedup_clusters_portable": (dedup_clusters_portable,
                                 DEDUP_CLUSTERS_PORTABLE_SQL),
+    "dedup_embedding_lsh_portable": (dedup_embedding_lsh_portable,
+                                     DEDUP_EMBEDDING_LSH_PORTABLE_SQL),
 }

@@ -107,7 +107,10 @@ def all_queries() -> dict[str, Entry]:
     # (md5 MinHash-LSH pairs → connected components) whose oracle is
     # DuckDB's recursive transitive closure over the SAME pairs CTE,
     # upgrading the production clustering path from rows-only to a
-    # full value-hash check. Both repo-oracle green in
+    # full value-hash check — and dedup_embedding_lsh_portable — the
+    # THIRD hash family upgraded (Rademacher hyperplanes as literal
+    # arrays in both engines, BIGINT-quantized sign bits, proven
+    # cosine verify). All repo-oracle green in
     # tests/test_llm_oracle.py at sf0.001 AND hand-verified at
     # sf0.01. Rotate them in first next round, the same way the
     # late-r4 quartet led r5.
