@@ -489,6 +489,73 @@ WHERE {fround_sql(_COS_RAW_P, 4)} >= {EMB_THRESHOLD}
 """
 
 
+SIM_K = 10
+
+
+def sim_search_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k over the portable LSH buckets: scan only rows whose
+    bucket is within 1 bit of the query's (vec_id=0), exact-cosine
+    rerank with (sim desc, vec_id) deterministic order. The query's
+    bucket is computed with the SAME integer arithmetic in plain
+    Python (floor-quantize → Rademacher dot → sign), so all three
+    implementations — Column expression, Python, SQL — agree bit-for-
+    bit and the approximate search is value-hash checkable."""
+    import math
+
+    from iceberg_core_spark.functions.dedup import cosine
+
+    df = load_table(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          df.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    q = [math.floor(x * EMB_QUANT) for x in qv]
+    qb = 0
+    for p, signs in enumerate(_PLANES):
+        if sum(qi * s for qi, s in zip(q, signs)) >= 0:
+            qb |= 1 << p
+    vecs = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bucketed = vecs.withColumn("b", _portable_bucket(F.col("v")))
+    probe = F.bit_count(
+        F.col("b").bitwiseXOR(F.lit(qb).cast("long"))) <= 1
+    qarr = F.array(*[F.lit(x) for x in qv])
+    sim = fround(cosine(F.col("v"), qarr), 4)
+    return (
+        bucketed.filter(probe)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(SIM_K)
+    )
+
+
+SIM_SEARCH_LSH_PORTABLE_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {EMB_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+), bucketed AS (
+  SELECT id, dv,
+         {' + '.join(f'CASE WHEN {_plane_dot_sql(p)} >= 0 '
+                     f'THEN {1 << p}::BIGINT ELSE 0::BIGINT END'
+                     for p in range(EMB_PLANES))} AS b
+  FROM v
+), qrow AS (
+  SELECT dv AS qv, b AS qb FROM bucketed WHERE id = 0
+), scored AS (
+  SELECT id AS vec_id,
+         {fround_sql(
+             "list_dot_product(dv, qv)"
+             " / (sqrt(list_dot_product(dv, dv))"
+             " * sqrt(list_dot_product(qv, qv)))", 4)} AS sim
+  FROM bucketed, qrow
+  WHERE bit_count(xor(b, qb)) <= 1
+)
+SELECT vec_id, sim FROM scored
+ORDER BY sim DESC, vec_id
+LIMIT {SIM_K}
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -500,4 +567,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                 DEDUP_CLUSTERS_PORTABLE_SQL),
     "dedup_embedding_lsh_portable": (dedup_embedding_lsh_portable,
                                      DEDUP_EMBEDDING_LSH_PORTABLE_SQL),
+    "sim_search_lsh_portable": (sim_search_lsh_portable,
+                                SIM_SEARCH_LSH_PORTABLE_SQL),
 }

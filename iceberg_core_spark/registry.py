@@ -110,7 +110,8 @@ def all_queries() -> dict[str, Entry]:
     # full value-hash check — and dedup_embedding_lsh_portable — the
     # THIRD hash family upgraded (Rademacher hyperplanes as literal
     # arrays in both engines, BIGINT-quantized sign bits, proven
-    # cosine verify). All repo-oracle green in
+    # cosine verify) — plus sim_search_lsh_portable, the ANN search
+    # over those same buckets. All repo-oracle green in
     # tests/test_llm_oracle.py at sf0.001 AND hand-verified at
     # sf0.01. Rotate them in first next round, the same way the
     # late-r4 quartet led r5.
