@@ -556,6 +556,70 @@ LIMIT {SIM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# portable approximate distinct count — KMV sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # hash range: 15 hex chars = 60 bits
+
+
+def agg_approx_distinct_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate distinct users per event_type via a K-minimum-values
+    sketch (Bar-Yossef et al.): hash each user to 60 uniform bits
+    (md5), keep the K smallest distinct hashes per group, estimate
+    (K-1) * 2^60 / h_K. Every step — md5, BIGINT compare, the one
+    double division + floor — is IEEE-deterministic cross-engine, so
+    unlike HLL++ (engine-private sketch encoding, rows-only twin
+    agg_approx_distinct) this estimate value-hash matches DuckDB.
+
+    Production uses the HLL twin (constant memory, mergeable
+    map-side); the KMV path shuffles distinct (group, hash) pairs and
+    sorts per group — it exists to verify approximate counting
+    cross-engine, and doubles as the exactness fallback (n < K groups
+    return exact counts)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K)
+    agg = ranked.groupBy("event_type").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("n"))
+    est = F.when(F.col("n") < KMV_K, F.col("n").cast("double")).otherwise(
+        F.floor(
+            F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)
+            / F.col("hk").cast("double")
+        ).cast("double"))
+    return agg.select(
+        "event_type", est.cast("long").alias("approx_users"))
+
+
+AGG_APPROX_DISTINCT_PORTABLE_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), agg AS (
+  SELECT event_type, max(h) AS hk, count(*) AS n
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE floor({float(KMV_K - 1)} * {_KMV_SPACE}
+                       / CAST(hk AS DOUBLE)) END AS BIGINT) AS approx_users
+FROM agg
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -569,4 +633,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                      DEDUP_EMBEDDING_LSH_PORTABLE_SQL),
     "sim_search_lsh_portable": (sim_search_lsh_portable,
                                 SIM_SEARCH_LSH_PORTABLE_SQL),
+    "agg_approx_distinct_portable": (agg_approx_distinct_portable,
+                                     AGG_APPROX_DISTINCT_PORTABLE_SQL),
 }

@@ -369,3 +369,28 @@ def test_dedup_clusters_minhash_invariants(spark, sf_dir):
         keeps = [m for m in members if m.keep]
         assert len(keeps) == 1 and keeps[0].doc_id == canon
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_kmv_estimate_accuracy(spark):
+    """The portable KMV sketch is cross-engine verified by the oracle
+    parametrization above; this bounds its ERROR — the estimate must
+    sit within the expected ~1/sqrt(K) band of the exact distinct
+    count (and be exact for groups with < K distinct users)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_core_spark.functions.dedup_portable import (
+        KMV_K, agg_approx_distinct_portable)
+    from iceberg_core_spark.session import load_table
+
+    est = {r.event_type: r.approx_users
+           for r in agg_approx_distinct_portable(spark, SF_DIR).collect()}
+    exact = {r[0]: r[1]
+             for r in load_table(spark, SF_DIR, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id")).collect()}
+    assert est.keys() == exact.keys()
+    for et, e in exact.items():
+        if e < KMV_K:
+            assert est[et] == e, f"{et}: sub-K group must be exact"
+        else:
+            assert abs(est[et] - e) / e < 4 / (KMV_K ** 0.5), (et, est[et], e)
