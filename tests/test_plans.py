@@ -210,3 +210,41 @@ def test_minhash_portable_skinny_shuffle_no_python(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "CartesianProduct" not in s
     assert "md5" in s  # signatures inside codegen projections
+
+
+def test_embedding_portable_no_python_no_cartesian(spark):
+    """Portable hyperplane-LSH: the integer bucketing is pure Column
+    work inside codegen, candidates come from an equi-join on the
+    bucket key — no Python evaluators, no cartesian anywhere."""
+    from iceberg_core_spark.functions.dedup_portable import (
+        dedup_embedding_lsh_portable,
+    )
+
+    s = plan_of(dedup_embedding_lsh_portable(spark, SF_DIR))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_sim_search_portable_single_scan_topk(spark):
+    """Portable ANN: one corpus pass filtered by the bucket predicate,
+    top-k as TakeOrderedAndProject (never a global sort), no Python."""
+    from iceberg_core_spark.functions.dedup_portable import (
+        sim_search_lsh_portable,
+    )
+
+    s = plan_of(sim_search_lsh_portable(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "rangepartitioning" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_kmv_no_python_two_phase(spark):
+    """Portable KMV distinct: hashing and the distinct stay JVM-side;
+    the final per-group aggregate is a partial/final hash aggregate."""
+    from iceberg_core_spark.functions.dedup_portable import (
+        agg_approx_distinct_portable,
+    )
+
+    s = plan_of(agg_approx_distinct_portable(spark, SF_DIR))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "HashAggregate" in s
