@@ -36,6 +36,9 @@ PICKS = [
     ("corpus_shuffle", "Deterministic global shuffle — md5 projection is map-side; the ONLY exchange is hashpartitioning(shard): each shard ranks independently, no global sort at any scale."),
     ("corpus_decontaminate_exact", "Exact n-gram collision decontamination — the eval corpus's distinct gram set BROADCASTS (benchmark-sized at any corpus scale); the train side explodes map-side and the only exchange is the per-doc count-distinct aggregation."),
     ("dedup_minhash_portable", "Fully-oracle-checked MinHash-LSH — all 16 md5 min-hash signatures are map-side Column expressions in one projection (no Python, no shuffle); the band self-join moves only (band_idx, band_hash, id) triples; shingle arrays re-join by id for the exact verify."),
+    ("dedup_embedding_lsh_portable", "Fully-oracle-checked hyperplane-LSH — BIGINT quantize + 8 Rademacher integer dot products in ONE map-side projection (sign bits exact, no FP); bucket equi-join with 1-bit multiprobe explode; vectors re-join by id for the exact-cosine verify on candidates only."),
+    ("sim_search_lsh_portable", "Fully-oracle-checked ANN — single corpus pass computing the portable bucket in codegen, bit_count filter against the query's (Python-computed, identical integer math) bucket, exact-cosine rerank via TakeOrderedAndProject: no global sort, no Python, no second scan."),
+    ("agg_approx_distinct_portable", "Cross-engine-verifiable approx distinct — KMV sketch: md5 hashing and the (group, hash) distinct stay map-side before the one shuffle; per-group K-smallest via window; the estimate is one IEEE-deterministic double division. HLL twin remains the mergeable constant-memory production path."),
 ]
 
 
