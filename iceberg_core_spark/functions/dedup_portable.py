@@ -620,6 +620,97 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# portable IVF — the last approximate family verified cross-engine
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def sim_search_ivf_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF search with a deterministic coarse quantizer: the centroid
+    set is the first ``IVF_CELLS`` vectors by vec_id (seed centroids —
+    production uses the sample-fit k-means in similarity.IvfIndex;
+    this twin pins the IVF *mechanics*: cell assignment, multi-cell
+    probe, candidate rerank). Every vector joins the broadcast
+    centroid set, takes its best cell by (fround'd cosine desc,
+    centroid id) — deterministic even at similarity ties — the query
+    (vec_id=0) probes its ``IVF_PROBES`` best cells, and candidates in
+    probed cells rerank by exact cosine. The identical window/rank
+    construction evaluates in DuckDB, so the whole inverted-file path
+    is value-hash checked. Scale shape matches production IVF: the
+    corpus streams once against a broadcast centroid table; only
+    probed cells pay the rerank."""
+    from pyspark.sql import Window
+
+    from iceberg_core_spark.functions.dedup import cosine
+
+    df = load_table(spark, sf, "embeddings")
+    vecs = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        fround(cosine(F.col("v"), F.col("cv")), 4).alias("csim"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= IVF_PROBES))
+        .select(F.col("cid").alias("pcid"))
+    )
+    qv = [float(x) for x in
+          df.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    sim = fround(cosine(F.col("v"), qarr), 4)
+    return (
+        cells.join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(SIM_K)
+    )
+
+
+_IVF_COS = (
+    "list_dot_product(v, cv)"
+    " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+SIM_SEARCH_IVF_PORTABLE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {IVF_CELLS}
+), ranked AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {fround_sql(_IVF_COS, 4)} DESC, cid) AS rn
+  FROM v CROSS JOIN cents
+), cells AS (
+  SELECT vec_id, v, cid FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT cid AS pcid FROM ranked
+  WHERE vec_id = 0 AND rn <= {IVF_PROBES}
+), qrow AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+), scored AS (
+  SELECT c.vec_id,
+         {fround_sql(
+             "list_dot_product(c.v, qv)"
+             " / (sqrt(list_dot_product(c.v, c.v))"
+             " * sqrt(list_dot_product(qv, qv)))", 4)} AS sim
+  FROM cells c JOIN probes ON c.cid = pcid CROSS JOIN qrow
+)
+SELECT vec_id, sim FROM scored
+ORDER BY sim DESC, vec_id
+LIMIT {SIM_K}
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -635,4 +726,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                 SIM_SEARCH_LSH_PORTABLE_SQL),
     "agg_approx_distinct_portable": (agg_approx_distinct_portable,
                                      AGG_APPROX_DISTINCT_PORTABLE_SQL),
+    "sim_search_ivf_portable": (sim_search_ivf_portable,
+                                SIM_SEARCH_IVF_PORTABLE_SQL),
 }

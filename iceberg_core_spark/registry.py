@@ -110,8 +110,10 @@ def all_queries() -> dict[str, Entry]:
     # full value-hash check — and dedup_embedding_lsh_portable — the
     # THIRD hash family upgraded (Rademacher hyperplanes as literal
     # arrays in both engines, BIGINT-quantized sign bits, proven
-    # cosine verify) — plus sim_search_lsh_portable, the ANN search
-    # over those same buckets. All repo-oracle green in
+    # cosine verify) — plus sim_search_lsh_portable (ANN over those
+    # buckets), sim_search_ivf_portable (deterministic-quantizer IVF),
+    # and agg_approx_distinct_portable (KMV sketch — the estimate
+    # itself matches DuckDB). All repo-oracle green in
     # tests/test_llm_oracle.py at sf0.001 AND hand-verified at
     # sf0.01. Rotate them in first next round, the same way the
     # late-r4 quartet led r5.

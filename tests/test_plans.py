@@ -248,3 +248,18 @@ def test_kmv_no_python_two_phase(spark):
     s = plan_of(agg_approx_distinct_portable(spark, SF_DIR))
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "HashAggregate" in s
+
+
+def test_ivf_portable_broadcast_centroids_topk(spark):
+    """Portable IVF: the corpus streams once against BROADCAST
+    centroid/probe sets (no shuffle of the vector side before the
+    rank window), top-k via TakeOrderedAndProject, no Python."""
+    from iceberg_core_spark.functions.dedup_portable import (
+        sim_search_ivf_portable,
+    )
+
+    s = plan_of(sim_search_ivf_portable(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
