@@ -452,10 +452,14 @@ def _plane_dot_sql(p: int) -> str:
     )
 
 
-_COS_RAW_P = (
-    "list_dot_product(av, bv)"
-    " / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
-)
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine over two DOUBLE[] expressions — the same shape
+    the all-pairs dedup_embedding oracle proved portable."""
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
 
 DEDUP_EMBEDDING_LSH_PORTABLE_SQL = f"""
 WITH v AS (
@@ -483,9 +487,9 @@ WITH v AS (
   JOIN bucketed a ON a.id = id_a
   JOIN bucketed b ON b.id = id_b
 )
-SELECT id_a, id_b, {fround_sql(_COS_RAW_P, 4)} AS sim
+SELECT id_a, id_b, {fround_sql(_cos_sql('av', 'bv'), 4)} AS sim
 FROM pairs
-WHERE {fround_sql(_COS_RAW_P, 4)} >= {EMB_THRESHOLD}
+WHERE {fround_sql(_cos_sql('av', 'bv'), 4)} >= {EMB_THRESHOLD}
 """
 
 
@@ -543,10 +547,7 @@ WITH v AS (
   SELECT dv AS qv, b AS qb FROM bucketed WHERE id = 0
 ), scored AS (
   SELECT id AS vec_id,
-         {fround_sql(
-             "list_dot_product(dv, qv)"
-             " / (sqrt(list_dot_product(dv, dv))"
-             " * sqrt(list_dot_product(qv, qv)))", 4)} AS sim
+         {fround_sql(_cos_sql('dv', 'qv'), 4)} AS sim
   FROM bucketed, qrow
   WHERE bit_count(xor(b, qb)) <= 1
 )
@@ -674,11 +675,6 @@ def sim_search_ivf_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_IVF_COS = (
-    "list_dot_product(v, cv)"
-    " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))"
-)
-
 SIM_SEARCH_IVF_PORTABLE_SQL = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -688,7 +684,7 @@ WITH v AS (
   SELECT vec_id, v, cid,
          row_number() OVER (
            PARTITION BY vec_id
-           ORDER BY {fround_sql(_IVF_COS, 4)} DESC, cid) AS rn
+           ORDER BY {fround_sql(_cos_sql('v', 'cv'), 4)} DESC, cid) AS rn
   FROM v CROSS JOIN cents
 ), cells AS (
   SELECT vec_id, v, cid FROM ranked WHERE rn = 1
@@ -699,10 +695,7 @@ WITH v AS (
   SELECT v AS qv FROM v WHERE vec_id = 0
 ), scored AS (
   SELECT c.vec_id,
-         {fround_sql(
-             "list_dot_product(c.v, qv)"
-             " / (sqrt(list_dot_product(c.v, c.v))"
-             " * sqrt(list_dot_product(qv, qv)))", 4)} AS sim
+         {fround_sql(_cos_sql('c.v', 'qv'), 4)} AS sim
   FROM cells c JOIN probes ON c.cid = pcid CROSS JOIN qrow
 )
 SELECT vec_id, sim FROM scored
