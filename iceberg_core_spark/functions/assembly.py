@@ -26,6 +26,8 @@ exist precisely to pin an ordering contract.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -144,6 +146,27 @@ def write_shards(
      .write.mode("overwrite").partitionBy("shard").parquet(root))
 
 
+# one materialized shard layout per sf — staging discipline shared
+# with the avro/jsonl sources
+_SHARD_CACHE: dict[str, str] = {}
+
+
+def write_shards_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: materialize the deterministic shuffle as
+    ``shard=N`` parquet dirs via :func:`write_shards`, then read the
+    layout BACK — (doc_id, shard, pos) from disk must equal the
+    declared permutation (oracle = CORPUS_SHUFFLE_SQL), proving the
+    written shards ARE the shuffle, not merely derived alongside it."""
+    root = _SHARD_CACHE.get(sf)
+    if root is None or not os.path.exists(root):
+        root = tempfile.mkdtemp(prefix="ice_shards_")
+        write_shards(load_table(spark, sf, "documents"), root)
+        _SHARD_CACHE[sf] = root
+    return spark.read.parquet(root).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
 CORPUS_SHUFFLE_SQL = f"""
 WITH h AS (
   SELECT doc_id,
@@ -165,4 +188,5 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix": (corpus_mix, CORPUS_MIX_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "write_shards": (write_shards_q, CORPUS_SHUFFLE_SQL),
 }

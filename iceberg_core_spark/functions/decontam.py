@@ -119,7 +119,7 @@ def decontaminate_ngram_exact(
     """
     def grams_of(df: DataFrame):
         toks = F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
             lambda t: t != F.lit(""),
         )
         g = F.expr(
@@ -180,7 +180,7 @@ _JACC_RAW = (
 CORPUS_DECONTAMINATE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, n_chars,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+         list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
   FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_id, a.t AS a_toks, b.t AS b_toks
@@ -200,7 +200,7 @@ GROUP BY doc_id
 CORPUS_DECONTAMINATE_EXACT_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), tg AS (

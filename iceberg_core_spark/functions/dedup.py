@@ -57,12 +57,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _distinct_tokens(text_col) -> F.Column:
-    return F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    return F.array_distinct(F.split(F.lower(text_col), r"[ \t\n\x0B\f\r]+"))
 
 
 def shingles(text_col, n: int = 3) -> F.Column:
     """n-token shingles as strings (contiguous, overlapping)."""
-    toks = F.split(F.lower(text_col), r"\s+")
+    toks = F.split(F.lower(text_col), r"[ \t\n\x0B\f\r]+")
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -266,7 +266,7 @@ def simhash64(text_col) -> F.Column:
     folds (bit positions are compile-time constants, so the whole
     expression stays in codegen). Summing disjoint signed masks
     reconstructs the word (two's complement handles bit 63)."""
-    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(text_col), r"[ \t\n\x0B\f\r]+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote_fn(mask: int):

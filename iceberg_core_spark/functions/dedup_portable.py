@@ -136,7 +136,7 @@ _JACC_RAW = (
 # pair query and the clusters query below are built from this one text,
 # so the oracle pipelines can never drift apart.
 _PAIRS_CTE_BODY = f"""words AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+  SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
   FROM documents
 ), toks AS (
   -- 3-token shingles, mirroring dedup.shingles: sequence over
@@ -232,7 +232,7 @@ def simhash_portable(text_col) -> F.Column:
     """32-bit SimHash over distinct tokens with md5-derived hashes —
     the engine-portable twin of ``dedup.simhash64`` (same per-bit
     vote construction, xxhash64 → md5, 64 → 32 bits)."""
-    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(text_col), r"[ \t\n\x0B\f\r]+"))
     hashes = F.transform(toks, _tok_hash)
 
     def vote_fn(mask: int):
@@ -304,7 +304,7 @@ def _vote_sql(bit: int) -> str:
 DEDUP_SIMHASH_PORTABLE_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+         list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
   FROM documents
 ), votes AS (
   SELECT doc_id,

@@ -106,7 +106,7 @@ def text_analysis(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _LANG_HIT = (
-    "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), "
     "t -> list_contains({stop}, t)))"
 )
 
@@ -133,11 +133,11 @@ TEXT_ANALYSIS_SQL = f"""
 WITH parts AS (
   SELECT doc_id, text,
          len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS n_bpe_tokens,
-         len(string_split_regex(lower(text), '\\s+')) AS n_ws_tokens,
+         len(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[.,!?;:]')) / length(text) AS punct_raw,
-         len(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> list_contains({_ALL_STOP_SQL}, t)))
-           / len(string_split_regex(lower(text), '\\s+')) AS stop_raw,
+           / len(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS stop_raw,
          {_BEST_SQL} AS __best
   FROM documents
 )
@@ -146,7 +146,7 @@ SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        {fround_sql('stop_raw', 6)} AS stop_ratio,
        {fround_sql(_QUALITY_RAW, 6)} AS quality,
        CASE WHEN __best > 0 THEN {_CASE_SQL} ELSE 'unknown' END AS lang_pred,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
 FROM parts
 """
 
@@ -177,7 +177,7 @@ _JACC_RAW = (
 DEDUP_NEAR_JACCARD_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, n_chars,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+         list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
   FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS a_toks, b.t AS b_toks
@@ -205,7 +205,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, lang, n_chars,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+         list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
   FROM documents
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS a_toks, b.t AS b_toks
@@ -410,7 +410,7 @@ def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_core_spark.functions.sampling import split_assign
 
     d = load_table(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = F.split(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+")
     base = d.select(
         "doc_id", "lang", "text", F.size(toks).alias("n_toks")
     ).filter(F.col("n_toks") >= 5)
@@ -432,7 +432,7 @@ def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
 CORPUS_CLEAN_SQL = """
 WITH base AS (
   SELECT doc_id, lang, text,
-         len(string_split_regex(lower(text), '\\s+')) AS n_toks
+         len(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_toks
   FROM documents
 ), gated AS (
   SELECT * FROM base WHERE n_toks >= 5
@@ -503,7 +503,7 @@ def text_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary-building primitive. Map-side exploding, one hash-agg
     shuffle on the bigram."""
     d = load_table(spark, sf, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = F.split(F.trim(F.lower("text")), r"[ \t\n\x0B\f\r]+")
     bigrams = F.expr(
         "transform(sequence(1, size(__toks) - 1), "
         "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
@@ -520,9 +520,9 @@ def text_ngrams(spark: SparkSession, sf: str) -> DataFrame:
 
 TEXT_NGRAMS_SQL = """
 WITH toks AS (
-  SELECT string_split_regex(trim(lower(text)), '\\s+') AS l
+  SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
   FROM documents
-  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 2
+  WHERE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) >= 2
 ), grams AS (
   SELECT unnest(list_transform(range(1, len(l)),
                                i -> l[i] || ' ' || l[i + 1])) AS bigram

@@ -10,7 +10,7 @@ Scale shapes
 ------------
 ``repetition_signals``: documents explode ONCE into (doc_id, gram)
 rows covering unigrams AND bigrams (bigrams carry an embedded space so
-the two populations can't collide — tokens are ``\\s+``-split and never
+the two populations can't collide — tokens are whitespace-split (explicit class, text.WS_RE) and never
 contain one), then two hash aggregations: (doc, gram) → count, then
 doc → {max count per population, totals}. Both aggregate map-side
 first (partial aggregation), so the one shuffle moves near-distinct
@@ -43,7 +43,7 @@ def _ws_tokens(text: Column) -> Column:
     """Whitespace tokens, lowercased, empties dropped (split() emits
     '' for leading/trailing whitespace; both engines filter it)."""
     return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(text), r"[ \t\n\x0B\f\r]+"), lambda t: t != F.lit("")
     )
 
 
@@ -112,7 +112,7 @@ def corpus_quality(spark: SparkSession, sf: str) -> DataFrame:
 CORPUS_QUALITY_SQL = f"""
 WITH d AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), nonempty AS (

@@ -22,14 +22,23 @@ STOPWORDS: dict[str, list[str]] = {
 # Deterministic argmax preference order on ties.
 LANG_ORDER = ["en", "es", "fr", "de", "zh"]
 
-# "BPE-ish" token pattern: word runs or single punctuation marks.
-TOKEN_RE = r"\w+|[^\w\s]"
+# Whitespace spelled as an explicit class, identical in Java regex
+# (Spark) and RE2 (DuckDB oracles): Java's \s includes U+000B
+# (vertical tab) but RE2's does not, so the \s shorthand silently
+# diverges on \x0B text. This class IS Java's \s, so Spark-side
+# behavior — and every recorded driver row — is unchanged; the SQL
+# oracles now share the exact same pattern language.
+WS_RE = r"[ \t\n\x0B\f\r]"
+
+# "BPE-ish" token pattern: word runs or single punctuation marks
+# (non-word, non-whitespace — whitespace via the shared explicit class).
+TOKEN_RE = r"\w+|[^\w \t\n\x0B\f\r]"
 PUNCT_RE = r"[.,!?;:]"
 
 
 def ws_tokens(text: Column) -> Column:
     """Whitespace tokens (lowercased)."""
-    return F.split(F.lower(text), r"\s+")
+    return F.split(F.lower(text), WS_RE + "+")
 
 
 def bpe_tokens(text: Column) -> Column:
@@ -85,5 +94,5 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed, trimmed text. Identical content → identical
     fingerprint across engines and runs (the reference's content-hash
     idea, block.go:94-107, applied per document)."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\x0B\f\r]+", " "))
     return F.md5(norm)

@@ -32,7 +32,7 @@ def token_frequencies(
 ) -> DataFrame:
     """(token, tf, df) — term frequency and document frequency."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda t: t != F.lit("")
     )
     return (
         df.select(F.col(id_col), F.explode(toks).alias("token"))
@@ -64,7 +64,7 @@ VOCAB_TOPK_SQL = f"""
 WITH tok AS (
   SELECT doc_id, u.token AS token
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
+               list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '') AS t
         FROM documents),
        UNNEST(t) AS u(token)

@@ -18,7 +18,7 @@ def explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     UDTF demo. A narrow op — no shuffle; output rows stay with their
     input partition."""
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = F.split(F.trim(F.lower("text")), r"[ \t\n\x0B\f\r]+")
     return (
         d.select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -28,8 +28,8 @@ def explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
 EXPLODE_TOKENS_SQL = """
 WITH limited AS (SELECT * FROM documents WHERE doc_id < 100)
 SELECT doc_id,
-       generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       generate_subscripts(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos,
+       unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
 FROM limited
 """
 

@@ -31,7 +31,7 @@ from iceberg_core_spark.session import load_table, spread
 @F.pandas_udf(StringType())
 def _normalize_text(s: pd.Series) -> pd.Series:
     """Vectorized normalize: lowercase, collapse whitespace, strip."""
-    return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    return s.str.lower().str.replace(r"[ \t\n\x0B\f\r]+", " ", regex=True).str.strip()
 
 
 def udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
@@ -46,8 +46,8 @@ def udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
 
 UDF_SCALAR_SQL = """
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
-       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+       trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_len
 FROM documents
 """
 
@@ -118,8 +118,8 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 UDTF_TOKENIZE_SQL = """
 WITH limited AS (SELECT * FROM documents WHERE doc_id < 50)
 SELECT doc_id,
-       generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       generate_subscripts(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos,
+       unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
 FROM limited
 """
 

@@ -51,11 +51,15 @@ def _stage(sf: str, fmt: str) -> str:
     out_dir = tempfile.mkdtemp(prefix=f"ice_{ext}_")
     path = os.path.join(out_dir, f"documents.{ext}")
     con = duckdb.connect()
-    src = os.path.join(sf, "documents.parquet")
+    # single-quote escape: paths are interpolated into COPY SQL (no
+    # parameter binding for COPY targets), so a quote in a temp path
+    # must not break the statement
+    src = os.path.join(sf, "documents.parquet").replace("'", "''")
+    dst = path.replace("'", "''")
     opts = "FORMAT JSON" if fmt == "json" else "FORMAT CSV, HEADER"
     con.sql(
         f"COPY (SELECT doc_id, text, lang, source, n_chars "
-        f"FROM '{src}' ORDER BY doc_id) TO '{path}' ({opts})"
+        f"FROM '{src}' ORDER BY doc_id) TO '{dst}' ({opts})"
     )
     con.close()
     _STAGE_CACHE[key] = path
@@ -86,8 +90,9 @@ def scan_jsonl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
-    """CSV twin of scan_jsonl (repo-oracle tested; not in the driver
-    window — the JSONL path is the representative driver row)."""
+    """CSV twin of scan_jsonl: documents staged as headered CSV, read
+    back through the schema-declared CSV source; the parquet original
+    is the oracle (lossless RFC-4180 round trip)."""
     return read_csv_corpus(spark, _stage(sf, "csv"))
 
 
@@ -100,4 +105,5 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "scan_jsonl": (scan_jsonl, SCAN_TEXT_SQL),
+    "scan_csv": (scan_csv, SCAN_TEXT_SQL),
 }

@@ -76,6 +76,13 @@ class MaintenancePolicy:
     # tick with this mtime retention (keep well above any writer's
     # worst-case commit latency — see remove_orphans)
     orphan_retention_ms: int | None = None
+    # Replay-protection pin TTL passed to expire_snapshots: a lineage
+    # idle longer than this loses its last_committed_batch pin, so an
+    # at-least-once redelivery could re-append a committed batch.
+    # Raise it for long-idle streams (e.g. daily batch-over-streaming
+    # checkpoints); the default matches remove_orphans' 7-day
+    # discipline.
+    lineage_retention_ms: int = 7 * 24 * 3600 * 1000
 
 
 def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
@@ -109,6 +116,41 @@ def _resolve_pred_seqs(preds: list[dict] | None, sid: int) -> list[dict]:
         {**p, "seq": sid} if p.get("seq") == "commit" else p
         for p in (preds or [])
     ]
+
+
+def _canon_schema(s):
+    """Canonical form of a Spark schema ``jsonValue`` tree: field names
+    and types only. Frames re-read from parquet come back all-nullable
+    with metadata stripped; for commit/CAS purposes that is NOT a schema
+    change (Iceberg compares field ids/types, never nullability of a
+    rewritten frame)."""
+    if isinstance(s, dict):
+        t = s.get("type")
+        if t == "struct":
+            return ("struct", tuple(
+                (f["name"], _canon_schema(f["type"])) for f in s["fields"]))
+        if t == "array":
+            return ("array", _canon_schema(s["elementType"]))
+        if t == "map":
+            return ("map", _canon_schema(s["keyType"]),
+                    _canon_schema(s["valueType"]))
+        return ("other", json.dumps(
+            {k: v for k, v in s.items() if k not in ("nullable", "metadata")},
+            sort_keys=True))
+    return s
+
+
+def _schemas_equivalent(a_json: str, b_json: str) -> bool:
+    """True when two schema_json strings describe the same logical table
+    schema (names + types, ignoring nullability/metadata). The CAS
+    rebase guard uses this: a maintenance compact whose rewritten frame
+    lost non-nullability must not read as a 'concurrent schema change'
+    to a racing append (r5 flaky OCC bug — the append aborted instead
+    of rebasing and a self-maintaining ingest would drop batches)."""
+    if a_json == b_json:
+        return True
+    return _canon_schema(json.loads(a_json)) == _canon_schema(
+        json.loads(b_json))
 
 
 def _not_true(cond):
@@ -727,6 +769,18 @@ class IceTable:
         # spec keep pruning correctly only while the history survives
         inherited_specs = (list(parent_snap.partition_specs)
                            if parent_snap else [])
+        # A rewrite that doesn't change the table's logical schema must
+        # not drift the RECORDED one either: parquet-read frames come
+        # back all-nullable, and committing that json would trip the
+        # rebase guard of any racing append. Carry the based-on
+        # snapshot's schema_json forward whenever the frame's schema is
+        # canonically equivalent; genuinely new schemas (evolution)
+        # still commit the frame's.
+        commit_schema = df.schema
+        if parent_snap is not None and _schemas_equivalent(
+                parent_snap.schema_json, commit_schema.json()):
+            commit_schema = StructType.fromJson(
+                json.loads(parent_snap.schema_json))
         if base_mode == "parent" and parent_snap is not None:
             base_count = (parent_snap.files_count or 0
                           if parent_snap.files_ref
@@ -741,7 +795,7 @@ class IceTable:
             )
         ):
             return self._commit_distributed(
-                df.schema, operation, partition_col, key_col, rel_paths,
+                commit_schema, operation, partition_col, key_col, rel_paths,
                 stat_cols, zorder_by, delete_predicates,
                 dedupe_identical_files, expected_parent,
                 source_batch_id, source_lineage, bucket_by,
@@ -801,7 +855,7 @@ class IceTable:
                 parent_id=parent,
                 timestamp_ms=Manifest.now_ms(),
                 operation=operation,
-                schema_json=df.schema.json(),
+                schema_json=commit_schema.json(),
                 partition_col=partition_col,
                 key_col=key_col,
                 files=base_files + new_files,
@@ -835,7 +889,8 @@ class IceTable:
                     based_on = self.manifest.load(
                         expected_parent, load_files=False
                     )
-                    if winner.schema_json != based_on.schema_json:
+                    if not _schemas_equivalent(winner.schema_json,
+                                               based_on.schema_json):
                         raise  # concurrent schema change: no safe rebase
                 parent = winner.snapshot_id
                 if operation == "append":
@@ -1010,7 +1065,8 @@ class IceTable:
                     if expected_parent is not None:
                         based_on = man.load(expected_parent,
                                             load_files=False)
-                        if winner.schema_json != based_on.schema_json:
+                        if not _schemas_equivalent(winner.schema_json,
+                                                   based_on.schema_json):
                             raise  # concurrent schema change: no rebase
                     parent = winner.snapshot_id
                     continue
@@ -1396,9 +1452,18 @@ class IceTable:
                     "rows", "bytes",
                 )
             full = self.manifest.load(snap.snapshot_id)
+
+            def pstr(v):
+                # match Spark's cast-to-string on the sidecar side:
+                # booleans stringify as 'true'/'false', not 'True'
+                n = _norm_stat(v)
+                if isinstance(n, bool):
+                    return "true" if n else "false"
+                return str(n)
+
             data = [
                 (f.path,
-                 None if f.partition is None else str(_norm_stat(f.partition)),
+                 None if f.partition is None else pstr(f.partition),
                  int(f.rows), int(f.bytes))
                 for f in full.files
             ]
@@ -1632,7 +1697,8 @@ class IceTable:
                 return new
             except CommitConflictError:
                 winner = self.manifest.load()
-                if winner.schema_json != cur.schema_json:
+                if not _schemas_equivalent(winner.schema_json,
+                                           cur.schema_json):
                     for f in kept:
                         p = os.path.join(self.root, f.path)
                         if os.path.exists(p):
@@ -2284,7 +2350,8 @@ class IceTable:
                 report["compacted"] = True
             if policy.keep_snapshots is not None:
                 report["expired"] = self.expire_snapshots(
-                    keep_last=policy.keep_snapshots)
+                    keep_last=policy.keep_snapshots,
+                    lineage_retention_ms=policy.lineage_retention_ms)
             if policy.orphan_retention_ms is not None:
                 report["orphans_removed"] = self.remove_orphans(
                     older_than_ms=policy.orphan_retention_ms)

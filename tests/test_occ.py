@@ -203,3 +203,85 @@ def test_rebased_append_still_dedupes_identical_files(spark, root):
     final = IceTable(spark, root)
     ts = sorted(r.timestamp for r in final.scan().collect())
     assert ts == [100, 101, 102, 700]  # one copy, not two
+
+
+def test_schema_equivalence_ignores_nullability_not_renames():
+    """The rebase guard's canonical compare: parquet-read nullability
+    drift is NOT a schema change; renames and type changes ARE."""
+    import json
+
+    from pyspark.sql.types import StructField, StructType
+
+    from iceberg_core_spark.table.ice_table import _schemas_equivalent
+    from tests.fixtures import LOCATION_SCHEMA
+
+    strict = LOCATION_SCHEMA.json()
+    drifted = StructType(
+        [StructField(f.name, f.dataType, True) for f in LOCATION_SCHEMA]
+    ).json()
+    assert _schemas_equivalent(strict, drifted)
+
+    renamed = json.loads(strict)
+    renamed["fields"][0]["name"] = "accuracy2"
+    assert not _schemas_equivalent(strict, json.dumps(renamed))
+
+    retyped = json.loads(strict)
+    retyped["fields"][0]["type"] = "string"
+    assert not _schemas_equivalent(strict, json.dumps(retyped))
+
+
+def test_compact_preserves_recorded_table_schema(spark, root):
+    """Root-cause pin for the r5 flaky OCC bug: compact re-reads its
+    victims from parquet (an all-nullable frame) but must commit the
+    TABLE's schema_json verbatim — otherwise every racing append reads
+    the nullability flip as a concurrent schema change and aborts."""
+    t = _mk(spark, root)
+    t.append(location_df(spark, [location_row(timestamp=500)]))
+    base = t.manifest.load(load_files=False)
+    snap_c = IceTable(spark, root).compact(min_files=2)
+    assert snap_c.operation == "compact"
+    assert snap_c.snapshot_id == base.snapshot_id + 1  # it did commit
+    assert snap_c.schema_json == base.schema_json  # no drift, byte-equal
+
+
+def test_stale_append_rebases_over_nullability_drifted_winner(spark, root):
+    """The r5 failing seed made deterministic: writer A bases an append
+    on snapshot 1; the winning commit (a maintenance compact, simulated
+    here with an explicitly drifted schema_json so the test stays red
+    against the raw-string guard even with the compact-side fix in
+    place) carries an all-nullable copy of the same logical schema.
+    A's rebase must proceed — names and types are unchanged — and the
+    final table holds every row."""
+    from pyspark.sql.types import StructField, StructType
+
+    from tests.fixtures import LOCATION_SCHEMA
+
+    t_a = _mk(spark, root)
+    base = t_a.manifest.load()  # A's view: snapshot 0
+
+    # winner: same files, same logical schema, all-nullable json —
+    # exactly what a pre-fix compact used to commit
+    drifted = StructType(
+        [StructField(f.name, f.dataType, True) for f in LOCATION_SCHEMA]
+    ).json()
+    winner = Snapshot(
+        snapshot_id=base.snapshot_id + 1, parent_id=base.snapshot_id,
+        timestamp_ms=Manifest.now_ms(), operation="compact",
+        schema_json=drifted, partition_col=base.partition_col,
+        key_col=base.key_col, files=list(base.files),
+    )
+    t_a.manifest.commit(winner)
+
+    # A commits with its stale view (expected_parent = 0): pre-fix this
+    # raised CommitConflictError('... already committed by another
+    # writer') instead of rebasing
+    t_a._write_commit(
+        location_df(spark, [location_row(timestamp=900)]),
+        "append", base.partition_col, base.key_col, 1_000_000,
+        base_files=list(base.files), expected_parent=base.snapshot_id,
+    )
+    final = IceTable(spark, root)
+    ts = sorted(r.timestamp for r in final.scan().collect())
+    assert ts == [100, 101, 102, 900]
+    snap = final.manifest.load(load_files=False)
+    assert snap.snapshot_id == 2 and snap.parent_id == 1

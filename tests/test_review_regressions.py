@@ -214,3 +214,59 @@ def test_partition_estimate_matches_spark_planner(spark, tmp_path):
     actual = df.rdd.getNumPartitions()
     assert est >= 2
     assert abs(est - actual) <= max(2, actual // 2)
+
+
+def test_vertical_tab_tokenization_matches_oracle(spark):
+    # r5 advice: Java's \s includes U+000B, RE2's does not — both
+    # engines now split on the same explicit whitespace class, so text
+    # containing a vertical tab tokenizes identically.
+    import duckdb
+
+    from iceberg_core_spark.functions import text as T
+
+    s = "alpha\x0bbeta gamma\tdelta"
+    df = spark.createDataFrame([(s,)], "text string").select(
+        T.ws_tokens(F.col("text")).alias("toks"),
+        T.token_count(F.col("text")).alias("n"),
+    )
+    row = df.collect()[0]
+    con = duckdb.connect()
+    d = con.sql(
+        "SELECT string_split_regex(lower(?), '[ \\t\\n\\x0B\\f\\r]+') "
+        "AS toks, len(regexp_extract_all(lower(?), ?)) AS n",
+        params=[s, s, T.TOKEN_RE],
+    ).fetchone()
+    assert row.toks == d[0] == ["alpha", "beta", "gamma", "delta"]
+    assert row.n == d[1] == 4
+
+
+def test_diff_stats_boolean_partition_inline_vs_sidecar(spark, tmp_path):
+    # r5 advice: inline side stringified partitions via Python str()
+    # ('True') while the sidecar side used Spark cast ('true'); a
+    # boolean-partitioned table crossing the inline→sidecar threshold
+    # between the two snapshots split one partition into two rows.
+    from pyspark.sql import Row
+
+    from iceberg_core_spark.table.manifest import Manifest
+
+    rows = [Row(flag=bool(i % 2), k=i) for i in range(8)]
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame(rows, "flag boolean, k long"),
+        partition_col="flag", key_col="k",
+    )
+    base = t.manifest.load(load_files=False)
+    orig = Manifest.inline_max
+    Manifest.inline_max = 0  # force the next commit onto a sidecar
+    try:
+        t.append(spark.createDataFrame(
+            [Row(flag=True, k=100)], "flag boolean, k long"))
+    finally:
+        Manifest.inline_max = orig
+    cur = t.manifest.load(load_files=False)
+    assert base.files_ref is None and cur.files_ref is not None
+    d = t.diff_stats(base.snapshot_id, cur.snapshot_id)
+    got = {r.partition: r.files_added for r in d.collect()}
+    # one row per partition, spark-style lowercase strings, and the
+    # True partition merged across the encoding boundary
+    assert got == {"true": 1}
