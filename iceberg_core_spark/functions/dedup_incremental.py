@@ -1,0 +1,224 @@
+"""Incremental deduplication — judge an INCOMING BATCH against an
+EXISTING CORPUS without ever comparing the corpus to itself. This is
+the continuous-ingest shape of dedup a training-data pipeline runs
+every day: the corpus is already deduplicated (100 TB, append-only);
+each new crawl/delivery batch must be checked against it before
+admission. Re-running corpus-wide dedup per batch would be O(corpus)
+per day; this path is O(batch + collisions).
+
+Two tiers, one verdict per batch document:
+
+- ``exact_dup``  — the batch doc's normalized-content fingerprint
+  (md5 over lowercased, whitespace-collapsed text — the same
+  ``text.fingerprint`` the corpus-wide path uses) already exists in
+  the corpus. ``match_id`` is the smallest matching corpus id.
+- ``near_dup``   — not exact, but a MinHash-LSH band collision with a
+  corpus doc verifies at shingle-Jaccard >= threshold. ``match_id``
+  is the best match (highest Jaccard, smallest id on ties),
+  ``jacc`` its rounded score.
+- ``unique``     — neither.
+
+Scale design (the asymmetry is the point):
+- The exact tier shuffles only skinny (fp, id) pairs; in production
+  the corpus fingerprint index is computed once and stored as a table
+  (``fp -> min id``), so each batch pays one hash-join against an
+  index, not a corpus scan.
+- The near tier joins BATCH band triples against CORPUS band triples
+  on (band_idx, band_hash) — never corpus x corpus, never batch x
+  batch — so candidate volume scales with the batch and the collision
+  rate, not with the corpus pair count. Only (band_idx, band_hash,
+  id) triples shuffle; shingle arrays re-join by id for the verify
+  (``_spread_verify`` width-repartitions the skinny candidate list
+  first). The corpus band index, like the fingerprint index, is
+  precomputable and incremental (append band triples as docs are
+  admitted).
+- Batch-internal duplicates are out of scope by design — run the
+  corpus-wide pass (``dedup_exact`` / ``dedup_minhash``) over the
+  batch alone for that; admission order decides which copy enters.
+
+The whole pipeline is built on the engine-portable md5 hash family
+(``dedup_portable``), so it is fully value-hash oracle-checked — the
+same signature/band/verify text feeds the Spark plan and the DuckDB
+SQL. Reference analog: none (the reference dedupes only via
+content-hash filenames, block.go:109-115 — the exact tier generalizes
+exactly that idea to a queryable index).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.functions import text as T
+from iceberg_core_spark.functions.dedup import (
+    _spread_verify,
+    fround,
+    fround_sql,
+    jaccard,
+    shingles,
+)
+from iceberg_core_spark.functions.dedup_portable import (
+    _JACC_RAW,
+    _SIG_CTE_BODY,
+    _band_hash,
+    _minhash_sig,
+    N_BANDS,
+    THRESHOLD,
+)
+from iceberg_core_spark.session import load_table
+
+
+def _band_triples(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, band_idx, band_hash) triples of the portable MinHash —
+    the only thing the candidate join ever shuffles."""
+    sigs = df.select(
+        F.col(id_col), shingles(F.col(text_col)).alias("__t")
+    ).select(id_col, *_minhash_sig(F.col("__t")))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"),
+                         _band_hash(b).alias("band_hash"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def dedup_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """Per-batch-document admission verdict against ``corpus``:
+    (id, verdict exact_dup|near_dup|unique, match_id, jacc)."""
+    # exact tier: corpus fingerprint index (fp -> min id), one
+    # hash-join on fp
+    cfp = (
+        corpus.select(
+            T.fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("__cid"),
+        )
+        .groupBy("fp")
+        .agg(F.min("__cid").alias("exact_match"))
+    )
+    bfp = batch.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")
+
+    # near tier: batch bands x corpus bands only
+    bb = _band_triples(batch, text_col, id_col).withColumnRenamed(
+        id_col, "__bid")
+    cb = _band_triples(corpus, text_col, id_col).withColumnRenamed(
+        id_col, "__cid")
+    cand = _spread_verify(
+        bb.join(cb, ["band_idx", "band_hash"])
+        .select("__bid", "__cid").distinct(),
+        cols=("__bid", "__cid"),
+    )
+    btoks = batch.select(F.col(id_col).alias("__bid"),
+                         shingles(F.col(text_col)).alias("ta"))
+    ctoks = corpus.select(F.col(id_col).alias("__cid"),
+                          shingles(F.col(text_col)).alias("tb"))
+    jc = fround(jaccard(F.col("ta"), F.col("tb")), 4)
+    verified = (
+        cand.join(btoks, "__bid")
+        .join(ctoks, "__cid")
+        .select("__bid", "__cid", jc.alias("__jacc"))
+        .filter(F.col("__jacc") >= threshold)
+    )
+    w = Window.partitionBy("__bid").orderBy(
+        F.col("__jacc").desc(), F.col("__cid"))
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__bid", "__cid", "__jacc")
+    )
+
+    is_exact = F.col("exact_match").isNotNull()
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(best, F.col(id_col) == F.col("__bid"), "left")
+        .select(
+            F.col(id_col),
+            F.when(is_exact, F.lit("exact_dup"))
+            .when(F.col("__cid").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique")).alias("verdict"),
+            F.when(is_exact, F.col("exact_match"))
+            .otherwise(F.col("__cid")).alias("match_id"),
+            F.when(is_exact, F.lit(None).cast("double"))
+            .otherwise(F.col("__jacc")).alias("jacc"),
+        )
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: documents split by id into a 90% corpus
+    (doc_id % 10 != 0) and a 10% incoming batch (doc_id % 10 == 0);
+    every batch doc gets its admission verdict."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup_batch(corpus, batch)
+
+
+_FP_SQL = (
+    "md5(trim(regexp_replace(lower(text),"
+    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+)
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SIG_CTE_BODY}, cfp AS (
+  SELECT {_FP_SQL} AS fp, MIN(doc_id) AS exact_match
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+), bfp AS (
+  SELECT doc_id, {_FP_SQL} AS fp
+  FROM documents WHERE doc_id % 10 = 0
+), exact AS (
+  SELECT b.doc_id, c.exact_match
+  FROM bfp b LEFT JOIN cfp c USING (fp)
+), cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+  FROM bands bb JOIN bands cb
+    ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+  WHERE bb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+), vpairs AS (
+  SELECT bid, cid, ta.t AS ta, tb.t AS tb
+  FROM cand
+  JOIN toks ta ON ta.doc_id = bid
+  JOIN toks tb ON tb.doc_id = cid
+), verified AS (
+  SELECT bid, cid, {fround_sql(_JACC_RAW, 4)} AS jacc
+  FROM vpairs
+  WHERE {fround_sql(_JACC_RAW, 4)} >= {THRESHOLD}
+), best AS (
+  SELECT bid, cid, jacc,
+         ROW_NUMBER() OVER (PARTITION BY bid
+                            ORDER BY jacc DESC, cid) AS rn
+  FROM verified
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN bst.cid IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       COALESCE(e.exact_match, bst.cid) AS match_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN CAST(NULL AS DOUBLE)
+            ELSE bst.jacc END AS jacc
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN best bst ON bst.bid = b.doc_id AND bst.rn = 1
+"""
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+}

@@ -132,10 +132,11 @@ _JACC_RAW = (
     " / (len(ta) + len(tb) - len(list_intersect(ta, tb)))"
 )
 
-# Shared CTE body (words → toks → sig → bands → cand → pairs): both the
-# pair query and the clusters query below are built from this one text,
-# so the oracle pipelines can never drift apart.
-_PAIRS_CTE_BODY = f"""words AS (
+# Shared CTE bodies: _SIG_CTE_BODY (words → toks → sig → bands) feeds
+# the pair query, the clusters query, AND dedup_incremental's
+# batch-vs-corpus candidate join — all built from this one text, so
+# the oracle pipelines can never drift apart.
+_SIG_CTE_BODY = f"""words AS (
   SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
   FROM documents
 ), toks AS (
@@ -154,7 +155,9 @@ _PAIRS_CTE_BODY = f"""words AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {b} AS band_idx, {_band_sql(b)} AS band_hash FROM sig"
       for b in range(N_BANDS))}
-), cand AS (
+)"""
+
+_PAIRS_CTE_BODY = f"""{_SIG_CTE_BODY}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

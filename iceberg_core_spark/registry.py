@@ -20,6 +20,9 @@ def all_queries() -> dict[str, Entry]:
 
     from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
     from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
+    from iceberg_core_spark.functions.dedup_incremental import (
+        QUERIES as INCREMENTAL,
+    )
     from iceberg_core_spark.functions.dedup_portable import QUERIES as PORTABLE
     from iceberg_core_spark.functions.packing import QUERIES as PACKING
     from iceberg_core_spark.functions.quality import QUERIES as QUALITY
@@ -41,6 +44,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(LLM)      # north-star: dedup / similarity / text / multimodal
     out.update(DECONTAM) # eval-set decontamination (cross-corpus near-dup)
     out.update(PORTABLE) # fully-oracle-checked MinHash-LSH (md5 hashes)
+    out.update(INCREMENTAL)  # batch-vs-corpus admission dedup (NEW r6)
     out.update(PACKING)  # token-budget sequence packing
     out.update(QUALITY)  # repetition quality signals + PII redaction
     out.update(VOCAB)    # corpus vocabulary / top-k token frequencies
@@ -176,12 +180,17 @@ def all_queries() -> dict[str, Entry]:
         "agg_approx_distinct_portable", "sim_search_ivf_portable",
         # (b) the only red r5 row (oracle HUGEINT cast fixed r6)
         "tpch_q12",
-        # (c) registered r6, no row yet
-        "write_shards", "scan_csv",
-        # (d) ice_table.py r6 diff: one row per commit-op family
+        # (c) registered r6, no row yet — dedup_incremental is the new
+        # batch-vs-corpus admission dedup (portable md5 family, full
+        # value-hash oracle)
+        "write_shards", "scan_csv", "dedup_incremental",
+        # (d) ice_table.py r6 diff: one row per commit-op family.
+        # table_incremental's slot went to dedup_incremental — its
+        # append-chain commit path runs every round via the entry
+        # smoke and under table_compact's bases; its r5 row stands at
+        # age 1.
         "table_compact", "table_upsert", "table_delete_mor",
         "schema_evolution", "table_wap", "table_cdc",
-        "table_incremental",
         # (e) the 34 r3-row veterans (rows would hit age 3)
         "scan_avro", "sim_search", "sim_search_batch", "win_tumbling",
         "join_semi", "join_anti", "join_theta", "join_asof",

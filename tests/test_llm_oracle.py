@@ -8,12 +8,15 @@ from pyspark.sql import functions as F
 from iceberg_core_spark.functions import dedup as D
 from iceberg_core_spark.functions import similarity as S
 from iceberg_core_spark.functions.decontam import QUERIES as DECONTAM
+from iceberg_core_spark.functions.dedup_incremental import (
+    QUERIES as INCREMENTAL,
+)
 from iceberg_core_spark.functions.dedup_portable import QUERIES as PORTABLE
 from iceberg_core_spark.functions.packing import QUERIES as PACKING
 from iceberg_core_spark.functions.llm_queries import QUERIES as _LLM
 from tests.oracle import compare, duck_connection
 
-QUERIES = {**_LLM, **DECONTAM, **PACKING, **PORTABLE}
+QUERIES = {**_LLM, **DECONTAM, **PACKING, **PORTABLE, **INCREMENTAL}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -394,3 +397,35 @@ def test_kmv_estimate_accuracy(spark):
             assert est[et] == e, f"{et}: sub-K group must be exact"
         else:
             assert abs(est[et] - e) / e < 4 / (KMV_K ** 0.5), (et, est[et], e)
+
+
+def test_dedup_incremental_verdict_tiers(spark):
+    """Planted batch-vs-corpus admission outcomes: byte-identical text
+    and a case/whitespace variant are exact_dup (normalized
+    fingerprint, min corpus id on corpus-internal duplicates), a
+    one-word edit of a long doc is near_dup with its best match, and
+    unrelated text is unique (nulled match columns)."""
+    from iceberg_core_spark.functions.dedup_incremental import dedup_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different text about engines and tables"),
+         (3, base)],  # corpus-internal duplicate: min id must win
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base),                              # exact
+         (101, "  ALPHA beta   gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu nu xi omicron pi rho sigma tau upsilon phi "
+               "chi "),                            # exact via normalization
+         (102, base + " omega"),                   # near (one appended word)
+         (103, "unrelated content counting rows in a parquet footer")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.verdict, r.match_id, r.jacc)
+           for r in dedup_batch(corpus, batch).collect()}
+    assert out[100] == ("exact_dup", 1, None)
+    assert out[101] == ("exact_dup", 1, None)
+    assert out[102][0] == "near_dup" and out[102][1] in (1, 3)
+    assert out[102][2] is not None and out[102][2] >= 0.5
+    assert out[103] == ("unique", None, None)
