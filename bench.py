@@ -37,6 +37,7 @@ HEADLINE = [
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental", # batch-vs-corpus admission dedup (r6)
     "dedup_clusters",    # pairs → connected components → canonical docs
     "sim_search",
     "split_train_test",  # reproducible hash-bucket split

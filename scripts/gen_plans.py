@@ -39,6 +39,7 @@ PICKS = [
     ("dedup_embedding_lsh_portable", "Fully-oracle-checked hyperplane-LSH — BIGINT quantize + 8 Rademacher integer dot products in ONE map-side projection (sign bits exact, no FP); bucket equi-join with 1-bit multiprobe explode; vectors re-join by id for the exact-cosine verify on candidates only."),
     ("sim_search_lsh_portable", "Fully-oracle-checked ANN — single corpus pass computing the portable bucket in codegen, bit_count filter against the query's (Python-computed, identical integer math) bucket, exact-cosine rerank via TakeOrderedAndProject: no global sort, no Python, no second scan."),
     ("agg_approx_distinct_portable", "Cross-engine-verifiable approx distinct — KMV sketch: md5 hashing and the (group, hash) distinct stay map-side before the one shuffle; per-group K-smallest via window; the estimate is one IEEE-deterministic double division. HLL twin remains the mergeable constant-memory production path."),
+    ("dedup_incremental", "Batch-vs-corpus admission dedup — the exact tier is one equi-join on the normalized fingerprint (corpus side pre-aggregated fp→min id); the near tier joins BATCH band triples against CORPUS band triples only (asymmetric — never corpus×corpus), so candidates scale with the batch; verify re-joins shingles by id at cluster width; verdict assembly is two left joins. No cartesian, no Python, id+text-only ReadSchema (all plan-gated)."),
 ]
 
 

@@ -263,3 +263,23 @@ def test_ivf_portable_broadcast_centroids_topk(spark):
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_dedup_incremental_asymmetric_no_cartesian_no_python(spark):
+    """Incremental admission dedup: both tiers are equi-joins (the
+    exact tier on fp, the near tier on band keys — never a cartesian
+    or nested-loop), everything stays JVM-side, and both scans read
+    only the two columns the pipeline uses (id + text)."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        dedup_incremental,
+    )
+
+    df = dedup_incremental(spark, SF_DIR)
+    s = plan_of(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    e = explain_str(df)
+    reads = [l for l in e.splitlines() if "ReadSchema" in l]
+    assert reads and all("lang" not in l and "source" not in l
+                         for l in reads)
