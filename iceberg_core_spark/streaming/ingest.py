@@ -26,6 +26,8 @@ oracle-checkable by the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -162,6 +164,118 @@ def stream_ingest_to_table(
                      source_batch_id=batch_id, source_lineage=lineage,
                      branch=branch)
         maybe_maintain(table, batch_id)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_admit_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    schema: StructType,
+    partition_col: str | None,
+    key_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    admit_verdicts: tuple = ("unique",),
+    quarantine_root: str | None = None,
+    max_rows_per_file: int = 8192,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+    source_format: str = "parquet",
+) -> StreamingQuery:
+    """Admission-filtered streaming ingest: every micro-batch is judged
+    against the TABLE'S CURRENT CONTENTS with
+    :func:`~iceberg_core_spark.functions.dedup_incremental.dedup_batch`
+    before it lands — documents whose verdict is not in
+    ``admit_verdicts`` (default: only ``unique`` enters; pass
+    ``("unique", "near_dup")`` to block exact copies only) are dropped
+    from the append and, when ``quarantine_root`` is set, written there
+    under ``batch=<id>/`` WITH their verdict/match_id/jacc columns —
+    the audit trail a data-quality pipeline reviews.
+
+    This is the continuous-ingest composition of the table layer and
+    incremental dedup: admission COMPOUNDS — a document admitted in
+    batch N becomes corpus for batch N+1, so re-deliveries of the same
+    content through different files are rejected even without replay
+    protection (which still applies per the lineage batch-id guard).
+
+    Scale note: the corpus side re-derives the fingerprint and band
+    indexes from the table's (id, text) scan each batch — two columns
+    only (column pruning reaches the scan), everything before the
+    candidate join map-side, and the candidate join itself is
+    batch x corpus-collisions, but the per-batch cost still includes
+    one corpus text pass. A 100 TB deployment maintains the two
+    admission indexes (fp -> min id; band triples) as tables of their
+    own, appended on admission — same plan shape, corpus scan replaced
+    by index scans; see the dedup_incremental module docstring. The
+    first batch creates the table unfiltered (no corpus yet);
+    batch-INTERNAL duplicates are out of scope by design (run the
+    corpus-wide pass over a batch for that).
+    """
+    from iceberg_core_spark.functions.dedup_incremental import (
+        THRESHOLD,
+        dedup_batch,
+    )
+
+    thr = THRESHOLD if threshold is None else threshold
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .load(source_dir)
+    )
+
+    import uuid as _uuid
+
+    lineage = checkpoint_dir or f"ephemeral-{_uuid.uuid4()}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = IceTable(spark, table_root)
+        if table.manifest.current_snapshot_id() is None:
+            IceTable.create(
+                spark, table_root, batch_df,
+                partition_col=partition_col, key_col=key_col,
+                max_rows_per_file=max_rows_per_file,
+                source_batch_id=batch_id, source_lineage=lineage,
+            )
+            return
+        last = table.last_committed_batch(lineage)
+        if last is not None and batch_id <= last:
+            return
+        corpus = table.scan().select(id_col, text_col)
+        verdicts = dedup_batch(corpus, batch_df, text_col=text_col,
+                               id_col=id_col, threshold=thr)
+        admitted = batch_df.join(
+            verdicts.filter(F.col("verdict").isin(*admit_verdicts))
+            .select(id_col),
+            id_col, "left_semi",
+        )
+        if quarantine_root is not None:
+            rejected = batch_df.join(
+                verdicts.filter(~F.col("verdict").isin(*admit_verdicts)),
+                id_col,
+            )
+            if not rejected.isEmpty():
+                rejected.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_root, f"batch={batch_id}"))
+        if admitted.isEmpty():
+            # nothing admissible: still stamp the batch so a replay of
+            # this id is skipped (empty metadata-only append would be
+            # nicer; an empty frame append commits no files)
+            table.append(admitted, max_rows_per_file=max_rows_per_file,
+                         dedupe_identical_files=True,
+                         source_batch_id=batch_id, source_lineage=lineage)
+            return
+        table.append(admitted, max_rows_per_file=max_rows_per_file,
+                     dedupe_identical_files=True,
+                     source_batch_id=batch_id, source_lineage=lineage)
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

@@ -431,3 +431,72 @@ def test_stream_cdc_applies_change_batches_exactly_once(spark, tmp_path,
     if mode == "mor":
         # nothing was rewritten across either batch
         assert set(files_after_b1) <= after
+
+
+def test_stream_admit_blocks_duplicates_compounding(spark, tmp_path):
+    """Admission-filtered ingest end to end: batch 1 creates the
+    table; batch 2's exact copy and near-duplicate of existing docs
+    are rejected (quarantined with verdicts) while its unique doc
+    lands; batch 3's exact copy OF A BATCH-2 ADMISSION is rejected
+    too — admission compounds, each admitted doc becomes corpus for
+    the next batch."""
+    from iceberg_core_spark.streaming.ingest import stream_admit_to_table
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    quarantine = str(tmp_path / "quarantine")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    other = "a corpus document about parquet footers and manifests"
+    fresh = "entirely new admission about stream processing windows"
+
+    def doc_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def doc_file(rows, name):
+        doc_df(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "_stage"))
+        part = [f for f in os.listdir(os.path.join(src, "_stage"))
+                if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, "_stage", part),
+                    os.path.join(src, name))
+
+    batches = [
+        [(1, base), (2, other)],
+        [(10, base),            # exact dup of 1 → reject
+         (11, base + " omega"),  # near dup of 1 → reject
+         (12, fresh)],           # unique → admit
+        [(20, fresh)],           # exact dup of BATCH-2 admission → reject
+    ]
+
+    def drain(n):
+        doc_file(batches[n], f"b{n}.parquet")
+        q = stream_admit_to_table(
+            spark, src, table_root, doc_df([]).schema,
+            partition_col=None, key_col="doc_id",
+            quarantine_root=quarantine,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+        )
+        assert q.awaitTermination(180)
+
+    for n in range(len(batches)):
+        drain(n)
+
+    t = IceTable(spark, table_root)
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 12]
+
+    q2 = {r.doc_id: (r.verdict, r.match_id)
+          for r in spark.read.parquet(
+              os.path.join(quarantine, "batch=1")).collect()}
+    assert q2[10] == ("exact_dup", 1)
+    assert q2[11][0] == "near_dup" and q2[11][1] == 1
+    q3 = {r.doc_id: (r.verdict, r.match_id)
+          for r in spark.read.parquet(
+              os.path.join(quarantine, "batch=2")).collect()}
+    assert q3[20] == ("exact_dup", 12)  # compounding: matched b2's doc
+    # every batch stamped (replay guard) even when nothing was admitted
+    snaps = t.manifest.snapshots(load_files=False)
+    assert [s.source_batch_id for s in snaps] == [0, 1, 2]
