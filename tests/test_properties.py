@@ -217,3 +217,50 @@ def test_shuffle_assign_is_stable_permutation(spark, ids, n_shards):
             for r in shuffle_assign(df.repartition(5),
                                     n_shards=n_shards).collect()}
     assert out2 == out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(corpus=_DOCS, batch=_DOCS)
+def test_dedup_batch_matches_bruteforce_model(spark, corpus, batch):
+    """Incremental admission vs a Python model on arbitrary token
+    soups: the exact tier must be COMPLETE and minimal-id-correct
+    (verdict is exact_dup iff some corpus doc has identical normalized
+    text, matching the smallest such id); the near tier must be SOUND
+    (a near_dup's reported jacc equals the true shingle Jaccard with
+    its match and clears the threshold; LSH recall is probabilistic so
+    non-detection is not asserted); unique implies not-exact."""
+    from iceberg_core_spark.functions.dedup_incremental import dedup_batch
+
+    c_rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(corpus)]
+    b_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(batch)]
+    cdf = spark.createDataFrame(c_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(b_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_batch(cdf, bdf).collect()}
+    assert set(out) == {i for i, _ in b_rows}
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    def jacc(a, b):
+        i = len(a & b)
+        return i / (len(a) + len(b) - i)
+
+    for bid, text in b_rows:
+        r = out[bid]
+        exact_ids = [cid for cid, ct in c_rows if norm(ct) == norm(text)]
+        if exact_ids:
+            assert r.verdict == "exact_dup", (bid, r)
+            assert r.match_id == min(exact_ids)
+            assert r.jacc is None
+        elif r.verdict == "near_dup":
+            truth = jacc(sh(text), sh(dict(c_rows)[r.match_id]))
+            assert r.jacc is not None and abs(r.jacc - truth) < 1e-3
+            assert r.jacc >= 0.5
+        else:
+            assert r.verdict == "unique"
+            assert r.match_id is None and r.jacc is None
