@@ -184,6 +184,7 @@ def stream_admit_to_table(
     threshold: float | None = None,
     admit_verdicts: tuple = ("unique",),
     quarantine_root: str | None = None,
+    index_root: str | None = None,
     max_rows_per_file: int = 8192,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
@@ -205,21 +206,23 @@ def stream_admit_to_table(
     content through different files are rejected even without replay
     protection (which still applies per the lineage batch-id guard).
 
-    Scale note: the corpus side re-derives the fingerprint and band
-    indexes from the table's (id, text) scan each batch — two columns
-    only (column pruning reaches the scan), everything before the
-    candidate join map-side, and the candidate join itself is
-    batch x corpus-collisions, but the per-batch cost still includes
-    one corpus text pass. A 100 TB deployment maintains the two
-    admission indexes (fp -> min id; band triples) as tables of their
-    own, appended on admission — same plan shape, corpus scan replaced
-    by index scans; see the dedup_incremental module docstring. The
-    first batch creates the table unfiltered (no corpus yet);
-    batch-INTERNAL duplicates are out of scope by design (run the
-    corpus-wide pass over a batch for that).
+    Scale note: without ``index_root`` the corpus side re-derives the
+    fingerprint and band indexes from the table's (id, text) scan each
+    batch — two columns only (column pruning reaches the scan),
+    everything before the candidate join map-side, and the candidate
+    join itself is batch x corpus-collisions, but the per-batch cost
+    still includes one corpus text pass. Pass ``index_root`` for the
+    100 TB path: a persisted
+    :class:`~iceberg_core_spark.functions.dedup_incremental.AdmissionIndex`
+    is synced from the table before each judgment (idempotent,
+    crash-healing — the table is the single source of truth) and the
+    corpus pass disappears. The first batch creates the table
+    unfiltered (no corpus yet); batch-INTERNAL duplicates are out of
+    scope by design (run the corpus-wide pass over a batch for that).
     """
     from iceberg_core_spark.functions.dedup_incremental import (
         THRESHOLD,
+        AdmissionIndex,
         dedup_batch,
     )
 
@@ -246,12 +249,23 @@ def stream_admit_to_table(
                 source_batch_id=batch_id, source_lineage=lineage,
             )
             return
+        idx = None
+        if index_root is not None:
+            # sync BEFORE the replay check: a crash between the table
+            # commit and the index write heals here even when the
+            # batch itself is then skipped as a replay
+            idx = AdmissionIndex(spark, index_root,
+                                 text_col=text_col, id_col=id_col)
+            idx.sync(table)
         last = table.last_committed_batch(lineage)
         if last is not None and batch_id <= last:
             return
-        corpus = table.scan().select(id_col, text_col)
-        verdicts = dedup_batch(corpus, batch_df, text_col=text_col,
-                               id_col=id_col, threshold=thr)
+        if idx is not None:
+            verdicts = idx.judge(batch_df, threshold=thr)
+        else:
+            corpus = table.scan().select(id_col, text_col)
+            verdicts = dedup_batch(corpus, batch_df, text_col=text_col,
+                                   id_col=id_col, threshold=thr)
         admitted = batch_df.join(
             verdicts.filter(F.col("verdict").isin(*admit_verdicts))
             .select(id_col),

@@ -429,3 +429,54 @@ def test_dedup_incremental_verdict_tiers(spark):
     assert out[102][0] == "near_dup" and out[102][1] in (1, 3)
     assert out[102][2] is not None and out[102][2] >= 0.5
     assert out[103] == ("unique", None, None)
+
+
+def test_admission_index_matches_scan_derived(spark, tmp_path):
+    """The persisted AdmissionIndex must produce byte-identical
+    verdicts to the on-the-fly dedup_batch (same _judge pipeline, two
+    feeds), stay idempotent across re-syncs, skip rewrite-only
+    snapshots, and refuse row-removing tables."""
+    import pytest as _pytest
+
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+        dedup_batch,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    cdf = spark.createDataFrame(
+        [(1, base), (2, "corpus text about parquet row groups"),
+         (3, base)],
+        "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "t"), cdf.filter("doc_id<3"),
+                        partition_col=None, key_col="doc_id")
+    t.append(cdf.filter("doc_id=3"))
+
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 2  # create + append
+    assert idx.sync(t) == 0  # idempotent
+
+    batch = spark.createDataFrame(
+        [(100, base), (101, base + " omega"), (102, "nothing alike here")],
+        "doc_id long, text string")
+    want = sorted(map(tuple, dedup_batch(cdf, batch).collect()))
+    got = sorted(map(tuple, idx.judge(batch).collect()))
+    assert got == want
+
+    # a compact rewrites files but adds no rows: synced as a no-op,
+    # verdicts unchanged (no duplicate index rows inflating matches)
+    t.append(cdf.filter("doc_id=2"))  # fragment so compact has victims
+    assert idx.sync(t) == 1
+    t.compact(min_files=2)
+    assert idx.sync(t) == 0
+    got2 = sorted(map(tuple, idx.judge(batch).collect()))
+    # doc 2 now appears twice in the corpus (appended again) — verdicts
+    # for the batch are unaffected (its matches are docs 1/3)
+    assert got2 == want
+
+    # row-removing ops poison an admission corpus: sync must refuse
+    t.delete_where("doc_id = 2")
+    with _pytest.raises(ValueError, match="append-only"):
+        idx.sync(t)

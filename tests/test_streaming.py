@@ -500,3 +500,68 @@ def test_stream_admit_blocks_duplicates_compounding(spark, tmp_path):
     # every batch stamped (replay guard) even when nothing was admitted
     snaps = t.manifest.snapshots(load_files=False)
     assert [s.source_batch_id for s in snaps] == [0, 1, 2]
+
+
+def test_stream_admit_with_persisted_index(spark, tmp_path):
+    """The indexed admission path must reach the same compounding
+    outcome as the scan-derived one, with the index healing itself
+    from the table (synced per batch) and living on disk between
+    drains."""
+    from iceberg_core_spark.streaming.ingest import stream_admit_to_table
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    index_root = str(tmp_path / "index")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    fresh = "entirely new admission about stream processing windows"
+
+    def doc_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def doc_file(rows, name):
+        doc_df(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "_stage"))
+        part = [f for f in os.listdir(os.path.join(src, "_stage"))
+                if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, "_stage", part),
+                    os.path.join(src, name))
+
+    batches = [
+        [(1, base)],
+        [(10, base), (11, fresh)],   # 10 exact-dup, 11 admitted
+        [(20, fresh)],               # exact dup of batch-2 ADMISSION
+    ]
+
+    def drain(n):
+        doc_file(batches[n], f"b{n}.parquet")
+        q = stream_admit_to_table(
+            spark, src, table_root, doc_df([]).schema,
+            partition_col=None, key_col="doc_id",
+            index_root=index_root,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+        )
+        assert q.awaitTermination(180)
+
+    for n in range(len(batches)):
+        drain(n)
+
+    t = IceTable(spark, table_root)
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 11]
+    # the index caught up to every admitted snapshot
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    idx = AdmissionIndex(spark, index_root)
+    # sync runs at the START of each commit, so the index lawfully
+    # lags the newest commit by one snapshot (the next trigger heals
+    # it) — here that snapshot is batch 2's empty stamped append
+    assert idx.sync(t) <= 1
+    assert idx.sync(t) == 0  # now fully caught up, and idempotent
+    ids = sorted(r["__cid"] for r in
+                 spark.read.parquet(os.path.join(index_root, "fp"))
+                 .select("__cid").collect())
+    assert ids == [1, 11]
