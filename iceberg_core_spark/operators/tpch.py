@@ -1,7 +1,10 @@
-"""TPC-H-shaped multi-join analytical queries (Q3/Q5/Q10 adapted to the
-driver's star schema) — the canonical join-order / broadcast-selection
-workloads. All-DataFrame; Catalyst + AQE pick the physical join order,
-dimensions broadcast explicitly.
+"""TPC-H-shaped multi-join analytical queries — all 22 shapes, adapted
+to the driver's star schema (no partsupp table: the six classics that
+need one run against a part-supplier relation derived from lineitem;
+no commit/receipt dates, phone, or comments: q21/q22/q16 substitute
+available columns with the join/subquery shapes intact). The canonical
+join-order / broadcast-selection workloads. All-DataFrame; Catalyst +
+AQE pick the physical join order, dimensions broadcast explicitly.
 
 Scale shape: fact-fact joins (orders⋈lineitem) shuffle once on the join
 key; dimensions (region/nation, and customer at dimension-scale)
@@ -779,9 +782,367 @@ ORDER BY cntrycode
 """
 
 
+def _derived_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """The schema has no PARTSUPP table; the part-supplier relation is
+    derived from lineitem: one row per observed (partkey, suppkey) with
+    the minimum observed unit price as the supply cost. Double/double
+    division is IEEE-identical cross-engine, so min over it is exact.
+    At scale this is one hash aggregation on (partkey, suppkey) — the
+    same key the q2/q16/q20 consumers join on, so AQE reuses the
+    exchange."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("ps_supplycost"))
+    )
+
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-cost-supplier shape: for each qualifying part, the
+    EUROPE supplier(s) whose derived supply cost equals the per-part
+    regional minimum — the classic correlated-MIN subquery,
+    decorrelated into a per-part aggregate joined back on (partkey,
+    cost). The min is over doubles both engines derived identically,
+    so the equality join is exact. Plan: the EUROPE supplier side is
+    built ONCE and feeds both the min aggregate and the final probe
+    (same partkey shuffle, AQE exchange reuse); nation/region
+    broadcast."""
+    ps = _derived_partsupp(spark, sf)
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    eu_ps = (
+        ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    mincost = (
+        eu_ps.groupBy(F.col("ps_partkey").alias("min_partkey"))
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    return (
+        eu_ps.join(mincost,
+                   (F.col("ps_partkey") == F.col("min_partkey"))
+                   & (F.col("ps_supplycost") == F.col("min_cost")))
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.col("ps_supplycost").alias("supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ps_supplycost AS supplycost
+FROM part
+JOIN ps ON ps_partkey = p_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-type-profit shape: 5-way join (lineitem ⋈ part ⋈
+    supplier ⋈ nation ⋈ orders), profit per supplier-nation per order
+    year. The schema has no ps_supplycost, so cost is 80% of the
+    part's retail price — deterministic and partsupp-free. Profit
+    computed in double with one fixed association then summed as
+    DECIMAL for cross-engine exactness. Plan: one fact-fact shuffle
+    (lineitem⋈orders on orderkey); part/supplier/nation broadcast at
+    dimension scale; the group key (25 nations × 7 years) is tiny so
+    the final aggregate is all partial-combine."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_name").startswith("red"))
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.8 * p_retailprice * l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Important-stock shape: per-part shipped value for one REGION's
+    suppliers, kept when above a fixed fraction of that region's
+    total — the scalar-subquery-threshold test (region, not the
+    original single nation, so the filter is non-empty at every scale
+    factor). Values are exact DECIMAL sums (cross-engine identical);
+    the threshold multiply casts to double the same way in both
+    engines. Plan: one hash agg on partkey after a broadcast
+    supplier→nation→region filter; the 1-row total broadcasts as a
+    scalar cross join."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(
+        F.col("r_name") == "ASIA")
+    supval = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .alias("val"))
+    )
+    total = supval.agg(
+        (F.sum("val") * F.lit(0.001)).alias("threshold"))
+    return (
+        supval.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+WITH supval AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM supval
+WHERE val > (SELECT SUM(val) * 0.001 FROM supval)
+ORDER BY value DESC, partkey
+"""
+
+
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-supplier shape: quarterly revenue per supplier, keep the
+    supplier(s) whose revenue equals the global max — the classic
+    view + scalar MAX subquery. Revenue is an exact DECIMAL sum, so
+    the max-equality is cross-engine safe (a double sum would not
+    be: FP addition order differs per engine). Plan: one hash agg on
+    suppkey over the date-pruned scan; the 1-row max broadcasts."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,6)")).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    sup = load_table(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN rev ON supplier_no = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts-supplier-relationship shape: distinct supplier count per
+    (brand, type, size) over the derived part-supplier relation,
+    excluding flagged suppliers — NOT IN as a left-anti join. The
+    schema has no s_comment, so "complaints" is a negative account
+    balance. Plan: the distinct (partkey, suppkey) pairs are one
+    aggregation; the exclusion list (few rows) broadcasts as an anti
+    join; COUNT(DISTINCT) shuffles on the small group key space."""
+    li = load_table(spark, sf, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey")).distinct()
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    bad = load_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad),
+                F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                 "p_size")
+    )
+
+
+TPCH_Q16_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Part-promotion shape: EUROPE suppliers who DOMINATED supply of
+    a name-filtered part in 1996 (shipped >30% of that part's total
+    that year) — nested aggregation + IN-subqueries as semi joins.
+    The schema has no ps_availqty, so the original half-of-stock
+    predicate becomes a share-of-shipments predicate with the same
+    aggregate-vs-aggregate comparison shape. Quantities sum as exact
+    DECIMAL. Plan: per-(part, supplier) and per-part aggs share the
+    partkey shuffle; part-name filter broadcasts; the qualifying
+    supplier set feeds a semi join (no payload duplication)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_name").startswith("small")).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .alias("qty"))
+    )
+    tot = (
+        shipped.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(F.sum("qty").alias("total_qty"))
+    )
+    dominant = (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(
+        F.col("r_name") == "EUROPE")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(dominant, sup.s_suppkey == dominant.l_suppkey,
+              "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey AS t_partkey, SUM(qty) AS total_qty
+  FROM shipped GROUP BY 1
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    JOIN tot ON t_partkey = l_partkey
+    WHERE qty > 0.3 * total_qty)
+ORDER BY s_name
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "tpch_q2": (tpch_q2, TPCH_Q2_SQL),
+    "tpch_q9": (tpch_q9, TPCH_Q9_SQL),
+    "tpch_q11": (tpch_q11, TPCH_Q11_SQL),
+    "tpch_q15": (tpch_q15, TPCH_Q15_SQL),
+    "tpch_q16": (tpch_q16, TPCH_Q16_SQL),
+    "tpch_q20": (tpch_q20, TPCH_Q20_SQL),
     "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
     "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
     "tpch_q4": (tpch_q4, TPCH_Q4_SQL),

@@ -115,6 +115,14 @@ def all_queries() -> dict[str, Entry]:
     # rows-only dedup_simhash/embedding_lsh/clusters_minhash +
     # sim_search_lsh — each now shadowed by a fully-verified portable
     # twin) and the 43 r5 rows displaced by (a)-(e).
+    # R7 WINDOW LEADS (registered late-r6, past the full 50-slot
+    # window): tpch_q2/q9/q11/q15/q16/q20 — the six partsupp-dependent
+    # classics, completing all 22 TPC-H shapes against a derived
+    # part-supplier relation (min observed unit price per (partkey,
+    # suppkey) from lineitem). Repo-oracle green at sf0.001 (pytest)
+    # AND hand-verified value-exact at sf0.01; plan-gated no-cartesian
+    # (tests/test_plans.py). Rotate them in first next round, the same
+    # way the late-r5 portable twins led r6.
     # ---- the r5 window comment follows for audit trail ----
     # (a) queries with NO driver row yet: the 4 late-r4 registrations
     # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/q7/

@@ -76,6 +76,34 @@ def test_q17_decorrelated_no_cartesian(spark):
     assert s.count("HashAggregate") >= 2  # partial+final cap aggregate
 
 
+def test_q2_decorrelated_min_no_cartesian(spark):
+    """Q2's correlated regional-MIN joins back as an equi-join on
+    (partkey, cost); nation/region ride as broadcasts."""
+    from iceberg_core_spark.operators.tpch import tpch_q2
+
+    s = plan_of(tpch_q2(spark, SF_DIR))
+    assert "Cartesian" not in s and "BroadcastNestedLoop" not in s
+    assert "BroadcastHashJoin" in s  # nation/region dims
+    assert s.count("HashAggregate") >= 2  # partial+final min aggregate
+
+
+def test_q9_q16_q20_join_shapes(spark):
+    """Q9's 5-way join stays all-equi; Q16's NOT-IN exclusion plans as
+    a broadcast anti join; Q20's IN-subqueries plan as a semi join —
+    none may degrade to a cartesian."""
+    from iceberg_core_spark.operators.tpch import (
+        tpch_q9,
+        tpch_q16,
+        tpch_q20,
+    )
+
+    for q in (tpch_q9, tpch_q16, tpch_q20):
+        s = plan_of(q(spark, SF_DIR))
+        assert "Cartesian" not in s and "BroadcastNestedLoop" not in s
+    assert "LeftAnti" in plan_of(tpch_q16(spark, SF_DIR))
+    assert "LeftSemi" in plan_of(tpch_q20(spark, SF_DIR))
+
+
 def test_agg_partial_final(spark):
     # map-side partial aggregation (two HashAggregate levels)
     s = plan_of(R.agg_hash(spark, SF_DIR))
