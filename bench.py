@@ -25,6 +25,7 @@ HEADLINE = [
     "tpch_q10",          # 4-way join + top-20
     "tpch_q18",          # having semi-join + 3-way join + top-100 (r5)
     "tpch_q21",          # exists/not-exists self-joins on the fact (r5)
+    "tpch_q9",           # 5-way join profit rollup (r6)
     "join_broadcast",    # fact x dim broadcast
     "join_sortmerge",    # fact x fact shuffle join
     "join_asof",         # union + carry-forward window

@@ -476,6 +476,106 @@ FROM range(10) t(x)
 TABLE_CDC_MOR_SQL = TABLE_CDC_SQL
 
 
+_CHANGES_CACHE: dict[str, str] = {}
+
+
+def _changes_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) a five-commit lifecycle table spanning
+    every changelog-relevant commit family: create, append, CoW
+    upsert, MoR predicate delete, compact. The rollup is refreshed
+    after EVERY commit (not once at the end), so the driver row proves
+    the incremental folds — including the zero-delta compact fold —
+    not just a final recompute."""
+    root = _CHANGES_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable, MaterializedRollup
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    base = os.path.join(tempfile.mkdtemp(prefix="ice_chg_"), "x")
+    root = os.path.join(base, "docs")
+    t = IceTable.create(spark, root, docs.filter("doc_id % 5 != 0"),
+                        partition_col="lang", key_col="doc_id")
+    ru = MaterializedRollup(spark, os.path.join(base, "rollup"),
+                            group_cols=["lang"], sum_cols=["n_chars"])
+    ru.refresh(t)
+    t.append(docs.filter("doc_id % 5 = 0"))
+    ru.refresh(t)
+    t.upsert(docs.filter("doc_id % 11 = 0")
+             .withColumn("n_chars", F.col("n_chars") + 500),
+             key_cols=["lang", "doc_id"])
+    ru.refresh(t)
+    t.delete_where("doc_id % 7 = 0", mode="mor")
+    ru.refresh(t)
+    t.compact(min_files=2)
+    ru.refresh(t)
+    _CHANGES_CACHE[sf] = root
+    return root
+
+
+def table_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Net row-level changelog from the FIRST snapshot to the current
+    one across the five-commit lifecycle — the oracle recomputes the
+    same net diff as initial-vs-final EXCEPT ALL in plain SQL, so the
+    driver verifies retraction semantics (upsert pairs, MoR deletes,
+    compact invisibility), not just row flow."""
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _changes_root(spark, sf))
+    first = t.manifest.snapshots(load_files=False)[0].snapshot_id
+    return t.scan_changes(since=first)
+
+
+TABLE_CHANGELOG_SQL = """
+WITH init AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 0
+),
+fin AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 11 = 0 THEN 500 ELSE 0 END
+           AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT *, 'insert' AS _change_type
+FROM (SELECT * FROM fin EXCEPT ALL SELECT * FROM init)
+UNION ALL
+SELECT *, 'delete' AS _change_type
+FROM (SELECT * FROM init EXCEPT ALL SELECT * FROM fin)
+"""
+
+
+def table_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The incrementally-maintained per-lang rollup after the whole
+    lifecycle — folded commit by commit from scan_changes deltas; the
+    oracle recomputes the same aggregate from scratch over the final
+    state. Exact-DECIMAL sums make fold order irrelevant, so the two
+    must match to the last digit."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import MaterializedRollup
+
+    base = os.path.dirname(_changes_root(spark, sf))
+    ru = MaterializedRollup(spark, os.path.join(base, "rollup"),
+                            group_cols=["lang"], sum_cols=["n_chars"])
+    return ru.read().select(
+        "lang", "row_count",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
+
+
+TABLE_ROLLUP_SQL = """
+SELECT lang, COUNT(*) AS row_count,
+       CAST(SUM(CAST(n_chars + CASE WHEN doc_id % 11 = 0
+                                    THEN 500 ELSE 0 END
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_n_chars
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "table_incremental": (table_incremental, TABLE_INCREMENTAL_SQL),
     "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SCAN_SQL),
@@ -490,4 +590,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                   TABLE_PARTITION_EVOLUTION_SQL),
     "table_cdc": (table_cdc, TABLE_CDC_SQL),
     "table_cdc_mor": (table_cdc_mor, TABLE_CDC_MOR_SQL),
+    # r7 rotation leads (registered late-r6, past the 50-slot window):
+    "table_changelog": (table_changelog, TABLE_CHANGELOG_SQL),
+    "table_rollup": (table_rollup, TABLE_ROLLUP_SQL),
 }

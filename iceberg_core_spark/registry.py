@@ -121,8 +121,15 @@ def all_queries() -> dict[str, Entry]:
     # part-supplier relation (min observed unit price per (partkey,
     # suppkey) from lineitem). Repo-oracle green at sf0.001 (pytest)
     # AND hand-verified value-exact at sf0.01; plan-gated no-cartesian
-    # (tests/test_plans.py). Rotate them in first next round, the same
-    # way the late-r5 portable twins led r6.
+    # (tests/test_plans.py). Also leading r7: table_changelog (net
+    # row-level changelog — IceTable.scan_changes, the Iceberg
+    # changelog-view analog; the oracle recomputes the same net diff
+    # as initial-vs-final EXCEPT ALL) and table_rollup
+    # (MaterializedRollup incremental view maintenance — folded
+    # commit-by-commit across create/append/upsert/MoR-delete/compact
+    # vs a from-scratch SQL recompute; exact-DECIMAL sums make the
+    # fold order irrelevant). Rotate all eight in first next round,
+    # the same way the late-r5 portable twins led r6.
     # ---- the r5 window comment follows for audit trail ----
     # (a) queries with NO driver row yet: the 4 late-r4 registrations
     # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/q7/

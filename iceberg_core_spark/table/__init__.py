@@ -14,6 +14,8 @@ from iceberg_core_spark.table.manifest import (
     ManifestFile,
     Snapshot,
 )
+from iceberg_core_spark.table.rollup import MaterializedRollup
 
 __all__ = ["CommitConflictError", "IceCatalog", "IceTable",
-           "MaintenancePolicy", "Manifest", "ManifestFile", "Snapshot"]
+           "MaintenancePolicy", "Manifest", "ManifestFile",
+           "MaterializedRollup", "Snapshot"]

@@ -1416,6 +1416,82 @@ class IceTable:
             added = [f for f in cur.files if f.path not in base_paths]
         return self._read_with_deletes(added, cur, until)
 
+    def scan_changes(self, since: int,
+                     until: int | None = None) -> DataFrame:
+        """NET row-level changelog between two snapshots — the analog
+        of Iceberg's ``create_changelog_view`` procedure: every emitted
+        row carries a ``_change_type`` of ``insert`` or ``delete``; an
+        UPDATE surfaces as its delete+insert pair. Unlike
+        ``scan_incremental`` (rows in ADDED files — re-emits rewrites),
+        this feed is rewrite-invariant: a pure compaction between the
+        two snapshots nets to ZERO rows, an upsert nets to exactly the
+        changed rows, and a MoR delete nets to the deleted rows. The
+        feed an incremental aggregate consumer (``MaterializedRollup``)
+        folds, since sums/counts need retractions, not re-emissions.
+
+        Mechanics: only files that can differ participate — files
+        added since ``since``, files removed, and (when the window
+        introduced MoR delete predicates) older common files those
+        predicates can hide rows of. Each side reads under its own
+        snapshot (its predicates, its schema); the ``since`` side is
+        aligned forward through the window's renames and widened with
+        NULLs for evolved-in columns; inserts = until-side EXCEPT ALL
+        since-side and deletes the reverse — multiset semantics, so
+        duplicate rows net correctly. Cost scales with the CHANGED
+        file set except in the new-MoR-predicate case, where every
+        predicate-visible older file joins the diff (the predicate may
+        hide rows anywhere — same cost profile as Iceberg's changelog
+        over equality deletes)."""
+        cur = self.manifest.load(until, load_files=False)
+        base = self.manifest.load(since, load_files=False)
+
+        def entries(snap) -> dict[str, int]:
+            # (path, seq) pairs only — never full sidecar entries
+            if snap.files_ref:
+                df = self.spark.read.parquet(
+                    self.manifest.sidecar_path(snap.files_ref)
+                ).select("path", "seq")
+                return {r.path: (r.seq if r.seq is not None else 0)
+                        for r in df.collect()}
+            full = (snap if snap.files
+                    else self.manifest.load(snap.snapshot_id))
+            return {f.path: f.seq for f in full.files}
+
+        def stub(path: str, seq: int) -> ManifestFile:
+            return ManifestFile(path=path, partition=None, key_min=None,
+                                key_max=None, rows=0, bytes=0,
+                                content_hash="", seq=seq)
+
+        cur_e, base_e = entries(cur), entries(base)
+        added = [stub(p, s) for p, s in cur_e.items() if p not in base_e]
+        removed = [stub(p, s) for p, s in base_e.items()
+                   if p not in cur_e]
+        new_preds = [p for p in cur.delete_predicates
+                     if p not in base.delete_predicates]
+        common_aff: list[ManifestFile] = []
+        if new_preds:
+            mx = max(p["seq"] for p in new_preds)
+            common_aff = [stub(p, s) for p, s in cur_e.items()
+                          if p in base_e and s < mx]
+        side_u = self._read_with_deletes(
+            added + common_aff, cur, cur.snapshot_id)
+        side_s = self._read_with_deletes(
+            removed + common_aff, base, base.snapshot_id)
+        for r in [r for r in cur.renames if r not in base.renames]:
+            side_s = side_s.withColumnRenamed(r["from"], r["to"])
+        schema = StructType.fromJson(json.loads(cur.schema_json))
+        have = set(side_s.columns)
+        side_s = side_s.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields])
+        return (
+            side_u.exceptAll(side_s)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(side_s.exceptAll(side_u)
+                         .withColumn("_change_type", F.lit("delete")))
+        )
+
     def diff_stats(self, since: int,
                    until: int | None = None) -> DataFrame:
         """Per-partition delta report between two snapshots — the

@@ -1,0 +1,143 @@
+"""Incrementally-maintained materialized aggregate over an IceTable —
+classic incremental view maintenance (IVM) restricted to the
+self-maintainable aggregates (COUNT, SUM), driven by the table's net
+changelog (:meth:`IceTable.scan_changes`).
+
+Why this exists at 100 TB: a per-group rollup a dashboard or a mixture
+planner reads every few minutes cannot be recomputed from a 100 TB
+fact table per refresh. COUNT/SUM fold under insertion AND retraction
+(delta = +row for inserts, -row for deletes), so the rollup refreshes
+at the cost of the CHANGED rows — an upsert that touched two
+partitions folds in seconds regardless of table size, and a pure
+compaction folds a zero-row delta (the changelog is rewrite-invariant).
+MIN/MAX are deliberately not offered: they are not self-maintainable
+under deletes (a retracted minimum forces a group rescan).
+
+Exactness contract: sums are maintained as DECIMAL(28,6) — exact,
+associative, engine-portable — so an incrementally-folded rollup is
+BYTE-IDENTICAL to a from-scratch recompute (double sums would drift by
+fold order; the registry query's DuckDB oracle is exactly that
+from-scratch recompute). Same crash discipline as
+:class:`~iceberg_core_spark.functions.dedup_incremental.AdmissionIndex`:
+each refresh writes a full rollup version under ``v=<snapshot>`` and
+only then advances the watermark meta — a crash between the two heals
+on the next refresh (the re-run overwrites the same version dir), and
+``read()`` always serves the last fully-committed version.
+
+The reference has no aggregation surface at all (SURVEY.md §2.C); this
+is north-star scope — the "query it continuously" half of a streaming
+ingest store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_T = "decimal(28,6)"
+
+
+class MaterializedRollup:
+    """Per-``group_cols`` COUNT(*) + exact SUMs of ``sum_cols``,
+    folded forward from the table's changelog.
+
+    ``refresh(table)`` catches up to the table's current snapshot:
+    the first refresh aggregates the full scan (one pass — the only
+    full pass the rollup ever takes); every later refresh folds
+    ``scan_changes(last, current)`` signed deltas into the stored
+    rollup and drops groups whose live row count reaches zero.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 group_cols: list[str], sum_cols: list[str]):
+        self.spark = spark
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+
+    # -- meta / storage plumbing (AdmissionIndex discipline) ----------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def synced_snapshot(self) -> int | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["synced_snapshot_id"]
+        except FileNotFoundError:
+            return None
+
+    def _advance(self, snapshot_id: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_snapshot_id": snapshot_id,
+                       "ref": f"v={snapshot_id}"}, f)
+        os.replace(tmp, self._meta_path())
+
+    def _sum_alias(self, c: str) -> str:
+        return f"sum_{c}"
+
+    def _normalize(self, df: DataFrame) -> DataFrame:
+        """Pin storage types so repeated folds can't widen them."""
+        return df.select(
+            *self.group_cols,
+            F.col("row_count").cast("long").alias("row_count"),
+            *[F.col(self._sum_alias(c)).cast(_SUM_T)
+              .alias(self._sum_alias(c)) for c in self.sum_cols],
+        )
+
+    def read(self) -> DataFrame:
+        """The last fully-committed rollup version."""
+        with open(self._meta_path()) as f:
+            ref = json.load(f)["ref"]
+        return self.spark.read.parquet(os.path.join(self.root, ref))
+
+    # -- maintenance --------------------------------------------------
+    def _full(self, rows: DataFrame) -> DataFrame:
+        return self._normalize(
+            rows.groupBy(*self.group_cols).agg(
+                F.count(F.lit(1)).alias("row_count"),
+                *[F.sum(F.col(c).cast("decimal(18,6)"))
+                  .alias(self._sum_alias(c)) for c in self.sum_cols],
+            )
+        )
+
+    def _fold(self, old: DataFrame, changes: DataFrame) -> DataFrame:
+        sign = F.when(F.col("_change_type") == "insert",
+                      F.lit(1)).otherwise(F.lit(-1))
+        delta = changes.groupBy(*self.group_cols).agg(
+            F.sum(sign).alias("row_count"),
+            *[F.sum(F.col(c).cast("decimal(18,6)") * sign)
+              .alias(self._sum_alias(c)) for c in self.sum_cols],
+        )
+        merged = (
+            self._normalize(delta).unionByName(old)
+            .groupBy(*self.group_cols)
+            .agg(F.sum("row_count").alias("row_count"),
+                 *[F.sum(self._sum_alias(c)).alias(self._sum_alias(c))
+                   for c in self.sum_cols])
+            .filter(F.col("row_count") > 0)
+        )
+        return self._normalize(merged)
+
+    def refresh(self, table) -> bool:
+        """Fold the table's changes since the last refresh; returns
+        whether anything advanced. Idempotent and crash-healing: the
+        version dir is derived from the target snapshot, written
+        before the watermark moves."""
+        cur = table.manifest.load(load_files=False).snapshot_id
+        last = self.synced_snapshot()
+        if last == cur:
+            return False
+        if last is None:
+            rollup = self._full(table.scan())
+        else:
+            rollup = self._fold(self.read(),
+                                table.scan_changes(last, cur))
+        rollup.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"v={cur}"))
+        self._advance(cur)
+        return True

@@ -1,0 +1,146 @@
+"""Net changelog (scan_changes) + incremental rollup maintenance.
+
+The changelog contract under each commit family: appends net to
+inserts, compaction nets to ZERO, an upsert nets to its delete+insert
+pairs, a MoR predicate delete nets to deletes — and the rollup folded
+from those deltas must equal a from-scratch recompute byte-for-byte
+after every commit."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.table import IceTable, MaterializedRollup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, g string, v long")
+
+
+def _changes(t, since, until=None):
+    out = {}
+    for r in t.scan_changes(since, until).collect():
+        out.setdefault(r["_change_type"], set()).add(
+            (r["k"], r["g"], r["v"]))
+    return out
+
+
+def test_scan_changes_per_operation(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        partition_col="g", key_col="k", max_rows_per_file=1)
+    s0 = t.manifest.load(load_files=False).snapshot_id
+
+    # append → inserts only
+    t.append(_df(spark, [(4, "b", 40)]))
+    s1 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s0, s1) == {"insert": {(4, "b", 40)}}
+
+    # compact → rewrite-invariant: zero net changes
+    t.compact(min_files=2)
+    s2 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s1, s2) == {}
+    # while scan_incremental re-emits the rewritten rows
+    assert t.scan_incremental(s1, s2).count() > 0
+
+    # upsert → delete+insert pair for the changed row only
+    t.upsert(_df(spark, [(2, "a", 99)]), key_cols=["g", "k"])
+    s3 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s2, s3) == {
+        "insert": {(2, "a", 99)}, "delete": {(2, "a", 20)}}
+
+    # MoR predicate delete (metadata-only commit) → deletes
+    t.delete_where("v >= 40", mode="mor")
+    s4 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s3, s4) == {
+        "delete": {(4, "b", 40), (2, "a", 99)}}
+
+    # whole-window net: s0 → current collapses intermediate churn
+    assert _changes(t, s0) == {"delete": {(2, "a", 20)}}
+
+
+def test_scan_changes_across_schema_evolution(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col=None, key_col="k")
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame(
+        [(3, "c", 30, 0.5)], "k long, g string, val long, q double"),
+        evolve_schema=True)
+    rows = t.scan_changes(s0).collect()
+    # since-side read under the OLD name aligns forward; the evolved
+    # column reads NULL for nothing here (only the new row is emitted)
+    assert [(r["k"], r["val"], r["q"], r["_change_type"])
+            for r in rows] == [(3, 30, 0.5, "insert")]
+
+
+def test_rollup_tracks_full_recompute(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        partition_col="g", key_col="k", max_rows_per_file=1)
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+
+    def assert_matches():
+        got = sorted(map(tuple, ru.read().collect()))
+        want = sorted(map(tuple, (
+            t.scan().groupBy("g")
+            .agg(F.count(F.lit(1)).alias("row_count"),
+                 F.sum(F.col("v").cast("decimal(18,6)"))
+                 .cast("decimal(28,6)").alias("sum_v"))
+        ).collect()))
+        assert got == want
+
+    assert ru.refresh(t) is True      # first refresh: full aggregate
+    assert ru.refresh(t) is False     # caught up: no-op
+    assert_matches()
+
+    t.append(_df(spark, [(4, "b", 40), (5, "c", 50)]))
+    assert ru.refresh(t) is True      # incremental fold
+    assert_matches()
+
+    t.upsert(_df(spark, [(2, "a", 99)]), key_cols=["g", "k"])
+    ru.refresh(t)
+    assert_matches()
+
+    t.compact(min_files=2)
+    ru.refresh(t)                     # zero-delta fold
+    assert_matches()
+
+    # delete a whole group: its rollup row must disappear
+    t.delete_where("g = 'c'", mode="mor")
+    ru.refresh(t)
+    assert_matches()
+    assert sorted(r["g"] for r in ru.read().collect()) == ["a", "b"]
+
+
+def test_rollup_crash_heals(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10)]), partition_col=None, key_col="k")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+    ru.refresh(t)
+    t.append(_df(spark, [(2, "b", 20)]))
+    ru.refresh(t)
+    final = sorted(map(tuple, ru.read().collect()))
+
+    # simulate a crash BETWEEN the version write and the watermark
+    # advance: roll the meta back one snapshot — the version dir for
+    # the newer snapshot already exists on disk
+    snaps = t.manifest.snapshots(load_files=False)
+    with open(os.path.join(str(tmp_path / "ru"), "_meta.json")) as f:
+        meta = json.load(f)
+    meta["synced_snapshot_id"] = snaps[0].snapshot_id
+    meta["ref"] = f"v={snaps[0].snapshot_id}"
+    with open(os.path.join(str(tmp_path / "ru"), "_meta.json"),
+              "w") as f:
+        json.dump(meta, f)
+
+    assert ru.refresh(t) is True      # re-fold overwrites the orphan
+    assert sorted(map(tuple, ru.read().collect())) == final
