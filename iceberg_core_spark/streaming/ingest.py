@@ -61,6 +61,7 @@ def stream_ingest_to_table(
     branch: str | None = None,
     maintenance: "MaintenancePolicy | None" = None,
     maintenance_every: int = 10,
+    rollups: list | None = None,
 ) -> StreamingQuery:
     """File-source stream → partitioned, clustered, manifest-committed
     table. ``trigger`` e.g. {"processingTime": "1 seconds"} (the
@@ -92,7 +93,19 @@ def stream_ingest_to_table(
     blockManager.go:65-67): file counts stay bounded while the stream
     runs, replay protection survives history trimming (expire pins
     each lineage's newest batch stamp), and a staged branch or lost
-    commit race skips the tick instead of killing the stream."""
+    commit race skips the tick instead of killing the stream.
+
+    ``rollups``: :class:`~iceberg_core_spark.table.rollup.MaterializedRollup`
+    instances refreshed after every micro-batch commit — the
+    continuously-maintained aggregate view of a continuously-ingesting
+    table. Refresh folds only the batch's changelog delta (and a
+    compaction tick's delta is zero rows), so per-batch cost tracks
+    batch size, not table size. Crash-safe without coordination: the
+    rollup syncs FROM the table (single source of truth) with its own
+    watermark, so a driver death between the table commit and the
+    rollup write just means the next batch's refresh folds both. With
+    ``branch=`` staging, rollups track the PUBLISHED view — staged
+    batches fold in when ``publish_branch`` runs."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -165,7 +178,16 @@ def stream_ingest_to_table(
                      branch=branch)
         maybe_maintain(table, batch_id)
 
-    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
+    def commit_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch(batch_df, batch_id)
+        if rollups:
+            table = IceTable(spark, table_root)
+            if table.manifest.current_snapshot_id() is not None:
+                for ru in rollups:
+                    ru.refresh(table)
+
+    writer = stream.writeStream.foreachBatch(
+        commit_and_refresh).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -1446,16 +1446,24 @@ class IceTable:
         base = self.manifest.load(since, load_files=False)
 
         def entries(snap) -> dict[str, int]:
-            # (path, seq) pairs only — never full sidecar entries
+            # (path, seq) pairs only — never full sidecar entries.
+            # VISIBLE files only: a WAP-staged file keeps its path
+            # across stage→publish, so visibility (not path presence)
+            # is what the diff must compare — publish_branch surfaces
+            # the staged rows as inserts here.
+            hid = _hidden_seqs(snap, None)
             if snap.files_ref:
                 df = self.spark.read.parquet(
                     self.manifest.sidecar_path(snap.files_ref)
                 ).select("path", "seq")
                 return {r.path: (r.seq if r.seq is not None else 0)
-                        for r in df.collect()}
+                        for r in df.collect()
+                        if (r.seq if r.seq is not None else 0)
+                        not in hid}
             full = (snap if snap.files
                     else self.manifest.load(snap.snapshot_id))
-            return {f.path: f.seq for f in full.files}
+            return {f.path: f.seq for f in full.files
+                    if f.seq not in hid}
 
         def stub(path: str, seq: int) -> ManifestFile:
             return ManifestFile(path=path, partition=None, key_min=None,

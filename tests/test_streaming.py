@@ -565,3 +565,51 @@ def test_stream_admit_with_persisted_index(spark, tmp_path):
                  spark.read.parquet(os.path.join(index_root, "fp"))
                  .select("__cid").collect())
     assert ids == [1, 11]
+
+
+def test_stream_ingest_with_continuous_rollup(spark, tmp_path):
+    """rollups= keeps a MaterializedRollup current with the ingest:
+    after each drain the rollup equals a from-scratch recompute of the
+    table, folded incrementally (the rollup's watermark advances with
+    the table's snapshots, never resetting to a full scan)."""
+    from iceberg_core_spark.table import MaterializedRollup
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=[PARTITION_COL],
+                            sum_cols=["latitude"])
+
+    def drain():
+        q = stream_ingest_to_table(
+            spark, src, table_root, location_df(spark, []).schema,
+            partition_col=PARTITION_COL, key_col=KEY_COL,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+            rollups=[ru],
+        )
+        assert q.awaitTermination(120)
+
+    def recompute():
+        t = IceTable(spark, table_root)
+        return sorted(map(tuple, (
+            t.scan().groupBy(PARTITION_COL)
+            .agg(F.count(F.lit(1)).alias("row_count"),
+                 F.sum(F.col("latitude").cast("decimal(18,6)"))
+                 .cast("decimal(28,6)").alias("sum_latitude"))
+        ).collect()))
+
+    _drop_file(spark, [location_row(timestamp=100000, latitude=1.5),
+                       location_row(timestamp=100100, latitude=2.5)],
+               src, "b1.parquet")
+    drain()
+    assert sorted(map(tuple, ru.read().collect())) == recompute()
+    wm1 = ru.synced_snapshot()
+
+    _drop_file(spark, [location_row(timestamp=100200, user_id="userid2",
+                                    latitude=4.0)],
+               src, "b2.parquet")
+    drain()
+    assert sorted(map(tuple, ru.read().collect())) == recompute()
+    assert ru.synced_snapshot() > wm1  # folded forward, not rebuilt

@@ -61,6 +61,37 @@ def test_scan_changes_per_operation(spark, tmp_path):
     assert _changes(t, s0) == {"delete": {(2, "a", 20)}}
 
 
+def test_scan_changes_reads_only_changed_files(spark, tmp_path):
+    """Append-only window: the changelog plan touches ONE data file
+    (the appended one) — not the table — so per-batch fold cost tracks
+    batch size at any table size."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(i, "a", i) for i in range(20)]),
+        partition_col=None, key_col="k", max_rows_per_file=1)
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.append(_df(spark, [(100, "b", 100)]))
+    files = t.scan_changes(s0).inputFiles()
+    assert len(files) == 1
+
+
+def test_scan_changes_wap_publish_surfaces_inserts(spark, tmp_path):
+    """A staged (write-audit-publish) batch is INVISIBLE to the
+    changelog until publish; the metadata-only publish then surfaces
+    exactly the staged rows as inserts — visibility, not path
+    presence, drives the diff."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 10)]),
+        partition_col=None, key_col="k")
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.append(_df(spark, [(2, "b", 20)]), branch="audit")
+    s1 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s0, s1) == {}          # staged: hidden
+    t.publish_branch("audit")
+    assert _changes(t, s1) == {"insert": {(2, "b", 20)}}
+    assert _changes(t, s0) == {"insert": {(2, "b", 20)}}
+
+
 def test_scan_changes_across_schema_evolution(spark, tmp_path):
     t = IceTable.create(
         spark, str(tmp_path / "t"),
