@@ -135,8 +135,17 @@ class MaterializedRollup:
         if last is None:
             rollup = self._full(table.scan())
         else:
-            rollup = self._fold(self.read(),
-                                table.scan_changes(last, cur))
+            try:
+                changes = table.scan_changes(last, cur)
+            except FileNotFoundError:
+                # the synced snapshot was expired (expire_snapshots
+                # dropped its metadata) — the delta is unrecoverable,
+                # so rebuild from the current contents; a rollup
+                # refreshed at least once per retention window never
+                # hits this
+                rollup = self._full(table.scan())
+            else:
+                rollup = self._fold(self.read(), changes)
         rollup.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={cur}"))
         self._advance(cur)

@@ -150,6 +150,32 @@ def test_rollup_tracks_full_recompute(spark, tmp_path):
     assert sorted(r["g"] for r in ru.read().collect()) == ["a", "b"]
 
 
+def test_rollup_rebuilds_after_watermark_expiry(spark, tmp_path):
+    """If expire_snapshots dropped the rollup's synced snapshot, the
+    delta is unrecoverable — refresh falls back to a full rebuild and
+    still matches a recompute."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col=None, key_col="k")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+    ru.refresh(t)
+    t.append(_df(spark, [(3, "b", 30)]))
+    t.append(_df(spark, [(4, "c", 40)]))
+    expired = t.expire_snapshots(keep_last=1)
+    assert ru.synced_snapshot() in expired
+    assert ru.refresh(t) is True
+    got = sorted(map(tuple, ru.read().collect()))
+    want = sorted(map(tuple, (
+        t.scan().groupBy("g")
+        .agg(F.count(F.lit(1)).alias("row_count"),
+             F.sum(F.col("v").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_v"))
+    ).collect()))
+    assert got == want
+
+
 def test_rollup_crash_heals(spark, tmp_path):
     t = IceTable.create(
         spark, str(tmp_path / "t"),
