@@ -208,6 +208,7 @@ def stream_admit_to_table(
     quarantine_root: str | None = None,
     index_root: str | None = None,
     max_rows_per_file: int = 8192,
+    max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     source_format: str = "parquet",
@@ -241,6 +242,12 @@ def stream_admit_to_table(
     corpus pass disappears. The first batch creates the table
     unfiltered (no corpus yet); batch-INTERNAL duplicates are out of
     scope by design (run the corpus-wide pass over a batch for that).
+    Because of that first-batch semantics, a COLD START over a backlog
+    of delivery files would swallow the whole backlog into the
+    unfiltered create — set ``max_files_per_trigger`` (the file
+    source's maxFilesPerTrigger, honored by availableNow drains) so
+    each delivery is judged as its own micro-batch against the
+    admissions before it.
     """
     from iceberg_core_spark.functions.dedup_incremental import (
         THRESHOLD,
@@ -249,11 +256,11 @@ def stream_admit_to_table(
     )
 
     thr = THRESHOLD if threshold is None else threshold
-    stream = (
-        spark.readStream.format(source_format)
-        .schema(schema)
-        .load(source_dir)
-    )
+    reader = spark.readStream.format(source_format).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    stream = reader.load(source_dir)
 
     import uuid as _uuid
 

@@ -613,3 +613,44 @@ def test_stream_ingest_with_continuous_rollup(spark, tmp_path):
     drain()
     assert sorted(map(tuple, ru.read().collect())) == recompute()
     assert ru.synced_snapshot() > wm1  # folded forward, not rebuilt
+
+
+def test_stream_admit_cold_start_backlog_batched(spark, tmp_path):
+    """A cold start over a BACKLOG of delivery files with
+    max_files_per_trigger=1 judges each delivery against the
+    admissions before it — without it, the whole backlog would land in
+    the unfiltered first-batch create."""
+    from iceberg_core_spark.streaming.ingest import stream_admit_to_table
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+
+    def doc_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def doc_file(rows, name):
+        doc_df(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "_stage"))
+        part = [f for f in os.listdir(os.path.join(src, "_stage"))
+                if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, "_stage", part),
+                    os.path.join(src, name))
+
+    # both files present BEFORE the stream starts
+    doc_file([(1, base)], "b0.parquet")
+    doc_file([(10, base), (11, "fresh text about stream batching")],
+             "b1.parquet")
+    q = stream_admit_to_table(
+        spark, src, str(tmp_path / "table"), doc_df([]).schema,
+        partition_col=None, key_col="doc_id",
+        max_files_per_trigger=1,
+        trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    t = IceTable(spark, str(tmp_path / "table"))
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 11]
+    snaps = t.manifest.snapshots(load_files=False)
+    assert [s.source_batch_id for s in snaps] == [0, 1]
