@@ -1446,20 +1446,17 @@ class IceTable:
         base = self.manifest.load(since, load_files=False)
 
         def entries(snap) -> dict[str, int]:
-            # (path, seq) pairs only — never full sidecar entries.
-            # VISIBLE files only: a WAP-staged file keeps its path
-            # across stage→publish, so visibility (not path presence)
-            # is what the diff must compare — publish_branch surfaces
-            # the staged rows as inserts here.
+            # (path, seq) pairs only — never full sidecar entries
+            # (read_sidecar_path_seq is the documented ~100 B/file
+            # stub budget). VISIBLE files only: a WAP-staged file
+            # keeps its path across stage→publish, so visibility (not
+            # path presence) is what the diff must compare —
+            # publish_branch surfaces the staged rows as inserts here.
             hid = _hidden_seqs(snap, None)
             if snap.files_ref:
-                df = self.spark.read.parquet(
-                    self.manifest.sidecar_path(snap.files_ref)
-                ).select("path", "seq")
-                return {r.path: (r.seq if r.seq is not None else 0)
-                        for r in df.collect()
-                        if (r.seq if r.seq is not None else 0)
-                        not in hid}
+                pairs = self.manifest.read_sidecar_path_seq(
+                    snap.files_ref)
+                return {p: s for p, s in pairs if s not in hid}
             full = (snap if snap.files
                     else self.manifest.load(snap.snapshot_id))
             return {f.path: f.seq for f in full.files

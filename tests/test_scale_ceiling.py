@@ -126,6 +126,25 @@ def test_incremental_planning_bounded_100k(big_manifest_table):
     assert elapsed < 300, f"planning took {elapsed:.0f}s"
 
 
+def test_changelog_planning_bounded_100k(big_manifest_table):
+    """scan_changes over a 100k-file sidecar window: planning stays in
+    the (path, seq) stub budget (column-projected pyarrow read, no
+    entry_json parse) and the diff plan reads only the CHANGED files —
+    an append-only window diffs as added-files-only, the since side
+    contributes an empty scan."""
+    t, base = big_manifest_table
+    t0 = time.monotonic()
+    tracemalloc.start()
+    ch = t.scan_changes(since=base)
+    n_inputs = len(ch.inputFiles())
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    elapsed = time.monotonic() - t0
+    assert n_inputs == N_FILES - N_BASE
+    assert peak < 100 * 1024 * 1024, f"planning peak {peak/1e6:.0f} MB"
+    assert elapsed < 300, f"planning took {elapsed:.0f}s"
+
+
 def test_pruned_query_survivor_stubs_100k(big_manifest_table):
     """A selective key-range query over the 100k-entry sidecar prunes
     with a DataFrame predicate; only the ~10 surviving stubs ever
