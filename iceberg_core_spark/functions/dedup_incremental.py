@@ -69,13 +69,17 @@ from iceberg_core_spark.functions.dedup_portable import (
     N_BANDS,
     THRESHOLD,
 )
-from iceberg_core_spark.session import load_table
+from iceberg_core_spark.session import load_table, spread
 
 
 def _band_triples(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, band_idx, band_hash) triples of the portable MinHash —
-    the only thing the candidate join ever shuffles."""
-    sigs = df.select(
+    the only thing the candidate join ever shuffles. The signature map
+    (N_HASHES md5 evaluations per token) is the pipeline's CPU hot
+    spot, so the input is spread() first — a single-file corpus scan
+    would otherwise serialize the whole map on one core (no-op at
+    real scale, where the scan already has >= parallelism splits)."""
+    sigs = spread(df).select(
         F.col(id_col), shingles(F.col(text_col)).alias("__t")
     ).select(id_col, *_minhash_sig(F.col("__t")))
     return sigs.select(
@@ -93,8 +97,9 @@ def _band_triples(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _corpus_fp(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(fp, __cid) fingerprint pairs of a corpus frame — the raw rows
     an AdmissionIndex persists (min-id aggregation happens at judge
-    time so index appends never rewrite)."""
-    return corpus.select(
+    time so index appends never rewrite). spread() parallelizes the
+    normalize+md5 map over a single-file scan."""
+    return spread(corpus).select(
         T.fingerprint(F.col(text_col)).alias("fp"),
         F.col(id_col).alias("__cid"),
     )
@@ -102,9 +107,10 @@ def _corpus_fp(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _corpus_shingles(corpus: DataFrame, text_col: str,
                      id_col: str) -> DataFrame:
-    """(__cid, tb) shingle sets of a corpus frame (verify side)."""
-    return corpus.select(F.col(id_col).alias("__cid"),
-                         shingles(F.col(text_col)).alias("tb"))
+    """(__cid, tb) shingle sets of a corpus frame (verify side);
+    spread() parallelizes the tokenize map over a single-file scan."""
+    return spread(corpus).select(F.col(id_col).alias("__cid"),
+                                 shingles(F.col(text_col)).alias("tb"))
 
 
 def _judge(
