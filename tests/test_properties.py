@@ -264,3 +264,93 @@ def test_dedup_batch_matches_bruteforce_model(spark, corpus, batch):
         else:
             assert r.verdict == "unique"
             assert r.match_id is None and r.jacc is None
+
+
+# ---- net changelog + incremental rollup vs a multiset model ---------
+
+_TBL_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(
+            st.tuples(st.integers(0, 30), st.sampled_from("abc"),
+                      st.integers(0, 100)),
+            min_size=1, max_size=5)),
+        st.tuples(st.just("upsert"), st.lists(
+            st.tuples(st.integers(0, 30), st.sampled_from("abc"),
+                      st.integers(0, 100)),
+            min_size=1, max_size=4, unique_by=lambda r: r[0])),
+        st.tuples(st.just("delete"), st.integers(0, 100)),
+        st.tuples(st.just("compact")),
+    ),
+    min_size=2, max_size=5,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=_TBL_OPS)
+def test_changelog_and_rollup_match_multiset_model(
+        spark, tmp_path_factory, ops):
+    """Random append/upsert/MoR-delete/compact sequences: after every
+    commit the incrementally-folded rollup equals a from-scratch
+    recompute, and the net changelog from ANY earlier snapshot equals
+    the multiset difference of the model states."""
+    from collections import Counter
+
+    from iceberg_core_spark.table import MaterializedRollup
+
+    base = tmp_path_factory.mktemp("chgprop")
+    root = str(base / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, g string, v long")
+
+    seed = [(0, "a", 5), (1, "b", 7), (0, "a", 5)]  # dup row on purpose
+    t = IceTable.create(spark, root, df_of(seed), partition_col=None,
+                        key_col="k", max_rows_per_file=2)
+    model = Counter(seed)
+    ru = MaterializedRollup(spark, str(base / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+    ru.refresh(t)
+    states = [(t.manifest.load(load_files=False).snapshot_id,
+               Counter(model))]
+
+    for op in ops:
+        if op[0] == "append":
+            t.append(df_of(op[1]), dedupe_identical_files=False)
+            model.update(op[1])
+        elif op[0] == "upsert":
+            t.upsert(df_of(op[1]), key_cols=["k"])
+            keys = {r[0] for r in op[1]}
+            model = Counter({r: n for r, n in model.items()
+                             if r[0] not in keys})
+            model.update(op[1])
+        elif op[0] == "delete":
+            t.delete_where(f"v >= {op[1]}", mode="mor")
+            model = Counter({r: n for r, n in model.items()
+                             if r[2] < op[1]})
+        else:
+            t.compact(min_files=2)
+        ru.refresh(t)
+        # rollup == from-scratch recompute after EVERY commit
+        got = sorted(map(tuple, ru.read().collect()))
+        want = sorted(map(tuple, (
+            t.scan().groupBy("g")
+            .agg(F.count(F.lit(1)).alias("row_count"),
+                 F.sum(F.col("v").cast("decimal(18,6)"))
+                 .cast("decimal(28,6)").alias("sum_v"))
+        ).collect()))
+        assert got == want
+        states.append((t.manifest.load(load_files=False).snapshot_id,
+                       Counter(model)))
+
+    # the table itself equals the model (sanity on the model)
+    assert Counter(map(tuple, t.scan().collect())) == model
+
+    # net changelog from EVERY recorded snapshot == multiset diff
+    for sid, snap_model in states[:-1]:
+        ins, dels = Counter(), Counter()
+        for r in t.scan_changes(since=sid).collect():
+            row = (r["k"], r["g"], r["v"])
+            (ins if r["_change_type"] == "insert" else dels)[row] += 1
+        assert ins == model - snap_model, (sid, ins, model - snap_model)
+        assert dels == snap_model - model, (sid, dels)
