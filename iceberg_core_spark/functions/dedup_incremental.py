@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json as _json
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -224,10 +225,23 @@ class AdmissionIndex:
     deriving them — per-batch cost drops the corpus text pass and the
     shingle/signature recompute; what remains is the fp hash-join,
     the asymmetric band join, and candidate-targeted shingle reads.
+
+    Layout & maintenance: each table lives under a GENERATION dir
+    (``fp/gen=G/snap=<id>/...``). Per-snapshot sync dirs accumulate
+    with every micro-batch — a month of 1-minute batches is ~43k
+    directories — so :meth:`compact` consolidates the current
+    generation into ``gen=G+1`` (one right-sized dir per table) and
+    flips the meta atomically: a crash mid-compact leaves gen G
+    authoritative and a partial G+1 that the next compact overwrites;
+    stale generations are swept opportunistically. Single maintainer
+    assumed (the streaming ingest's driver), same as the table layer's
+    single-writer commit discipline per lineage.
     """
 
     _ROW_ADDING = ("create", "append")
     _REWRITE_ONLY = ("compact",)
+    _KINDS = ("fp", "bands", "shingles")
+    _ROWS_PER_FILE = 250_000
 
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -239,30 +253,92 @@ class AdmissionIndex:
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_meta.json")
 
-    def synced_snapshot(self) -> int | None:
+    def _meta(self) -> dict:
         try:
             with open(self._meta_path()) as f:
-                return _json.load(f)["synced_snapshot_id"]
+                return _json.load(f)
         except FileNotFoundError:
-            return None
+            return {"synced_snapshot_id": None, "generation": 0}
 
-    def _advance(self, snapshot_id: int) -> None:
+    def synced_snapshot(self) -> int | None:
+        return self._meta()["synced_snapshot_id"]
+
+    def generation(self) -> int:
+        return self._meta().get("generation", 0)
+
+    def _write_meta(self, meta: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"synced_snapshot_id": snapshot_id}, f)
+            _json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
-    def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
-        sub = f"snap={snapshot_id}"
+    def _advance(self, snapshot_id: int) -> None:
+        self._write_meta({**self._meta(),
+                          "synced_snapshot_id": snapshot_id})
+
+    def _kind_dir(self, kind: str, gen: int | None = None) -> str:
+        g = self.generation() if gen is None else gen
+        return os.path.join(self.root, kind, f"gen={g}")
+
+    def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
         rows = rows.select(self.id_col, self.text_col)
-        _corpus_fp(rows, self.text_col, self.id_col).write.mode(
-            "overwrite").parquet(os.path.join(self.root, "fp", sub))
-        _band_triples(rows, self.text_col, self.id_col).withColumnRenamed(
-            self.id_col, "__cid").write.mode("overwrite").parquet(
-            os.path.join(self.root, "bands", sub))
-        _corpus_shingles(rows, self.text_col, self.id_col).write.mode(
-            "overwrite").parquet(os.path.join(self.root, "shingles", sub))
+        return {
+            "fp": _corpus_fp(rows, self.text_col, self.id_col),
+            "bands": _band_triples(
+                rows, self.text_col, self.id_col
+            ).withColumnRenamed(self.id_col, "__cid"),
+            "shingles": _corpus_shingles(rows, self.text_col,
+                                         self.id_col),
+        }
+
+    def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
+        # size the files to the increment: spread() widened the hash
+        # maps to cluster parallelism, but a micro-batch increment
+        # should land as a handful of files, not 32 shards of nothing
+        n = rows.count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        sub = f"snap={snapshot_id}"
+        for kind, frame in self._frames(rows).items():
+            frame.coalesce(parts).write.mode("overwrite").parquet(
+                os.path.join(self._kind_dir(kind), sub))
+
+    def compact(self) -> int:
+        """Consolidate the current generation's per-snapshot dirs into
+        one right-sized dir under ``gen=G+1``; returns the new
+        generation (the current one if there was nothing to compact).
+        Crash-safe: gen G stays authoritative until the single atomic
+        meta flip; a partial G+1 is overwritten by the next attempt;
+        generations other than the current are swept afterwards."""
+        meta = self._meta()
+        if meta["synced_snapshot_id"] is None:
+            return meta.get("generation", 0)
+        gen = meta.get("generation", 0)
+        snap_dirs = [d for d in os.listdir(self._kind_dir("fp", gen))
+                     if d.startswith("snap=")]
+        if len(snap_dirs) <= 1:
+            return gen
+        sub = f"snap={meta['synced_snapshot_id']}"
+        n = self._read("fp", ["__cid"]).count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        for kind, cols in (("fp", ["fp", "__cid"]),
+                           ("bands", ["__cid", "band_idx", "band_hash"]),
+                           ("shingles", ["__cid", "tb"])):
+            # clear any partial gen+1 left by a crashed compact whose
+            # watermark has since moved — it was never authoritative
+            shutil.rmtree(self._kind_dir(kind, gen + 1),
+                          ignore_errors=True)
+            self._read(kind, cols).repartition(parts).write.mode(
+                "overwrite").parquet(
+                os.path.join(self._kind_dir(kind, gen + 1), sub))
+        self._write_meta({**meta, "generation": gen + 1})
+        for kind in self._KINDS:
+            base = os.path.join(self.root, kind)
+            for d in os.listdir(base):
+                if d != f"gen={gen + 1}":
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+        return gen + 1
 
     def sync(self, table) -> int:
         """Catch the index up to ``table``'s current snapshot; returns
@@ -293,9 +369,9 @@ class AdmissionIndex:
             n += 1
         return n
 
-    def _read(self, sub: str, cols: list[str]) -> DataFrame:
+    def _read(self, kind: str, cols: list[str]) -> DataFrame:
         return self.spark.read.parquet(
-            os.path.join(self.root, sub)).select(*cols)
+            self._kind_dir(kind)).select(*cols)
 
     def judge(self, batch: DataFrame,
               threshold: float = THRESHOLD) -> DataFrame:

@@ -207,6 +207,7 @@ def stream_admit_to_table(
     admit_verdicts: tuple = ("unique",),
     quarantine_root: str | None = None,
     index_root: str | None = None,
+    index_compact_every: int = 50,
     max_rows_per_file: int = 8192,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
@@ -239,7 +240,9 @@ def stream_admit_to_table(
     :class:`~iceberg_core_spark.functions.dedup_incremental.AdmissionIndex`
     is synced from the table before each judgment (idempotent,
     crash-healing — the table is the single source of truth) and the
-    corpus pass disappears. The first batch creates the table
+    corpus pass disappears; every ``index_compact_every`` batches the
+    index's per-snapshot sync dirs consolidate into a fresh generation
+    (crash-safe atomic flip; 0 disables). The first batch creates the table
     unfiltered (no corpus yet); batch-INTERNAL duplicates are out of
     scope by design (run the corpus-wide pass over a batch for that).
     Because of that first-batch semantics, a COLD START over a backlog
@@ -286,6 +289,12 @@ def stream_admit_to_table(
             idx = AdmissionIndex(spark, index_root,
                                  text_col=text_col, id_col=id_col)
             idx.sync(table)
+            # the per-snapshot sync dirs accumulate one per batch —
+            # consolidate on the maintenance cadence (crash-safe
+            # generation flip, so a mid-compact death costs nothing)
+            if (index_compact_every > 0 and batch_id > 0
+                    and batch_id % index_compact_every == 0):
+                idx.compact()
         last = table.last_committed_batch(lineage)
         if last is not None and batch_id <= last:
             return

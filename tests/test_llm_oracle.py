@@ -480,3 +480,64 @@ def test_admission_index_matches_scan_derived(spark, tmp_path):
     t.delete_where("doc_id = 2")
     with _pytest.raises(ValueError, match="append-only"):
         idx.sync(t)
+
+
+def test_admission_index_compaction(spark, tmp_path):
+    """compact() consolidates the per-snapshot sync dirs into one
+    generation dir with byte-identical verdicts; sync continues into
+    the new generation; a partial next-generation dir left by a crash
+    is overwritten, never read."""
+    import os as _os
+
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    cdf = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus text"), (3, base + " extra")],
+        "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        cdf.filter("doc_id = 1"),
+                        partition_col=None, key_col="doc_id")
+    t.append(cdf.filter("doc_id = 2"))
+    t.append(cdf.filter("doc_id = 3"))
+
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    idx.sync(t)
+    batch = spark.createDataFrame(
+        [(100, base), (101, "nothing alike at all")],
+        "doc_id long, text string")
+    before = sorted(map(tuple, idx.judge(batch).collect()))
+    gen_dir = idx._kind_dir("fp")
+    assert len([d for d in _os.listdir(gen_dir)
+                if d.startswith("snap=")]) == 3
+
+    # a crashed earlier compact left partial garbage in gen=1: it must
+    # be overwritten, not trusted
+    poison = _os.path.join(str(tmp_path / "idx"), "fp", "gen=1", "snap=0")
+    _os.makedirs(poison)
+    spark.createDataFrame([("junk", 999)], "fp string, __cid long") \
+        .write.mode("overwrite").parquet(poison)
+
+    assert idx.compact() == 1
+    assert idx.generation() == 1
+    after = sorted(map(tuple, idx.judge(batch).collect()))
+    assert after == before
+    # one consolidated snap dir; old generation swept
+    new_dir = idx._kind_dir("fp")
+    assert len([d for d in _os.listdir(new_dir)
+                if d.startswith("snap=")]) == 1
+    assert not _os.path.isdir(gen_dir)
+    # nothing to compact -> no generation churn
+    assert idx.compact() == 1
+
+    # sync continues into the compacted generation
+    t.append(spark.createDataFrame([(4, "fresh doc after compact")],
+                                   "doc_id long, text string"))
+    assert idx.sync(t) == 1
+    ids = sorted(r["__cid"] for r in
+                 idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3, 4]

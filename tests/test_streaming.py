@@ -562,8 +562,7 @@ def test_stream_admit_with_persisted_index(spark, tmp_path):
     assert idx.sync(t) <= 1
     assert idx.sync(t) == 0  # now fully caught up, and idempotent
     ids = sorted(r["__cid"] for r in
-                 spark.read.parquet(os.path.join(index_root, "fp"))
-                 .select("__cid").collect())
+                 idx._read("fp", ["__cid"]).collect())
     assert ids == [1, 11]
 
 
