@@ -41,22 +41,35 @@ _SUM_T = "decimal(28,6)"
 
 
 class MaterializedRollup:
-    """Per-``group_cols`` COUNT(*) + exact SUMs of ``sum_cols``,
-    folded forward from the table's changelog.
+    """Per-``group_cols`` COUNT(*) + exact SUMs of ``sum_cols`` (and
+    optionally MIN/MAX of ``min_cols``/``max_cols``), folded forward
+    from the table's changelog.
 
     ``refresh(table)`` catches up to the table's current snapshot:
     the first refresh aggregates the full scan (one pass — the only
     full pass the rollup ever takes); every later refresh folds
     ``scan_changes(last, current)`` signed deltas into the stored
     rollup and drops groups whose live row count reaches zero.
+
+    MIN/MAX are self-maintainable only under INSERTS (new candidates
+    fold as min(old, delta)); a retraction can take the extremum away,
+    which only a group rescan can answer. So a delta containing any
+    delete triggers a full recompute when min/max are tracked — the
+    right tool for append-mostly tables (ingest watermarks like
+    max(event_ts) per source), while pure COUNT/SUM rollups keep
+    incremental folds under every operation.
     """
 
     def __init__(self, spark: SparkSession, root: str,
-                 group_cols: list[str], sum_cols: list[str]):
+                 group_cols: list[str], sum_cols: list[str],
+                 min_cols: list[str] | None = None,
+                 max_cols: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     # -- meta / storage plumbing (AdmissionIndex discipline) ----------
     def _meta_path(self) -> str:
@@ -80,13 +93,20 @@ class MaterializedRollup:
     def _sum_alias(self, c: str) -> str:
         return f"sum_{c}"
 
+    def _minmax_aliases(self) -> list[str]:
+        return ([f"min_{c}" for c in self.min_cols]
+                + [f"max_{c}" for c in self.max_cols])
+
     def _normalize(self, df: DataFrame) -> DataFrame:
-        """Pin storage types so repeated folds can't widen them."""
+        """Pin storage types so repeated folds can't widen them
+        (min/max keep their source column types — min/max of any
+        orderable type is exact by nature)."""
         return df.select(
             *self.group_cols,
             F.col("row_count").cast("long").alias("row_count"),
             *[F.col(self._sum_alias(c)).cast(_SUM_T)
               .alias(self._sum_alias(c)) for c in self.sum_cols],
+            *[F.col(a) for a in self._minmax_aliases()],
         )
 
     def read(self) -> DataFrame:
@@ -102,6 +122,8 @@ class MaterializedRollup:
                 F.count(F.lit(1)).alias("row_count"),
                 *[F.sum(F.col(c).cast("decimal(18,6)"))
                   .alias(self._sum_alias(c)) for c in self.sum_cols],
+                *[F.min(c).alias(f"min_{c}") for c in self.min_cols],
+                *[F.max(c).alias(f"max_{c}") for c in self.max_cols],
             )
         )
 
@@ -112,13 +134,19 @@ class MaterializedRollup:
             F.sum(sign).alias("row_count"),
             *[F.sum(F.col(c).cast("decimal(18,6)") * sign)
               .alias(self._sum_alias(c)) for c in self.sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in self.min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in self.max_cols],
         )
         merged = (
             self._normalize(delta).unionByName(old)
             .groupBy(*self.group_cols)
             .agg(F.sum("row_count").alias("row_count"),
                  *[F.sum(self._sum_alias(c)).alias(self._sum_alias(c))
-                   for c in self.sum_cols])
+                   for c in self.sum_cols],
+                 *[F.min(f"min_{c}").alias(f"min_{c}")
+                   for c in self.min_cols],
+                 *[F.max(f"max_{c}").alias(f"max_{c}")
+                   for c in self.max_cols])
             .filter(F.col("row_count") > 0)
         )
         return self._normalize(merged)
@@ -132,6 +160,7 @@ class MaterializedRollup:
         last = self.synced_snapshot()
         if last == cur:
             return False
+        persisted = None
         if last is None:
             rollup = self._full(table.scan())
         else:
@@ -145,8 +174,20 @@ class MaterializedRollup:
                 # hits this
                 rollup = self._full(table.scan())
             else:
-                rollup = self._fold(self.read(), changes)
+                if self.min_cols or self.max_cols:
+                    # min/max fold only under inserts: a retraction
+                    # can take the extremum away, which only a group
+                    # rescan answers — rebuild when the delta deletes
+                    persisted = changes.persist()
+                    has_delete = not persisted.filter(
+                        F.col("_change_type") == "delete").isEmpty()
+                    rollup = (self._full(table.scan()) if has_delete
+                              else self._fold(self.read(), persisted))
+                else:
+                    rollup = self._fold(self.read(), changes)
         rollup.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={cur}"))
+        if persisted is not None:
+            persisted.unpersist()
         self._advance(cur)
         return True

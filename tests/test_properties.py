@@ -309,7 +309,8 @@ def test_changelog_and_rollup_match_multiset_model(
                         key_col="k", max_rows_per_file=2)
     model = Counter(seed)
     ru = MaterializedRollup(spark, str(base / "ru"),
-                            group_cols=["g"], sum_cols=["v"])
+                            group_cols=["g"], sum_cols=["v"],
+                            min_cols=["v"], max_cols=["v"])
     ru.refresh(t)
     states = [(t.manifest.load(load_files=False).snapshot_id,
                Counter(model))]
@@ -337,7 +338,9 @@ def test_changelog_and_rollup_match_multiset_model(
             t.scan().groupBy("g")
             .agg(F.count(F.lit(1)).alias("row_count"),
                  F.sum(F.col("v").cast("decimal(18,6)"))
-                 .cast("decimal(28,6)").alias("sum_v"))
+                 .cast("decimal(28,6)").alias("sum_v"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v"))
         ).collect()))
         assert got == want
         states.append((t.manifest.load(load_files=False).snapshot_id,

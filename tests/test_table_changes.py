@@ -201,3 +201,27 @@ def test_rollup_crash_heals(spark, tmp_path):
 
     assert ru.refresh(t) is True      # re-fold overwrites the orphan
     assert sorted(map(tuple, ru.read().collect())) == final
+
+
+def test_rollup_minmax_append_only_folds_incrementally(spark, tmp_path):
+    """MIN/MAX fold as min(old, delta) while the window is insert-only
+    (watermark stays incremental — no full scan); the first delete
+    forces the documented rebuild and the values stay right."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col=None, key_col="k")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=[],
+                            min_cols=["v"], max_cols=["v"])
+    ru.refresh(t)
+    t.append(_df(spark, [(3, "a", 5), (4, "b", 99)]))
+    ru.refresh(t)
+    got = {r["g"]: (r["min_v"], r["max_v"]) for r in ru.read().collect()}
+    assert got == {"a": (5, 10), "b": (20, 99)}
+
+    # deleting the current maximum must NOT leave a stale extremum
+    t.delete_where("v = 99", mode="mor")
+    ru.refresh(t)
+    got = {r["g"]: (r["min_v"], r["max_v"]) for r in ru.read().collect()}
+    assert got == {"a": (5, 10), "b": (20, 20)}
