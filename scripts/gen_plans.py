@@ -40,6 +40,10 @@ PICKS = [
     ("sim_search_lsh_portable", "Fully-oracle-checked ANN — single corpus pass computing the portable bucket in codegen, bit_count filter against the query's (Python-computed, identical integer math) bucket, exact-cosine rerank via TakeOrderedAndProject: no global sort, no Python, no second scan."),
     ("agg_approx_distinct_portable", "Cross-engine-verifiable approx distinct — KMV sketch: md5 hashing and the (group, hash) distinct stay map-side before the one shuffle; per-group K-smallest via window; the estimate is one IEEE-deterministic double division. HLL twin remains the mergeable constant-memory production path."),
     ("dedup_incremental", "Batch-vs-corpus admission dedup — the exact tier is one equi-join on the normalized fingerprint (corpus side pre-aggregated fp→min id); the near tier joins BATCH band triples against CORPUS band triples only (asymmetric — never corpus×corpus), so candidates scale with the batch; verify re-joins shingles by id at cluster width; verdict assembly is two left joins. No cartesian, no Python, id+text-only ReadSchema (all plan-gated)."),
+    ("tpch_q2", "Correlated regional-MIN decorrelated — the EUROPE part-supplier frame is built once (derived partsupp aggregates lineitem on (partkey, suppkey)); the per-part MIN joins back as an equi-join on (partkey, cost); nation/region broadcast; no cartesian (plan-gated)."),
+    ("tpch_q9", "5-way profit rollup — one fact-fact shuffle (lineitem⋈orders on orderkey); part/supplier/nation broadcast at dimension scale; the (nation, year) group key is tiny so the final aggregate is all partial-combine."),
+    ("table_changelog", "Net row-level changelog — both sides read ONLY changed files (added/removed; 100k-ceiling test pins it), each under its own snapshot's predicates; the insert/delete split is two exceptAll branches over the same two scans, multiset-correct; compaction windows net to a zero-row plan."),
+    ("table_rollup", "Incrementally-maintained rollup read — the query is a plain scan of the last committed rollup version (parquet dir); ALL fold work happened at refresh time against changelog deltas, so read cost is O(groups), never O(table)."),
 ]
 
 
