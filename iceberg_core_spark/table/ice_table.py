@@ -1471,11 +1471,21 @@ class IceTable:
         added = [stub(p, s) for p, s in cur_e.items() if p not in base_e]
         removed = [stub(p, s) for p, s in base_e.items()
                    if p not in cur_e]
-        new_preds = [p for p in cur.delete_predicates
-                     if p not in base.delete_predicates]
+        # predicates CHANGED in either direction pull predicate-visible
+        # older common files into the diff: added preds hide rows
+        # (deletes), and preds REMOVED by a rollback make rows
+        # re-appear (inserts). Compact also removes preds, but it
+        # rewrites every pred-affected file, so no common file
+        # survives to be pulled in there.
+        changed_preds = (
+            [p for p in cur.delete_predicates
+             if p not in base.delete_predicates]
+            + [p for p in base.delete_predicates
+               if p not in cur.delete_predicates]
+        )
         common_aff: list[ManifestFile] = []
-        if new_preds:
-            mx = max(p["seq"] for p in new_preds)
+        if changed_preds:
+            mx = max(p["seq"] for p in changed_preds)
             common_aff = [stub(p, s) for p, s in cur_e.items()
                           if p in base_e and s < mx]
         side_u = self._read_with_deletes(

@@ -92,6 +92,24 @@ def test_scan_changes_wap_publish_surfaces_inserts(spark, tmp_path):
     assert _changes(t, s0) == {"insert": {(2, "b", 20)}}
 
 
+def test_scan_changes_rollback_of_mor_delete_reappears(spark, tmp_path):
+    """Rolling back a MoR predicate delete REMOVES a predicate without
+    touching any file: the window's diff must still pull the
+    predicate-visible files in, so the restored rows surface as
+    inserts (the mirror image of the delete window)."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "b", 99)]),
+        partition_col=None, key_col="k")
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.delete_where("v = 99", mode="mor")
+    s1 = t.manifest.load(load_files=False).snapshot_id
+    assert _changes(t, s0, s1) == {"delete": {(2, "b", 99)}}
+    t.rollback(s0)
+    assert _changes(t, s1) == {"insert": {(2, "b", 99)}}
+    assert _changes(t, s0) == {}  # net round trip: nothing changed
+
+
 def test_scan_changes_across_schema_evolution(spark, tmp_path):
     t = IceTable.create(
         spark, str(tmp_path / "t"),
