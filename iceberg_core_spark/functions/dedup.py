@@ -728,11 +728,17 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """All-pairs cosine near-dup (oracle-checkable at sf scale). The
     100 TB path is the LSH-bucketed variant in similarity.py — this
-    exact form exists to verify it."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"))
+    exact form exists to verify it. BOTH sides spread(): whichever
+    side the nested-loop join broadcasts, the streamed side then has
+    cluster-width partitions instead of a single-file scan's one —
+    the O(n²) cosine work is the cost center and must parallelize."""
+    from iceberg_core_spark.session import spread
+
+    wide = spread(df)
+    a = wide.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    b = wide.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = fround(cosine(F.col("va"), F.col("vb")), 4)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(

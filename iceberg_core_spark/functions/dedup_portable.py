@@ -73,7 +73,12 @@ def minhash_portable_pairs(
     threshold: float = THRESHOLD,
 ) -> DataFrame:
     """(doc_a, doc_b, jacc): pairs sharing at least one LSH band whose
-    exact shingle Jaccard clears ``threshold``."""
+    exact shingle Jaccard clears ``threshold``. The signature map
+    (N_HASHES md5 per token) spread()s first — a single-file scan
+    would serialize the hot spot on one core (no-op at real scale)."""
+    from iceberg_core_spark.session import spread
+
+    df = spread(df)
     sigs = df.select(
         F.col(id_col), shingles(F.col(text_col)).alias("__t")
     ).select(id_col, "__t", *_minhash_sig(F.col("__t")))
@@ -260,10 +265,14 @@ def simhash_portable_pairs(
     """(doc_a, doc_b, hamming): pairs within ``max_hamming`` bits,
     candidates blocked on chunk equality (4 chunks of 8 bits →
     guaranteed recall for hamming <= 3), same shape as the
-    production twin — only (chunk_idx, chunk, id) ever shuffles."""
+    production twin — only (chunk_idx, chunk, id) ever shuffles.
+    The bit-vote map (32 md5-derived votes per token) spread()s first
+    so a single-file scan can't serialize it on one core."""
+    from iceberg_core_spark.session import spread
+
     chunk_mask = (1 << SIM_CHUNK_BITS) - 1
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_portable(F.col(text_col)).alias("sh"))
+    sh = spread(df).select(F.col(id_col).alias("id"),
+                           simhash_portable(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         "id", "sh",
         F.explode(F.array(*[
