@@ -134,13 +134,29 @@ def decontaminate_ngram_exact(
             ).alias("grams"),
         )
 
+    # gram construction (per-doc n-gram slices + concat_ws) is the
+    # CPU hot spot on BOTH sides — spread() so a single-file scan
+    # can't serialize it on one core (no-op at real scale)
+    from iceberg_core_spark.session import spread
+
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(grams)>0 guard for plain explode, and because the gram
+    # expression is deterministic the optimizer pushes that guard
+    # through the spread() exchange down to the scan — re-evaluating
+    # the ENTIRE n-gram construction per row on the narrow pre-spread
+    # stage (observed: one task doing all the work twice). The outer
+    # variant emits NULL for empty gram arrays, which the inner
+    # broadcast join drops anyway — same result, no inferred filter,
+    # and the hot expression evaluates exactly once, post-spread.
     eval_grams = (
-        grams_of(eval_df)
-        .select(F.explode("grams").alias("g")).distinct()
+        grams_of(spread(eval_df))
+        .select(F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull()).distinct()
     )
+    train = spread(train)
     t = grams_of(train).select(
         id_col, F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("g"),
+        F.explode_outer("grams").alias("g"),
     )
     return (
         t.join(F.broadcast(eval_grams), "g")
