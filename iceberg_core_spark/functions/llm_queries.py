@@ -502,16 +502,25 @@ def text_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram counts (n-gram generation + frequency) — the
     vocabulary-building primitive. Map-side exploding, one hash-agg
     shuffle on the bigram."""
+    from iceberg_core_spark.session import spread
+
     d = load_table(spark, sf, "documents")
     toks = F.split(F.trim(F.lower("text")), r"[ \t\n\x0B\f\r]+")
     bigrams = F.expr(
         "transform(sequence(1, size(__toks) - 1), "
         "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
     )
+    # the >=2 guard lives INSIDE the expression (sequence(1, 0) is
+    # DESCENDING in Spark) and the explode is the outer variant: an
+    # explicit or explode-inferred size filter is deterministic, so
+    # the optimizer would push it through the spread() exchange and
+    # re-tokenize every row on the narrow scan stage
+    guarded = F.when(F.size("__toks") >= 2, bigrams).otherwise(
+        F.array().cast("array<string>"))
     return (
-        d.withColumn("__toks", toks)
-        .filter(F.size("__toks") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        spread(d).withColumn("__toks", toks)
+        .select(F.explode_outer(guarded).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)

@@ -63,8 +63,18 @@ def repetition_signals(
     top_bigram_frac > 0.18); emitting the raw signals keeps the
     thresholding declarative and the query oracle-checkable.
     """
+    from iceberg_core_spark.session import spread
+
     toks = _ws_tokens(F.col(text_col))
-    d = df.withColumn("__t", toks).filter(F.size("__t") >= 1)
+    # spread() first: tokenization is the CPU hot spot and must not
+    # inherit a single-file scan's one-task parallelism. No explicit
+    # size>=1 filter and explode_OUTER, for the same reason: a
+    # deterministic array-size guard (explicit, or inferred from plain
+    # explode by InferFiltersFromGenerate) pushes through the exchange
+    # to the scan and re-evaluates the whole tokenize there; the outer
+    # explode emits NULL for empty docs, dropped right after the
+    # Generate — zero-token docs are absent from the output either way
+    d = spread(df).withColumn("__t", toks)
     bigrams = F.expr(
         "transform(sequence(1, size(__t) - 1), "
         "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
@@ -76,7 +86,8 @@ def repetition_signals(
         F.when(F.size("__t") >= 2, bigrams).otherwise(F.array()),
     )
     ids = [F.col(c) for c in id_cols]
-    exploded = d.select(*ids, F.explode(grams).alias("gram"))
+    exploded = d.select(*ids, F.explode_outer(grams).alias("gram")) \
+        .filter(F.col("gram").isNotNull())
     counted = exploded.groupBy(*ids, "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
