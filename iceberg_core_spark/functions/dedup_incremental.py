@@ -216,9 +216,14 @@ class AdmissionIndex:
     the watermark), so a crash anywhere between a table commit and an
     index write heals on the next sync — the index can never
     permanently miss or double-count a document. Rewrite-only
-    snapshots (compact) change no logical contents and are skipped;
-    row-removing operations raise (an admission corpus is
-    append-only by design — rebuild the index if a table is edited).
+    (compact) and metadata-only (rename/spec/tag) snapshots change no
+    rows the index mirrors and are skipped; a WAP publish indexes the
+    rows it reveals (the staged append synced empty — its files were
+    hidden); a watermark gap (the synced snapshot expired out of the
+    chain) or a legitimate row-removing commit (rollback, drop-branch)
+    forces a full :meth:`rebuild` — never a silent skip that would let
+    duplicates of the missed documents through; upsert/delete/
+    overwrite contradict the append-only contract and raise.
 
     :meth:`judge` runs the SAME ``_judge`` pipeline as
     :func:`dedup_batch`, reading the persisted frames instead of
@@ -238,8 +243,21 @@ class AdmissionIndex:
     single-writer commit discipline per lineage.
     """
 
-    _ROW_ADDING = ("create", "append")
+    _ROW_ADDING = ("create", "append", "add_files")
     _REWRITE_ONLY = ("compact",)
+    # commits that change METADATA but not the visible row set that
+    # the index mirrors (names/specs/tags only) — skipped, not
+    # poisonous. NOT "publish": a staged append syncs EMPTY (its
+    # files are hidden until published), so publish is the commit
+    # that actually surfaces those rows — it indexes the revealed
+    # rows via the changelog below.
+    _METADATA_ONLY = ("set-spec", "rename", "tag")
+    # commits that can REMOVE (or resurrect) visible rows without
+    # violating the append-only spirit of an admission corpus — an
+    # operator rolled back a bad delivery or dropped an audit branch.
+    # The delta is not derivable from the snapshot chain, so these
+    # force a full rebuild (one corpus pass, then incremental again).
+    _REBUILD_ON = ("rollback", "drop-branch")
     _KINDS = ("fp", "bands", "shingles")
     _ROWS_PER_FILE = 250_000
 
@@ -340,26 +358,85 @@ class AdmissionIndex:
                                   ignore_errors=True)
         return gen + 1
 
+    def rebuild(self, table) -> int:
+        """Re-derive the whole index from the table's CURRENT
+        contents into a fresh generation — the recovery path when the
+        per-snapshot delta chain is unusable (expired watermark,
+        rollback, dropped branch). Same crash discipline as
+        :meth:`compact`: the old generation stays authoritative until
+        the single atomic meta flip, a partial next-generation dir is
+        overwritten by the next attempt, stale generations are swept
+        after. Cost is one corpus pass — then sync is incremental
+        again. Returns the target snapshot id."""
+        cur = table.manifest.load(load_files=False).snapshot_id
+        meta = self._meta()
+        gen = meta.get("generation", 0) + 1
+        rows = table.scan(snapshot_id=cur).select(
+            self.id_col, self.text_col)
+        n = rows.count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        sub = f"snap={cur}"
+        for kind, frame in self._frames(rows).items():
+            shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
+            frame.repartition(parts).write.mode("overwrite").parquet(
+                os.path.join(self._kind_dir(kind, gen), sub))
+        self._write_meta({**meta, "synced_snapshot_id": cur,
+                          "generation": gen})
+        for kind in self._KINDS:
+            base = os.path.join(self.root, kind)
+            for d in os.listdir(base):
+                if d != f"gen={gen}":
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+        return cur
+
     def sync(self, table) -> int:
         """Catch the index up to ``table``'s current snapshot; returns
         how many snapshots were ingested. Watermark advances AFTER
         each snapshot's three frames land, so partial progress
-        persists and every step is re-runnable."""
+        persists and every step is re-runnable. Two recovery paths
+        keep the 'never permanently misses a document' contract
+        without poisoning the caller: a watermark GAP (the synced
+        snapshot was expired out of the chain, so intermediate deltas
+        are unrecoverable) and a row-removing-but-legitimate commit
+        (rollback / drop-branch) both force :meth:`rebuild`;
+        metadata-only commits (publish, rename, spec/tag changes) are
+        skipped — their appends were already indexed. Edits that
+        contradict the append-only contract (upsert/delete/overwrite)
+        still raise."""
         last = self.synced_snapshot()
-        snaps = [s for s in table.manifest.snapshots(load_files=False)
+        all_snaps = table.manifest.snapshots(load_files=False)
+        if last is not None and last not in {
+                s.snapshot_id for s in all_snaps}:
+            self.rebuild(table)
+            return 1
+        snaps = [s for s in all_snaps
                  if last is None or s.snapshot_id > last]
         snaps.sort(key=lambda s: s.snapshot_id)
         n = 0
         for s in snaps:
-            if s.operation in self._REWRITE_ONLY:
+            if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:
                 self._advance(s.snapshot_id)
                 continue
-            if s.operation not in self._ROW_ADDING:
+            if s.operation in self._REBUILD_ON:
+                self.rebuild(table)
+                return n + 1
+            if s.operation == "publish":
+                # a staged (WAP) append synced as an empty increment —
+                # its files were hidden; the publish is what reveals
+                # them, and the net changelog of the publish window is
+                # exactly those rows (publish can only reveal, never
+                # remove, so the delta is insert-only by construction)
+                inc = table.scan_changes(
+                    s.parent_id, s.snapshot_id).filter(
+                    F.col("_change_type") == "insert").drop(
+                    "_change_type")
+            elif s.operation not in self._ROW_ADDING:
                 raise ValueError(
                     f"AdmissionIndex requires an append-only table; "
                     f"snapshot {s.snapshot_id} is {s.operation!r} — "
                     f"rebuild the index from the current contents")
-            if s.parent_id is None:
+            elif s.parent_id is None:
                 inc = table.scan(snapshot_id=s.snapshot_id)
             else:
                 inc = table.scan_incremental(
@@ -394,6 +471,51 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup_batch(corpus, batch)
+
+
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _admission_index_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) the PRODUCTION admission path: the 90%
+    corpus committed to an append-only IceTable in two commits, and a
+    persisted AdmissionIndex synced from it — so the driver row proves
+    the incremental sync (create + append increments), not just the
+    on-the-fly derivation."""
+    import tempfile
+
+    root = _IDX_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="ice_admidx_")
+    troot = os.path.join(base, "corpus")
+    t = IceTable.create(
+        spark, troot,
+        docs.filter("doc_id % 10 <> 0 AND doc_id % 3 <> 0"),
+        partition_col=None, key_col="doc_id")
+    t.append(docs.filter("doc_id % 10 <> 0 AND doc_id % 3 = 0"))
+    idx = AdmissionIndex(spark, os.path.join(base, "idx"))
+    idx.sync(t)
+    _IDX_CACHE[sf] = base
+    return base
+
+
+def admission_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: same corpus/batch split and same verdict
+    contract as :func:`dedup_incremental`, but judged through the
+    PERSISTED :class:`AdmissionIndex` (built once per corpus from an
+    append-only IceTable) — the 100 TB path where per-batch cost
+    drops the corpus text pass. Byte-identity with ``dedup_batch`` is
+    asserted in tests/test_llm_oracle.py; the oracle is the
+    dedup_incremental SQL verbatim."""
+    base = _admission_index_root(spark, sf)
+    idx = AdmissionIndex(spark, os.path.join(base, "idx"))
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return idx.judge(batch)
 
 
 _FP_SQL = (
@@ -448,4 +570,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    # the persisted-index production path, same verdict contract and
+    # the SAME oracle text — the two feeds share _judge, so a drift
+    # between them is structurally impossible and the driver row
+    # proves the sync→judge pipeline end-to-end
+    "admission_index": (admission_index, DEDUP_INCREMENTAL_SQL),
 }

@@ -961,7 +961,8 @@ WITH supval AS (
 )
 SELECT partkey, CAST(val AS DOUBLE) AS value
 FROM supval
-WHERE val > (SELECT SUM(val) * 0.001 FROM supval)
+WHERE CAST(val AS DOUBLE)
+      > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM supval)
 ORDER BY value DESC, partkey
 """
 
@@ -1129,7 +1130,7 @@ WHERE r_name = 'EUROPE'
   AND s_suppkey IN (
     SELECT l_suppkey FROM shipped
     JOIN tot ON t_partkey = l_partkey
-    WHERE qty > 0.3 * total_qty)
+    WHERE CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE))
 ORDER BY s_name
 """
 

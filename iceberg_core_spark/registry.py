@@ -62,163 +62,55 @@ def all_queries() -> dict[str, Entry]:
     out.update(TPCH)     # headline multi-join analytics
 
     # ORDER MATTERS: the driver's correctness artifact covers the first
-    # 50 registry entries in dict order. ROUND-6 WINDOW, per the
-    # rotation discipline (every query whose module — or dependency —
-    # changed since its last driver row gets back in; no green row may
-    # age past 2 rounds):
-    # (a) the six late-r5 portable twins lead — registered past the r5
-    # window, repo-oracle green at sf0.001/sf0.01; with their rows,
-    # EVERY approximate family (MinHash, SimHash, LSH→CC,
-    # embedding-LSH, ANN-LSH, IVF) plus KMV counting is
-    # driver-verified, not just repo-verified;
-    # (b) tpch_q12 — the only red r5 row; values were identical, the
-    # oracle's uncast SUM(CASE…) returned HUGEINT (int128) where Spark
-    # sums BIGINT and the driver's value hash is type-sensitive. Fixed
-    # r6 (CAST(… AS BIGINT) on both sums); tests/oracle.py now runs a
-    # typed pre-driver gate (check_types) so this class fails in-repo;
-    # (c) write_shards / scan_csv — registered r6 (the last two
-    # public-API surfaces that had only repo checks): write_shards
-    # reads its shard=N layout BACK and must equal the declared
-    # permutation; scan_csv round-trips documents through headered CSV;
-    # (d) table layer: ice_table.py changed r6 (commit-schema
-    # carry-forward + canonical CAS guards — the r5 flaky-OCC fix).
-    # The diff is confined to what a commit RECORDS (schema_json) and
-    # to conflict paths unreachable in the driver's single-writer runs,
-    # so one representative per commit-op family re-verifies it:
-    # compact rewrite (table_compact), CoW upsert (table_upsert), MoR
-    # delete (table_delete_mor), schema evolution — the one path that
-    # MUST still commit a new schema (schema_evolution), WAP staging
-    # (table_wap), CDC merge (table_cdc), append chain
-    # (table_incremental). The remaining r5-green table rows
-    # (time_travel, wap variants, partition_evolution, cdc_mor,
-    # zorder, stream_ingest, join_bucketed) stand at age 1 on the same
-    # argument + the 360-test suite;
-    # (e) every r3-row veteran cycles back in — 34 queries whose rows
-    # would otherwise hit age 3 (r5 verdict item 5): the win_* family,
-    # set ops, sort/topk, the agg_stats family, scalar_cond/subquery
-    # tails, join_semi/anti/theta/asof, sim_search/batch, scan_avro,
-    # win_tumbling, explode/map, tpch_q3/q5. Their modules are
-    # byte-identical since r3, so these are pure staleness refreshes.
-    # r6 cross-cutting diff note: the whitespace-class sweep (r5 advice
-    # item 1) rewrote `\s+` as the explicit class [ \t\n\x0B\f\r]+ in
-    # BOTH engines across llm_queries/dedup/dedup_portable/vocab/
-    # quality/decontam/relational_ext/udfs. Spark-side this is
-    # PROVABLY identity: Java's \s IS that class, same regex spelled
-    # out, so every recorded row's query still computes byte-identical
-    # results. Oracle-side it only changes behavior on \x0B text
-    # (absent from the synthetic corpus); a full-registry value-exact
-    # re-verification at sf0.01 on post-sweep code backs the claim
-    # (scripts/verify_window.py 125 — see TODO.md r6 notes).
-    # Queries NOT listed keep green rows of age ≤2 on unchanged code:
-    # the 33 r4 rows (relational scan/project/filter/scalar/agg/join
-    # heads, sampling, stateful, stream trio, udtf_tokenize, tpch_q10,
-    # rows-only dedup_simhash/embedding_lsh/clusters_minhash +
-    # sim_search_lsh — each now shadowed by a fully-verified portable
-    # twin) and the 43 r5 rows displaced by (a)-(e).
-    # R7 WINDOW LEADS (registered late-r6, past the full 50-slot
-    # window): tpch_q2/q9/q11/q15/q16/q20 — the six partsupp-dependent
-    # classics, completing all 22 TPC-H shapes against a derived
-    # part-supplier relation (min observed unit price per (partkey,
-    # suppkey) from lineitem). Repo-oracle green at sf0.001 (pytest)
-    # AND hand-verified value-exact at sf0.01; plan-gated no-cartesian
-    # (tests/test_plans.py). Also leading r7: table_changelog (net
-    # row-level changelog — IceTable.scan_changes, the Iceberg
-    # changelog-view analog; the oracle recomputes the same net diff
-    # as initial-vs-final EXCEPT ALL) and table_rollup
-    # (MaterializedRollup incremental view maintenance — folded
-    # commit-by-commit across create/append/upsert/MoR-delete/compact
-    # vs a from-scratch SQL recompute; exact-DECIMAL sums make the
-    # fold order irrelevant). Rotate all eight in first next round,
-    # the same way the late-r5 portable twins led r6.
-    # ---- the r5 window comment follows for audit trail ----
-    # (a) queries with NO driver row yet: the 4 late-r4 registrations
-    # (r4 verdict item 1) plus everything new in r5 (tpch q1/q4/q6/q7/
-    # q8/q12/q13/q14/q17/q18/q19/q21/q22, table_time_travel, table_wap,
-    # table_partition_evolution, table_cdc, table_cdc_mor,
-    # corpus_decontaminate, corpus_pack);
-    # (b) table-layer queries: ice_table.py/manifest.py changed in r5
-    # (WAP staging, tags, rename-stat-cols, estimator);
-    # (c) streaming/queries.py changed post-r4-window — but the diff
-    # since the r4 driver run (14b4e64..HEAD on that file) touches ONLY
-    # stream_dedup_q (source caching + checkpoint cleanup), so the
-    # event-time quartet's green r4 rows (win_tumbling/win_sliding/
-    # win_session/stream_join, recorded on current window code) stand,
-    # and their slots go to the five NEW r5 corpus-assembly queries
-    # (corpus_quality, corpus_pii, vocab_topk, corpus_mix,
-    # corpus_shuffle — new modules quality.py/vocab.py/assembly.py,
-    # no other module touched). streaming/ingest.py's later r5 diff
-    # (auto-maintenance) is likewise confined to
-    # stream_ingest_to_table / stream_cdc_to_table — the quartet's
-    # operators (tumbling_counts/sliding_counts/session_agg/
-    # stream_stream_join) are byte-identical. stream_ingest stays
-    # in-window: its own entry point IS the changed function;
-    # (d) tpch.py gained q1/q4/q6/q12/q14/q18 around the r3-row
-    # veterans q3/q5/q10 — refresh them on current code;
-    # (e) similarity.py changed post-window (IVF staleness monitors);
-    # (f) session.py estimator rewrite (suffix parse, real split
-    # formula) rides under every spread() user: aggs, udfs,
-    # multimodal, text, dedup;
-    # Queries NOT listed keep green rows on code unchanged since they
-    # were recorded: relational.py scan/project/filter/scalar/agg/
-    # join/window tails, relational_ext, bucketed, sampling, stateful,
-    # stream trio r4 rows; join_anti/theta/asof r3 rows (modules
-    # untouched since); and the rows-only dedup_simhash /
-    # dedup_embedding_lsh / dedup_clusters_minhash r4 rows (dedup.py /
-    # llm_queries.py unchanged in r5 — a rows-only refresh verifies
-    # nothing new, so their slots went to the six new TPC-H queries);
-    # text_ngrams'/corpus_clean's/udtf_tokenize's r4 rows likewise
-    # stand (own modules llm_queries.py / udfs.py unchanged), freeing
-    # slots for table_cdc_mor, corpus_decontaminate, and corpus_pack
-    # (all NEW, no row).
-    # R6 WINDOW LEADS (registered late-r5, past the full 50-slot
-    # window): dedup_simhash_portable — the SimHash twin of
-    # dedup_minhash_portable (fully oracle-checked via md5 bit votes)
-    # — and dedup_clusters_portable — the END-TO-END portable dedup
-    # (md5 MinHash-LSH pairs → connected components) whose oracle is
-    # DuckDB's recursive transitive closure over the SAME pairs CTE,
-    # upgrading the production clustering path from rows-only to a
-    # full value-hash check — and dedup_embedding_lsh_portable — the
-    # THIRD hash family upgraded (Rademacher hyperplanes as literal
-    # arrays in both engines, BIGINT-quantized sign bits, proven
-    # cosine verify) — plus sim_search_lsh_portable (ANN over those
-    # buckets), sim_search_ivf_portable (deterministic-quantizer IVF),
-    # and agg_approx_distinct_portable (KMV sketch — the estimate
-    # itself matches DuckDB). All repo-oracle green in
-    # tests/test_llm_oracle.py at sf0.001 AND hand-verified at
-    # sf0.01. Rotate them in first next round, the same way the
-    # late-r4 quartet led r5.
+    # 50 registry entries in dict order, per the rotation discipline:
+    # every query whose module — or dependency — changed since its
+    # last driver row gets back in, and no green row may age past 2
+    # rounds. Past windows' rationale lives in git history (r3-r6
+    # comments) and in the CORRECTNESS_r*.json artifacts;
+    # `scripts/verify_window.py --ages` audits the discipline
+    # mechanically against those artifacts.
+    # ROUND-7 WINDOW (the r6 window list is preserved in git history;
+    # `scripts/verify_window.py --ages` now checks this discipline
+    # MECHANICALLY against the CORRECTNESS_r*.json artifacts):
     priority = [
-        # (a) the six row-less portable twins — every approximate
-        # family becomes driver-verified with these rows
-        "dedup_simhash_portable", "dedup_clusters_portable",
-        "dedup_embedding_lsh_portable", "sim_search_lsh_portable",
-        "agg_approx_distinct_portable", "sim_search_ivf_portable",
-        # (b) the only red r5 row (oracle HUGEINT cast fixed r6)
-        "tpch_q12",
-        # (c) registered r6, no row yet — dedup_incremental is the new
-        # batch-vs-corpus admission dedup (portable md5 family, full
-        # value-hash oracle)
-        "write_shards", "scan_csv", "dedup_incremental",
-        # (d) ice_table.py r6 diff: one row per commit-op family.
-        # table_incremental's slot went to dedup_incremental — its
-        # append-chain commit path runs every round via the entry
-        # smoke and under table_compact's bases; its r5 row stands at
-        # age 1.
-        "table_compact", "table_upsert", "table_delete_mor",
-        "schema_evolution", "table_wap", "table_cdc",
-        # (e) the 34 r3-row veterans (rows would hit age 3)
-        "scan_avro", "sim_search", "sim_search_batch", "win_tumbling",
-        "join_semi", "join_anti", "join_theta", "join_asof",
-        "win_rank", "win_analytic", "win_frame", "win_range_frame",
-        "win_rank_ext",
-        "sort_limit", "topk_per_group",
-        "union_all", "set_intersect", "set_except",
-        "explode_tokens", "map_funcs",
-        "agg_stats", "agg_pivot", "agg_string_agg", "agg_salted",
-        "agg_median", "agg_minmax_by", "agg_conditional",
-        "scalar_cond", "scalar_subquery", "scalar_subquery_corr",
-        "scalar_string2", "array_hof",
-        "tpch_q3", "tpch_q5",
+        # (a) the 8 late-r6 registrations with no driver row yet (all
+        # judge-verified at sf0.01 in the r6 session): the six
+        # partsupp-derived TPC-H classics + the changelog/IVM pair
+        "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
+        "tpch_q20", "table_changelog", "table_rollup",
+        # (b) NEW r7 registrations: the persisted-AdmissionIndex
+        # production path (same oracle as dedup_incremental — shared
+        # _judge), bloom-sidecar point-scan pruning, and multi-clause
+        # MERGE
+        "admission_index", "bloom_point_scan", "table_merge",
+        # (c) ALL 33 r4-age rows (would hit age 3 in r7) — modules
+        # byte-identical since their rows; pure staleness refreshes
+        "scan_parquet", "project", "filter_pred", "filter_range",
+        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
+        "scalar_json",
+        "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+        "agg_approx_distinct",
+        "join_broadcast", "join_sortmerge", "join_left", "join_right",
+        "join_full",
+        "win_session", "win_sliding", "stream_join", "stateful_stats",
+        "udtf_tokenize", "text_ngrams", "corpus_clean",
+        "split_train_test", "sample_stratified", "tpch_q10",
+        "dedup_simhash", "dedup_embedding_lsh",
+        "dedup_clusters_minhash", "sim_search_lsh",
+        # (d) r5-row refreshes for the modules this round's diff
+        # touches: ice_table.py (skinny scan_changes diff + MERGE +
+        # bloom-gated _pruned_files) → one representative per scan
+        # family (incremental feed, time travel, MoR CDC, partition
+        # evolution, pruned range scan); streaming/ingest.py (persist
+        # fix) → stream_ingest. The r6 table rows (compact/upsert/
+        # delete_mor/wap/cdc/schema_evolution) stand at age 1: the
+        # scan_changes rewrite is confined to the changelog path (its
+        # two queries lead this window) and bloom pruning is inert
+        # without a bloom sidecar. Remaining r5 rows are age 2 —
+        # rotation due r8.
+        "table_incremental", "table_time_travel", "table_cdc_mor",
+        "table_partition_evolution", "zorder_range_scan",
+        "stream_ingest",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

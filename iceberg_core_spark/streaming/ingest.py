@@ -304,30 +304,36 @@ def stream_admit_to_table(
             corpus = table.scan().select(id_col, text_col)
             verdicts = dedup_batch(corpus, batch_df, text_col=text_col,
                                    id_col=id_col, threshold=thr)
-        admitted = batch_df.join(
-            verdicts.filter(F.col("verdict").isin(*admit_verdicts))
-            .select(id_col),
-            id_col, "left_semi",
-        )
-        if quarantine_root is not None:
-            rejected = batch_df.join(
-                verdicts.filter(~F.col("verdict").isin(*admit_verdicts)),
-                id_col,
+        # the judge pipeline (corpus scan or index joins + MinHash
+        # verify) is by far the batch's dominant cost — persist the
+        # verdicts so the quarantine write, the emptiness check, and
+        # the append all reuse ONE execution instead of three
+        verdicts = verdicts.persist()
+        try:
+            admitted = batch_df.join(
+                verdicts.filter(F.col("verdict").isin(*admit_verdicts))
+                .select(id_col),
+                id_col, "left_semi",
             )
-            if not rejected.isEmpty():
-                rejected.write.mode("overwrite").parquet(
-                    os.path.join(quarantine_root, f"batch={batch_id}"))
-        if admitted.isEmpty():
-            # nothing admissible: still stamp the batch so a replay of
-            # this id is skipped (empty metadata-only append would be
-            # nicer; an empty frame append commits no files)
+            if quarantine_root is not None:
+                rejected = batch_df.join(
+                    verdicts.filter(
+                        ~F.col("verdict").isin(*admit_verdicts)),
+                    id_col,
+                )
+                if not rejected.isEmpty():
+                    rejected.write.mode("overwrite").parquet(
+                        os.path.join(quarantine_root,
+                                     f"batch={batch_id}"))
+            # an all-rejected batch still appends the empty frame so
+            # the batch id is stamped and a replay of it is skipped
+            # (an empty append commits no files)
             table.append(admitted, max_rows_per_file=max_rows_per_file,
                          dedupe_identical_files=True,
-                         source_batch_id=batch_id, source_lineage=lineage)
-            return
-        table.append(admitted, max_rows_per_file=max_rows_per_file,
-                     dedupe_identical_files=True,
-                     source_batch_id=batch_id, source_lineage=lineage)
+                         source_batch_id=batch_id,
+                         source_lineage=lineage)
+        finally:
+            verdicts.unpersist()
 
     writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
     writer = writer.trigger(**(trigger or {"availableNow": True}))

@@ -1437,8 +1437,13 @@ class IceTable:
         aligned forward through the window's renames and widened with
         NULLs for evolved-in columns; inserts = until-side EXCEPT ALL
         since-side and deletes the reverse — multiset semantics, so
-        duplicate rows net correctly. Cost scales with the CHANGED
-        file set except in the new-MoR-predicate case, where every
+        duplicate rows net correctly. The diff itself runs SKINNY:
+        per-row hashes are counted per side and subtracted, and only
+        net-changed hashes join back for payload — so the diff
+        exchange shuffles 32-byte hashes, never the documents (a
+        naive exceptAll would shuffle every wide-text row in every
+        changed file twice). Cost scales with the CHANGED file set
+        except in the new-MoR-predicate case, where every
         predicate-visible older file joins the diff (the predicate may
         hide rows anywhere — same cost profile as Iceberg's changelog
         over equality deletes)."""
@@ -1500,12 +1505,61 @@ class IceTable:
             F.col(f.name) if f.name in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields])
-        return (
-            side_u.exceptAll(side_s)
-            .withColumn("_change_type", F.lit("insert"))
-            .unionByName(side_s.exceptAll(side_u)
-                         .withColumn("_change_type", F.lit("delete")))
+        cols = [f.name for f in schema.fields]
+        side_u = side_u.select(*cols)
+
+        # Skinny-hash multiset diff — semantically EXCEPT ALL in each
+        # direction, but the diff exchange carries 32-byte row hashes
+        # instead of full rows: on a wide-text table the naive
+        # exceptAll shuffles every document in every changed file
+        # TWICE, while here (1) the per-row hash is computed map-side
+        # in the scan stage, (2) the count-diff aggregates shuffle
+        # (hash, count) pairs only, (3) the payload join's probe side
+        # is the tiny net-changed hash set (AQE broadcasts it), and
+        # (4) the representative-row agg shuffles at most one full
+        # row per changed hash per map partition — cost tracks the
+        # NET CHANGE, not the changed-file volume. Rows hashing equal
+        # are identical (canonical JSON of the full row, nulls kept),
+        # so emitting |net| copies of one representative reproduces
+        # the multiset exactly.
+        row_hash = F.sha2(
+            F.to_json(F.struct(*[F.col(c) for c in cols]),
+                      {"ignoreNullFields": "false"}), 256)
+        u = side_u.withColumn("__h", row_hash)
+        s = side_s.withColumn("__h", row_hash)
+        net = (
+            u.groupBy("__h").agg(F.count(F.lit(1)).alias("__cu"))
+            .join(s.groupBy("__h").agg(F.count(F.lit(1)).alias("__cs")),
+                  "__h", "full_outer")
+            .select("__h",
+                    (F.coalesce(F.col("__cu"), F.lit(0))
+                     - F.coalesce(F.col("__cs"), F.lit(0)))
+                    .alias("__net"))
         )
+
+        def fetch(side: DataFrame, picks: DataFrame,
+                  change: str) -> DataFrame:
+            rep = (
+                side.join(picks, "__h")
+                .groupBy("__h", "__net")
+                .agg(*[F.first(c, ignorenulls=False).alias(c)
+                       for c in cols])
+            )
+            return (
+                rep.withColumn(
+                    "__i", F.explode(
+                        F.sequence(F.lit(1), F.col("__net"))))
+                .select(*cols)
+                .withColumn("_change_type", F.lit(change))
+            )
+
+        inserts = fetch(u, net.filter(F.col("__net") > 0), "insert")
+        deletes = fetch(
+            s,
+            net.filter(F.col("__net") < 0)
+            .select("__h", (-F.col("__net")).alias("__net")),
+            "delete")
+        return inserts.unionByName(deletes)
 
     def diff_stats(self, since: int,
                    until: int | None = None) -> DataFrame:

@@ -51,6 +51,11 @@ class MaterializedRollup:
     ``scan_changes(last, current)`` signed deltas into the stored
     rollup and drops groups whose live row count reaches zero.
 
+    Each sum column carries a ``nn_<col>`` companion — its non-null
+    contribution count — so retracting the LAST non-NULL value of a
+    group that keeps NULL-valued rows takes the sum back to NULL
+    (what a from-scratch recompute yields), never a spurious 0.
+
     MIN/MAX are self-maintainable only under INSERTS (new candidates
     fold as min(old, delta)); a retraction can take the extremum away,
     which only a group rescan can answer. So a delta containing any
@@ -97,23 +102,44 @@ class MaterializedRollup:
         return ([f"min_{c}" for c in self.min_cols]
                 + [f"max_{c}" for c in self.max_cols])
 
+    def _nn_alias(self, c: str) -> str:
+        return f"nn_{c}"
+
     def _normalize(self, df: DataFrame) -> DataFrame:
         """Pin storage types so repeated folds can't widen them
         (min/max keep their source column types — min/max of any
-        orderable type is exact by nature)."""
+        orderable type is exact by nature). Sums are nulled out when
+        their non-null contribution count is zero: SUM over an
+        all-NULL group is NULL in SQL, and a fold that retracted every
+        non-NULL value would otherwise leave a spurious exact 0 —
+        breaking byte-identity with a from-scratch recompute."""
         return df.select(
             *self.group_cols,
             F.col("row_count").cast("long").alias("row_count"),
-            *[F.col(self._sum_alias(c)).cast(_SUM_T)
+            *[F.when(F.col(self._nn_alias(c)) > 0,
+                     F.col(self._sum_alias(c)).cast(_SUM_T))
               .alias(self._sum_alias(c)) for c in self.sum_cols],
+            *[F.col(self._nn_alias(c)).cast("long")
+              .alias(self._nn_alias(c)) for c in self.sum_cols],
             *[F.col(a) for a in self._minmax_aliases()],
         )
 
-    def read(self) -> DataFrame:
-        """The last fully-committed rollup version."""
+    def _read_stored(self) -> DataFrame:
+        """The stored frame WITH the nn_ bookkeeping columns (what a
+        fold consumes)."""
         with open(self._meta_path()) as f:
             ref = json.load(f)["ref"]
         return self.spark.read.parquet(os.path.join(self.root, ref))
+
+    def read(self) -> DataFrame:
+        """The last fully-committed rollup version — group cols,
+        row_count, sums, min/max. The per-sum non-null counts are
+        internal fold state and not part of the public rollup."""
+        return self._read_stored().select(
+            *self.group_cols, "row_count",
+            *[self._sum_alias(c) for c in self.sum_cols],
+            *self._minmax_aliases(),
+        )
 
     # -- maintenance --------------------------------------------------
     def _full(self, rows: DataFrame) -> DataFrame:
@@ -122,6 +148,8 @@ class MaterializedRollup:
                 F.count(F.lit(1)).alias("row_count"),
                 *[F.sum(F.col(c).cast("decimal(18,6)"))
                   .alias(self._sum_alias(c)) for c in self.sum_cols],
+                *[F.count(F.col(c)).alias(self._nn_alias(c))
+                  for c in self.sum_cols],
                 *[F.min(c).alias(f"min_{c}") for c in self.min_cols],
                 *[F.max(c).alias(f"max_{c}") for c in self.max_cols],
             )
@@ -134,14 +162,21 @@ class MaterializedRollup:
             F.sum(sign).alias("row_count"),
             *[F.sum(F.col(c).cast("decimal(18,6)") * sign)
               .alias(self._sum_alias(c)) for c in self.sum_cols],
+            # signed non-null contribution count: retracting the last
+            # non-NULL value must take the sum back to NULL, not 0
+            *[F.sum(F.when(F.col(c).isNotNull(), sign)
+                    .otherwise(F.lit(0))).alias(self._nn_alias(c))
+              for c in self.sum_cols],
             *[F.min(c).alias(f"min_{c}") for c in self.min_cols],
             *[F.max(c).alias(f"max_{c}") for c in self.max_cols],
         )
         merged = (
-            self._normalize(delta).unionByName(old)
+            self._raw(delta).unionByName(self._raw(old))
             .groupBy(*self.group_cols)
             .agg(F.sum("row_count").alias("row_count"),
                  *[F.sum(self._sum_alias(c)).alias(self._sum_alias(c))
+                   for c in self.sum_cols],
+                 *[F.sum(self._nn_alias(c)).alias(self._nn_alias(c))
                    for c in self.sum_cols],
                  *[F.min(f"min_{c}").alias(f"min_{c}")
                    for c in self.min_cols],
@@ -150,6 +185,20 @@ class MaterializedRollup:
             .filter(F.col("row_count") > 0)
         )
         return self._normalize(merged)
+
+    def _raw(self, df: DataFrame) -> DataFrame:
+        """Type-pinned but WITHOUT the null-out: inside a fold the
+        partial sums must add (SUM skips NULLs, so a nulled-out stored
+        sum folds correctly; a delta's partial sums are never nulled)."""
+        return df.select(
+            *self.group_cols,
+            F.col("row_count").cast("long").alias("row_count"),
+            *[F.col(self._sum_alias(c)).cast(_SUM_T)
+              .alias(self._sum_alias(c)) for c in self.sum_cols],
+            *[F.col(self._nn_alias(c)).cast("long")
+              .alias(self._nn_alias(c)) for c in self.sum_cols],
+            *[F.col(a) for a in self._minmax_aliases()],
+        )
 
     def refresh(self, table) -> bool:
         """Fold the table's changes since the last refresh; returns
@@ -161,18 +210,22 @@ class MaterializedRollup:
         if last == cur:
             return False
         persisted = None
+        # every rebuild/fold is pinned to snapshot `cur` — a commit
+        # landing between the watermark read and the scan would
+        # otherwise store newer-snapshot data under v=cur, and the
+        # next refresh would fold that commit's delta AGAIN
         if last is None:
-            rollup = self._full(table.scan())
+            rollup = self._full(table.scan(snapshot_id=cur))
         else:
             try:
                 changes = table.scan_changes(last, cur)
             except FileNotFoundError:
                 # the synced snapshot was expired (expire_snapshots
                 # dropped its metadata) — the delta is unrecoverable,
-                # so rebuild from the current contents; a rollup
-                # refreshed at least once per retention window never
-                # hits this
-                rollup = self._full(table.scan())
+                # so rebuild from the target snapshot's contents; a
+                # rollup refreshed at least once per retention window
+                # never hits this
+                rollup = self._full(table.scan(snapshot_id=cur))
             else:
                 if self.min_cols or self.max_cols:
                     # min/max fold only under inserts: a retraction
@@ -181,10 +234,12 @@ class MaterializedRollup:
                     persisted = changes.persist()
                     has_delete = not persisted.filter(
                         F.col("_change_type") == "delete").isEmpty()
-                    rollup = (self._full(table.scan()) if has_delete
-                              else self._fold(self.read(), persisted))
+                    rollup = (self._full(table.scan(snapshot_id=cur))
+                              if has_delete
+                              else self._fold(self._read_stored(),
+                                              persisted))
                 else:
-                    rollup = self._fold(self.read(), changes)
+                    rollup = self._fold(self._read_stored(), changes)
         rollup.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={cur}"))
         if persisted is not None:

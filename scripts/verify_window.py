@@ -4,19 +4,93 @@ way the driver does — Spark query vs DuckDB oracle, value-hash strict —
 at the driver's scale factor (sf0.01 by default).
 
 Run:  PYTHONPATH=. python scripts/verify_window.py [N] [sf_dir]
+      PYTHONPATH=. python scripts/verify_window.py --ages [round]
 
 Exits non-zero if any query fails, so it can gate a round's final
 commit. The stricter-than-driver compare (exact values, not hashes)
 comes from tests/oracle.py.
+
+``--ages R`` makes the rotation discipline MECHANICAL instead of a
+registry-comment recount: it reads every CORRECTNESS_r*.json artifact,
+computes each registered query's latest-driver-row age as of round R
+(default: newest artifact round + 1 — the upcoming window), and fails
+if the current first-50 window would let any row exceed age 2 or
+leave a registered query without a row. Run it after reordering the
+registry, before the round's final commit.
 """
 
+import glob
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAX_AGE = 2
+WINDOW = 50
+
+
+def audit_ages(next_round: int | None = None) -> int:
+    """Row-age audit: with the CURRENT registry order, would round
+    ``next_round``'s 50-slot window keep every query's latest green
+    row at age <= MAX_AGE? Also flags rows whose latest artifact run
+    FAILED (they need a retest slot, not just freshness)."""
+    from iceberg_core_spark.registry import all_queries
+
+    latest: dict[str, tuple[int, bool]] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(f)).items():
+            # green = full value-hash match, or the by-design
+            # rows-only check (err == "no_oracle", rows produced)
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) >= 0)
+            latest[name] = (rnd, ok)
+    if not rounds:
+        print("no CORRECTNESS artifacts found")
+        return 1
+    nr = next_round if next_round is not None else max(rounds) + 1
+    names = list(all_queries())
+    window = set(names[:WINDOW])
+    errors = []
+    for name in names:
+        rnd_ok = latest.get(name)
+        if rnd_ok is None:
+            if name not in window:
+                errors.append(f"{name}: NO driver row and not in the "
+                              f"first-{WINDOW} window")
+            continue
+        rnd, ok = rnd_ok
+        age = nr - rnd
+        if not ok and name not in window:
+            errors.append(f"{name}: latest row (r{rnd}) FAILED and the "
+                          f"query is not in the window for a retest")
+        elif age > MAX_AGE and name not in window:
+            errors.append(f"{name}: latest green row is r{rnd} "
+                          f"(age {age} in r{nr} > {MAX_AGE}) and the "
+                          f"query is not in the window")
+    in_window_no_need = len(window) - sum(
+        1 for n in names[:WINDOW]
+        if n not in latest or not latest[n][1]
+        or nr - latest[n][0] > MAX_AGE - 1)
+    print(f"registry: {len(names)} queries; window: {len(window)}; "
+          f"auditing as of round r{nr}")
+    for e in errors:
+        print(f"  AGE-VIOLATION {e}")
+    if not errors:
+        print(f"OK — no row exceeds age {MAX_AGE} in r{nr} "
+              f"({in_window_no_need} window slots are early refreshes)")
+    return 1 if errors else 0
+
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--ages":
+        return audit_ages(int(sys.argv[2]) if len(sys.argv) > 2 else None)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 

@@ -541,3 +541,57 @@ def test_admission_index_compaction(spark, tmp_path):
     ids = sorted(r["__cid"] for r in
                  idx._read("fp", ["__cid"]).collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_admission_index_gap_and_rollback_rebuild(spark, tmp_path):
+    """The two recovery paths that must NOT silently skip documents:
+    (a) the synced snapshot expired out of the chain → full rebuild
+    (a skip would permanently miss the expired increments' docs and
+    admit their duplicates); (b) a rollback → full rebuild (restored
+    or un-appended rows aren't derivable from the chain); and the
+    metadata-only publish is skipped, not poisonous."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    def doc(i):
+        return (i, f"document number {i} with its own words")
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([doc(1)], "doc_id long, text string"),
+        partition_col=None, key_col="doc_id")
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 1
+
+    # (a) watermark gap: two appends, then expire the synced snapshot
+    t.append(spark.createDataFrame([doc(2)], "doc_id long, text string"))
+    t.append(spark.createDataFrame([doc(3)], "doc_id long, text string"))
+    expired = t.expire_snapshots(keep_last=1)
+    assert idx.synced_snapshot() in expired
+    assert idx.sync(t) == 1          # rebuild, one pass
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3]          # nothing missed
+    assert idx.sync(t) == 0          # incremental again
+
+    # (b) WAP: the staged append syncs EMPTY (files hidden); the
+    # publish indexes exactly the revealed rows
+    t.append(spark.createDataFrame([doc(4)], "doc_id long, text string"),
+             branch="audit")
+    assert idx.sync(t) == 1          # staged append → empty increment
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3]          # doc 4 not visible yet
+    t.publish_branch("audit")
+    assert idx.sync(t) == 1          # the publish reveals doc 4
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3, 4]
+
+    # (c) rollback to before doc 4: rebuild drops it from the index
+    snaps = t.manifest.snapshots(load_files=False)
+    target = [s.snapshot_id for s in snaps if s.operation == "append"][1]
+    t.rollback(target)
+    idx.sync(t)
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3]
+    assert idx.sync(t) == 0

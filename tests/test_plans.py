@@ -311,3 +311,56 @@ def test_dedup_incremental_asymmetric_no_cartesian_no_python(spark):
     reads = [l for l in e.splitlines() if "ReadSchema" in l]
     assert reads and all("lang" not in l and "source" not in l
                          for l in reads)
+
+
+def test_scan_changes_diff_exchanges_are_skinny(spark, tmp_path):
+    """The changelog's multiset diff must shuffle 32-byte row hashes,
+    never the wide text payload: the count-diff Exchanges carry
+    exactly (hash, count); any Exchange that does carry the text
+    column is the bounded representative-fetch after the net-change
+    filter (its input includes the __net column), so its volume
+    tracks the NET CHANGE, not the changed-file row count."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, "x" * 50, i % 3) for i in range(30)],
+        "k long, text string, g long")
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="k")
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.append(spark.createDataFrame([(100, "y" * 50, 0)],
+                                   "k long, text string, g long"))
+    changes = t.scan_changes(s0)
+    e = explain_str(changes)
+
+    # formatted explain: "(N) Exchange" nodes followed by an
+    # "Input [n]: [cols...]" line
+    blocks = re.split(r"\n\(\d+\) ", e)
+    exchanges = [b for b in blocks if b.startswith("Exchange")]
+    assert exchanges, "expected Exchange nodes in the changelog plan"
+    inputs = []
+    for b in exchanges:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, f"no Input line for exchange block: {b[:120]}"
+        inputs.append(m.group(1))
+    skinny = [i for i in inputs if "__h#" in i and "count#" in i
+              and "text#" not in i]
+    assert len(skinny) >= 2  # one per diff side
+    # text may appear in two other exchange shapes: the bounded
+    # representative fetch (input includes __net — volume = net
+    # change) and the payload-join SMJ sides, which AQE replaces
+    # with broadcast at runtime (verified on the executed plan below)
+    for i in inputs:
+        if "text#" in i and "__net#" not in i:
+            assert "__h#" in i  # payload join side, AQE-broadcastable
+
+    # and the output is still the exact multiset diff
+    rows = [(r["k"], r["_change_type"])
+            for r in changes.collect()]
+    assert rows == [(100, "insert")]
+    executed = plan_of(changes)
+    assert "isFinalPlan=true" in executed
+    # both payload-fetch joins adaptively broadcast — the wide side
+    # never shuffles; the only full-width exchange is the __net-keyed
+    # representative aggregate over already-matched (changed) rows
+    assert executed.count("BroadcastHashJoin") >= 2

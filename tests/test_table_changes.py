@@ -221,6 +221,40 @@ def test_rollup_crash_heals(spark, tmp_path):
     assert sorted(map(tuple, ru.read().collect())) == final
 
 
+def test_rollup_null_sum_retraction(spark, tmp_path):
+    """Retracting every non-NULL value of a sum column for a group
+    that KEEPS NULL-valued rows must fold the sum back to NULL (what
+    SUM over the remaining all-NULL group recomputes) — not to an
+    exact decimal 0."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 30)],
+        "k long, g string, v long")
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="k")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+    ru.refresh(t)
+    # delete the only non-NULL 'a' row; the NULL row survives
+    t.delete_where("v = 10", mode="mor")
+    ru.refresh(t)
+    got = {r["g"]: (r["row_count"], r["sum_v"])
+           for r in ru.read().collect()}
+    assert got["a"] == (1, None)
+    want = sorted(map(tuple, (
+        t.scan().groupBy("g")
+        .agg(F.count(F.lit(1)).alias("row_count"),
+             F.sum(F.col("v").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_v"))
+    ).collect()))
+    assert sorted(map(tuple, ru.read().collect())) == want
+    # and the sum comes back when a non-NULL value re-enters the group
+    t.append(spark.createDataFrame([(4, "a", 7)],
+                                   "k long, g string, v long"))
+    ru.refresh(t)
+    got = {r["g"]: r["sum_v"] for r in ru.read().collect()}
+    assert str(got["a"]) == "7.000000"
+
+
 def test_rollup_minmax_append_only_folds_incrementally(spark, tmp_path):
     """MIN/MAX fold as min(old, delta) while the window is insert-only
     (watermark stays incremental — no full scan); the first delete
