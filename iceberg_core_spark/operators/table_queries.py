@@ -516,6 +516,110 @@ def _changes_root(spark: SparkSession, sf: str) -> str:
     return root
 
 
+_MERGE_CACHE: dict[str, str] = {}
+
+
+def _merge_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) the multi-clause MERGE lifecycle: a
+    documents table (doc_id % 3 != 0) merged with a change batch (the
+    even doc_ids, n_chars bumped by 100 and a delete flag on
+    multiples of 10) under THREE ordered clauses — tombstone delete,
+    conditional partial update, implicit keep — plus a conditional
+    NOT-MATCHED insert."""
+    root = _MERGE_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_mrg_"), "docs_m")
+    t = IceTable.create(spark, root, docs.filter("doc_id % 3 != 0"),
+                        partition_col="lang", key_col="doc_id")
+    source = docs.filter("doc_id % 2 = 0").select(
+        "doc_id", "lang",
+        (F.col("n_chars") + 100).alias("n_chars"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("flag"))
+    t.merge(
+        source, key_cols=["lang", "doc_id"],
+        when_matched=[
+            {"condition": "s.flag = 'D'", "action": "delete"},
+            {"condition": "s.n_chars % 3 = 0", "action": "update",
+             "set": {"n_chars": "t.n_chars + s.n_chars"}},
+        ],
+        when_not_matched_insert="n_chars < 400",
+    )
+    _MERGE_CACHE[sf] = root
+    return root
+
+
+def table_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Read back the merged table; the oracle reproduces each
+    clause's effect (and the untouched fall-through rows) in plain
+    SQL over the source parquet."""
+    from iceberg_core_spark.table import IceTable
+
+    return IceTable(spark, _merge_root(spark, sf)).scan()
+
+
+TABLE_MERGE_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 AND doc_id % 10 <> 0
+                 AND (n_chars + 100) % 3 = 0
+            THEN n_chars + n_chars + 100
+            ELSE n_chars END AS n_chars
+FROM documents
+WHERE doc_id % 3 <> 0
+  AND NOT (doc_id % 2 = 0 AND doc_id % 10 = 0)
+UNION ALL
+SELECT doc_id, lang, n_chars + 100 AS n_chars
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND n_chars + 100 < 400
+"""
+
+
+_BLOOM_CACHE: dict[str, str] = {}
+
+
+def _bloom_root(spark: SparkSession, sf: str) -> str:
+    """Build (once per corpus) a documents table clustered by n_chars
+    with a per-file bloom store on doc_id — the layout where doc_id
+    min/max stats prune NOTHING (every file spans the id space), so
+    any file skipped at query time is the bloom's doing."""
+    root = _BLOOM_CACHE.get(sf)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(tempfile.mkdtemp(prefix="ice_bloom_"), "docs_b")
+    t = IceTable.create(spark, root, docs, key_col="n_chars",
+                        max_rows_per_file=64)
+    t.build_bloom(["doc_id"])
+    _BLOOM_CACHE[sf] = root
+    return root
+
+
+def bloom_point_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookup ``doc_id = 37`` through the bloom store — the
+    files-read subset assertion lives in tests/test_plans.py; the
+    oracle checks the VALUES (a bloom false negative would lose the
+    row, a path mix-up would return the wrong one)."""
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _bloom_root(spark, sf))
+    return t.point_scan("doc_id", 37)
+
+
+BLOOM_POINT_SCAN_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 37
+"""
+
+
 def table_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """Net row-level changelog from the FIRST snapshot to the current
     one across the five-commit lifecycle — the oracle recomputes the
@@ -593,4 +697,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # r7 rotation leads (registered late-r6, past the 50-slot window):
     "table_changelog": (table_changelog, TABLE_CHANGELOG_SQL),
     "table_rollup": (table_rollup, TABLE_ROLLUP_SQL),
+    # NEW r7: per-file bloom membership pruning (equality on a
+    # non-clustered high-cardinality column) + multi-clause MERGE
+    "bloom_point_scan": (bloom_point_scan, BLOOM_POINT_SCAN_SQL),
+    "table_merge": (table_merge, TABLE_MERGE_SQL),
 }

@@ -1,0 +1,279 @@
+"""Per-file Bloom filters for EQUALITY pruning on high-cardinality,
+non-clustered columns — the one pruning family min/max stats cannot
+serve: ``doc_id = k`` on a table clustered by ``ts`` has every file's
+[min_doc_id, max_doc_id] spanning the whole id space, so range stats
+prune nothing, while a per-file Bloom filter answers "definitely not
+in this file" for all but ~fpp of the files. This generalizes the
+reference's filename-stat trick (reference block.go:143-199 encodes a
+key RANGE per file name) from range overlap to set membership, the
+same role Parquet's column-index bloom filters / Iceberg's
+``parquet.bloom-filter-enabled`` play.
+
+Design (100 TB shape):
+
+- The store is a path-keyed parquet sidecar under ``<root>/bloom/``:
+  one row per (file path, column) holding a dense bitset as
+  ``array<bigint>`` words plus its geometry (m bits, k probes). Data
+  files are immutable and content-named, so path-keying needs no
+  invalidation: a compact/upsert writes NEW paths, whose bloom rows
+  are built by the next :func:`build_bloom` run (unindexed files are
+  conservatively KEPT by the prune — correctness never depends on
+  the store being complete).
+- The BUILD is one distributed pass over the not-yet-indexed files:
+  hash the column values (`xxhash64`, JVM-side), derive k bit
+  positions per value by double hashing, fold them into per-file
+  words with a ``bit_or`` aggregate, and densify — no Python in the
+  data path, shuffle volume is (path, word_idx, word) triples.
+- The PRUNE is metadata-as-data, like the manifest sidecar: the two
+  query hashes are computed once (a 1-row jvm job, so the engine's
+  own xxhash64 is used — never a Python reimplementation), then a
+  single DataFrame filter over the store finds files whose bloom
+  PROVES absence; only those paths are subtracted from the
+  stats-pruned survivor list. A file missing from the store, or a
+  column missing from it, prunes nothing.
+- All arithmetic stays inside ANSI-safe bigint ranges: both hashes
+  are reduced mod 2^32 before the ``h1 + i*h2`` double-hash combine
+  (i <= 64), so no overflow at any k.
+
+Bloom sizing: ``m = bits_per_row * rows`` per file (default 12
+bits/row ≈ 0.5% false positives at k=8), rounded up to whole 64-bit
+words — file row counts come from the manifest, so sizing costs no
+data pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SEED = 0x9E3779B9          # second-hash tweak (any fixed constant)
+_H_MOD = 1 << 32            # both hashes reduced to 32 bits pre-combine
+_MIN_BITS = 1024
+
+
+def _bloom_dir(root: str) -> str:
+    return os.path.join(root, "bloom")
+
+
+def _config_path(root: str) -> str:
+    return os.path.join(_bloom_dir(root), "_config.json")
+
+
+def load_config(root: str) -> dict | None:
+    try:
+        with open(_config_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _store_inc_dirs(root: str) -> list[str]:
+    base = _bloom_dir(root)
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        os.path.join(base, d) for d in os.listdir(base)
+        if d.startswith("inc-") and os.path.isdir(os.path.join(base, d))
+    )
+
+
+def read_store(spark: SparkSession, root: str) -> DataFrame | None:
+    dirs = _store_inc_dirs(root)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _m_for(rows: int, bits_per_row: int) -> int:
+    bits = max(_MIN_BITS, bits_per_row * max(rows, 1))
+    return ((bits + 63) // 64) * 64
+
+
+def _hash_cols(val):
+    """The k probe positions' shared double-hash parts, as Columns.
+    Mirrored EXACTLY by the query side, which evaluates the same
+    expressions over the query literal in a 1-row job."""
+    h1 = F.pmod(F.xxhash64(val), F.lit(_H_MOD))
+    h2 = F.pmod(F.xxhash64(val, F.lit(_SEED)), F.lit(_H_MOD))
+    return h1, h2
+
+
+def build_bloom(table, cols: list[str] | None = None,
+                bits_per_row: int = 12, k: int = 8) -> int:
+    """Build bloom rows for every visible data file that does not yet
+    have them (per column); returns how many (file, column) entries
+    were added. Idempotent: already-indexed paths are skipped, and a
+    crashed build leaves a partial temp dir that is never read (the
+    increment directory is renamed into place atomically). With
+    ``cols=None`` the recorded config's columns refresh — the call a
+    maintenance tick makes after compaction rewrote files."""
+    cfg = load_config(table.root)
+    if cols is None:
+        if cfg is None:
+            raise ValueError("no bloom config recorded — pass cols= on "
+                             "the first build_bloom call")
+        cols, bits_per_row, k = (cfg["cols"], cfg["bits_per_row"],
+                                 cfg["k"])
+    if k < 1 or k > 16:
+        raise ValueError("k must be in [1, 16]")
+    spark = table.spark
+    snap = table.manifest.load(load_files=False)
+    inv = table.files_df().select("path", "rows")
+    store = read_store(spark, table.root)
+    pending = inv
+    if store is not None:
+        # a path is pending if ANY requested column lacks a row; the
+        # build then (re)writes all requested cols for such paths
+        have = (store.filter(F.col("col").isin(*cols))
+                .groupBy("path").agg(F.countDistinct("col").alias("nc"))
+                .filter(F.col("nc") >= len(cols)).select("path"))
+        pending = inv.join(have, "path", "left_anti")
+    todo = [(r["path"], r["rows"]) for r in pending.collect()]
+    if not todo:
+        if cfg is None:
+            _write_config(table.root, cols, bits_per_row, k)
+        return 0
+
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    missing = [c for c in cols if c not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"bloom cols not in table schema: {missing}")
+
+    # one distributed pass over the pending files; mergeSchema keeps
+    # pre-rename physical columns readable, coalesced per alias chain
+    paths = [os.path.join(table.root, p) for p, _ in todo]
+    m_map = spark.createDataFrame(
+        [(p, _m_for(rows, bits_per_row)) for p, rows in todo],
+        "path string, __m long")
+    src = (spark.read.option("mergeSchema", "true").parquet(*paths)
+           .withColumn("path", F.input_file_name()))
+    # input_file_name yields a URI (file:///abs/path) — normalize to
+    # the manifest's root-relative form: drop the scheme, collapse
+    # the leading slashes, strip the root prefix (literal replace)
+    p = F.replace(F.col("path"), F.lit("file:"), F.lit(""))
+    p = F.regexp_replace(p, r"^/+", "/")
+    p = F.replace(p, F.lit(table.root.rstrip("/") + "/"), F.lit(""))
+    src = src.withColumn("path", p)
+
+    from iceberg_core_spark.table.ice_table import _fold_chains
+    chains = _fold_chains(snap.renames)
+    out_frames = []
+    for c in cols:
+        names = [c] + [n for n in chains.get(c, []) if n in src.columns]
+        if c not in src.columns:
+            names = names[1:]
+        if not names:
+            continue
+        val = F.coalesce(*[F.col(n) for n in names])
+        h1, h2 = _hash_cols(val)
+        # NULL values never match an equality probe, so they must not
+        # set bits (xxhash64 of NULL is the seed value, not NULL —
+        # filter on the value itself)
+        d = (src.join(F.broadcast(m_map), "path")
+             .filter(val.isNotNull())
+             .select("path", "__m", h1.alias("__h1"), h2.alias("__h2")))
+        pos = F.explode(F.array(*[
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"),
+                   F.col("__m"))
+            for i in range(k)
+        ])).alias("__p")
+        d = d.select("path", "__m", pos)
+        d = d.select(
+            "path", "__m",
+            F.floor(F.col("__p") / 64).cast("int").alias("widx"),
+            F.pmod(F.col("__p"), 64).cast("int").alias("bit"),
+        ).withColumn("w", F.expr("shiftleft(1L, bit)"))
+        words = (
+            d.groupBy("path", "__m", "widx")
+            .agg(F.expr("bit_or(w)").alias("w"))
+            .groupBy("path", "__m")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("widx", "w"))).alias("wm"))
+            .select(
+                "path",
+                F.lit(c).alias("col"),
+                F.col("__m").alias("m"),
+                F.lit(k).alias("k"),
+                F.expr("transform(sequence(0, cast(__m div 64 as int)"
+                       " - 1, 1), i -> coalesce(element_at(wm, i), 0L))"
+                       ).alias("words"),
+            )
+        )
+        out_frames.append(words)
+        # files where EVERY value of the column is NULL still need a
+        # row (all-zero words) so the prune can drop them for any
+        # probe — equality never matches NULL
+        empty = (m_map.join(words.select("path"), "path", "left_anti")
+                 .select(
+                     "path", F.lit(c).alias("col"),
+                     F.col("__m").alias("m"), F.lit(k).alias("k"),
+                     F.expr("transform(sequence(0, cast(__m div 64 as "
+                            "int) - 1, 1), i -> 0L)").alias("words")))
+        out_frames.append(empty)
+
+    inc = out_frames[0]
+    for fr in out_frames[1:]:
+        inc = inc.unionByName(fr)
+    tok = os.urandom(4).hex()
+    tmp = os.path.join(_bloom_dir(table.root), f"_tmp-{tok}")
+    inc.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(_bloom_dir(table.root), f"inc-{tok}"))
+    _write_config(table.root, cols, bits_per_row, k)
+    return len(todo) * len(cols)
+
+
+def _write_config(root: str, cols: list[str], bits_per_row: int,
+                  k: int) -> None:
+    os.makedirs(_bloom_dir(root), exist_ok=True)
+    tmp = _config_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"cols": list(cols), "bits_per_row": bits_per_row,
+                   "k": k}, f)
+    os.replace(tmp, _config_path(root))
+
+
+def bloom_prune(table, files: list, col: str, value: Any) -> list:
+    """Subtract from ``files`` every file whose bloom row PROVES the
+    value absent. Conservative by construction: no store, no row for
+    a file, or an unindexed column prunes nothing. The query's two
+    hashes are computed by the ENGINE's xxhash64 over the same typed
+    literal the build hashed (1-row job), so build and probe can
+    never disagree on a hash implementation."""
+    cfg = load_config(table.root)
+    store = read_store(table.spark, table.root)
+    if cfg is None or store is None or not files:
+        return files
+    if col not in cfg["cols"]:
+        return files
+
+    from pyspark.sql.types import StructType
+    snap = table.manifest.load(load_files=False)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    dtype = next((f.dataType for f in schema.fields if f.name == col),
+                 None)
+    if dtype is None or value is None:
+        return files  # unknown col / NULL probe: prune nothing here
+    h1c, h2c = _hash_cols(F.lit(value).cast(dtype))
+    row = (table.spark.range(1)
+           .select(h1c.alias("h1"), h2c.alias("h2")).collect()[0])
+    h1, h2 = int(row["h1"]), int(row["h2"])
+
+    rows = store.filter(F.col("col") == col).dropDuplicates(["path"])
+    # absence proof: ANY of the row's k probed bits is 0
+    miss = None
+    for i in range(cfg["k"]):
+        # bigint literals: h1 + 15*h2 < 2^36 — ANSI-safe by range
+        pos = f"pmod({h1}L + {i}L * {h2}L, m)"
+        term = (f"(shiftright(element_at(words, "
+                f"cast({pos} div 64 as int) + 1), "
+                f"cast(pmod({pos}, 64) as int)) & 1) = 0")
+        cond = F.expr(term) & (F.lit(i) < F.col("k"))
+        miss = cond if miss is None else (miss | cond)
+    absent = {r["path"] for r in
+              rows.filter(miss).select("path").collect()}
+    return [f for f in files if f.path not in absent]

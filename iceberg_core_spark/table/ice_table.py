@@ -1321,6 +1321,38 @@ class IceTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def build_bloom(self, cols: list[str] | None = None,
+                    bits_per_row: int = 12, k: int = 8) -> int:
+        """Build (or top up) per-file Bloom filters for equality
+        pruning on ``cols`` — the membership analog of the min/max
+        stats (reference block.go:143-199 encodes a range per file
+        NAME; a bloom answers ``col = v`` on columns the layout does
+        not cluster). Idempotent and incremental: only files without
+        rows are indexed, so call it after ingest/compaction (with
+        ``cols=None`` the recorded config refreshes). Unindexed files
+        are conservatively kept by :meth:`point_scan`."""
+        from iceberg_core_spark.table.bloom import build_bloom
+
+        return build_bloom(self, cols, bits_per_row=bits_per_row, k=k)
+
+    def point_scan(self, col: str, value, *,
+                   snapshot_id: int | None = None) -> DataFrame:
+        """Equality scan ``col = value`` with every pruning layer the
+        table has: manifest min/max stats (exact on the key/stat
+        columns), then the per-file bloom store (proves absence on
+        high-cardinality columns the layout does NOT cluster — where
+        every file's min/max spans the domain and range stats keep
+        everything). Files the bloom cannot vouch for are read and
+        corrected by the residual filter — bloom false positives cost
+        a file read, never a wrong row."""
+        from iceberg_core_spark.table.bloom import bloom_prune
+
+        snap = self.manifest.load(snapshot_id, load_files=False)
+        files = self._pruned_files(snap, ranges={col: (value, value)})
+        files = bloom_prune(self, files, col, value)
+        df = self._read_with_deletes(files, snap, snapshot_id)
+        return df.filter(F.col(col) == F.lit(value))
+
     def as_bucketed_table(self, name: str,
                           snapshot_id: int | None = None) -> str:
         """Register one snapshot of a bucket-layout table as a BUCKETED
@@ -2070,6 +2102,125 @@ class IceTable:
             source_batch_id=source_batch_id,
             source_lineage=source_lineage,
             expected_parent=snap.snapshot_id)
+
+    def merge(self, source: DataFrame, key_cols: list[str],
+              when_matched: list[dict] | None = None,
+              when_not_matched_insert: bool | str = False,
+              source_batch_id: int | None = None,
+              source_lineage: str | None = None) -> Snapshot:
+        """Conditional multi-clause MERGE — Iceberg's ``MERGE INTO
+        target t USING source s ON <keys>`` with ordered ``WHEN
+        MATCHED [AND cond] THEN UPDATE/DELETE`` clauses and an
+        optional ``WHEN NOT MATCHED [AND cond] THEN INSERT``.
+        :meth:`upsert`/:meth:`apply_cdc` cover last-writer-wins; this
+        is the general form (e.g. "update only if the incoming change
+        is newer, delete on tombstone flag, insert the rest").
+
+        ``when_matched``: ordered clause dicts — FIRST applicable
+        clause wins per matched row, rows matching no clause stay
+        unchanged (SQL MERGE semantics):
+
+        - ``{"condition": "s.seq > t.seq", "action": "update"}`` —
+          replace the row with the source row (all target columns
+          must exist in the source);
+        - ``{"condition": ..., "action": "update",
+          "set": {"col": "t.col + s.delta", ...}}`` — update listed
+          columns with SQL expressions over the ``t``/``s`` aliases,
+          other columns keep their target values;
+        - ``{"condition": "s.op = 'D'", "action": "delete"}``.
+
+        ``when_not_matched_insert``: ``True`` inserts every unmatched
+        source row, a SQL string inserts those satisfying it
+        (evaluated over the source row's UNQUALIFIED columns),
+        ``False`` inserts nothing.
+
+        Like SQL MERGE, more than one source row matching the same
+        target key is an error (which clause wins would be
+        nondeterministic) — pre-collapse with ``seq_col`` logic if
+        needed. Executes as ONE CoW commit through the shared
+        partition-scoped merge: when the partition column is a merge
+        key, the matched-row join AND the rewrite touch only the
+        partitions the batch names, so cost tracks the batch at any
+        table size. Raises ``CommitConflictError`` on a lost race
+        (read-modify-write discipline, same as upsert)."""
+        from functools import reduce as _reduce
+
+        when_matched = list(when_matched or [])
+        for cl in when_matched:
+            if cl.get("action") not in ("update", "delete"):
+                raise ValueError(f"unknown merge action: {cl!r}")
+        snap = self.manifest.load(load_files=False)
+        self._require_no_staged(snap, "merge")
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        tcols = [f.name for f in schema.fields]
+
+        dupes = (source.groupBy(*key_cols).count()
+                 .filter(F.col("count") > 1).limit(1).count())
+        if dupes:
+            raise ValueError(
+                "merge source has multiple rows per key — which WHEN "
+                "MATCHED clause wins would be nondeterministic; "
+                "collapse the source first (cf. apply_cdc seq_col)")
+
+        tgt = self.scan()
+        part_col = snap.partition_col
+        if part_col and part_col in key_cols and not snap.partition_specs:
+            parts = [r[0] for r in
+                     source.select(part_col).distinct().collect()]
+            if None not in parts:
+                # matched rows can only live in the batch's partitions
+                # — the join scans those, not the table
+                tgt = tgt.filter(F.col(part_col).isin(parts))
+        joined = tgt.alias("t").join(
+            source.alias("s"),
+            _reduce(lambda a, b: a & b,
+                    [F.col(f"t.{k}") == F.col(f"s.{k}")
+                     for k in key_cols]),
+            "inner")
+
+        conds = [F.expr(cl["condition"]) if cl.get("condition")
+                 else F.lit(True) for cl in when_matched]
+        idx = F.lit(-1)
+        for i in reversed(range(len(when_matched))):
+            idx = F.when(conds[i], F.lit(i)).otherwise(idx)
+        delete_idx = [i for i, cl in enumerate(when_matched)
+                      if cl["action"] == "delete"]
+
+        def col_value(c: str):
+            v = F.col(f"t.{c}")
+            for i in reversed(range(len(when_matched))):
+                cl = when_matched[i]
+                if cl["action"] != "update":
+                    continue
+                set_map = cl.get("set") or {c2: f"s.{c2}" for c2 in tcols}
+                if c in set_map:
+                    v = F.when(F.col("__mi") == F.lit(i),
+                               F.expr(set_map[c]).cast(
+                                   schema[c].dataType)).otherwise(v)
+            return v.alias(c)
+
+        matched = joined.withColumn("__mi", idx)
+        if delete_idx:
+            matched = matched.filter(~F.col("__mi").isin(*delete_idx))
+        matched = matched.select(*[col_value(c) for c in tcols])
+
+        upserts = matched
+        if when_not_matched_insert is not False:
+            inserts = source.join(tgt.select(*key_cols).distinct(),
+                                  key_cols, "left_anti")
+            if isinstance(when_not_matched_insert, str):
+                inserts = inserts.filter(
+                    F.expr(when_not_matched_insert))
+            upserts = upserts.unionByName(
+                inserts.select(*[
+                    F.col(c).cast(schema[c].dataType).alias(c)
+                    for c in tcols]))
+
+        all_keys = source.select(*key_cols).dropDuplicates(key_cols)
+        return self._merge_cow(
+            all_keys=all_keys, upserts=upserts, key_cols=key_cols,
+            operation="merge", source_batch_id=source_batch_id,
+            source_lineage=source_lineage)
 
     def apply_cdc(self, df: DataFrame, key_cols: list[str],
                   op_col: str = "op", delete_op: str = "D",

@@ -227,3 +227,57 @@ def test_add_files_races_compact(spark, root, tmp_path):
     want = sorted(list(range(10))
                   + [1000 + 10 * b + i for b in range(3) for i in range(5)])
     assert got == want
+
+
+def test_merge_races_compact(spark, root):
+    """Generational multi-clause merges (update-if-newer + tombstone
+    delete + insert) racing a compact ticker: the read-modify-write
+    merge retries on a lost CAS against fresh state, so the final
+    table equals the single-writer model regardless of interleaving."""
+    t_w = _mk(spark, root)  # p: k=0..9, v=0
+    done = threading.Event()
+    GENS = 3
+
+    def writer():
+        try:
+            for gen in range(1, GENS + 1):
+                # touch k=0..9 (update), tombstone k = gen,
+                # insert k = 100+gen
+                batch = _df(spark, (
+                    [Row(part="p", k=i, v=gen) for i in range(10)]
+                    + [Row(part="p", k=100 + gen, v=gen)]))
+                _retry(lambda: t_w.merge(
+                    batch, key_cols=["part", "k"],
+                    when_matched=[
+                        {"condition": f"s.k = {gen}", "action": "delete"},
+                        {"condition": "s.v > t.v", "action": "update"},
+                    ],
+                    when_not_matched_insert=True))
+        finally:
+            done.set()
+
+    def ticker():
+        t = IceTable(spark, root)
+        while not done.is_set():
+            try:
+                t.compact(min_files=2)
+            except CommitConflictError:
+                pass
+
+    _run_threads(writer, ticker)
+    final = IceTable(spark, root)
+    got = {(r.k, r.v) for r in final.scan().collect()}
+    # single-writer model: gen g deletes key g then later gens
+    # re-insert it at their v; survivors of all gens hold v=GENS
+    # except re-inserted tombstones
+    model: dict = {i: 0 for i in range(10)}
+    for gen in range(1, GENS + 1):
+        for i in range(10):
+            if i == gen:
+                model.pop(i, None)
+            elif i in model and gen > model[i]:
+                model[i] = gen
+            elif i not in model:
+                model[i] = gen  # re-insert via NOT MATCHED
+        model[100 + gen] = gen
+    assert got == {(k, v) for k, v in model.items()}

@@ -364,3 +364,37 @@ def test_scan_changes_diff_exchanges_are_skinny(spark, tmp_path):
     # never shuffles; the only full-width exchange is the __net-keyed
     # representative aggregate over already-matched (changed) rows
     assert executed.count("BroadcastHashJoin") >= 2
+
+
+def test_bloom_point_scan_limits_input_files(spark, tmp_path):
+    """Equality on a non-clustered high-cardinality column: min/max
+    stats keep every file (each spans the id space), the bloom store
+    must prove absence for all but the true file (+ rare false
+    positives)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(997)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=100)
+    total = t.file_count()
+    assert total >= 15
+    assert t.build_bloom(["k"]) == total
+    assert t.build_bloom() == 0  # idempotent
+
+    # stats alone prune nothing on k...
+    assert len(t.range_scan({"k": (1234, 1234)}).inputFiles()) == total
+    # ...the bloom reduces it to the true file (fpp margin: 2)
+    ps = t.point_scan("k", 1234)
+    assert [r["k"] for r in ps.collect()] == [1234]
+    assert len(ps.inputFiles()) <= 2
+    # absent value: nothing read, nothing returned
+    ab = t.point_scan("k", 10**9)
+    assert len(ab.inputFiles()) <= 2 and ab.count() == 0
+    # unindexed appends are conservatively KEPT until the next build
+    t.append(spark.createDataFrame([(5000, 1)], "k long, v long"))
+    assert [r["k"] for r in t.point_scan("k", 5000).collect()] == [5000]
+    assert t.build_bloom() == 1
+    assert len(t.point_scan("k", 5000).inputFiles()) <= 2

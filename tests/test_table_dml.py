@@ -337,3 +337,62 @@ def test_delete_then_query_pruning_still_works(spark, table):
     table.delete_range(partition="u2", lo=100, hi=200)
     assert table.query("u2", 100, 400).count() == 2
     assert table.query("u1", 100, 400).count() == 4
+
+
+def test_merge_multi_clause_semantics(spark, tmp_path):
+    """Ordered WHEN MATCHED clauses: first applicable wins, rows
+    matching no clause stay UNCHANGED, partial SET updates only the
+    listed columns, NOT MATCHED inserts honor their condition, and a
+    multi-row-per-key source raises."""
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "a", 20, 1), (3, "b", 30, 5)],
+        "k long, g string, v long, seq long")
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col="g", key_col="k")
+    src = spark.createDataFrame(
+        [(1, "a", 99, 9, "D"),    # clause 1: tombstone delete
+         (2, "a", 77, 9, "U"),    # clause 2: newer → partial update
+         (3, "b", 88, 2, "U"),    # seq 2 < 5: no clause → unchanged
+         (4, "b", 40, 9, "U"),    # unmatched, v < 50 → insert
+         (5, "b", 60, 9, "U")],   # unmatched, v >= 50 → NOT inserted
+        "k long, g string, v long, seq long, flag string")
+    t.merge(
+        src, key_cols=["g", "k"],
+        when_matched=[
+            {"condition": "s.flag = 'D'", "action": "delete"},
+            {"condition": "s.seq > t.seq", "action": "update",
+             "set": {"v": "s.v", "seq": "s.seq"}},
+        ],
+        when_not_matched_insert="v < 50")
+    got = {(r.k, r.g, r.v, r.seq) for r in t.scan().collect()}
+    assert got == {(2, "a", 77, 9),   # updated (partial set)
+                   (3, "b", 30, 5),   # matched, no clause: unchanged
+                   (4, "b", 40, 9)}   # conditional insert
+
+    dup = spark.createDataFrame(
+        [(2, "a", 1, 1, "U"), (2, "a", 2, 2, "U")],
+        "k long, g string, v long, seq long, flag string")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t.merge(dup, key_cols=["g", "k"],
+                when_matched=[{"action": "update"}])
+
+    with pytest.raises(ValueError, match="unknown merge action"):
+        t.merge(src.limit(1), key_cols=["g", "k"],
+                when_matched=[{"action": "upsert"}])
+
+
+def test_merge_update_all_and_unconditional(spark, tmp_path):
+    """An update clause without a SET map replaces the whole row from
+    the source; a clause without a condition applies to every matched
+    row not claimed by an earlier clause."""
+    df = spark.createDataFrame([(1, "a", 10), (2, "a", 20)],
+                               "k long, g string, v long")
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="k")
+    src = spark.createDataFrame([(1, "a", 111), (3, "a", 333)],
+                                "k long, g string, v long")
+    t.merge(src, key_cols=["k"],
+            when_matched=[{"action": "update"}],
+            when_not_matched_insert=True)
+    got = {(r.k, r.v) for r in t.scan().collect()}
+    assert got == {(1, 111), (2, 20), (3, 333)}
