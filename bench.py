@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental", # batch-vs-corpus admission dedup (r6)
+    "admission_index",   # same verdicts via the persisted index (r7):
+                         # the delta vs dedup_incremental is what the
+                         # index saves — the corpus text pass
     "dedup_clusters",    # pairs → connected components → canonical docs
     "sim_search",
     "split_train_test",  # reproducible hash-bucket split
@@ -47,6 +50,10 @@ HEADLINE = [
     "corpus_shuffle",    # deterministic shard deal: 1 exchange (r5)
     "multimodal_features",  # real WAV/PPM encode→decode→stats (r3)
     "zorder_range_scan",    # manifest-pruned multi-dim range query (r4)
+    # table-layer change plumbing (r7): the skinny-hash net changelog
+    # over the five-commit lifecycle, and the IVM rollup read
+    "table_changelog",
+    "table_rollup",
 ]
 
 
@@ -137,6 +144,20 @@ def main() -> None:
     # measures the manifest-pruned QUERY, not the one-time clustering)
     queries["zorder_range_scan"][0](spark, sf_dir).write.format(
         "noop").mode("overwrite").save()
+    # the admission corpus table + persisted index build once here —
+    # admission_index then measures the per-batch JUDGE (the cost that
+    # repeats per delivery); index build is ingest-time by design
+    from iceberg_core_spark.functions.dedup_incremental import (
+        _admission_index_root,
+    )
+
+    _admission_index_root(spark, sf_dir)
+    # the five-commit lifecycle table + its rollup build once too
+    # (table_changelog then measures the skinny net diff, table_rollup
+    # the IVM read — not the lifecycle construction)
+    from iceberg_core_spark.operators.table_queries import _changes_root
+
+    _changes_root(spark, sf_dir)
     prep_sec = round(prep_sec + time.perf_counter() - t0, 3)
 
     # PINNED PROTOCOL (round 3, BASELINE.md addendum): one cold pass +

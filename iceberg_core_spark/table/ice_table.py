@@ -83,6 +83,12 @@ class MaintenancePolicy:
     # checkpoints); the default matches remove_orphans' 7-day
     # discipline.
     lineage_retention_ms: int = 7 * 24 * 3600 * 1000
+    # Refresh the table's Bloom store each tick (no-op unless
+    # build_bloom was called at least once to record a config):
+    # compaction rewrites files under new paths, so the blooms of a
+    # continuously-maintained table would otherwise decay to
+    # conservative no-prune coverage.
+    refresh_bloom: bool = True
 
 
 def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
@@ -2651,6 +2657,14 @@ class IceTable:
             if policy.orphan_retention_ms is not None:
                 report["orphans_removed"] = self.remove_orphans(
                     older_than_ms=policy.orphan_retention_ms)
+            if policy.refresh_bloom:
+                from iceberg_core_spark.table.bloom import load_config
+
+                if load_config(self.root) is not None:
+                    # top up blooms for files the compaction (or any
+                    # ingest since the last build) wrote — metadata
+                    # commit-free, so it cannot conflict
+                    report["bloom_indexed"] = self.build_bloom()
         except CommitConflictError:
             # a concurrent writer won the race — maintenance is
             # best-effort background work; next tick retries

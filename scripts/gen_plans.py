@@ -42,7 +42,9 @@ PICKS = [
     ("dedup_incremental", "Batch-vs-corpus admission dedup — the exact tier is one equi-join on the normalized fingerprint (corpus side pre-aggregated fp→min id); the near tier joins BATCH band triples against CORPUS band triples only (asymmetric — never corpus×corpus), so candidates scale with the batch; verify re-joins shingles by id at cluster width; verdict assembly is two left joins. No cartesian, no Python, id+text-only ReadSchema (all plan-gated)."),
     ("tpch_q2", "Correlated regional-MIN decorrelated — the EUROPE part-supplier frame is built once (derived partsupp aggregates lineitem on (partkey, suppkey)); the per-part MIN joins back as an equi-join on (partkey, cost); nation/region broadcast; no cartesian (plan-gated)."),
     ("tpch_q9", "5-way profit rollup — one fact-fact shuffle (lineitem⋈orders on orderkey); part/supplier/nation broadcast at dimension scale; the (nation, year) group key is tiny so the final aggregate is all partial-combine."),
-    ("table_changelog", "Net row-level changelog — both sides read ONLY changed files (added/removed; 100k-ceiling test pins it), each under its own snapshot's predicates; the insert/delete split is two exceptAll branches over the same two scans, multiset-correct; compaction windows net to a zero-row plan."),
+    ("table_changelog", "Net row-level changelog — both sides read ONLY changed files (added/removed; 100k-ceiling test pins it), each under its own snapshot's predicates; the multiset diff is a SKINNY per-row-hash count-diff (the diff exchanges carry 32-byte hashes + counts, plan-gated) with a bounded payload fetch that AQE broadcasts; compaction windows net to a zero-row plan."),
+    ("bloom_point_scan", "Bloom-pruned point lookup — equality on a column the layout does NOT cluster: the file list comes pre-pruned by per-file bloom membership (absence proofs; ≤2-of-N files-read gate in tests), the residual equality pushes to the surviving file's row groups."),
+    ("table_merge", "Multi-clause MERGE read-back — the merge itself ran as ONE partition-scoped CoW commit (matched join + clause CASE + insert union through _merge_cow); the resulting scan is a plain pruned file read, no runtime merge work."),
     ("table_rollup", "Incrementally-maintained rollup read — the query is a plain scan of the last committed rollup version (parquet dir); ALL fold work happened at refresh time against changelog deltas, so read cost is O(groups), never O(table)."),
 ]
 

@@ -401,3 +401,34 @@ def test_maintain_orphan_cleanup_tick(spark, tmp_path):
                                            keep_snapshots=None))
     assert "orphans_removed" not in report2
     assert os.path.exists(orphan)
+
+
+def test_maintain_refreshes_bloom_after_compaction(spark, tmp_path):
+    """Compaction rewrites files under new paths, orphaning their
+    bloom rows; the maintenance tick must top the store up so point
+    scans keep pruning (instead of decaying to conservative
+    read-everything coverage)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(97)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=50)
+    assert t.build_bloom(["k"]) == t.file_count()
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    report = t.maintain(MaintenancePolicy(max_files_per_partition=3,
+                                          target_rows_per_file=500))
+    assert report["compacted"] is True
+    assert report["bloom_indexed"] >= 1  # rewritten files re-indexed
+    ps = t.point_scan("k", 123)
+    assert [r["k"] for r in ps.collect()] == [123]
+    assert len(ps.inputFiles()) <= 2
+    # a bloom-less table's tick stays a no-op on the bloom front
+    t2 = IceTable.create(
+        spark, str(tmp_path / "t2"),
+        spark.createDataFrame([(1, 1)], "k long, v long"),
+        partition_col=None, key_col="v")
+    r2 = t2.maintain(MaintenancePolicy())
+    assert "bloom_indexed" not in r2

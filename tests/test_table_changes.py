@@ -221,6 +221,39 @@ def test_rollup_crash_heals(spark, tmp_path):
     assert sorted(map(tuple, ru.read().collect())) == final
 
 
+def test_rollup_tracks_merge_commit(spark, tmp_path):
+    """A multi-clause MERGE is a CoW rewrite like any other commit:
+    the changelog nets its delete/update/insert effects and the
+    rollup fold over that delta equals a from-scratch recompute."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        partition_col="g", key_col="k")
+    ru = MaterializedRollup(spark, str(tmp_path / "ru"),
+                            group_cols=["g"], sum_cols=["v"])
+    ru.refresh(t)
+    src = spark.createDataFrame(
+        [(1, "a", 0, "D"), (2, "a", 99, "U"), (9, "b", 90, "U")],
+        "k long, g string, v long, flag string")
+    t.merge(src, key_cols=["g", "k"],
+            when_matched=[
+                {"condition": "s.flag = 'D'", "action": "delete"},
+                {"action": "update", "set": {"v": "s.v"}},
+            ],
+            when_not_matched_insert=True)
+    ru.refresh(t)
+    got = sorted(map(tuple, ru.read().collect()))
+    want = sorted(map(tuple, (
+        t.scan().groupBy("g")
+        .agg(F.count(F.lit(1)).alias("row_count"),
+             F.sum(F.col("v").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_v"))
+    ).collect()))
+    assert got == want
+    assert {(r.k, r.v) for r in t.scan().collect()} == {
+        (2, 99), (3, 30), (9, 90)}
+
+
 def test_rollup_null_sum_retraction(spark, tmp_path):
     """Retracting every non-NULL value of a sum column for a group
     that KEEPS NULL-valued rows must fold the sum back to NULL (what
