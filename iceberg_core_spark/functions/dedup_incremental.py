@@ -216,7 +216,7 @@ class AdmissionIndex:
     the watermark), so a crash anywhere between a table commit and an
     index write heals on the next sync — the index can never
     permanently miss or double-count a document. Rewrite-only
-    (compact) and metadata-only (rename/spec/tag) snapshots change no
+    (compact) and metadata-only (rename/spec) snapshots change no
     rows the index mirrors and are skipped; a WAP publish indexes the
     rows it reveals (the staged append synced empty — its files were
     hidden); a watermark gap (the synced snapshot expired out of the
@@ -246,12 +246,13 @@ class AdmissionIndex:
     _ROW_ADDING = ("create", "append", "add_files")
     _REWRITE_ONLY = ("compact",)
     # commits that change METADATA but not the visible row set that
-    # the index mirrors (names/specs/tags only) — skipped, not
-    # poisonous. NOT "publish": a staged append syncs EMPTY (its
-    # files are hidden until published), so publish is the commit
-    # that actually surfaces those rows — it indexes the revealed
-    # rows via the changelog below.
-    _METADATA_ONLY = ("set-spec", "rename", "tag")
+    # the index mirrors (partition-spec / column-name changes) —
+    # skipped, not poisonous. (Tags never commit a snapshot, so they
+    # cannot reach this loop at all.) NOT "publish": a staged append
+    # syncs EMPTY (its files are hidden until published), so publish
+    # is the commit that actually surfaces those rows — it indexes
+    # the revealed rows via the changelog below.
+    _METADATA_ONLY = ("set-spec", "rename")
     # commits that can REMOVE (or resurrect) visible rows without
     # violating the append-only spirit of an admission corpus — an
     # operator rolled back a bad delivery or dropped an audit branch.
@@ -321,13 +322,38 @@ class AdmissionIndex:
             frame.coalesce(parts).write.mode("overwrite").parquet(
                 os.path.join(self._kind_dir(kind), sub))
 
+    def _flip_generation(self, frames: dict[str, DataFrame],
+                         parts: int, sub: str,
+                         synced_snapshot_id: int) -> int:
+        """The shared crash-safe generation flip — ONE copy of the
+        invariant both :meth:`compact` and :meth:`rebuild` rely on:
+        write every kind's frame under ``gen=G+1/<sub>`` (clearing any
+        partial G+1 a crashed earlier attempt left — it was never
+        authoritative), then advance generation + watermark in the
+        single atomic meta write, then sweep every other generation.
+        A crash before the meta flip leaves gen G authoritative; a
+        crash after it leaves only sweepable garbage."""
+        meta = self._meta()
+        gen = meta.get("generation", 0) + 1
+        for kind, frame in frames.items():
+            shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
+            frame.repartition(parts).write.mode("overwrite").parquet(
+                os.path.join(self._kind_dir(kind, gen), sub))
+        self._write_meta({**meta, "generation": gen,
+                          "synced_snapshot_id": synced_snapshot_id})
+        for kind in self._KINDS:
+            base = os.path.join(self.root, kind)
+            for d in os.listdir(base):
+                if d != f"gen={gen}":
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+        return gen
+
     def compact(self) -> int:
         """Consolidate the current generation's per-snapshot dirs into
         one right-sized dir under ``gen=G+1``; returns the new
         generation (the current one if there was nothing to compact).
-        Crash-safe: gen G stays authoritative until the single atomic
-        meta flip; a partial G+1 is overwritten by the next attempt;
-        generations other than the current are swept afterwards."""
+        Crash discipline: :meth:`_flip_generation`."""
         meta = self._meta()
         if meta["synced_snapshot_id"] is None:
             return meta.get("generation", 0)
@@ -336,58 +362,32 @@ class AdmissionIndex:
                      if d.startswith("snap=")]
         if len(snap_dirs) <= 1:
             return gen
-        sub = f"snap={meta['synced_snapshot_id']}"
         n = self._read("fp", ["__cid"]).count()
         parts = max(1, -(-n // self._ROWS_PER_FILE))
-        for kind, cols in (("fp", ["fp", "__cid"]),
-                           ("bands", ["__cid", "band_idx", "band_hash"]),
-                           ("shingles", ["__cid", "tb"])):
-            # clear any partial gen+1 left by a crashed compact whose
-            # watermark has since moved — it was never authoritative
-            shutil.rmtree(self._kind_dir(kind, gen + 1),
-                          ignore_errors=True)
-            self._read(kind, cols).repartition(parts).write.mode(
-                "overwrite").parquet(
-                os.path.join(self._kind_dir(kind, gen + 1), sub))
-        self._write_meta({**meta, "generation": gen + 1})
-        for kind in self._KINDS:
-            base = os.path.join(self.root, kind)
-            for d in os.listdir(base):
-                if d != f"gen={gen + 1}":
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
-        return gen + 1
+        frames = {
+            "fp": self._read("fp", ["fp", "__cid"]),
+            "bands": self._read("bands",
+                                ["__cid", "band_idx", "band_hash"]),
+            "shingles": self._read("shingles", ["__cid", "tb"]),
+        }
+        return self._flip_generation(
+            frames, parts, f"snap={meta['synced_snapshot_id']}",
+            meta["synced_snapshot_id"])
 
     def rebuild(self, table) -> int:
         """Re-derive the whole index from the table's CURRENT
         contents into a fresh generation — the recovery path when the
         per-snapshot delta chain is unusable (expired watermark,
-        rollback, dropped branch). Same crash discipline as
-        :meth:`compact`: the old generation stays authoritative until
-        the single atomic meta flip, a partial next-generation dir is
-        overwritten by the next attempt, stale generations are swept
-        after. Cost is one corpus pass — then sync is incremental
-        again. Returns the target snapshot id."""
+        rollback, dropped branch). Crash discipline:
+        :meth:`_flip_generation`. Cost is one corpus pass — then sync
+        is incremental again. Returns the target snapshot id."""
         cur = table.manifest.load(load_files=False).snapshot_id
-        meta = self._meta()
-        gen = meta.get("generation", 0) + 1
         rows = table.scan(snapshot_id=cur).select(
             self.id_col, self.text_col)
         n = rows.count()
         parts = max(1, -(-n // self._ROWS_PER_FILE))
-        sub = f"snap={cur}"
-        for kind, frame in self._frames(rows).items():
-            shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
-            frame.repartition(parts).write.mode("overwrite").parquet(
-                os.path.join(self._kind_dir(kind, gen), sub))
-        self._write_meta({**meta, "synced_snapshot_id": cur,
-                          "generation": gen})
-        for kind in self._KINDS:
-            base = os.path.join(self.root, kind)
-            for d in os.listdir(base):
-                if d != f"gen={gen}":
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
+        self._flip_generation(self._frames(rows), parts,
+                              f"snap={cur}", cur)
         return cur
 
     def sync(self, table) -> int:
@@ -400,8 +400,8 @@ class AdmissionIndex:
         snapshot was expired out of the chain, so intermediate deltas
         are unrecoverable) and a row-removing-but-legitimate commit
         (rollback / drop-branch) both force :meth:`rebuild`;
-        metadata-only commits (publish, rename, spec/tag changes) are
-        skipped — their appends were already indexed. Edits that
+        metadata-only commits (rename, spec changes) are skipped and
+        a WAP publish indexes the rows it reveals. Edits that
         contradict the append-only contract (upsert/delete/overwrite)
         still raise."""
         last = self.synced_snapshot()

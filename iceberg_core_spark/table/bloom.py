@@ -118,6 +118,8 @@ def build_bloom(table, cols: list[str] | None = None,
                              "the first build_bloom call")
         cols, bits_per_row, k = (cfg["cols"], cfg["bits_per_row"],
                                  cfg["k"])
+    if not cols:
+        raise ValueError("bloom cols must be non-empty")
     if k < 1 or k > 16:
         raise ValueError("k must be in [1, 16]")
     spark = table.spark
@@ -146,19 +148,34 @@ def build_bloom(table, cols: list[str] | None = None,
 
     # one distributed pass over the pending files; mergeSchema keeps
     # pre-rename physical columns readable, coalesced per alias chain
-    paths = [os.path.join(table.root, p) for p, _ in todo]
+    absroot = os.path.abspath(table.root).rstrip("/")
+    paths = [os.path.join(absroot, p) for p, _ in todo]
     m_map = spark.createDataFrame(
         [(p, _m_for(rows, bits_per_row)) for p, rows in todo],
         "path string, __m long")
     src = (spark.read.option("mergeSchema", "true").parquet(*paths)
            .withColumn("path", F.input_file_name()))
-    # input_file_name yields a URI (file:///abs/path) — normalize to
-    # the manifest's root-relative form: drop the scheme, collapse
-    # the leading slashes, strip the root prefix (literal replace)
-    p = F.replace(F.col("path"), F.lit("file:"), F.lit(""))
+    # input_file_name yields a URI (file:///abs/path, %-encoded) —
+    # normalize to the manifest's root-relative form: decode, drop
+    # the scheme, collapse leading slashes, strip the ABSOLUTE root
+    # (the manifest may record a relative root; prefix-stripping that
+    # would silently mis-key every row — see the guard below)
+    p = F.expr("coalesce(try_url_decode(path), path)")
+    p = F.replace(p, F.lit("file:"), F.lit(""))
     p = F.regexp_replace(p, r"^/+", "/")
-    p = F.replace(p, F.lit(table.root.rstrip("/") + "/"), F.lit(""))
+    p = F.replace(p, F.lit(absroot + "/"), F.lit(""))
     src = src.withColumn("path", p)
+    # fail LOUDLY if normalization missed: a data path that doesn't
+    # key into the manifest map would otherwise fall through to the
+    # all-zero fallback below and prove absence of everything
+    unmatched = (src.select("path").distinct()
+                 .join(m_map, "path", "left_anti").limit(1).collect())
+    if unmatched:
+        raise RuntimeError(
+            f"bloom path normalization failed: data file "
+            f"{unmatched[0]['path']!r} does not match any manifest "
+            f"path — refusing to write a store that would prune "
+            f"wrongly")
 
     from iceberg_core_spark.table.ice_table import _fold_chains
     chains = _fold_chains(snap.renames)
@@ -168,6 +185,17 @@ def build_bloom(table, cols: list[str] | None = None,
         if c not in src.columns:
             names = names[1:]
         if not names:
+            # no pending file physically carries the column (e.g. it
+            # was added by schema evolution after these files were
+            # written): every value reads NULL, and an all-NULL file's
+            # bloom is legitimately all-zero — the empty frame below
+            # covers every path, so the files never look pending again
+            out_frames.append(
+                m_map.select(
+                    "path", F.lit(c).alias("col"),
+                    F.col("__m").alias("m"), F.lit(k).alias("k"),
+                    F.expr("transform(sequence(0, cast(__m div 64 as "
+                           "int) - 1, 1), i -> 0L)").alias("words")))
             continue
         val = F.coalesce(*[F.col(n) for n in names])
         h1, h2 = _hash_cols(val)

@@ -46,10 +46,11 @@ def audit_ages(next_round: int | None = None) -> int:
         rounds.append(rnd)
         for name, row in json.load(open(f)).items():
             # green = full value-hash match, or the by-design
-            # rows-only check (err == "no_oracle", rows produced)
+            # rows-only check (err == "no_oracle" and the driver
+            # actually executed the query — spark_rows recorded)
             ok = bool(row.get("hash_match")) or (
                 row.get("err") == "no_oracle"
-                and (row.get("spark_rows") or 0) >= 0)
+                and row.get("spark_rows") is not None)
             latest[name] = (rnd, ok)
     if not rounds:
         print("no CORRECTNESS artifacts found")

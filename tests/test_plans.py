@@ -398,3 +398,44 @@ def test_bloom_point_scan_limits_input_files(spark, tmp_path):
     assert [r["k"] for r in t.point_scan("k", 5000).collect()] == [5000]
     assert t.build_bloom() == 1
     assert len(t.point_scan("k", 5000).inputFiles()) <= 2
+
+
+def test_bloom_relative_root_and_evolved_column(spark, tmp_path):
+    """Two review regressions: (a) a RELATIVE table root must not
+    mis-key the bloom store (the normalization strips the absolute
+    root; a mismatch must raise, never silently write all-zero rows
+    that prune everything); (b) a schema-evolved column no pending
+    file physically carries gets all-zero rows (correct: equality
+    never matches NULL) instead of crashing or staying pending."""
+    import os
+
+    # relative root (resolved against the launch cwd both by Python
+    # and by the JVM): prefix-stripping the RELATIVE root from the
+    # absolute input_file_name URIs would mis-key every store row
+    rel = os.path.relpath(str(tmp_path / "t"), os.getcwd())
+    assert not os.path.isabs(rel)
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)],
+                               "k long, v long")
+    t = IceTable.create(spark, rel, df, partition_col=None,
+                        key_col="v", max_rows_per_file=20)
+    assert t.file_count() > 1
+    assert t.build_bloom(["k"]) == t.file_count()
+    ps = t.point_scan("k", 42)
+    assert [r["k"] for r in ps.collect()] == [42]
+    assert len(ps.inputFiles()) <= 2
+
+    # (b) evolve in a column the existing files lack
+    t2 = IceTable.create(spark, str(tmp_path / "t2"),
+                         spark.createDataFrame([(1, 1)], "k long, v long"),
+                         partition_col=None, key_col="v")
+    t2.append(spark.createDataFrame([(2, 2, 7)],
+                                    "k long, v long, q long"),
+              evolve_schema=True)
+    n = t2.build_bloom(["q"])
+    assert n == t2.file_count()
+    got = t2.point_scan("q", 7).collect()
+    assert [(r["k"], r["q"]) for r in got] == [(2, 7)]
+    # the value lives only in the evolved file; the pre-evolution
+    # file's all-zero bloom prunes it
+    assert len(t2.point_scan("q", 7).inputFiles()) == 1
+    assert t2.build_bloom() == 0  # nothing stays pending

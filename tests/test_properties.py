@@ -357,3 +357,61 @@ def test_changelog_and_rollup_match_multiset_model(
             (ins if r["_change_type"] == "insert" else dels)[row] += 1
         assert ins == model - snap_model, (sid, ins, model - snap_model)
         assert dels == snap_model - model, (sid, dels)
+
+
+# MERGE model check: random target/source states + random ordered
+# clauses replayed against a plain-Python first-applicable-wins model.
+_MERGE_STATE = st.tuples(
+    # target rows: key -> (v, seq)
+    st.dictionaries(st.integers(min_value=0, max_value=9),
+                    st.tuples(st.integers(min_value=0, max_value=50),
+                              st.integers(min_value=0, max_value=5)),
+                    min_size=1, max_size=8),
+    # source rows: key -> (v, seq, flag)
+    st.dictionaries(st.integers(min_value=0, max_value=12),
+                    st.tuples(st.integers(min_value=0, max_value=50),
+                              st.integers(min_value=0, max_value=5),
+                              st.sampled_from(["D", "U"])),
+                    min_size=1, max_size=8),
+    # insert threshold for the NOT MATCHED condition
+    st.integers(min_value=0, max_value=50),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(state=_MERGE_STATE)
+def test_merge_matches_clause_model(spark, tmp_path_factory, state):
+    """merge() with [tombstone delete, newer-wins partial update] +
+    conditional insert equals a per-row Python replay of the same
+    ordered clause semantics."""
+    target, source, thr = state
+    root = str(tmp_path_factory.mktemp("mrg") / "t")
+    t = IceTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in target.items()],
+            "k long, v long, seq long"),
+        partition_col=None, key_col="k")
+    src = spark.createDataFrame(
+        [(k, v, s, f) for k, (v, s, f) in source.items()],
+        "k long, v long, seq long, flag string")
+    t.merge(src, key_cols=["k"],
+            when_matched=[
+                {"condition": "s.flag = 'D'", "action": "delete"},
+                {"condition": "s.seq > t.seq", "action": "update",
+                 "set": {"v": "s.v", "seq": "s.seq"}},
+            ],
+            when_not_matched_insert=f"v < {thr}")
+
+    model = dict(target)
+    for k, (v, s, f) in source.items():
+        if k in model:
+            if f == "D":
+                model.pop(k)
+            elif s > model[k][1]:
+                model[k] = (v, s)
+        elif v < thr:
+            model[k] = (v, s)
+    got = sorted((r.k, r.v, r.seq) for r in t.scan().collect())
+    assert got == sorted((k, v, s) for k, (v, s) in model.items())
