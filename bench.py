@@ -200,18 +200,36 @@ def main() -> None:
                    for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # The driver records only the LAST 2000 bytes of output (the r6
+    # artifact's JSON outgrew that and failed to parse — BENCH_r06
+    # "parsed": null), so the printed line carries the cold dict and
+    # the warm MEDIAN dict only; the first-warm r2-protocol metric
+    # stays as the per-run totals ("value_warm") without its
+    # per-query breakdown.
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
-        "queries_warm": warm,
         "value_warm_median": round(sum(warm_median.values()), 3),
         "queries_warm_median": warm_median,
         "sf": sf,
         "prep_sec": prep_sec,
-    }))
+    })
+    if len(line) > 1950:  # keep the whole line inside the capture:
+        # drop the warm-median per-query breakdown next (totals stay)
+        line = json.dumps({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "value_warm": round(sum(warm.values()), 3),
+            "value_warm_median": round(sum(warm_median.values()), 3),
+            "sf": sf,
+            "prep_sec": prep_sec,
+        })
+    print(line)
 
 
 if __name__ == "__main__":

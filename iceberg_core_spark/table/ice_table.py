@@ -2112,6 +2112,7 @@ class IceTable:
     def merge(self, source: DataFrame, key_cols: list[str],
               when_matched: list[dict] | None = None,
               when_not_matched_insert: bool | str = False,
+              mode: str = "cow",
               source_batch_id: int | None = None,
               source_lineage: str | None = None) -> Snapshot:
         """Conditional multi-clause MERGE — Iceberg's ``MERGE INTO
@@ -2143,12 +2144,18 @@ class IceTable:
         Like SQL MERGE, more than one source row matching the same
         target key is an error (which clause wins would be
         nondeterministic) — pre-collapse with ``seq_col`` logic if
-        needed. Executes as ONE CoW commit through the shared
-        partition-scoped merge: when the partition column is a merge
-        key, the matched-row join AND the rewrite touch only the
-        partitions the batch names, so cost tracks the batch at any
-        table size. Raises ``CommitConflictError`` on a lost race
-        (read-modify-write discipline, same as upsert)."""
+        needed. Executes as ONE commit. ``mode="cow"``: the shared
+        partition-scoped CoW merge — when the partition column is a
+        merge key, the matched-row join AND the rewrite touch only
+        the partitions the batch names, so cost tracks the batch at
+        any table size. ``mode="mor"``: merge-on-read — only the
+        clause-CLAIMED keys land in an equality-delete file and only
+        updated/inserted rows append (matched rows no clause claims
+        are not touched at all), so per-merge cost is O(batch) with
+        zero rewrites — the high-frequency path; ``compact()``
+        materializes the deletes away. Raises
+        ``CommitConflictError`` on a lost race (read-modify-write
+        discipline, same as upsert)."""
         from functools import reduce as _reduce
 
         when_matched = list(when_matched or [])
@@ -2206,11 +2213,28 @@ class IceTable:
             return v.alias(c)
 
         matched = joined.withColumn("__mi", idx)
-        if delete_idx:
-            matched = matched.filter(~F.col("__mi").isin(*delete_idx))
-        matched = matched.select(*[col_value(c) for c in tcols])
+        if mode == "mor":
+            # only clause-CLAIMED rows participate: their keys hide
+            # the old versions (equality delete), and the non-delete
+            # survivors re-append updated; unclaimed matched rows are
+            # never touched — that is what makes the merge O(batch)
+            claimed = matched.filter(F.col("__mi") >= 0)
+            mor_keys = claimed.select(
+                *[F.col(f"t.{k}").alias(k) for k in key_cols]
+            ).dropDuplicates(key_cols)
+            out_matched = claimed
+            if delete_idx:
+                out_matched = out_matched.filter(
+                    ~F.col("__mi").isin(*delete_idx))
+            out_matched = out_matched.select(
+                *[col_value(c) for c in tcols])
+        else:
+            if delete_idx:
+                matched = matched.filter(
+                    ~F.col("__mi").isin(*delete_idx))
+            out_matched = matched.select(*[col_value(c) for c in tcols])
 
-        upserts = matched
+        upserts = out_matched
         if when_not_matched_insert is not False:
             inserts = source.join(tgt.select(*key_cols).distinct(),
                                   key_cols, "left_anti")
@@ -2222,6 +2246,9 @@ class IceTable:
                     F.col(c).cast(schema[c].dataType).alias(c)
                     for c in tcols]))
 
+        if mode == "mor":
+            return self._cdc_mor(mor_keys, upserts, key_cols,
+                                 source_batch_id, source_lineage)
         all_keys = source.select(*key_cols).dropDuplicates(key_cols)
         return self._merge_cow(
             all_keys=all_keys, upserts=upserts, key_cols=key_cols,

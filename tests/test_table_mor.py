@@ -108,3 +108,50 @@ def test_mor_commit_preserves_layout_config(spark, tmp_path):
     t.delete_where("id < 5", mode="mor")
     snap = t.manifest.load(load_files=False)
     assert snap.stat_cols == ["v"]
+
+
+def test_merge_mor_equals_cow(spark, tmp_path):
+    """merge(mode='mor') must produce the same logical contents as
+    the CoW merge — but as an O(batch) commit: unclaimed matched rows
+    stay in their original files (no rewrite), only claimed keys land
+    in the equality-delete file, and compact() materializes it all."""
+    from iceberg_core_spark.table import IceTable
+
+    def mk(root):
+        return IceTable.create(
+            spark, root,
+            spark.createDataFrame(
+                [(1, 10, 1), (2, 20, 1), (3, 30, 5), (4, 40, 1)],
+                "k long, v long, seq long"),
+            partition_col=None, key_col="k")
+
+    src = spark.createDataFrame(
+        [(1, 99, 9, "D"),     # delete
+         (2, 77, 9, "U"),     # newer → update
+         (3, 88, 2, "U"),     # stale → unclaimed (untouched)
+         (9, 90, 9, "U")],    # unmatched → insert
+        "k long, v long, seq long, flag string")
+    clauses = [
+        {"condition": "s.flag = 'D'", "action": "delete"},
+        {"condition": "s.seq > t.seq", "action": "update",
+         "set": {"v": "s.v", "seq": "s.seq"}},
+    ]
+    t_cow = mk(str(tmp_path / "cow"))
+    t_cow.merge(src, key_cols=["k"], when_matched=clauses,
+                when_not_matched_insert=True)
+    t_mor = mk(str(tmp_path / "mor"))
+    before_paths = {f.path for f in t_mor.manifest.load().files}
+    t_mor.merge(src, key_cols=["k"], when_matched=clauses,
+                when_not_matched_insert=True, mode="mor")
+
+    want = sorted(map(tuple, t_cow.scan().collect()))
+    assert sorted(map(tuple, t_mor.scan().collect())) == want
+    # O(batch): every original file survives untouched
+    after = {f.path for f in t_mor.manifest.load().files}
+    assert before_paths <= after
+    # the delete predicate hides exactly the claimed keys; compaction
+    # materializes it away with identical contents
+    assert t_mor.manifest.load(load_files=False).delete_predicates
+    t_mor.compact(min_files=1)
+    assert sorted(map(tuple, t_mor.scan().collect())) == want
+    assert not t_mor.manifest.load(load_files=False).delete_predicates
