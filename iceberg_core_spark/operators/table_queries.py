@@ -565,6 +565,46 @@ def table_merge(spark: SparkSession, sf: str) -> DataFrame:
     return IceTable(spark, _merge_root(spark, sf)).scan()
 
 
+_MERGE_MOR_CACHE: dict[str, str] = {}
+
+
+def table_merge_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME merge lifecycle committed merge-on-read: claimed keys
+    land as an equality-delete file, updates/inserts append, and
+    unclaimed matched rows are never rewritten — the scan must still
+    equal the identical plain-SQL oracle (mode changes the PHYSICAL
+    commit, never the logical contents)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table import IceTable
+
+    root = _MERGE_MOR_CACHE.get(sf)
+    if root is None or not os.path.isdir(root):
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "lang", "n_chars")
+        root = os.path.join(tempfile.mkdtemp(prefix="ice_mrgm_"), "m")
+        t = IceTable.create(spark, root,
+                            docs.filter("doc_id % 3 != 0"),
+                            partition_col="lang", key_col="doc_id")
+        source = docs.filter("doc_id % 2 = 0").select(
+            "doc_id", "lang",
+            (F.col("n_chars") + 100).alias("n_chars"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("flag"))
+        t.merge(
+            source, key_cols=["lang", "doc_id"],
+            when_matched=[
+                {"condition": "s.flag = 'D'", "action": "delete"},
+                {"condition": "s.n_chars % 3 = 0", "action": "update",
+                 "set": {"n_chars": "t.n_chars + s.n_chars"}},
+            ],
+            when_not_matched_insert="n_chars < 400",
+            mode="mor",
+        )
+        _MERGE_MOR_CACHE[sf] = root
+    return IceTable(spark, root).scan()
+
+
 TABLE_MERGE_SQL = """
 SELECT doc_id, lang,
        CASE WHEN doc_id % 2 = 0 AND doc_id % 10 <> 0
@@ -701,4 +741,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # non-clustered high-cardinality column) + multi-clause MERGE
     "bloom_point_scan": (bloom_point_scan, BLOOM_POINT_SCAN_SQL),
     "table_merge": (table_merge, TABLE_MERGE_SQL),
+    # registered late-r7, past the 50-slot window — r8 window lead:
+    # the SAME merge lifecycle committed merge-on-read, against the
+    # SAME oracle (mode changes the physical commit, not the logic)
+    "table_merge_mor": (table_merge_mor, TABLE_MERGE_SQL),
 }

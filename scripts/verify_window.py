@@ -58,13 +58,34 @@ def audit_ages(next_round: int | None = None) -> int:
     nr = next_round if next_round is not None else max(rounds) + 1
     names = list(all_queries())
     window = set(names[:WINDOW])
+    # first-seen bookkeeping gives the late-registration pattern
+    # teeth: a query registered past a full window legitimately
+    # waits ONE round (pending lead), but if a later round's audit
+    # still finds it rowless and unwindowed, that's a violation
+    seen_path = os.path.join(REPO, "scripts",
+                             ".registry_first_seen.json")
+    try:
+        with open(seen_path) as f:
+            seen = json.load(f)
+    except FileNotFoundError:
+        seen = {}
+    for name in names:
+        seen.setdefault(name, nr)
+    with open(seen_path, "w") as f:
+        json.dump(seen, f, indent=0, sort_keys=True)
+
     errors = []
+    pending = []
     for name in names:
         rnd_ok = latest.get(name)
         if rnd_ok is None:
             if name not in window:
-                errors.append(f"{name}: NO driver row and not in the "
-                              f"first-{WINDOW} window")
+                if seen[name] < nr:
+                    errors.append(
+                        f"{name}: registered by r{seen[name]} but "
+                        f"STILL has no driver row and no window slot")
+                else:
+                    pending.append(name)
             continue
         rnd, ok = rnd_ok
         age = nr - rnd
@@ -81,11 +102,15 @@ def audit_ages(next_round: int | None = None) -> int:
         or nr - latest[n][0] > MAX_AGE - 1)
     print(f"registry: {len(names)} queries; window: {len(window)}; "
           f"auditing as of round r{nr}")
+    for p in pending:
+        print(f"  PENDING-LEAD {p}: no driver row yet — must lead "
+              f"the r{nr + 1} window")
     for e in errors:
         print(f"  AGE-VIOLATION {e}")
     if not errors:
         print(f"OK — no row exceeds age {MAX_AGE} in r{nr} "
-              f"({in_window_no_need} window slots are early refreshes)")
+              f"({in_window_no_need} window slots are early refreshes; "
+              f"{len(pending)} pending next-round leads)")
     return 1 if errors else 0
 
 
