@@ -437,6 +437,101 @@ def stream_cdc_to_table(
     return writer.start()
 
 
+def stream_merge_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    schema: StructType,
+    key_cols: list[str],
+    when_matched: list[dict],
+    when_not_matched_insert: bool | str = True,
+    partition_col: str | None = None,
+    key_col: str | None = None,
+    mode: str = "cow",
+    source_cols: list[str] | None = None,
+    seq_col: str | None = None,
+    max_rows_per_file: int = 8192,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+    source_format: str = "parquet",
+    maintenance: "MaintenancePolicy | None" = None,
+    maintenance_every: int = 10,
+) -> StreamingQuery:
+    """Streaming CONDITIONAL multi-clause MERGE: each micro-batch
+    applies :meth:`IceTable.merge`'s ordered ``WHEN MATCHED AND cond
+    THEN UPDATE/DELETE`` clauses + conditional NOT-MATCHED insert —
+    the general form ``stream_cdc_to_table``'s last-writer-wins
+    apply cannot express (e.g. "update only if the incoming change is
+    newer, tombstone on flag, insert the rest"). Clause conditions
+    see the ``t``/``s`` aliases exactly as in the batch API.
+
+    ``source_cols``: the subset of stream columns that form the table
+    schema (defaults to all; list it when the stream carries
+    clause-only columns like flags/sequence numbers — they stay
+    visible to clause conditions via ``s.`` but are not stored).
+    ``seq_col``: merge (like SQL MERGE) refuses a batch with multiple
+    rows per key; pass the ordering column and each batch
+    pre-collapses to the per-key LATEST row before merging (the
+    apply_cdc discipline) so a bursty key cannot kill the stream.
+
+    Exactly-once through the lineage batch-id guard (a replayed
+    micro-batch id is skipped whole); the first batch creates the
+    empty table and merges onto it, so insert conditions apply from
+    batch 0. ``mode="mor"`` keeps each trigger O(batch) — only
+    clause-claimed keys land in the equality-delete file — with the
+    maintenance tick materializing deletes away. The same
+    ``CommitConflictError`` read-modify-write discipline as batch
+    merge applies: a lost race skips the batch to the stream's
+    retry, never half-applies."""
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .load(source_dir)
+    )
+
+    import uuid as _uuid
+
+    lineage = checkpoint_dir or f"merge-ephemeral-{_uuid.uuid4()}"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if seq_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc())
+            batch_df = (batch_df.withColumn(
+                "_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        table = IceTable(spark, table_root)
+        tbl_cols = source_cols or batch_df.columns
+        if table.manifest.current_snapshot_id() is None:
+            IceTable.create(
+                spark, table_root,
+                batch_df.select(*tbl_cols).limit(0),
+                partition_col=partition_col, key_col=key_col,
+                max_rows_per_file=max_rows_per_file,
+            )
+        else:
+            last = table.last_committed_batch(lineage)
+            if last is not None and batch_id <= last:
+                return
+        table.merge(
+            batch_df, key_cols=key_cols, when_matched=when_matched,
+            when_not_matched_insert=when_not_matched_insert,
+            mode=mode, source_batch_id=batch_id,
+            source_lineage=lineage)
+        if _should_tick(batch_id, maintenance, maintenance_every):
+            table.maintain(maintenance)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (batch/streaming-agnostic DataFrame → DataFrame)
 # ---------------------------------------------------------------------------

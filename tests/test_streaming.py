@@ -653,3 +653,79 @@ def test_stream_admit_cold_start_backlog_batched(spark, tmp_path):
     assert sorted(r.doc_id for r in t.scan().collect()) == [1, 11]
     snaps = t.manifest.snapshots(load_files=False)
     assert [s.source_batch_id for s in snaps] == [0, 1]
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_stream_merge_applies_clauses_exactly_once(spark, tmp_path,
+                                                   merge_mode):
+    """Streaming multi-clause MERGE: newer-wins conditional update +
+    tombstone delete + conditional insert per micro-batch, with the
+    flag/seq columns visible to clauses but NOT stored
+    (source_cols), per-batch latest-per-key collapse (seq_col), and
+    exactly-once via the lineage batch-id guard across a restart."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from iceberg_core_spark.streaming import stream_merge_to_table
+
+    schema = StructType([
+        StructField("part", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("flag", StringType()),
+        StructField("seq", LongType()),
+    ])
+    src = str(tmp_path / "mrg_in")
+    os.makedirs(src)
+    root = str(tmp_path / "mrg_table")
+    ckpt = str(tmp_path / "mrg_ckpt")
+
+    def run():
+        q = stream_merge_to_table(
+            spark, src, root, schema, key_cols=["part", "k"],
+            when_matched=[
+                {"condition": "s.flag = 'D'", "action": "delete"},
+                {"condition": "s.seq > t.seq", "action": "update",
+                 "set": {"v": "s.v", "seq": "s.seq"}},
+            ],
+            when_not_matched_insert="flag <> 'D'",
+            partition_col="part", key_col="k",
+            source_cols=["part", "k", "v", "seq"], seq_col="seq",
+            mode=merge_mode, trigger={"availableNow": True},
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: seed (inserts), incl. a per-key burst collapsed by seq
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 1.0, "U", 1), ("a", 1, 1.5, "U", 2),
+        ("a", 2, 2.0, "U", 1), ("b", 1, 10.0, "U", 1),
+    ], src, "b1.parquet")
+    run()
+    t = IceTable(spark, root)
+    got = {(r.part, r.k): (r.v, r.seq) for r in t.scan().collect()}
+    assert got == {("a", 1): (1.5, 2), ("a", 2): (2.0, 1),
+                   ("b", 1): (10.0, 1)}
+    assert "flag" not in t.scan().columns
+
+    # batch 2: stale update ignored, fresh update applied, tombstone,
+    # insert-with-D-flag suppressed by the insert condition
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 0.0, "U", 1),    # stale (seq 1 < 2): unclaimed
+        ("a", 2, 22.0, "U", 5),   # newer: update
+        ("b", 1, 0.0, "D", 9),    # tombstone
+        ("b", 2, 20.0, "U", 1),   # insert
+        ("b", 3, 0.0, "D", 1),    # unmatched tombstone: NOT inserted
+    ], src, "b2.parquet")
+    run()
+    got = {(r.part, r.k): (r.v, r.seq) for r in t.scan().collect()}
+    assert got == {("a", 1): (1.5, 2), ("a", 2): (22.0, 5),
+                   ("b", 2): (20.0, 1)}
+
+    # replay protection: restart with nothing new commits nothing
+    sid = t.manifest.current_snapshot_id()
+    run()
+    assert t.manifest.current_snapshot_id() == sid
+    ops = [s.operation for s in t.snapshots()]
+    expected = "merge" if merge_mode == "cow" else "cdc-mor"
+    assert ops.count(expected) == 2
