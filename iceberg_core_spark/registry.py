@@ -36,7 +36,10 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.operators.tpch import QUERIES as TPCH
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
+    from iceberg_core_spark.functions.dedup_spans import QUERIES as SPANS
+    from iceberg_core_spark.operators.timeseries import QUERIES as TS
     from iceberg_core_spark.sources.avro_ocf import QUERIES as AVRO
+    from iceberg_core_spark.sources.orc_format import QUERIES as ORC
     from iceberg_core_spark.sources.text_formats import QUERIES as TEXTFMT
     from iceberg_core_spark.streaming.stateful import QUERIES as STATEFUL
 
@@ -54,6 +57,9 @@ def all_queries() -> dict[str, Entry]:
     out.update(STATEFUL) # applyInPandasWithState running stats (NEW r3)
     out.update(AVRO)     # OCF ingest roundtrip (NEW r3)
     out.update(TEXTFMT)  # JSONL corpus source roundtrip (NEW r5)
+    out.update(ORC)      # native ORC columnar roundtrip (NEW r7)
+    out.update(SPANS)    # cross-doc duplicated-span dedup (NEW r7)
+    out.update(TS)       # batch sessionize + LOCF gapfill (NEW r7)
     out.update(UDF)      # pandas UDF / UDAF / UDTF
     out.update(BUCKETED) # co-located (exchange-free) fact-fact join
     out.update(TABLE)    # table-layer lifecycle (incremental change feed)
@@ -111,6 +117,12 @@ def all_queries() -> dict[str, Entry]:
         "table_incremental", "table_time_travel", "table_cdc_mor",
         "table_partition_evolution", "zorder_range_scan",
         "stream_ingest",
+        # LATE-r7 registrations (after the 50-slot cut, like
+        # table_merge_mor): scan_orc, dedup_spans, events_sessionize,
+        # events_gapfill — all four MUST lead the r8 window alongside
+        # table_merge_mor and the age-2 r5 rows
+        # (`scripts/verify_window.py --ages` tracks them as pending
+        # leads from their first-seen round).
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

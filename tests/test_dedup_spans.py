@@ -1,0 +1,94 @@
+"""Duplicated-span dedup: oracle match at sf0.001 plus hand-checked
+span semantics (marking, merging, cross-doc requirement) and a plan
+gate that the wide exchange carries gram hashes, not text."""
+
+import pytest
+from pyspark.sql import Row
+
+from iceberg_core_spark.functions.dedup_spans import (
+    DEDUP_SPANS_SQL,
+    dedup_spans,
+    duplicated_spans,
+)
+from tests.oracle import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_oracle_match(spark, con):
+    compare(dedup_spans(spark, SF_DIR), con, DEDUP_SPANS_SQL,
+            "dedup_spans")
+
+
+def _words(n, prefix):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_passage_marked_in_both_docs(spark):
+    shared = _words(10, "dup")  # 10 shared tokens -> 3 grams each doc
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{_words(5, 'a')} {shared} {_words(5, 'b')}"),
+        Row(doc_id=2, text=f"{_words(3, 'c')} {shared}"),
+    ])
+    out = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+           for r in duplicated_spans(docs).collect()}
+    # doc 1: shared tokens sit at 1-based positions 6..15
+    assert out[1] == (6, 15, 10)
+    # doc 2: positions 4..13
+    assert out[2] == (4, 13, 10)
+
+
+def test_repeat_within_one_doc_only_is_not_marked(spark):
+    passage = _words(8, "x")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{passage} {_words(4, 'y')} {passage}"),
+        Row(doc_id=2, text=_words(12, "z")),
+    ])
+    # the gram appears twice but only inside doc 1: cross-doc distinct
+    # count is 1, so nothing is marked
+    assert duplicated_spans(docs).count() == 0
+
+
+def test_disjoint_passages_stay_separate_spans(spark):
+    p1, p2 = _words(8, "p"), _words(8, "q")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{p1} {_words(6, 'm')} {p2}"),
+        Row(doc_id=2, text=f"{p1} {_words(9, 'n')} {p2}"),
+    ])
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs).collect()
+    )
+    # doc 1: p1 at 1..8, p2 at 15..22 (6 filler tokens between)
+    assert spans == [(1, 1, 8), (1, 15, 22), (2, 1, 8), (2, 18, 25)]
+
+
+def test_short_docs_produce_no_grams(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=_words(7, "s")),
+        Row(doc_id=2, text=_words(7, "s")),
+    ])
+    # identical docs but below one gram length: no positions at all
+    assert duplicated_spans(docs).count() == 0
+
+
+def test_wide_exchange_excludes_text(spark):
+    """The dup-gram aggregate and the marking join shuffle md5 triples;
+    the raw text column must not survive past the tokenizing project
+    into any exchange."""
+    plan = (
+        dedup_spans(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan

@@ -1,0 +1,92 @@
+"""Batch time-series operators (sessionize / gapfill): oracle matches
+at sf0.001, plus semantic unit checks on constructed frames where the
+expected sessions and fill values are known by hand."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.operators.timeseries import (
+    QUERIES,
+    gapfill_locf,
+    sessionize,
+)
+from tests.oracle import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_oracle_match(spark, con, name):
+    fn, sql = QUERIES[name]
+    compare(fn(spark, SF_DIR), con, sql, name)
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_splits_on_gap(spark):
+    # 3 events 10 min apart (one session), then a 31-min gap (new
+    # session); a second user interleaved stays independent
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0)),
+        Row(user_id=1, event_id=2, ts=_ts(10)),
+        Row(user_id=1, event_id=3, ts=_ts(20)),
+        Row(user_id=1, event_id=4, ts=_ts(51)),
+        Row(user_id=2, event_id=5, ts=_ts(5)),
+    ]
+    out = sessionize(spark.createDataFrame(rows)).collect()
+    sess = {r.event_id: r.session_id for r in out}
+    assert sess[1] == sess[2] == sess[3] == 1
+    assert sess[4] == 2
+    assert sess[5] == 1
+
+
+def test_sessionize_gap_boundary_exact_30min_stays(spark):
+    # exactly 30:00.000000 is NOT > the gap — same session
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0)),
+        Row(user_id=1, event_id=2, ts=_ts(30)),
+    ]
+    out = sessionize(spark.createDataFrame(rows)).collect()
+    assert {r.session_id for r in out} == {1}
+
+
+def test_gapfill_carries_last_value_forward(spark):
+    rows = [
+        Row(k="a", bucket=_ts(0), v=1.0),
+        # minute 1-2 missing
+        Row(k="a", bucket=_ts(3), v=4.0),
+        Row(k="b", bucket=_ts(0), v=9.0),
+    ]
+    out = gapfill_locf(
+        spark.createDataFrame(rows), "k", "bucket", "v",
+        step_expr="interval 1 minute",
+    ).collect()
+    a = {r.bucket.minute: (r.v, r.was_gap) for r in out if r.k == "a"}
+    assert a == {0: (1.0, 0), 1: (1.0, 1), 2: (1.0, 1), 3: (4.0, 0)}
+    # key b has a single bucket: no synthesized rows, no bleed from a
+    b = [(r.v, r.was_gap) for r in out if r.k == "b"]
+    assert b == [(9.0, 0)]
+
+
+def test_gapfill_single_shuffle_window_per_key(spark):
+    # the LOCF window partitions by the key: the plan must not contain
+    # a global (un-partitioned) sort
+    rows = [Row(k="a", bucket=_ts(0), v=1.0), Row(k="a", bucket=_ts(2), v=2.0)]
+    plan = gapfill_locf(
+        spark.createDataFrame(rows), "k", "bucket", "v",
+        step_expr="interval 1 minute",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
