@@ -42,6 +42,33 @@ GRAM_TOKENS = 8
 _WS = r"[ \t\n\x0B\f\r]+"
 
 
+def _gram_positions(docs: DataFrame, k: int, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(id, start_pos, h) for every K-token window: 1-based token
+    position paired with the window's md5 (case-folded gram text).
+
+    The struct array is built in ONE expression pass; the >= k guard
+    lives inside the expression so the optimizer cannot push an
+    inferred size() filter below a spread() exchange and re-tokenize
+    on the narrow scan stage (the text_ngrams lesson,
+    llm_queries.py:513).
+    """
+    toks = F.split(F.trim(F.lower(text_col)), _WS)
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), i -> "
+        f"struct(i AS s, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
+    )
+    guarded = F.when(F.size("__toks") >= k, grams).otherwise(
+        F.array().cast("array<struct<s:int,h:string>>"))
+    return (
+        spread(docs).withColumn("__toks", toks)
+        .select(id_col, F.explode_outer(guarded).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, F.col("g.s").alias("start_pos"),
+                F.col("g.h").alias("h"))
+    )
+
+
 def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -53,25 +80,7 @@ def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
     positions of one duplicated passage, so merging them reconstructs
     the passage's full extent).
     """
-    toks = F.split(F.trim(F.lower(text_col)), _WS)
-    # positions paired with the gram's md5 — struct array built in ONE
-    # expression pass; the >= k guard lives inside the expression so
-    # the optimizer cannot push an inferred size() filter below a
-    # spread() exchange and re-tokenize on the narrow scan stage (the
-    # text_ngrams lesson, llm_queries.py:513)
-    grams = F.expr(
-        f"transform(sequence(1, size(__toks) - {k - 1}), i -> "
-        f"struct(i AS s, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
-    )
-    guarded = F.when(F.size("__toks") >= k, grams).otherwise(
-        F.array().cast("array<struct<s:int,h:string>>"))
-    pos = (
-        spread(docs).withColumn("__toks", toks)
-        .select(id_col, F.explode_outer(guarded).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select(id_col, F.col("g.s").alias("start_pos"),
-                F.col("g.h").alias("h"))
-    )
+    pos = _gram_positions(docs, k, id_col, text_col)
     dup = (
         pos.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -111,6 +120,69 @@ def dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_spans(load_table(spark, sf, "documents"))
 
 
+def despan(docs: DataFrame, k: int = GRAM_TOKENS,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """CLIP duplicated spans: rewrite each document with every token
+    removed that sits inside a duplicated window whose canonical owner
+    is another document. The owner of a gram is the MINIMUM id among
+    the documents containing it (deterministic, order-free), so
+    exactly one copy of every duplicated passage survives the corpus —
+    the Lee et al. clipping step at gram granularity. Within-owner
+    repeats are kept (the owner keeps its own text untouched).
+
+    Returns (id, clean_text, n_removed). Output tokens keep their
+    ORIGINAL case — only gram identity is case-folded — and are
+    re-joined with single spaces (tokenizer-normal form, the same
+    whitespace normalization corpus_clean applies).
+
+    Scale: the removal set is (id, position) int pairs grouped to one
+    small array per affected document — the only full-text exchange is
+    the final join of that array back onto the corpus, which AQE
+    broadcasts whenever few documents are affected (the common case).
+    """
+    pos = _gram_positions(docs, k, id_col, text_col)
+    gm = (
+        pos.groupBy("h")
+        .agg(F.min(id_col).alias("min_doc"),
+             F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", "min_doc")
+    )
+    rm = (
+        pos.join(gm, "h")
+        .filter(F.col(id_col) > F.col("min_doc"))
+        .select(id_col, F.explode(
+            F.expr(f"sequence(start_pos, start_pos + {k - 1})")).alias("p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__rm"))
+    )
+    toks = F.split(F.trim(text_col), _WS)
+    kept = F.expr(
+        "filter(zip_with(__toks, sequence(1, size(__toks)), "
+        "(t, i) -> struct(t AS t, i AS i)), "
+        "x -> __rm IS NULL OR NOT array_contains(__rm, x.i))"
+    )
+    return (
+        docs.join(rm, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.array_join(F.expr("transform(__kept, x -> x.t)"), " ")
+             .alias("clean_text"),
+            (F.size("__toks") - F.size("__kept")).cast("long")
+             .alias("n_removed"),
+        )
+    )
+
+
+def corpus_despan(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: the documents corpus with duplicated 8-token
+    spans clipped everywhere but their canonical (min doc_id) owner."""
+    return despan(load_table(spark, sf, "documents"))
+
+
 DEDUP_SPANS_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -146,8 +218,43 @@ FROM flagged GROUP BY doc_id, island
 """
 
 
+# COALESCE on clean_text: DuckDB's array_to_string([]) is NULL where
+# Spark's array_join([]) is '' — a fully-clipped document must read as
+# the empty string on both engines.
+CORPUS_DESPAN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS lt,
+         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ll
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ll) - 6),
+         i -> {'s': i, 'h': md5(array_to_string(ll[i:i+7], ' '))}),
+         recursive := true)
+  FROM toks WHERE len(ll) >= 8
+), gm AS (
+  SELECT h, MIN(doc_id) AS min_doc FROM pos
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+), rm AS (
+  SELECT DISTINCT p.doc_id, u.p
+  FROM pos p JOIN gm USING (h), unnest(range(p.s, p.s + 8)) AS u(p)
+  WHERE p.doc_id > gm.min_doc
+), rml AS (
+  SELECT doc_id, list(p) AS lp FROM rm GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(array_to_string(list_filter(lt, (x, i) ->
+         r.lp IS NULL OR NOT list_contains(r.lp, i)), ' '), '')
+         AS clean_text,
+       CAST(len(lt) - len(list_filter(lt, (x, i) ->
+         r.lp IS NULL OR NOT list_contains(r.lp, i))) AS BIGINT)
+         AS n_removed
+FROM toks t LEFT JOIN rml r USING (doc_id)
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
+    "corpus_despan": (corpus_despan, CORPUS_DESPAN_SQL),
 }

@@ -6,8 +6,11 @@ import pytest
 from pyspark.sql import Row
 
 from iceberg_core_spark.functions.dedup_spans import (
+    CORPUS_DESPAN_SQL,
     DEDUP_SPANS_SQL,
+    corpus_despan,
     dedup_spans,
+    despan,
     duplicated_spans,
 )
 from tests.oracle import compare, duck_connection
@@ -77,6 +80,49 @@ def test_short_docs_produce_no_grams(spark):
     ])
     # identical docs but below one gram length: no positions at all
     assert duplicated_spans(docs).count() == 0
+
+
+def test_despan_oracle_match(spark, con):
+    compare(corpus_despan(spark, SF_DIR), con, CORPUS_DESPAN_SQL,
+            "corpus_despan")
+
+
+def test_despan_owner_keeps_text_others_clipped(spark):
+    shared = _words(10, "dup")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{_words(5, 'a')} {shared}"),
+        Row(doc_id=2, text=f"{_words(3, 'c')} {shared} {_words(2, 'd')}"),
+    ])
+    out = {r.doc_id: r for r in despan(docs).collect()}
+    # doc 1 is the min-id owner: untouched (re-joined with single spaces)
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == f"{_words(5, 'a')} {shared}"
+    # doc 2 loses exactly the 10 shared tokens, keeps its own frame
+    assert out[2].n_removed == 10
+    assert out[2].clean_text == f"{_words(3, 'c')} {_words(2, 'd')}"
+
+
+def test_despan_fully_duplicated_doc_becomes_empty(spark):
+    body = _words(9, "w")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=body),
+        Row(doc_id=2, text=body),
+    ])
+    out = {r.doc_id: r for r in despan(docs).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == body
+    assert out[2].n_removed == 9 and out[2].clean_text == ""
+
+
+def test_despan_preserves_original_case(spark):
+    shared_lower = _words(8, "dup")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared_lower.upper()),
+        Row(doc_id=2, text=f"KeepMe {shared_lower}"),
+    ])
+    out = {r.doc_id: r for r in despan(docs).collect()}
+    # gram identity is case-folded (both match), output keeps case
+    assert out[1].clean_text == shared_lower.upper()
+    assert out[2].clean_text == "KeepMe" and out[2].n_removed == 8
 
 
 def test_wide_exchange_excludes_text(spark):
