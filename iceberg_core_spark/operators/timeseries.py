@@ -167,9 +167,105 @@ LEFT JOIN hourly h
 """
 
 
+def gapfill_interpolate(df: DataFrame, key_col: str, bucket_col: str,
+                        value_col: str,
+                        step_expr: str = "interval 1 hour") -> DataFrame:
+    """Densify like :func:`gapfill_locf` but fill gaps by LINEAR
+    interpolation between the neighboring observations. Interior gaps
+    always have both neighbors (the grid spans each key's observed
+    min..max), so no edge extrapolation is needed.
+
+    The interpolation fraction is computed over exact integer
+    microseconds and divided once in double — bit-identical IEEE
+    arithmetic on any engine evaluating the same expression.
+    """
+    rng = df.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+    grid = rng.select(
+        key_col,
+        F.explode(F.expr(f"sequence(__lo, __hi, {step_expr})"))
+         .alias(bucket_col),
+    )
+    j = grid.join(df, [key_col, bucket_col], "left")
+    v = F.col(value_col)
+    obs_t = F.when(v.isNotNull(), F.col(bucket_col))
+    wp = (Window.partitionBy(key_col).orderBy(bucket_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(key_col).orderBy(bucket_col)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.unix_micros(F.last(obs_t, ignorenulls=True).over(wp))
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.unix_micros(F.first(obs_t, ignorenulls=True).over(wn))
+    tb = F.unix_micros(F.col(bucket_col))
+    interp = pv + (nv - pv) * ((tb - pt).cast("double") / (nt - pt))
+    return j.select(
+        key_col, bucket_col,
+        F.when(v.isNotNull(), v).otherwise(interp).alias(value_col),
+        F.isnull(v).cast("int").alias("was_gap"),
+    )
+
+
+def events_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: hourly per-type averages with gaps filled by
+    linear interpolation between the neighboring observed hours."""
+    e = load_table(spark, sf, "events")
+    hourly = (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", "ts").alias("bucket"))
+        .agg((F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              / F.count("value")).alias("avg_value"))
+    )
+    return gapfill_interpolate(hourly, "event_type", "bucket", "avg_value")
+
+
+EVENTS_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS avg_value
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM rng
+), j AS (
+  SELECT g.event_type, g.bucket, h.avg_value,
+         last_value(h.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS UNBOUNDED PRECEDING) AS pv,
+         epoch_us(last_value(CASE WHEN h.avg_value IS NOT NULL
+             THEN g.bucket END IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS UNBOUNDED PRECEDING)) AS pt,
+         first_value(h.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         epoch_us(first_value(CASE WHEN h.avg_value IS NOT NULL
+             THEN g.bucket END IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS nt,
+         epoch_us(g.bucket) AS tb
+  FROM grid g
+  LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+)
+SELECT event_type, bucket,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            ELSE pv + (nv - pv) * (CAST(tb - pt AS DOUBLE) / (nt - pt))
+       END AS avg_value,
+       CAST(avg_value IS NULL AS INT) AS was_gap
+FROM j
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
+    "events_interpolate": (events_interpolate, EVENTS_INTERPOLATE_SQL),
 }

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from iceberg_core_spark.operators.timeseries import (
     QUERIES,
+    gapfill_interpolate,
     gapfill_locf,
     sessionize,
 )
@@ -78,6 +79,22 @@ def test_gapfill_carries_last_value_forward(spark):
     # key b has a single bucket: no synthesized rows, no bleed from a
     b = [(r.v, r.was_gap) for r in out if r.k == "b"]
     assert b == [(9.0, 0)]
+
+
+def test_interpolate_linear_between_neighbors(spark):
+    # observations at minute 0 (v=1) and minute 4 (v=9): the three
+    # missing minutes interpolate linearly to 3, 5, 7
+    rows = [
+        Row(k="a", bucket=_ts(0), v=1.0),
+        Row(k="a", bucket=_ts(4), v=9.0),
+    ]
+    out = gapfill_interpolate(
+        spark.createDataFrame(rows), "k", "bucket", "v",
+        step_expr="interval 1 minute",
+    ).collect()
+    got = {r.bucket.minute: (r.v, r.was_gap) for r in out}
+    assert got == {0: (1.0, 0), 1: (3.0, 1), 2: (5.0, 1),
+                   3: (7.0, 1), 4: (9.0, 0)}
 
 
 def test_gapfill_single_shuffle_window_per_key(spark):
