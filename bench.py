@@ -38,6 +38,7 @@ HEADLINE = [
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_spans",       # cross-doc duplicated-span islands (r7)
     "dedup_incremental", # batch-vs-corpus admission dedup (r6)
     "admission_index",   # same verdicts via the persisted index (r7):
                          # the delta vs dedup_incremental is what the

@@ -46,6 +46,9 @@ PICKS = [
     ("bloom_point_scan", "Bloom-pruned point lookup — equality on a column the layout does NOT cluster: the file list comes pre-pruned by per-file bloom membership (absence proofs; ≤2-of-N files-read gate in tests), the residual equality pushes to the surviving file's row groups."),
     ("table_merge", "Multi-clause MERGE read-back — the merge itself ran as ONE partition-scoped CoW commit (matched join + clause CASE + insert union through _merge_cow); the resulting scan is a plain pruned file read, no runtime merge work."),
     ("table_rollup", "Incrementally-maintained rollup read — the query is a plain scan of the last committed rollup version (parquet dir); ALL fold work happened at refresh time against changelog deltas, so read cost is O(groups), never O(table)."),
+    ("dedup_spans", "Duplicated-span islands — gram md5s are ONE map-side projection (no Python); the dup-gram aggregate and marking semi-join exchange (hash, id, pos) triples only — text never shuffles (plan-gated); span merge is a per-doc window sharing the doc_id partitioning."),
+    ("events_sessionize", "Gap sessionization — ONE hash exchange on user_id feeds lag, running-sum flag, and the session rollup (all three share the partitioning); integer-µs comparisons, no Python, no global sort."),
+    ("events_gapfill", "LOCF densification — the grid explodes from the per-key min/max AGGREGATE (bounded by keys x buckets, never raw events); the left join and fill window share the key partitioning; AQE broadcasts the observed side when small."),
 ]
 
 
