@@ -639,7 +639,11 @@ def _bloom_root(spark: SparkSession, sf: str) -> str:
     root = os.path.join(tempfile.mkdtemp(prefix="ice_bloom_"), "docs_b")
     t = IceTable.create(spark, root, docs, key_col="n_chars",
                         max_rows_per_file=64)
+    # two builds on purpose: the second adds ONLY the missing
+    # (path, lang) pairs — the per-pair incremental build path the
+    # multi-conjunct scan leans on
     t.build_bloom(["doc_id"])
+    t.build_bloom(["doc_id", "lang"])
     _BLOOM_CACHE[sf] = root
     return root
 
@@ -657,6 +661,25 @@ def bloom_point_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 BLOOM_POINT_SCAN_SQL = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 37
+"""
+
+
+def bloom_point_scan_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch lookup ``doc_id IN (11, 37, 93) AND lang = 'en'`` through
+    the bloom store — per-column verdicts intersect (the lang bloom
+    proves absence for non-en files; the doc_id bloom for files
+    carrying none of the three ids), and all eight probe hashes share
+    one 1-row JVM job. Files-read assertion in tests/test_plans.py;
+    the oracle checks the values."""
+    from iceberg_core_spark.table import IceTable
+
+    t = IceTable(spark, _bloom_root(spark, sf))
+    return t.point_scan_multi({"doc_id": [11, 37, 93], "lang": "en"})
+
+
+BLOOM_POINT_SCAN_MULTI_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (11, 37, 93) AND lang = 'en'
 """
 
 
@@ -745,4 +768,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the SAME merge lifecycle committed merge-on-read, against the
     # SAME oracle (mode changes the physical commit, not the logic)
     "table_merge_mor": (table_merge_mor, TABLE_MERGE_SQL),
+    # NEW r8: IN-list + AND-of-equalities point scan through the
+    # per-column bloom stores (one 1-row hash job for all probes)
+    "bloom_point_scan_multi": (bloom_point_scan_multi,
+                               BLOOM_POINT_SCAN_MULTI_SQL),
 }

@@ -75,54 +75,41 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline
     # mechanically against those artifacts.
-    # ROUND-7 WINDOW (the r6 window list is preserved in git history;
-    # `scripts/verify_window.py --ages` now checks this discipline
-    # MECHANICALLY against the CORRECTNESS_r*.json artifacts):
+    # ROUND-8 WINDOW (the r6/r7 window lists are preserved in git
+    # history; `scripts/verify_window.py --ages` checks this
+    # discipline MECHANICALLY against the CORRECTNESS_r*.json
+    # artifacts — run after any reorder):
     priority = [
-        # (a) the 8 late-r6 registrations with no driver row yet (all
-        # judge-verified at sf0.01 in the r6 session): the six
-        # partsupp-derived TPC-H classics + the changelog/IVM pair
-        "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
-        "tpch_q20", "table_changelog", "table_rollup",
-        # (b) NEW r7 registrations: the persisted-AdmissionIndex
-        # production path (same oracle as dedup_incremental — shared
-        # _judge), bloom-sidecar point-scan pruning, and multi-clause
-        # MERGE
-        "admission_index", "bloom_point_scan", "table_merge",
-        # (c) ALL 33 r4-age rows (would hit age 3 in r7) — modules
-        # byte-identical since their rows; pure staleness refreshes
-        "scan_parquet", "project", "filter_pred", "filter_range",
-        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
-        "scalar_json",
-        "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-        "agg_approx_distinct",
-        "join_broadcast", "join_sortmerge", "join_left", "join_right",
-        "join_full",
-        "win_session", "win_sliding", "stream_join", "stateful_stats",
-        "udtf_tokenize", "text_ngrams", "corpus_clean",
-        "split_train_test", "sample_stratified", "tpch_q10",
-        "dedup_simhash", "dedup_embedding_lsh",
-        "dedup_clusters_minhash", "sim_search_lsh",
-        # (d) r5-row refreshes for the modules this round's diff
-        # touches: ice_table.py (skinny scan_changes diff + MERGE +
-        # bloom-gated _pruned_files) → one representative per scan
-        # family (incremental feed, time travel, MoR CDC, partition
-        # evolution, pruned range scan); streaming/ingest.py (persist
-        # fix) → stream_ingest. The r6 table rows (compact/upsert/
-        # delete_mor/wap/cdc/schema_evolution) stand at age 1: the
-        # scan_changes rewrite is confined to the changelog path (its
-        # two queries lead this window) and bloom pruning is inert
-        # without a bloom sidecar. Remaining r5 rows are age 2 —
-        # rotation due r8.
-        "table_incremental", "table_time_travel", "table_cdc_mor",
-        "table_partition_evolution", "zorder_range_scan",
-        "stream_ingest",
-        # LATE-r7 registrations (after the 50-slot cut, like
-        # table_merge_mor): scan_orc, dedup_spans, events_sessionize,
-        # events_gapfill — all four MUST lead the r8 window alongside
-        # table_merge_mor and the age-2 r5 rows
-        # (`scripts/verify_window.py --ages` tracks them as pending
-        # leads from their first-seen round).
+        # (a) the 7 late-r7 registrations with no driver row yet (all
+        # judge-verified at sf0.01 in the r7 session): ORC source,
+        # the Lee-et-al span-dedup pair, the batch time-series trio,
+        # and O(batch) merge-on-read MERGE
+        "scan_orc", "dedup_spans", "corpus_despan",
+        "events_sessionize", "events_gapfill", "events_interpolate",
+        "table_merge_mor",
+        # (a') NEW r8 registrations (see their modules): span dedup at
+        # the Lee et al. production threshold, and IN-list/AND bloom
+        # point scans
+        "dedup_spans_min16", "corpus_despan_min16",
+        "bloom_point_scan_multi",
+        # (b) ALL 37 age-2 r5 rows (would hit age 3 in r8) — the r5
+        # TPC-H block, the corpus/dedup/multimodal families, UDFs,
+        # the bucketed join, and the remaining scan/stream rows
+        "agg_hash", "text_analysis", "scan_jsonl", "stream_dedup",
+        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+        "dedup_embedding", "dedup_clusters", "dedup_minhash_portable",
+        "sim_search_ivf",
+        "multimodal_meta", "multimodal_features", "multimodal_chunks",
+        "corpus_decontaminate", "corpus_decontaminate_exact",
+        "corpus_pack", "corpus_quality", "corpus_pii", "vocab_topk",
+        "corpus_mix", "corpus_shuffle",
+        "udf_scalar", "udaf_group_stats", "join_bucketed",
+        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
+        "tpch_q21", "tpch_q22",
+        # (c) spare slots: early refreshes of r6-age rows so the
+        # remaining r6 rows (all due in r9) keep a little slack
+        "join_semi", "join_anti", "join_asof",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

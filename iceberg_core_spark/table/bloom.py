@@ -81,8 +81,21 @@ def _store_inc_dirs(root: str) -> list[str]:
     )
 
 
+def _store_dirs(root: str) -> list[str]:
+    """All live store directories: the compacted generation base (if
+    one exists) plus every increment written since."""
+    cfg = load_config(root)
+    dirs = []
+    if cfg and cfg.get("base"):
+        gen = os.path.join(_bloom_dir(root), cfg["base"])
+        if os.path.isdir(gen):
+            dirs.append(gen)
+    dirs.extend(_store_inc_dirs(root))
+    return dirs
+
+
 def read_store(spark: SparkSession, root: str) -> DataFrame | None:
-    dirs = _store_inc_dirs(root)
+    dirs = _store_dirs(root)
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
@@ -126,15 +139,20 @@ def build_bloom(table, cols: list[str] | None = None,
     snap = table.manifest.load(load_files=False)
     inv = table.files_df().select("path", "rows")
     store = read_store(spark, table.root)
-    pending = inv
+    # pending is per (path, col): a file missing only a newly-added
+    # column gets ONLY that column built — rebuilding all columns
+    # would duplicate (path, col) rows across increments and grow the
+    # store without bound (r7 ADVICE)
+    cols_df = spark.createDataFrame([(c,) for c in cols], "col string")
+    need = inv.crossJoin(F.broadcast(cols_df))
     if store is not None:
-        # a path is pending if ANY requested column lacks a row; the
-        # build then (re)writes all requested cols for such paths
         have = (store.filter(F.col("col").isin(*cols))
-                .groupBy("path").agg(F.countDistinct("col").alias("nc"))
-                .filter(F.col("nc") >= len(cols)).select("path"))
-        pending = inv.join(have, "path", "left_anti")
-    todo = [(r["path"], r["rows"]) for r in pending.collect()]
+                .select("path", "col").distinct())
+        need = need.join(have, ["path", "col"], "left_anti")
+    todo_by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cols}
+    for r in need.collect():
+        todo_by_col[r["col"]].append((r["path"], r["rows"]))
+    todo = sorted({pr for prs in todo_by_col.values() for pr in prs})
     if not todo:
         if cfg is None:
             _write_config(table.root, cols, bits_per_row, k)
@@ -181,6 +199,14 @@ def build_bloom(table, cols: list[str] | None = None,
     chains = _fold_chains(snap.renames)
     out_frames = []
     for c in cols:
+        if not todo_by_col[c]:
+            continue
+        # this column's pending files only — other requested columns
+        # may already have rows for these paths (per-pair builds)
+        m_map_c = spark.createDataFrame(
+            [(p, _m_for(rows, bits_per_row))
+             for p, rows in todo_by_col[c]],
+            "path string, __m long")
         names = [c] + [n for n in chains.get(c, []) if n in src.columns]
         if c not in src.columns:
             names = names[1:]
@@ -191,7 +217,7 @@ def build_bloom(table, cols: list[str] | None = None,
             # bloom is legitimately all-zero — the empty frame below
             # covers every path, so the files never look pending again
             out_frames.append(
-                m_map.select(
+                m_map_c.select(
                     "path", F.lit(c).alias("col"),
                     F.col("__m").alias("m"), F.lit(k).alias("k"),
                     F.expr("transform(sequence(0, cast(__m div 64 as "
@@ -202,7 +228,7 @@ def build_bloom(table, cols: list[str] | None = None,
         # NULL values never match an equality probe, so they must not
         # set bits (xxhash64 of NULL is the seed value, not NULL —
         # filter on the value itself)
-        d = (src.join(F.broadcast(m_map), "path")
+        d = (src.join(F.broadcast(m_map_c), "path")
              .filter(val.isNotNull())
              .select("path", "__m", h1.alias("__h1"), h2.alias("__h2")))
         pos = F.explode(F.array(*[
@@ -236,7 +262,7 @@ def build_bloom(table, cols: list[str] | None = None,
         # files where EVERY value of the column is NULL still need a
         # row (all-zero words) so the prune can drop them for any
         # probe — equality never matches NULL
-        empty = (m_map.join(words.select("path"), "path", "left_anti")
+        empty = (m_map_c.join(words.select("path"), "path", "left_anti")
                  .select(
                      "path", F.lit(c).alias("col"),
                      F.col("__m").alias("m"), F.lit(k).alias("k"),
@@ -252,49 +278,98 @@ def build_bloom(table, cols: list[str] | None = None,
     inc.write.mode("overwrite").parquet(tmp)
     os.rename(tmp, os.path.join(_bloom_dir(table.root), f"inc-{tok}"))
     _write_config(table.root, cols, bits_per_row, k)
-    return len(todo) * len(cols)
+    return sum(len(prs) for prs in todo_by_col.values())
 
 
 def _write_config(root: str, cols: list[str], bits_per_row: int,
-                  k: int) -> None:
+                  k: int, base: str | None = ...) -> None:
+    """Atomically persist the bloom config. ``base`` (the compacted
+    generation dir name) is preserved from the existing config unless
+    explicitly passed — a build finishing during a compaction must not
+    drop the generation pointer."""
     os.makedirs(_bloom_dir(root), exist_ok=True)
+    doc = {"cols": list(cols), "bits_per_row": bits_per_row, "k": k}
+    prev = load_config(root) or {}
+    if base is ...:
+        base = prev.get("base")
+    if base is not None:
+        doc["base"] = base
     tmp = _config_path(root) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"cols": list(cols), "bits_per_row": bits_per_row,
-                   "k": k}, f)
+        json.dump(doc, f)
     os.replace(tmp, _config_path(root))
 
 
-def bloom_prune(table, files: list, col: str, value: Any) -> list:
-    """Subtract from ``files`` every file whose bloom row PROVES the
-    value absent. Conservative by construction: no store, no row for
-    a file, or an unindexed column prunes nothing. The query's two
-    hashes are computed by the ENGINE's xxhash64 over the same typed
-    literal the build hashed (1-row job), so build and probe can
-    never disagree on a hash implementation."""
+def compact_bloom(table) -> dict:
+    """Generation-flip store compaction (the AdmissionIndex
+    discipline, r7 verdict task): fold the base generation plus every
+    increment into ONE deduplicated parquet dir, DROP rows for paths
+    no retained snapshot references (compacted-away files — without
+    this the store only ever grows and every probe scans ever-more
+    dead rows), flip the config's ``base`` pointer atomically, then
+    delete exactly the dirs that were folded. An increment written
+    concurrently with the fold survives untouched (the fold snapshots
+    the dir list first); a crash before the pointer flip leaves the
+    old generation fully live (the new dir is orphan garbage the next
+    compaction's token never collides with).
+
+    Liveness is computed DISTRIBUTED: the sidecar parquets' path
+    columns union with the (small) inline lists and semi-join the
+    store — no full file inventory materializes on the driver.
+    Returns ``{"rows_before", "rows_after", "dirs_folded"}``."""
     cfg = load_config(table.root)
-    store = read_store(table.spark, table.root)
-    if cfg is None or store is None or not files:
-        return files
-    if col not in cfg["cols"]:
-        return files
+    dirs = _store_dirs(table.root)
+    if cfg is None or not dirs:
+        return {"rows_before": 0, "rows_after": 0, "dirs_folded": 0}
+    spark = table.spark
+    store = spark.read.parquet(*dirs)
 
-    from pyspark.sql.types import StructType
-    snap = table.manifest.load(load_files=False)
-    schema = StructType.fromJson(json.loads(snap.schema_json))
-    dtype = next((f.dataType for f in schema.fields if f.name == col),
-                 None)
-    if dtype is None or value is None:
-        return files  # unknown col / NULL probe: prune nothing here
-    h1c, h2c = _hash_cols(F.lit(value).cast(dtype))
-    row = (table.spark.range(1)
-           .select(h1c.alias("h1"), h2c.alias("h2")).collect()[0])
-    h1, h2 = int(row["h1"]), int(row["h2"])
+    inline_paths: set[str] = set()
+    sidecars: list[str] = []
+    for s in table.manifest.snapshots(load_files=True):
+        if s.files_ref:
+            sc = table.manifest.sidecar_path(s.files_ref)
+            if os.path.exists(sc):
+                sidecars.append(sc)
+        else:
+            inline_paths |= {f.path for f in s.files}
+    live = spark.createDataFrame(
+        [(p,) for p in sorted(inline_paths)] or [], "path string")
+    if sidecars:
+        live = live.unionByName(
+            spark.read.parquet(*sidecars).select("path"))
+    folded = (store.dropDuplicates(["path", "col"])
+              .join(live.distinct(), "path", "leftsemi"))
 
-    rows = store.filter(F.col("col") == col).dropDuplicates(["path"])
-    # absence proof: ANY of the row's k probed bits is 0
+    rows_before = store.count()
+    tok = os.urandom(4).hex()
+    tmp = os.path.join(_bloom_dir(table.root), f"_tmp-{tok}")
+    folded.write.mode("overwrite").parquet(tmp)
+    gen = f"gen-{tok}"
+    os.rename(tmp, os.path.join(_bloom_dir(table.root), gen))
+    rows_after = spark.read.parquet(
+        os.path.join(_bloom_dir(table.root), gen)).count()
+    _write_config(table.root, cfg["cols"], cfg["bits_per_row"],
+                  cfg["k"], base=gen)
+    # remove exactly what was folded; later increments stay live
+    import shutil
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "dirs_folded": len(dirs)}
+
+
+def bloom_prune(table, files: list, col: str, value: Any) -> list:
+    """Single-equality prune — see :func:`bloom_prune_multi`."""
+    return bloom_prune_multi(table, files, {col: [value]})
+
+
+def _miss_expr(h1: int, h2: int, k: int):
+    """Absence-proof Column for ONE probe value over a store row:
+    ANY of the row's k probed bits is 0. ``h1``/``h2`` are Python
+    ints (already engine-hashed), so this is pure literal SQL."""
     miss = None
-    for i in range(cfg["k"]):
+    for i in range(k):
         # bigint literals: h1 + 15*h2 < 2^36 — ANSI-safe by range
         pos = f"pmod({h1}L + {i}L * {h2}L, m)"
         term = (f"(shiftright(element_at(words, "
@@ -302,6 +377,84 @@ def bloom_prune(table, files: list, col: str, value: Any) -> list:
                 f"cast(pmod({pos}, 64) as int)) & 1) = 0")
         cond = F.expr(term) & (F.lit(i) < F.col("k"))
         miss = cond if miss is None else (miss | cond)
-    absent = {r["path"] for r in
-              rows.filter(miss).select("path").collect()}
+    return miss
+
+
+def bloom_prune_multi(table, files: list,
+                      probes: dict[str, list[Any]]) -> list:
+    """Subtract from ``files`` every file some bloom row PROVES cannot
+    satisfy an AND-of-memberships predicate: ``probes`` maps column ->
+    list of candidate values (a 1-element list is plain equality, a
+    longer one an IN-list). A file is pruned when for ANY probed
+    column EVERY candidate value is proven absent — one impossible
+    conjunct kills the file; one possibly-present IN value keeps it.
+
+    Conservative by construction: no store, no row for a file, an
+    unindexed column, or a NULL candidate prunes nothing (for that
+    column). All probe hashes for all (column, value) pairs are
+    computed by the ENGINE's xxhash64 in ONE 1-row job, so build and
+    probe can never disagree on a hash implementation. The store scan
+    is bounded by the CANDIDATES: the (tiny, stats-pruned) file list
+    is broadcast and semi-joined against the store first, so the
+    driver collect is at most ``len(files)`` paths — never the
+    table's full file count (r7 verdict watch item)."""
+    absent = _absent_paths(table, files, probes)
     return [f for f in files if f.path not in absent]
+
+
+def _absent_paths(table, files: list,
+                  probes: dict[str, list[Any]]) -> set[str]:
+    """The candidate paths some bloom row proves cannot satisfy the
+    probes — always a subset of ``files``'s paths (the store is
+    candidate-semi-joined BEFORE the collect, so the driver pull is
+    bounded by the probe's candidates, not the table's file count)."""
+    cfg = load_config(table.root)
+    store = read_store(table.spark, table.root)
+    if cfg is None or store is None or not files:
+        return set()
+
+    from pyspark.sql.types import StructType
+    snap = table.manifest.load(load_files=False)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    live = {}
+    for c, vals in probes.items():
+        # a NULL candidate can never be proven absent (equality never
+        # matches NULL, but IN (… , NULL) keeps SQL's no-match
+        # semantics only via the residual filter) — skip the column
+        if (c in cfg["cols"] and c in dtypes and vals
+                and all(v is not None for v in vals)):
+            live[c] = list(vals)
+    if not live:
+        return set()
+
+    # ONE 1-row JVM job for every (col, value) hash pair
+    exprs = []
+    for j, (c, vals) in enumerate(live.items()):
+        for i, v in enumerate(vals):
+            h1c, h2c = _hash_cols(F.lit(v).cast(dtypes[c]))
+            exprs.append(h1c.alias(f"h1_{j}_{i}"))
+            exprs.append(h2c.alias(f"h2_{j}_{i}"))
+    row = table.spark.range(1).select(*exprs).collect()[0]
+
+    # candidate-bounded store rows: semi-join against the broadcast
+    # candidate list, never the whole column-filtered store
+    cand = table.spark.createDataFrame(
+        [(f.path,) for f in files], "path string")
+    rows = (store.filter(F.col("col").isin(*live))
+            .join(F.broadcast(cand), "path", "leftsemi")
+            .dropDuplicates(["path", "col"]))
+    # one collect for all columns: a row proves its file prunable
+    # when the row's column's EVERY candidate value misses
+    prunable = None
+    for j, (c, vals) in enumerate(live.items()):
+        all_miss = None
+        for i in range(len(vals)):
+            h1 = int(row[f"h1_{j}_{i}"])
+            h2 = int(row[f"h2_{j}_{i}"])
+            m = _miss_expr(h1, h2, cfg["k"])
+            all_miss = m if all_miss is None else (all_miss & m)
+        cond = (F.col("col") == c) & all_miss
+        prunable = cond if prunable is None else (prunable | cond)
+    return {r["path"] for r in
+            rows.filter(prunable).select("path").distinct().collect()}

@@ -1341,23 +1341,60 @@ class IceTable:
 
         return build_bloom(self, cols, bits_per_row=bits_per_row, k=k)
 
+    def compact_bloom(self) -> dict:
+        """Generation-flip the bloom sidecar store: fold every
+        increment into one deduplicated dir and drop rows for paths
+        no retained snapshot references — without this the store only
+        accumulates ``inc-*`` dirs and probes scan ever-more dead
+        rows. Crash-safe: the pointer flips only after the new
+        generation is fully written."""
+        from iceberg_core_spark.table.bloom import compact_bloom
+
+        return compact_bloom(self)
+
     def point_scan(self, col: str, value, *,
                    snapshot_id: int | None = None) -> DataFrame:
-        """Equality scan ``col = value`` with every pruning layer the
-        table has: manifest min/max stats (exact on the key/stat
-        columns), then the per-file bloom store (proves absence on
-        high-cardinality columns the layout does NOT cluster — where
-        every file's min/max spans the domain and range stats keep
-        everything). Files the bloom cannot vouch for are read and
-        corrected by the residual filter — bloom false positives cost
-        a file read, never a wrong row."""
-        from iceberg_core_spark.table.bloom import bloom_prune
+        """Equality scan ``col = value`` — sugar over
+        :meth:`point_scan_multi` with a single conjunct."""
+        return self.point_scan_multi({col: value},
+                                     snapshot_id=snapshot_id)
 
+    def point_scan_multi(self, eq: dict, *,
+                         snapshot_id: int | None = None) -> DataFrame:
+        """AND-of-memberships scan — ``eq`` maps column -> value or
+        list of values (``{"doc_id": [3, 7], "lang": "en"}`` means
+        ``doc_id IN (3, 7) AND lang = 'en'``) — with every pruning
+        layer the table has: manifest min/max stats (an IN-list
+        prunes by its [min, max] envelope), then the per-file bloom
+        store (proves absence on high-cardinality columns the layout
+        does NOT cluster — where every file's min/max spans the
+        domain and range stats keep everything). Per-column bloom
+        verdicts intersect (AND): one column proving all its values
+        absent drops the file; IN-list probe hashes share the single
+        1-row JVM hash job. Files the bloom cannot vouch for are read
+        and corrected by the residual filter — bloom false positives
+        cost a file read, never a wrong row."""
+        from iceberg_core_spark.table.bloom import bloom_prune_multi
+
+        if not eq:
+            raise ValueError("point_scan_multi needs >= 1 conjunct")
+        probes = {c: (list(v) if isinstance(v, (list, tuple, set))
+                      else [v])
+                  for c, v in eq.items()}
         snap = self.manifest.load(snapshot_id, load_files=False)
-        files = self._pruned_files(snap, ranges={col: (value, value)})
-        files = bloom_prune(self, files, col, value)
+        ranges = {}
+        for c, vals in probes.items():
+            nn = [v for v in vals if v is not None]
+            if nn:
+                ranges[c] = (min(nn), max(nn))
+        files = self._pruned_files(snap, ranges=ranges or None)
+        files = bloom_prune_multi(self, files, probes)
         df = self._read_with_deletes(files, snap, snapshot_id)
-        return df.filter(F.col(col) == F.lit(value))
+        for c, vals in probes.items():
+            cond = (F.col(c) == F.lit(vals[0]) if len(vals) == 1
+                    else F.col(c).isin(vals))
+            df = df.filter(cond)
+        return df
 
     def as_bucketed_table(self, name: str,
                           snapshot_id: int | None = None) -> str:
@@ -1559,9 +1596,46 @@ class IceTable:
         # NET CHANGE, not the changed-file volume. Rows hashing equal
         # are identical (canonical JSON of the full row, nulls kept),
         # so emitting |net| copies of one representative reproduces
-        # the multiset exactly.
+        # the multiset exactly. Collision risk: two DISTINCT rows
+        # sharing a sha256 would silently merge — at 2^-128 per pair
+        # that is accepted, same as content-addressed storage.
+        #
+        # Hash-input canonicalization: to_json must render rows the
+        # diff should treat as equal byte-identically. Two guards:
+        # (a) MapType anywhere in the schema is rejected — JSON key
+        #     order for maps is insertion-dependent, so equal maps
+        #     can serialize differently (Spark's own exceptAll
+        #     rejects map columns for the same reason);
+        # (b) top-level float/double columns are normalized with
+        #     `+ 0.0` so -0.0 and 0.0 (equal under SQL comparison)
+        #     hash identically; NULL propagates and NaN stays NaN,
+        #     and to_json renders NaN stably on both sides.
+        def _contains_map(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
+        if any(_contains_map(f.dataType) for f in schema.fields):
+            raise ValueError(
+                "scan_changes: MapType columns are not supported in "
+                "the changelog diff (non-deterministic JSON key order "
+                "breaks row-hash equality); store map data as "
+                "array<struct<key,value>> instead")
+
+        def _canon(f: StructField):
+            from pyspark.sql.types import DoubleType, FloatType
+            c = F.col(f.name)
+            if isinstance(f.dataType, (FloatType, DoubleType)):
+                return (c + F.lit(0.0).cast(f.dataType)).alias(f.name)
+            return c
+
         row_hash = F.sha2(
-            F.to_json(F.struct(*[F.col(c) for c in cols]),
+            F.to_json(F.struct(*[_canon(f) for f in schema.fields]),
                       {"ignoreNullFields": "false"}), 256)
         u = side_u.withColumn("__h", row_hash)
         s = side_s.withColumn("__h", row_hash)
@@ -2685,13 +2759,23 @@ class IceTable:
                 report["orphans_removed"] = self.remove_orphans(
                     older_than_ms=policy.orphan_retention_ms)
             if policy.refresh_bloom:
-                from iceberg_core_spark.table.bloom import load_config
+                from iceberg_core_spark.table.bloom import (
+                    _store_dirs,
+                    load_config,
+                )
 
                 if load_config(self.root) is not None:
                     # top up blooms for files the compaction (or any
                     # ingest since the last build) wrote — metadata
                     # commit-free, so it cannot conflict
                     report["bloom_indexed"] = self.build_bloom()
+                    # generation-flip the store when table compaction
+                    # left dead paths behind, or increments piled up —
+                    # otherwise the store grows without bound and
+                    # every probe scans dead rows
+                    if (report["compacted"]
+                            or len(_store_dirs(self.root)) > 4):
+                        report["bloom_compacted"] = self.compact_bloom()
         except CommitConflictError:
             # a concurrent writer won the race — maintenance is
             # best-effort background work; next tick retries

@@ -131,6 +131,17 @@ class MaterializedRollup:
             ref = json.load(f)["ref"]
         return self.spark.read.parquet(os.path.join(self.root, ref))
 
+    def _stored_foldable(self) -> DataFrame | None:
+        """The stored frame if a fold can consume it, else ``None``.
+        A rollup persisted before the nn_ bookkeeping existed lacks
+        the per-sum non-null counts a fold needs; selecting them would
+        raise AnalysisException instead of healing — so the caller
+        falls back to a full rebuild from the target snapshot (same
+        recovery as the expired-watermark path)."""
+        stored = self._read_stored()
+        need = {self._nn_alias(c) for c in self.sum_cols}
+        return stored if need <= set(stored.columns) else None
+
     def read(self) -> DataFrame:
         """The last fully-committed rollup version — group cols,
         row_count, sums, min/max. The per-sum non-null counts are
@@ -227,7 +238,12 @@ class MaterializedRollup:
                 # never hits this
                 rollup = self._full(table.scan(snapshot_id=cur))
             else:
-                if self.min_cols or self.max_cols:
+                stored = self._stored_foldable()
+                if stored is None:
+                    # pre-nn_ store (older code version): unfoldable,
+                    # heal with a full rebuild at the target snapshot
+                    rollup = self._full(table.scan(snapshot_id=cur))
+                elif self.min_cols or self.max_cols:
                     # min/max fold only under inserts: a retraction
                     # can take the extremum away, which only a group
                     # rescan answers — rebuild when the delta deletes
@@ -236,10 +252,9 @@ class MaterializedRollup:
                         F.col("_change_type") == "delete").isEmpty()
                     rollup = (self._full(table.scan(snapshot_id=cur))
                               if has_delete
-                              else self._fold(self._read_stored(),
-                                              persisted))
+                              else self._fold(stored, persisted))
                 else:
-                    rollup = self._fold(self._read_stored(), changes)
+                    rollup = self._fold(stored, changes)
         rollup.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={cur}"))
         if persisted is not None:

@@ -69,10 +69,16 @@ def audit_ages(next_round: int | None = None) -> int:
             seen = json.load(f)
     except FileNotFoundError:
         seen = {}
-    for name in names:
-        seen.setdefault(name, nr)
-    with open(seen_path, "w") as f:
-        json.dump(seen, f, indent=0, sort_keys=True)
+    missing = [name for name in names if name not in seen]
+    for name in missing:
+        seen[name] = nr
+    # Only persist first-seen stamps when auditing the DEFAULT (next)
+    # round: an explicit round argument is a read-only what-if, and
+    # stamping new registrations with a hypothetical round would
+    # permanently mis-date them (r7 ADVICE).
+    if missing and next_round is None:
+        with open(seen_path, "w") as f:
+            json.dump(seen, f, indent=0, sort_keys=True)
 
     errors = []
     pending = []

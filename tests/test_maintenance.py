@@ -432,3 +432,143 @@ def test_maintain_refreshes_bloom_after_compaction(spark, tmp_path):
         partition_col=None, key_col="v")
     r2 = t2.maintain(MaintenancePolicy())
     assert "bloom_indexed" not in r2
+
+
+def test_bloom_store_compaction_bounds_store(spark, tmp_path):
+    """The bloom store must not grow without bound (r7 verdict task):
+    after table compaction rewrote files, compact_bloom() folds every
+    increment into one generation dir, drops rows for dead paths, and
+    deduplicates (path, col) — store rows == live files x cols."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table.bloom import _store_dirs, read_store
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(97)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=50)
+    t.build_bloom(["k"])
+    # churn: appends + a compaction leave dead paths in the store
+    for i in range(3):
+        t.append(spark.createDataFrame([(1000 + i, 1)],
+                                       "k long, v long"))
+        t.build_bloom()
+    dead = t.file_count()
+    t.compact(target_rows_per_file=500, min_files=2)
+    t.build_bloom()
+    store = read_store(spark, str(tmp_path / "t"))
+    assert store.count() > t.file_count()  # dead rows present
+
+    rep = t.compact_bloom()
+    assert rep["dirs_folded"] >= 2
+    # bounded by LIVE paths across retained snapshots x cols — the
+    # pre-compaction snapshots are still retained, so their paths
+    # stay (time travel still probes them); the fold's win here is
+    # ONE dir instead of five
+    live_paths = set()
+    for s in t.manifest.snapshots(load_files=True):
+        live_paths |= {f.path for f in s.files}
+    store2 = read_store(spark, str(tmp_path / "t"))
+    assert rep["rows_after"] == store2.count() == len(live_paths)
+    assert len(_store_dirs(str(tmp_path / "t"))) == 1
+    assert dead  # sanity: churn actually created files
+
+    # pruning still works through the compacted generation
+    ps = t.point_scan("k", 123)
+    assert [r["k"] for r in ps.collect()] == [123]
+    assert len(ps.inputFiles()) <= 2
+    # and the store accepts NEW increments after the flip
+    t.append(spark.createDataFrame([(7777, 1)], "k long, v long"))
+    assert t.build_bloom() == 1
+    assert len(t.point_scan("k", 7777).inputFiles()) <= 2
+
+    # expire history, compact again: the old snapshots' paths are now
+    # DEAD — the store shrinks to exactly the head's files
+    t.expire_snapshots(keep_last=1)
+    rep2 = t.compact_bloom()
+    assert rep2["rows_after"] < rep2["rows_before"]
+    assert rep2["rows_after"] == t.file_count()
+    ps2 = t.point_scan("k", 246)
+    assert [r["k"] for r in ps2.collect()] == [246]
+
+
+def test_maintain_tick_compacts_bloom(spark, tmp_path):
+    """The maintain() tick runs the generation flip after a table
+    compaction (dead paths) without a separate operator call."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table.bloom import _store_dirs
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(97)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=50)
+    t.build_bloom(["k"])
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    rep = t.maintain(MaintenancePolicy(max_files_per_partition=3,
+                                       target_rows_per_file=500))
+    assert rep["compacted"] is True
+    assert "bloom_compacted" in rep
+    assert len(_store_dirs(str(tmp_path / "t"))) == 1
+    ps = t.point_scan("k", 123)
+    assert [r["k"] for r in ps.collect()] == [123]
+    assert len(ps.inputFiles()) <= 2
+
+
+def test_bloom_builds_only_missing_pairs(spark, tmp_path):
+    """Adding a column to the bloom config builds ONLY the missing
+    (path, col) pairs — rebuilding all columns would duplicate rows
+    across increments and grow the store unbounded (r7 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table.bloom import read_store
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("w"),
+        F.pmod(F.col("id"), F.lit(13)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=50)
+    n = t.file_count()
+    assert t.build_bloom(["k"]) == n
+    # second build adds ONLY the (path, w) pairs
+    assert t.build_bloom(["k", "w"]) == n
+    store = read_store(spark, str(tmp_path / "t"))
+    assert store.count() == 2 * n  # no duplicate (path, col) rows
+    assert (store.select("path", "col").distinct().count()
+            == store.count())
+    # both columns prune
+    for col, val in (("k", 123), ("w", 123 * 7)):
+        ps = t.point_scan(col, val)
+        assert [r["k"] for r in ps.collect()] == [123]
+        assert len(ps.inputFiles()) <= 2
+
+
+def test_bloom_probe_collect_bounded_by_candidates(spark, tmp_path):
+    """The prune's driver pull is bounded by the PROBE's candidate
+    list, never the table's file count: probing with 2 candidate
+    files against a 6-file store where every file would miss returns
+    at most those 2 paths (r7 verdict watch item)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.table.bloom import _absent_paths
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(13)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=50)
+    t.build_bloom(["k"])
+    snap = t.manifest.load()
+    assert len(snap.files) >= 5
+    cand = snap.files[:2]
+    # absent value: EVERY store row proves a miss, but only the two
+    # candidates may come back
+    absent = _absent_paths(t, cand, {"k": [10**9]})
+    assert absent == {f.path for f in cand}

@@ -439,3 +439,38 @@ def test_bloom_relative_root_and_evolved_column(spark, tmp_path):
     # file's all-zero bloom prunes it
     assert len(t2.point_scan("q", 7).inputFiles()) == 1
     assert t2.build_bloom() == 0  # nothing stays pending
+
+
+def test_point_scan_multi_limits_input_files(spark, tmp_path):
+    """IN-list + AND-of-equalities through the bloom store: per-column
+    verdicts intersect, IN probes union inside one hash job — the scan
+    reads only files that may hold one of the IN values AND the other
+    conjunct's value."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        F.pmod(F.col("id") * 2654435761, F.lit(997)).alias("v"))
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=100)
+    total = t.file_count()
+    assert t.build_bloom(["k", "g"]) == 2 * total
+
+    # IN-list: up to one true file per value (+ fpp margin)
+    ps = t.point_scan_multi({"k": [3, 700, 1500]})
+    assert sorted(r["k"] for r in ps.collect()) == [3, 700, 1500]
+    assert len(ps.inputFiles()) <= 5
+    # AND intersection: k=700 exists but g=3 is false for it
+    # (700 % 4 == 0) — the residual filter returns nothing, and the
+    # pruning still bounds the read to k's candidate files
+    both = t.point_scan_multi({"k": 700, "g": 3})
+    assert both.count() == 0
+    assert len(both.inputFiles()) <= 2
+    # matching conjunction returns exactly the row
+    hit = t.point_scan_multi({"k": [700, 1501], "g": 1})
+    assert [r["k"] for r in hit.collect()] == [1501]
+    # all-absent IN-list: nothing read
+    ab = t.point_scan_multi({"k": [10**9, 10**9 + 1]})
+    assert len(ab.inputFiles()) <= 2 and ab.count() == 0
