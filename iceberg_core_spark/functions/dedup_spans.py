@@ -36,7 +36,9 @@ from iceberg_core_spark.session import load_table, spread
 # minimum duplicated run, in tokens: one 8-token gram. Lee et al. use
 # 50 BPE tokens on web-scale corpora; 8 whitespace tokens keeps the
 # operator observable on the driver corpus while exercising the
-# identical plan shape.
+# identical plan shape. The production threshold is exposed as
+# ``min_span_tokens`` on both operators — spans shorter than it are
+# reported/clipped only when they reach the threshold.
 GRAM_TOKENS = 8
 
 _WS = r"[ \t\n\x0B\f\r]+"
@@ -45,7 +47,10 @@ _WS = r"[ \t\n\x0B\f\r]+"
 def _gram_positions(docs: DataFrame, k: int, id_col: str,
                     text_col: str) -> DataFrame:
     """(id, start_pos, h) for every K-token window: 1-based token
-    position paired with the window's md5 (case-folded gram text).
+    position paired with the window's md5 digest BYTES (case-folded
+    gram text) — ``unhex(md5(..))`` BinaryType, 16 bytes on the wire
+    where the hex string form was 32 (the gram exchange is the
+    operator's one wide shuffle, so this halves it).
 
     The struct array is built in ONE expression pass; the >= k guard
     lives inside the expression so the optimizer cannot push an
@@ -56,10 +61,11 @@ def _gram_positions(docs: DataFrame, k: int, id_col: str,
     toks = F.split(F.trim(F.lower(text_col)), _WS)
     grams = F.expr(
         f"transform(sequence(1, size(__toks) - {k - 1}), i -> "
-        f"struct(i AS s, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
+        f"struct(i AS s, "
+        f"unhex(md5(concat_ws(' ', slice(__toks, i, {k})))) AS h))"
     )
     guarded = F.when(F.size("__toks") >= k, grams).otherwise(
-        F.array().cast("array<struct<s:int,h:string>>"))
+        F.array().cast("array<struct<s:int,h:binary>>"))
     return (
         spread(docs).withColumn("__toks", toks)
         .select(id_col, F.explode_outer(guarded).alias("g"))
@@ -69,29 +75,11 @@ def _gram_positions(docs: DataFrame, k: int, id_col: str,
     )
 
 
-def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Maximal cross-document duplicated token spans per document.
-
-    Returns (id, span_start, span_end, span_tokens) with 1-based
-    inclusive token indices; overlapping or adjacent marked windows
-    merge into one span (adjacent windows come from consecutive
-    positions of one duplicated passage, so merging them reconstructs
-    the passage's full extent).
-    """
-    pos = _gram_positions(docs, k, id_col, text_col)
-    dup = (
-        pos.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    marked = (
-        pos.join(dup, "h", "semi")
-        .select(id_col, "start_pos",
-                (F.col("start_pos") + (k - 1)).alias("end_pos"))
-    )
+def _merge_islands(marked: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of marked windows into maximal spans:
+    (id, span_start, span_end, span_tokens), 1-based inclusive.
+    Per-document window — partitioned by id, so executors merge
+    disjoint document sets with no coordination."""
     w = Window.partitionBy(id_col).orderBy("start_pos")
     prev_end = F.max("end_pos").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -114,14 +102,56 @@ def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
     )
 
 
+def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     min_span_tokens: int | None = None) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    Returns (id, span_start, span_end, span_tokens) with 1-based
+    inclusive token indices; overlapping or adjacent marked windows
+    merge into one span (adjacent windows come from consecutive
+    positions of one duplicated passage, so merging them reconstructs
+    the passage's full extent). ``min_span_tokens`` drops merged spans
+    shorter than the threshold — Lee et al. report on >= 50-token
+    duplicates; every span is >= k by construction, so the default
+    (None) reports all of them.
+    """
+    pos = _gram_positions(docs, k, id_col, text_col)
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    marked = (
+        pos.join(dup, "h", "semi")
+        .select(id_col, "start_pos",
+                (F.col("start_pos") + (k - 1)).alias("end_pos"))
+    )
+    spans = _merge_islands(marked, id_col)
+    if min_span_tokens is not None and min_span_tokens > k:
+        spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
+    return spans
+
+
 def dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Registry query: maximal duplicated 8-token spans across the
     documents corpus."""
     return duplicated_spans(load_table(spark, sf, "documents"))
 
 
+def dedup_spans_min16(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: the same span report at a production-style
+    length threshold — only merged duplicated runs of >= 16 tokens
+    (Lee et al. clip >= 50-token spans at web scale; 16 keeps the
+    threshold observable on the driver corpus)."""
+    return duplicated_spans(load_table(spark, sf, "documents"),
+                            min_span_tokens=16)
+
+
 def despan(docs: DataFrame, k: int = GRAM_TOKENS,
-           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+           id_col: str = "doc_id", text_col: str = "text",
+           min_span_tokens: int | None = None) -> DataFrame:
     """CLIP duplicated spans: rewrite each document with every token
     removed that sits inside a duplicated window whose canonical owner
     is another document. The owner of a gram is the MINIMUM id among
@@ -129,16 +159,23 @@ def despan(docs: DataFrame, k: int = GRAM_TOKENS,
     exactly one copy of every duplicated passage survives the corpus —
     the Lee et al. clipping step at gram granularity. Within-owner
     repeats are kept (the owner keeps its own text untouched).
+    ``min_span_tokens`` clips only merged removal spans of at least
+    that many tokens (Lee et al. clip >= 50-token duplicates).
 
-    Returns (id, clean_text, n_removed). Output tokens keep their
-    ORIGINAL case — only gram identity is case-folded — and are
-    re-joined with single spaces (tokenizer-normal form, the same
-    whitespace normalization corpus_clean applies).
+    Returns (id, clean_text, n_removed, n_spans_removed). Output
+    tokens keep their ORIGINAL case — only gram identity is
+    case-folded — and are re-joined with single spaces
+    (tokenizer-normal form, the same whitespace normalization
+    corpus_clean applies).
 
-    Scale: the removal set is (id, position) int pairs grouped to one
-    small array per affected document — the only full-text exchange is
-    the final join of that array back onto the corpus, which AQE
-    broadcasts whenever few documents are affected (the common case).
+    Scale: the non-owner marked windows merge into maximal (lo, hi)
+    SPANS per document (the same gaps-and-islands pass the span
+    report uses) and travel as one small span array per affected
+    document; the clip filter is ``exists(spans, ..)`` — O(tokens x
+    islands) per document, not O(tokens x removed positions). The
+    only full-text exchange is the final join of that array back
+    onto the corpus, which AQE broadcasts whenever few documents are
+    affected (the common case).
     """
     pos = _gram_positions(docs, k, id_col, text_col)
     gm = (
@@ -148,20 +185,30 @@ def despan(docs: DataFrame, k: int = GRAM_TOKENS,
         .filter(F.col("nd") > 1)
         .select("h", "min_doc")
     )
-    rm = (
+    # (id, start_pos) is unique in pos and h is unique in gm, so the
+    # marked windows need no dedup — no extra exchange before the
+    # per-document islands window
+    marked = (
         pos.join(gm, "h")
         .filter(F.col(id_col) > F.col("min_doc"))
-        .select(id_col, F.explode(
-            F.expr(f"sequence(start_pos, start_pos + {k - 1})")).alias("p"))
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.collect_list("p").alias("__rm"))
+        .select(id_col, "start_pos",
+                (F.col("start_pos") + (k - 1)).alias("end_pos"))
+    )
+    spans = _merge_islands(marked, id_col)
+    if min_span_tokens is not None and min_span_tokens > k:
+        spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
+    rm = (
+        spans.groupBy(id_col)
+        .agg(F.collect_list(
+            F.struct(F.col("span_start").alias("lo"),
+                     F.col("span_end").alias("hi"))).alias("__sp"))
     )
     toks = F.split(F.trim(text_col), _WS)
     kept = F.expr(
         "filter(zip_with(__toks, sequence(1, size(__toks)), "
         "(t, i) -> struct(t AS t, i AS i)), "
-        "x -> __rm IS NULL OR NOT array_contains(__rm, x.i))"
+        "x -> __sp IS NULL OR "
+        "NOT exists(__sp, s -> x.i >= s.lo AND x.i <= s.hi))"
     )
     return (
         docs.join(rm, id_col, "left")
@@ -173,6 +220,8 @@ def despan(docs: DataFrame, k: int = GRAM_TOKENS,
              .alias("clean_text"),
             (F.size("__toks") - F.size("__kept")).cast("long")
              .alias("n_removed"),
+            F.coalesce(F.size("__sp"), F.lit(0)).cast("long")
+             .alias("n_spans_removed"),
         )
     )
 
@@ -181,6 +230,15 @@ def corpus_despan(spark: SparkSession, sf: str) -> DataFrame:
     """Registry query: the documents corpus with duplicated 8-token
     spans clipped everywhere but their canonical (min doc_id) owner."""
     return despan(load_table(spark, sf, "documents"))
+
+
+def corpus_despan_min16(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: clipping at the production-style threshold —
+    only merged duplicated runs of >= 16 tokens are removed; shorter
+    cross-doc duplicates stay (they are likelier to be natural
+    collisions than boilerplate)."""
+    return despan(load_table(spark, sf, "documents"),
+                  min_span_tokens=16)
 
 
 DEDUP_SPANS_SQL = r"""
@@ -218,28 +276,62 @@ FROM flagged GROUP BY doc_id, island
 """
 
 
+# threshold-parameterized variant of the span report: identical CTEs,
+# one extra HAVING on the merged span length
+DEDUP_SPANS_MIN16_SQL = DEDUP_SPANS_SQL.replace(
+    "FROM flagged GROUP BY doc_id, island",
+    "FROM flagged GROUP BY doc_id, island\n"
+    "HAVING MAX(end_pos) - MIN(start_pos) + 1 >= 16",
+)
+
+
 # COALESCE on clean_text: DuckDB's array_to_string([]) is NULL where
 # Spark's array_join([]) is '' — a fully-clipped document must read as
-# the empty string on both engines.
-CORPUS_DESPAN_SQL = r"""
+# the empty string on both engines. The removal set derives from the
+# MERGED islands (>= {thr} tokens), mirroring the Spark span-based
+# clip; at the default threshold the island ranges cover exactly the
+# marked windows' positions, so results are unchanged from a
+# per-window removal set.
+_CORPUS_DESPAN_SQL_TMPL = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS lt,
          string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ll
   FROM documents
 ), pos AS (
   SELECT doc_id, unnest(list_transform(range(1, len(ll) - 6),
-         i -> {'s': i, 'h': md5(array_to_string(ll[i:i+7], ' '))}),
+         i -> {{'s': i, 'h': md5(array_to_string(ll[i:i+7], ' '))}}),
          recursive := true)
   FROM toks WHERE len(ll) >= 8
 ), gm AS (
   SELECT h, MIN(doc_id) AS min_doc FROM pos
   GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
-), rm AS (
-  SELECT DISTINCT p.doc_id, u.p
-  FROM pos p JOIN gm USING (h), unnest(range(p.s, p.s + 8)) AS u(p)
+), marked AS (
+  SELECT p.doc_id, p.s AS start_pos, p.s + 7 AS end_pos
+  FROM pos p JOIN gm USING (h)
   WHERE p.doc_id > gm.min_doc
+), prevs AS (
+  SELECT doc_id, start_pos, end_pos,
+         MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM marked
+), flagged AS (
+  SELECT doc_id, start_pos, end_pos,
+         SUM(CASE WHEN prev_end IS NULL OR start_pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start_pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM prevs
+), spans AS (
+  SELECT doc_id, MIN(start_pos) AS lo, MAX(end_pos) AS hi
+  FROM flagged GROUP BY doc_id, island
+  HAVING MAX(end_pos) - MIN(start_pos) + 1 >= {thr}
+), rm AS (
+  SELECT s.doc_id, u.p
+  FROM spans s, unnest(range(s.lo, s.hi + 1)) AS u(p)
 ), rml AS (
   SELECT doc_id, list(p) AS lp FROM rm GROUP BY doc_id
+), nsp AS (
+  SELECT doc_id, COUNT(*) AS ns FROM spans GROUP BY doc_id
 )
 SELECT t.doc_id,
        COALESCE(array_to_string(list_filter(lt, (x, i) ->
@@ -247,9 +339,13 @@ SELECT t.doc_id,
          AS clean_text,
        CAST(len(lt) - len(list_filter(lt, (x, i) ->
          r.lp IS NULL OR NOT list_contains(r.lp, i))) AS BIGINT)
-         AS n_removed
-FROM toks t LEFT JOIN rml r USING (doc_id)
+         AS n_removed,
+       CAST(COALESCE(n.ns, 0) AS BIGINT) AS n_spans_removed
+FROM toks t LEFT JOIN rml r USING (doc_id) LEFT JOIN nsp n USING (doc_id)
 """
+
+CORPUS_DESPAN_SQL = _CORPUS_DESPAN_SQL_TMPL.format(thr=8)
+CORPUS_DESPAN_MIN16_SQL = _CORPUS_DESPAN_SQL_TMPL.format(thr=16)
 
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -257,4 +353,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "corpus_despan": (corpus_despan, CORPUS_DESPAN_SQL),
+    # NEW r8: the Lee et al. production-style length threshold
+    "dedup_spans_min16": (dedup_spans_min16, DEDUP_SPANS_MIN16_SQL),
+    "corpus_despan_min16": (corpus_despan_min16,
+                            CORPUS_DESPAN_MIN16_SQL),
 }

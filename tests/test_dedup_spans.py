@@ -138,3 +138,54 @@ def test_wide_exchange_excludes_text(spark):
         assert "text" not in m.group(1), m.group(0)
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_despan_heavily_clipped_doc_spans(spark):
+    """Span-based clipping regression (r7 verdict task): a document
+    whose text is MOSTLY removals — two disjoint duplicated passages
+    around a tiny own frame — must clip exactly the merged spans and
+    report their count."""
+    p1, p2 = _words(20, "p"), _words(12, "q")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{p1} xx {p2}"),
+        Row(doc_id=2, text=f"{p1} keep me {p2} own tail"),
+    ])
+    out = {r.doc_id: r for r in despan(docs).collect()}
+    assert out[1].n_removed == 0 and out[1].n_spans_removed == 0
+    # doc 2 loses p1 (20 tokens) and p2 (12 tokens) as TWO spans
+    assert out[2].n_removed == 32
+    assert out[2].n_spans_removed == 2
+    assert out[2].clean_text == "keep me own tail"
+
+
+def test_despan_min_span_tokens_keeps_short_duplicates(spark):
+    """The production threshold: a 10-token duplicated run is below
+    min_span_tokens=16, so it stays; a 20-token run is clipped."""
+    short, long = _words(10, "s"), _words(20, "l")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{short} {_words(3, 'a')} {long}"),
+        Row(doc_id=2, text=f"{short} {_words(5, 'b')} {long}"),
+    ])
+    out = {r.doc_id: r
+           for r in despan(docs, min_span_tokens=16).collect()}
+    assert out[1].n_removed == 0
+    # only the 20-token span goes; the 10-token one survives
+    assert out[2].n_removed == 20 and out[2].n_spans_removed == 1
+    assert out[2].clean_text == f"{short} {_words(5, 'b')}"
+    # the span REPORT applies the same threshold
+    spans = duplicated_spans(docs, min_span_tokens=16).collect()
+    assert {(r.doc_id, r.span_tokens) for r in spans} == {(1, 20), (2, 20)}
+
+
+def test_gram_exchange_carries_binary_hashes(spark):
+    """The wide exchange's gram keys are 16-byte digest BYTES, not
+    32-char hex strings: the tokenizing project must emit unhex(md5)
+    and no exchange may carry the raw text column."""
+    plan = (
+        dedup_spans(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "unhex(md5(" in plan
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
