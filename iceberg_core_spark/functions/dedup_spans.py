@@ -278,10 +278,11 @@ FROM flagged GROUP BY doc_id, island
 
 # threshold-parameterized variant of the span report: identical CTEs,
 # one extra HAVING on the merged span length
+_ANCHOR = "FROM flagged GROUP BY doc_id, island"
+assert _ANCHOR in DEDUP_SPANS_SQL  # a reword must not silently drop the HAVING
 DEDUP_SPANS_MIN16_SQL = DEDUP_SPANS_SQL.replace(
-    "FROM flagged GROUP BY doc_id, island",
-    "FROM flagged GROUP BY doc_id, island\n"
-    "HAVING MAX(end_pos) - MIN(start_pos) + 1 >= 16",
+    _ANCHOR,
+    _ANCHOR + "\nHAVING MAX(end_pos) - MIN(start_pos) + 1 >= 16",
 )
 
 

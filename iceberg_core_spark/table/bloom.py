@@ -94,6 +94,12 @@ def _store_dirs(root: str) -> list[str]:
     return dirs
 
 
+def store_dir_count(root: str) -> int:
+    """How many physical dirs back the store (base + increments) —
+    the maintenance tick's compaction-pressure signal."""
+    return len(_store_dirs(root))
+
+
 def read_store(spark: SparkSession, root: str) -> DataFrame | None:
     dirs = _store_dirs(root)
     if not dirs:
@@ -154,8 +160,12 @@ def build_bloom(table, cols: list[str] | None = None,
         todo_by_col[r["col"]].append((r["path"], r["rows"]))
     todo = sorted({pr for prs in todo_by_col.values() for pr in prs})
     if not todo:
-        if cfg is None:
-            _write_config(table.root, cols, bits_per_row, k)
+        # record the requested cols even with nothing to build: a
+        # crash between a finished increment's rename and its config
+        # write would otherwise leave a newly-added column out of
+        # cfg["cols"] FOREVER (the retry finds no pending pairs) —
+        # pruning on it silently inert
+        _write_config(table.root, cols, bits_per_row, k)
         return 0
 
     from pyspark.sql.types import StructType
@@ -326,7 +336,11 @@ def compact_bloom(table) -> dict:
 
     inline_paths: set[str] = set()
     sidecars: list[str] = []
-    for s in table.manifest.snapshots(load_files=True):
+    # load_files=False: inline snapshots carry their entries in the
+    # snapshot JSON regardless; sidecar-backed ones contribute their
+    # parquet path column to the distributed semi-join — the full
+    # file inventory never materializes on the driver
+    for s in table.manifest.snapshots(load_files=False):
         if s.files_ref:
             sc = table.manifest.sidecar_path(s.files_ref)
             if os.path.exists(sc):

@@ -89,6 +89,10 @@ class MaintenancePolicy:
     # continuously-maintained table would otherwise decay to
     # conservative no-prune coverage.
     refresh_bloom: bool = True
+    # Generation-flip the bloom store (fold increments, drop rows for
+    # dead paths) whenever a tick compacted the table, or once this
+    # many store dirs accumulate. None = never auto-compact the store.
+    bloom_compact_min_dirs: int | None = 4
 
 
 def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
@@ -1606,12 +1610,21 @@ class IceTable:
         #     order for maps is insertion-dependent, so equal maps
         #     can serialize differently (Spark's own exceptAll
         #     rejects map columns for the same reason);
-        # (b) top-level float/double columns are normalized with
-        #     `+ 0.0` so -0.0 and 0.0 (equal under SQL comparison)
-        #     hash identically; NULL propagates and NaN stays NaN,
-        #     and to_json renders NaN stably on both sides.
+        # (b) float/double values at ANY nesting depth are normalized
+        #     with `+ 0.0` so -0.0 and 0.0 (equal under SQL
+        #     comparison) hash identically; NULL propagates and NaN
+        #     stays NaN, and to_json renders NaN stably on both
+        #     sides. Arrays rebuild via transform, structs field by
+        #     field (NULL structs guarded), only where a float
+        #     actually nests.
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            FloatType,
+            MapType,
+        )
+
         def _contains_map(dt) -> bool:
-            from pyspark.sql.types import ArrayType, MapType
             if isinstance(dt, MapType):
                 return True
             if isinstance(dt, ArrayType):
@@ -1627,16 +1640,34 @@ class IceTable:
                 "breaks row-hash equality); store map data as "
                 "array<struct<key,value>> instead")
 
-        def _canon(f: StructField):
-            from pyspark.sql.types import DoubleType, FloatType
-            c = F.col(f.name)
-            if isinstance(f.dataType, (FloatType, DoubleType)):
-                return (c + F.lit(0.0).cast(f.dataType)).alias(f.name)
+        def _has_float(dt) -> bool:
+            if isinstance(dt, (FloatType, DoubleType)):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_float(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_float(f.dataType) for f in dt.fields)
+            return False
+
+        def _canon(c, dt):
+            if isinstance(dt, (FloatType, DoubleType)):
+                return c + F.lit(0.0).cast(dt)
+            if isinstance(dt, ArrayType) and _has_float(dt.elementType):
+                return F.transform(
+                    c, lambda x: _canon(x, dt.elementType))
+            if isinstance(dt, StructType) and _has_float(dt):
+                rebuilt = F.struct(*[
+                    _canon(c[f.name], f.dataType).alias(f.name)
+                    for f in dt.fields])
+                return F.when(c.isNotNull(), rebuilt)
             return c
 
         row_hash = F.sha2(
-            F.to_json(F.struct(*[_canon(f) for f in schema.fields]),
-                      {"ignoreNullFields": "false"}), 256)
+            F.to_json(
+                F.struct(*[
+                    _canon(F.col(f.name), f.dataType).alias(f.name)
+                    for f in schema.fields]),
+                {"ignoreNullFields": "false"}), 256)
         u = side_u.withColumn("__h", row_hash)
         s = side_s.withColumn("__h", row_hash)
         net = (
@@ -2760,8 +2791,8 @@ class IceTable:
                     older_than_ms=policy.orphan_retention_ms)
             if policy.refresh_bloom:
                 from iceberg_core_spark.table.bloom import (
-                    _store_dirs,
                     load_config,
+                    store_dir_count,
                 )
 
                 if load_config(self.root) is not None:
@@ -2773,8 +2804,10 @@ class IceTable:
                     # left dead paths behind, or increments piled up —
                     # otherwise the store grows without bound and
                     # every probe scans dead rows
-                    if (report["compacted"]
-                            or len(_store_dirs(self.root)) > 4):
+                    mind = policy.bloom_compact_min_dirs
+                    if mind is not None and (
+                            report["compacted"]
+                            or store_dir_count(self.root) >= mind):
                         report["bloom_compacted"] = self.compact_bloom()
         except CommitConflictError:
             # a concurrent writer won the race — maintenance is

@@ -310,3 +310,56 @@ def test_rollup_minmax_append_only_folds_incrementally(spark, tmp_path):
     ru.refresh(t)
     got = {r["g"]: (r["min_v"], r["max_v"]) for r in ru.read().collect()}
     assert got == {"a": (5, 10), "b": (20, 20)}
+
+
+def test_scan_changes_float_and_map_canonicalization(spark, tmp_path):
+    """Hash-input canonicalization (r8): (a) a rewrite flipping -0.0
+    to 0.0 — equal under SQL comparison, including NESTED inside an
+    array or struct — must net to ZERO changes (to_json would render
+    them differently without normalization, emitting a phantom
+    delete+insert pair); (b) MapType columns are rejected loudly."""
+    import pytest
+
+    df1 = spark.sql("""
+        SELECT * FROM VALUES
+          (1L, CAST(-0.0 AS DOUBLE), array(CAST(-0.0 AS DOUBLE), 2.5D),
+           named_struct('s', CAST(-0.0 AS FLOAT), 'n', 7L)),
+          (2L, 1.5D, array(3.5D), named_struct('s', CAST(1.0 AS FLOAT),
+           'n', 8L))
+        AS t(k, x, arr, st)
+    """)
+    df2 = spark.sql("""
+        SELECT * FROM VALUES
+          (1L, CAST(0.0 AS DOUBLE), array(CAST(0.0 AS DOUBLE), 2.5D),
+           named_struct('s', CAST(0.0 AS FLOAT), 'n', 7L)),
+          (2L, 1.5D, array(3.5D), named_struct('s', CAST(1.0 AS FLOAT),
+           'n', 8L))
+        AS t(k, x, arr, st)
+    """)
+    t = IceTable.create(spark, str(tmp_path / "t"), df1,
+                        partition_col=None, key_col="k")
+    s0 = t.manifest.load(load_files=False).snapshot_id
+    t.overwrite(df2)
+    s1 = t.manifest.load(load_files=False).snapshot_id
+    assert t.scan_changes(s0, s1).count() == 0
+
+    # a REAL value change still nets (the normalization must not
+    # over-merge distinct rows)
+    df3 = df2.withColumn(
+        "x", F.when(F.col("k") == 2, F.lit(9.5)).otherwise(F.col("x")))
+    t.overwrite(df3)
+    s2 = t.manifest.load(load_files=False).snapshot_id
+    ch = t.scan_changes(s1, s2)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 1
+    assert ch.filter(F.col("_change_type") == "delete").count() == 1
+
+    # MapType anywhere in the schema: loud rejection
+    tm = IceTable.create(
+        spark, str(tmp_path / "tm"),
+        spark.sql("SELECT 1L AS k, map('a', 1) AS m"),
+        partition_col=None, key_col="k")
+    sm0 = tm.manifest.load(load_files=False).snapshot_id
+    tm.append(spark.sql("SELECT 2L AS k, map('b', 2) AS m"))
+    sm1 = tm.manifest.load(load_files=False).snapshot_id
+    with pytest.raises(ValueError, match="MapType"):
+        tm.scan_changes(sm0, sm1).count()
