@@ -386,6 +386,70 @@ GROUP BY o_orderpriority
 """
 
 
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quartiles per group, computed EXPLICITLY
+    (rank the group, pick the two straddling rows, interpolate with
+    an exact quarter fraction) — the agg_median construction extended
+    to p25/p50/p75. Engine-native PERCENTILE/quantile_cont functions
+    interpolate in ways that are not bit-identical across engines;
+    here the index math is pure integers ((n-1)*q div/mod 4) and the
+    one interpolation `lo + frac*(hi - lo)` is the same IEEE
+    expression on both sides. One window shuffle per group, a single
+    conditional aggregate after it — no driver collect."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    aggs = []
+    for q in (1, 2, 3):  # quarter units: p25, p50, p75
+        # 0-based fractional index (n-1)*q/4 = lo + rem/4
+        lo_rank = (F.floor((F.col("n") - 1) * q / 4) + 1).cast("int")
+        vlo = F.max(F.when(F.col("rn") == lo_rank, F.col("p")))
+        vhi = F.coalesce(
+            F.max(F.when(F.col("rn") == lo_rank + 1, F.col("p"))), vlo)
+        frac = (((F.max("n") - 1) * q % 4) / F.lit(4.0))
+        aggs.append((vlo + frac * (vhi - vlo)).alias(f"p{q * 25}"))
+    return ranked.groupBy("o_orderpriority").agg(
+        *aggs, F.max("n").alias("n"))
+
+
+AGG_PERCENTILE_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS p,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN p END)
+         + (((MAX(n) - 1) * 1 % 4) / 4.0)
+         * (COALESCE(MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 2 THEN p END),
+                     MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN p END))
+            - MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN p END)) AS p25,
+       MAX(CASE WHEN rn = (n - 1) * 2 // 4 + 1 THEN p END)
+         + (((MAX(n) - 1) * 2 % 4) / 4.0)
+         * (COALESCE(MAX(CASE WHEN rn = (n - 1) * 2 // 4 + 2 THEN p END),
+                     MAX(CASE WHEN rn = (n - 1) * 2 // 4 + 1 THEN p END))
+            - MAX(CASE WHEN rn = (n - 1) * 2 // 4 + 1 THEN p END)) AS p50,
+       MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN p END)
+         + (((MAX(n) - 1) * 3 % 4) / 4.0)
+         * (COALESCE(MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 2 THEN p END),
+                     MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN p END))
+            - MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN p END)) AS p75,
+       MAX(n) AS n
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
 # Correlated scalar subquery — shared dialect, runs verbatim on both.
 SCALAR_SUBQUERY_CORR_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -419,6 +483,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "agg_salted": (agg_salted, AGG_SALTED_SQL),
     "agg_median": (agg_median, AGG_MEDIAN_SQL),
     "agg_minmax_by": (agg_minmax_by, AGG_MINMAX_BY_SQL),
+    # NEW r8: exact interpolated quartiles (r9 window lead)
+    "agg_percentile": (agg_percentile, AGG_PERCENTILE_SQL),
     "scalar_string2": (scalar_string2, SCALAR_STRING2_SQL),
     "agg_conditional": (agg_conditional, AGG_CONDITIONAL_SQL),
     "array_hof": (array_hof, ARRAY_HOF_SQL),

@@ -683,6 +683,42 @@ WHERE doc_id IN (11, 37, 93) AND lang = 'en'
 """
 
 
+_CLONE_CACHE: dict[str, str] = {}
+
+
+def table_clone(spark: SparkSession, sf: str) -> DataFrame:
+    """Shallow-clone the five-commit lifecycle table and time-travel
+    the CLONE to its MoR-delete snapshot — the row proves the clone
+    carried full history AND the pending equality-delete predicates
+    (a clone that linked data files but dropped the MoR metadata
+    would return the %7 rows the predicate hides), not just the
+    compacted head."""
+    from iceberg_core_spark.table import IceTable
+
+    src_root = _changes_root(spark, sf)
+    root = _CLONE_CACHE.get(sf)
+    if root is None or not os.path.isdir(root):
+        root = os.path.join(tempfile.mkdtemp(prefix="ice_clone_"), "c")
+        IceTable(spark, src_root).clone(root)
+        _CLONE_CACHE[sf] = root
+    c = IceTable(spark, root)
+    mor = [s for s in c.manifest.snapshots(load_files=False)
+           if s.operation == "delete-mor"][-1]
+    return c.scan(snapshot_id=mor.snapshot_id)
+
+
+# the lifecycle state right after the MoR delete: upsert bumped the
+# %11 rows, the delete predicate hides the %7 rows, compact (a later
+# snapshot) must be invisible at this point in history
+TABLE_CLONE_SQL = """
+SELECT doc_id, lang,
+       n_chars + CASE WHEN doc_id % 11 = 0 THEN 500 ELSE 0 END
+         AS n_chars
+FROM documents
+WHERE doc_id % 7 <> 0
+"""
+
+
 def table_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """Net row-level changelog from the FIRST snapshot to the current
     one across the five-commit lifecycle — the oracle recomputes the
@@ -772,4 +808,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # per-column bloom stores (one 1-row hash job for all probes)
     "bloom_point_scan_multi": (bloom_point_scan_multi,
                                BLOOM_POINT_SCAN_MULTI_SQL),
+    # NEW r8: shallow clone, time-traveled to the MoR-delete snapshot
+    # (r9 window lead)
+    "table_clone": (table_clone, TABLE_CLONE_SQL),
 }

@@ -262,10 +262,82 @@ FROM j
 """
 
 
+def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
+                    value_col: str, tiebreak_col: str,
+                    step_us: int) -> DataFrame:
+    """Downsample a raw time series to fixed ``step_us`` buckets with
+    the candlestick rollup every dashboard retention tier needs:
+    open/close (first/last value by time), low/high, exact-decimal
+    mean, and count. The bucket is integer-µs floor arithmetic
+    (cross-engine exact, like the session boundaries), and open/close
+    resolve through ``min_by``/``max_by`` on a zero-padded
+    (epoch-µs, tiebreak) string key — a TOTAL order both engines
+    compare byte-identically, so ties can never flip the endpoints.
+
+    One hash aggregate on (key, bucket): pre-aggregation happens
+    map-side, nothing is windowed over raw rows — at 100 TB the
+    shuffle carries one partial state per (key, bucket) per map task.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.timestamp_micros(
+        (F.floor(us / step_us) * step_us).cast("long"))
+    ok = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"))
+    v = F.col(value_col)
+    return (
+        df.select(F.col(key_col), bucket.alias("bucket"),
+                  v.alias("__v"), ok.alias("__ok"))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min_by("__v", "__ok").alias("open_value"),
+            F.max_by("__v", "__ok").alias("close_value"),
+            F.min("__v").alias("low_value"),
+            F.max("__v").alias("high_value"),
+            (F.sum(F.col("__v").cast("decimal(18,2)")).cast("double")
+             / F.count("__v")).alias("avg_value"),
+            F.count("__v").alias("n_events"),
+        )
+    )
+
+
+def events_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry query: the events stream downsampled to 6-hour OHLC
+    candles per event type — the retention-tier rollup that completes
+    the batch time-series family (sessionize / gapfill / interpolate
+    / downsample)."""
+    e = load_table(spark, sf, "events")
+    return downsample_ohlc(e, "event_type", "ts", "value",
+                           tiebreak_col="event_id",
+                           step_us=6 * 3600 * 1_000_000)
+
+
+EVENTS_DOWNSAMPLE_SQL = """
+SELECT event_type,
+       make_timestamp(CAST(floor(epoch_us(ts) / 21600000000)
+                           * 21600000000 AS BIGINT)) AS bucket,
+       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         AS open_value,
+       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         AS close_value,
+       MIN(value) AS low_value,
+       MAX(value) AS high_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+         AS avg_value,
+       COUNT(value) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_interpolate": (events_interpolate, EVENTS_INTERPOLATE_SQL),
+    # NEW r8: fixed-bucket OHLC downsampling (r9 window lead)
+    "events_downsample": (events_downsample, EVENTS_DOWNSAMPLE_SQL),
 }

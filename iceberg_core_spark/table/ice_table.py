@@ -3119,6 +3119,49 @@ class IceTable:
                     raise  # not a lost race — surface the real error
                 snap = winner
 
+    def clone(self, dst_root: str) -> "IceTable":
+        """SHALLOW clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-export analog): the table — full history, branches,
+        pending MoR predicates — becomes an INDEPENDENT table at
+        ``dst_root`` without copying a data byte. Data/delete parquet
+        files HARDLINK (the inode refcount keeps a linked file alive
+        even after the source's expire/remove_orphans unlinks it, so
+        the clone can never lose data to source maintenance);
+        metadata JSONs byte-copy so the two tables' commit protocols
+        (per-root exclusive-create claims) and mutable hints never
+        touch the same inode. Commits to either side are invisible to
+        the other. On an object store the links become a
+        copy-by-reference manifest (same discipline, no inode).
+
+        Not cloned: ``_bucketed/`` catalog link dirs (registered under
+        the SOURCE's catalog name — re-register on the clone) and the
+        ``bloom/`` sidecar store (derived data; one ``build_bloom()``
+        on the clone rebuilds it). Metadata-plane cost only: the walk
+        touches every file NAME once, never content."""
+        if os.path.exists(dst_root) and os.listdir(dst_root):
+            raise ValueError(f"clone destination not empty: {dst_root}")
+        self.manifest.load(load_files=False)  # must be a real table
+        skip = {"_bucketed", "bloom"}
+        for dirpath, dirs, names in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            parts = [] if rel == "." else rel.split(os.sep)
+            if parts and parts[0] in skip:
+                dirs[:] = []
+                continue
+            dd = (dst_root if not parts
+                  else os.path.join(dst_root, *parts))
+            os.makedirs(dd, exist_ok=True)
+            for n in names:
+                if n.startswith(("_tmp", ".")) or n.endswith(".tmp"):
+                    continue  # in-flight writer scratch
+                src = os.path.join(dirpath, n)
+                dst = os.path.join(dd, n)
+                if n.endswith(".json") or n == "CURRENT":
+                    shutil.copy2(src, dst)
+                else:
+                    os.link(src, dst)
+        return IceTable(self.spark, dst_root)
+
     def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,
                        ) -> list[str]:
         """Delete data files under the table root referenced by NO

@@ -54,3 +54,37 @@ def test_r3_source_oracle_match(spark, con, name, fn, sql):
     """Round-3 registered sources: OCF ingest roundtrip + stateful
     streaming stats, driver-style oracle compare."""
     compare(fn(spark, SF_DIR), con, sql, name)
+
+
+def test_percentile_hand_computed(spark):
+    """Quartiles on a known 5-value group: (n-1)*q/4 index math gives
+    p25 at index 1.0 (exact row), p50 at 2.0, p75 at 3.0 — and on a
+    4-value group fractional indexes interpolate linearly."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.operators.relational_ext import (
+        agg_percentile,
+    )
+
+    # reuse the registered query's shape via a temp view? simpler:
+    # drive the same construction through a constructed orders frame
+    import iceberg_core_spark.operators.relational_ext as rx
+
+    df = spark.createDataFrame(
+        [("g5", i + 1, float(v)) for i, v in
+         enumerate([10, 20, 30, 40, 50])] +
+        [("g4", i + 1, float(v)) for i, v in
+         enumerate([10, 20, 30, 40])],
+        "o_orderpriority string, o_orderkey long, o_totalprice double")
+    orig = rx.load_table
+    try:
+        rx.load_table = lambda spark, sf, name: df
+        out = {r["o_orderpriority"]: r
+               for r in agg_percentile(spark, "unused").collect()}
+    finally:
+        rx.load_table = orig
+    g5 = out["g5"]
+    assert (g5["p25"], g5["p50"], g5["p75"]) == (20.0, 30.0, 40.0)
+    g4 = out["g4"]
+    # n=4: indexes 0.75 / 1.5 / 2.25 -> 17.5, 25.0, 32.5
+    assert (g4["p25"], g4["p50"], g4["p75"]) == (17.5, 25.0, 32.5)

@@ -1,0 +1,93 @@
+"""Shallow clone: metadata-copy + hardlinked data, full history,
+independence of the two tables' commit lines, and survival of the
+clone's data across SOURCE maintenance (the hardlink property that
+makes the clone safe without copy)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.table import IceTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, g string, v long")
+
+
+def test_clone_reads_equal_and_commits_diverge(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        partition_col="g", key_col="k", max_rows_per_file=1)
+    t.append(_df(spark, [(4, "b", 40)]))
+    t.delete_where("k = 2", mode="mor")  # pending predicate must clone
+    s_mor = t.manifest.load(load_files=False).snapshot_id
+
+    c = t.clone(str(tmp_path / "dst"))
+    # full state equality, including the MoR predicate
+    assert (sorted(map(tuple, c.scan().collect()))
+            == sorted(map(tuple, t.scan().collect())))
+    # full HISTORY: time travel on the clone
+    assert c.scan(snapshot_id=0).count() == 3
+    assert {r["k"] for r in c.scan(snapshot_id=s_mor).collect()} \
+        == {1, 3, 4}
+
+    # commits diverge: append to the clone, delete on the source
+    c.append(_df(spark, [(9, "a", 90)]))
+    t.delete_where("k = 3", mode="cow")
+    assert {r["k"] for r in c.scan().collect()} == {1, 3, 4, 9}
+    assert {r["k"] for r in t.scan().collect()} == {1, 4}
+
+
+def test_clone_survives_source_maintenance(spark, tmp_path):
+    """expire_snapshots + remove_orphans on the SOURCE unlink rewritten
+    files; the clone's hardlinks keep the inodes alive, so its reads
+    (including time travel) survive untouched."""
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(i, "a", i * 10) for i in range(6)]),
+        partition_col="g", key_col="k", max_rows_per_file=2)
+    c = t.clone(str(tmp_path / "dst"))
+    before = sorted(map(tuple, c.scan().collect()))
+
+    # source rewrites everything, then drops history and orphans
+    t.overwrite(_df(spark, [(100, "a", 1)]))
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphans(older_than_ms=0)
+    assert sorted(map(tuple, c.scan().collect())) == before
+    assert c.scan(snapshot_id=0).count() == 6
+
+
+def test_clone_guards_and_exclusions(spark, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(1, "a", 10), (2, "a", 20)]),
+        partition_col=None, key_col="k")
+    t.build_bloom(["k"])
+    # non-empty destination refuses
+    os.makedirs(tmp_path / "busy")
+    (tmp_path / "busy" / "x").write_text("occupied")
+    with pytest.raises(ValueError, match="not empty"):
+        t.clone(str(tmp_path / "busy"))
+    # bloom store is derived data: not cloned, one build restores it
+    c = t.clone(str(tmp_path / "dst"))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "dst"), "bloom"))
+    assert c.build_bloom(["k"]) == c.file_count()
+    assert [r["k"] for r in c.point_scan("k", 2).collect()] == [2]
+
+
+def test_clone_scan_plans_prune(spark, tmp_path):
+    """The clone is a first-class table: manifest min/max pruning works
+    against the linked files (paths re-rooted correctly)."""
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "k long, v long")
+    t = IceTable.create(spark, str(tmp_path / "src"), df,
+                        partition_col=None, key_col="v",
+                        max_rows_per_file=20)
+    c = t.clone(str(tmp_path / "dst"))
+    total = c.file_count()
+    assert total >= 4
+    q = c.query(lo=5, hi=8)
+    assert {r["k"] for r in q.collect()} == {5, 6, 7, 8}
+    assert len(q.inputFiles()) < total

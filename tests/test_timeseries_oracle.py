@@ -107,3 +107,35 @@ def test_gapfill_single_shuffle_window_per_key(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_downsample_ohlc_endpoints_and_ties(spark):
+    """open/close are the FIRST/LAST values by (ts, tiebreak) within
+    the bucket — a tie on ts must resolve by the tiebreak column, not
+    arrival order; min/max/avg/count cover the whole bucket."""
+    from iceberg_core_spark.operators.timeseries import downsample_ohlc
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one 6h bucket, two events tied on ts at the open
+        Row(event_id=5, ts=t0, value=50.0, k="a"),
+        Row(event_id=2, ts=t0, value=20.0, k="a"),
+        Row(event_id=9, ts=t0 + datetime.timedelta(hours=1),
+            value=90.0, k="a"),
+        # second bucket
+        Row(event_id=1, ts=t0 + datetime.timedelta(hours=7),
+            value=70.0, k="a"),
+    ]
+    out = {r["bucket"]: r for r in downsample_ohlc(
+        spark.createDataFrame(rows), "k", "ts", "value",
+        tiebreak_col="event_id", step_us=6 * 3600 * 1_000_000
+    ).collect()}
+    b0 = out[t0]
+    # tie at t0: event_id 2 wins the open
+    assert b0["open_value"] == 20.0
+    assert b0["close_value"] == 90.0
+    assert b0["low_value"] == 20.0 and b0["high_value"] == 90.0
+    assert b0["n_events"] == 3
+    assert abs(b0["avg_value"] - (50 + 20 + 90) / 3) < 1e-12
+    b1 = out[t0 + datetime.timedelta(hours=6)]
+    assert b1["open_value"] == b1["close_value"] == 70.0
