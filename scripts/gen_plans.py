@@ -49,6 +49,9 @@ PICKS = [
     ("dedup_spans", "Duplicated-span islands — gram md5s are ONE map-side projection (no Python); the dup-gram aggregate and marking semi-join exchange (hash, id, pos) triples only — text never shuffles (plan-gated); span merge is a per-doc window sharing the doc_id partitioning."),
     ("events_sessionize", "Gap sessionization — ONE hash exchange on user_id feeds lag, running-sum flag, and the session rollup (all three share the partitioning); integer-µs comparisons, no Python, no global sort."),
     ("events_gapfill", "LOCF densification — the grid explodes from the per-key min/max AGGREGATE (bounded by keys x buckets, never raw events); the left join and fill window share the key partitioning; AQE broadcasts the observed side when small."),
+    ("bloom_point_scan_multi", "Multi-conjunct bloom lookup — doc_id IN (..) AND lang = '..': the file list comes pre-pruned by INTERSECTED per-column bloom verdicts (all probe hashes from one 1-row JVM job, store rows candidate-semi-joined before the collect); the surviving files' scan carries both residual predicates pushed."),
+    ("events_downsample", "OHLC downsampling — ONE aggregation on (key, bucket): partial (map-side) + final across a single exchange (SortAggregate, because the min_by/max_by endpoint buffers are non-primitive structs — the partial combine is what matters at scale); the bucket is integer-µs floor arithmetic in codegen; no window ever touches raw rows."),
+    ("corpus_despan", "Span clipping — the wide exchanges carry 16-byte gram digests + int positions (never text, plan-gated); non-owner windows merge to (lo,hi) spans per doc and the clip filter is exists(spans, ..) over the token array; the only full-text exchange is the final removal-array join, AQE-broadcastable."),
 ]
 
 
