@@ -25,6 +25,7 @@ result.
 from __future__ import annotations
 
 from collections.abc import Callable
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -270,9 +271,14 @@ def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
     open/close (first/last value by time), low/high, exact-decimal
     mean, and count. The bucket is integer-µs floor arithmetic
     (cross-engine exact, like the session boundaries), and open/close
-    resolve through ``min_by``/``max_by`` on a zero-padded
+    resolve through ``min_by``/``max_by`` on a fixed-width
     (epoch-µs, tiebreak) string key — a TOTAL order both engines
     compare byte-identically, so ties can never flip the endpoints.
+    Each int64 half is biased into [0, 2**64) via exact DECIMAL(20,0)
+    arithmetic before zero-padding to exactly 20 chars, so negative
+    timestamps/tiebreaks order correctly and no value can ever exceed
+    the pad width (lpad silently TRUNCATES over-width input in both
+    engines — the naive unpadded-sign encoding is not a total order).
 
     One hash aggregate on (key, bucket): pre-aggregation happens
     map-side, nothing is windowed over raw rows — at 100 TB the
@@ -281,9 +287,13 @@ def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
     us = F.unix_micros(F.col(ts_col))
     bucket = F.timestamp_micros(
         (F.floor(us / step_us) * step_us).cast("long"))
-    ok = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"))
+    bias = F.lit(Decimal(2 ** 63)).cast("decimal(20,0)")
+
+    def _pad20(c):  # biased int64 -> fixed 20-char orderable string
+        return F.lpad((c.cast("decimal(20,0)") + bias).cast("string"),
+                      20, "0")
+
+    ok = F.concat(_pad20(us), _pad20(F.col(tiebreak_col)))
     v = F.col(value_col)
     return (
         df.select(F.col(key_col), bucket.alias("bucket"),
@@ -316,11 +326,17 @@ EVENTS_DOWNSAMPLE_SQL = """
 SELECT event_type,
        make_timestamp(CAST(floor(epoch_us(ts) / 21600000000)
                            * 21600000000 AS BIGINT)) AS bucket,
-       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+       min_by(value,
+              lpad(CAST(CAST(epoch_us(ts) AS DECIMAL(20,0))
+                        + 9223372036854775808 AS VARCHAR), 20, '0')
+              || lpad(CAST(CAST(event_id AS DECIMAL(20,0))
+                           + 9223372036854775808 AS VARCHAR), 20, '0'))
          AS open_value,
-       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+       max_by(value,
+              lpad(CAST(CAST(epoch_us(ts) AS DECIMAL(20,0))
+                        + 9223372036854775808 AS VARCHAR), 20, '0')
+              || lpad(CAST(CAST(event_id AS DECIMAL(20,0))
+                           + 9223372036854775808 AS VARCHAR), 20, '0'))
          AS close_value,
        MIN(value) AS low_value,
        MAX(value) AS high_value,

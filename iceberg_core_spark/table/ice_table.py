@@ -38,6 +38,7 @@ Scale design:
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -50,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from iceberg_core_spark.table.manifest import (
+    _MANIFEST_DIR,
     CommitConflictError,
     Manifest,
     ManifestFile,
@@ -3137,29 +3139,74 @@ class IceTable:
         the SOURCE's catalog name — re-register on the clone) and the
         ``bloom/`` sidecar store (derived data; one ``build_bloom()``
         on the clone rebuilds it). Metadata-plane cost only: the walk
-        touches every file NAME once, never content."""
+        touches every file NAME once, never content.
+
+        Concurrent-writer safety comes from COPY ORDER, the mirror of
+        the commit protocol's write order (data → sidecar → snapshot
+        JSON → CURRENT hint): the clone copies CURRENT first (the hint
+        only ever points at or below a snapshot the clone will have,
+        and readers walk it FORWARD over snapshots that exist), then
+        snapshot JSONs, then sidecars, then data — so anything a
+        copied snapshot references was durably on disk BEFORE that
+        snapshot appeared and is therefore still ahead of the walk.
+        A commit landing mid-clone contributes at worst orphan data
+        files the cloned manifest never references. A failed clone
+        (including an EXDEV cross-device fallback that half-ran)
+        removes the partial destination before re-raising, so a retry
+        never trips the not-empty guard on its own debris."""
         if os.path.exists(dst_root) and os.listdir(dst_root):
             raise ValueError(f"clone destination not empty: {dst_root}")
         self.manifest.load(load_files=False)  # must be a real table
-        skip = {"_bucketed", "bloom"}
-        for dirpath, dirs, names in os.walk(self.root):
-            rel = os.path.relpath(dirpath, self.root)
-            parts = [] if rel == "." else rel.split(os.sep)
-            if parts and parts[0] in skip:
-                dirs[:] = []
-                continue
-            dd = (dst_root if not parts
-                  else os.path.join(dst_root, *parts))
-            os.makedirs(dd, exist_ok=True)
-            for n in names:
-                if n.startswith(("_tmp", ".")) or n.endswith(".tmp"):
-                    continue  # in-flight writer scratch
-                src = os.path.join(dirpath, n)
-                dst = os.path.join(dd, n)
-                if n.endswith(".json") or n == "CURRENT":
-                    shutil.copy2(src, dst)
-                else:
-                    os.link(src, dst)
+
+        def _scratch(n: str) -> bool:
+            # in-flight writer scratch: sidecar tmp (*.tmp), the
+            # commit CAS / CURRENT-hint tmp names (*.tmp-<hex>), and
+            # hidden/underscore scratch
+            return (n.startswith(("_tmp", "."))
+                    or n.endswith(".tmp") or ".tmp-" in n)
+
+        def _place(src: str, dst: str, link: bool) -> None:
+            if not link:
+                shutil.copy2(src, dst)
+                return
+            try:
+                os.link(src, dst)
+            except OSError as e:
+                if e.errno != errno.EXDEV:
+                    raise
+                shutil.copy2(src, dst)  # cross-device: copy, not link
+
+        try:
+            man_src = os.path.join(self.root, _MANIFEST_DIR)
+            man_dst = os.path.join(dst_root, _MANIFEST_DIR)
+            os.makedirs(man_dst, exist_ok=True)
+            names = [n for n in os.listdir(man_src) if not _scratch(n)]
+            cur = [n for n in names if n == "CURRENT"]
+            snaps = sorted(n for n in names
+                           if n.startswith("snapshot-") and n.endswith(".json"))
+            rest = [n for n in names if n not in cur and n not in snaps]
+            for group, link in ((cur, False), (snaps, False), (rest, True)):
+                for n in group:
+                    _place(os.path.join(man_src, n),
+                           os.path.join(man_dst, n), link)
+            skip = {"_bucketed", "bloom", _MANIFEST_DIR}
+            for dirpath, dirs, walk_names in os.walk(self.root):
+                rel = os.path.relpath(dirpath, self.root)
+                parts = [] if rel == "." else rel.split(os.sep)
+                if parts and parts[0] in skip:
+                    dirs[:] = []
+                    continue
+                dd = (dst_root if not parts
+                      else os.path.join(dst_root, *parts))
+                os.makedirs(dd, exist_ok=True)
+                for n in walk_names:
+                    if _scratch(n):
+                        continue
+                    _place(os.path.join(dirpath, n), os.path.join(dd, n),
+                           link=not (n.endswith(".json") or n == "CURRENT"))
+        except BaseException:
+            shutil.rmtree(dst_root, ignore_errors=True)
+            raise
         return IceTable(self.spark, dst_root)
 
     def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,

@@ -3,6 +3,7 @@ independence of the two tables' commit lines, and survival of the
 clone's data across SOURCE maintenance (the hardlink property that
 makes the clone safe without copy)."""
 
+import errno
 import os
 
 import pytest
@@ -91,3 +92,75 @@ def test_clone_scan_plans_prune(spark, tmp_path):
     q = c.query(lo=5, hi=8)
     assert {r["k"] for r in q.collect()} == {5, 6, 7, 8}
     assert len(q.inputFiles()) < total
+
+
+def test_clone_skips_commit_scratch_and_orders_manifest_first(
+        spark, tmp_path):
+    """A dead writer's commit-CAS scratch (snapshot-N.json.tmp-<hex>,
+    CURRENT.tmp-<hex> — the manifest protocol's actual tmp names) must
+    not be linked into the clone: the files may be mid-write garbage
+    and nothing on the clone side ever cleans _manifest/."""
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col="g", key_col="k")
+    man = tmp_path / "src" / "_manifest"
+    (man / "snapshot-1.json.tmp-ab12cd34").write_text('{"trunc')
+    (man / "CURRENT.tmp-99ffee00").write_text("7")
+    (man / "files-0.parquet.tmp").write_text("")
+    c = t.clone(str(tmp_path / "dst"))
+    leftovers = [n for n in os.listdir(tmp_path / "dst" / "_manifest")
+                 if ".tmp" in n]
+    assert leftovers == []
+    assert sorted(map(tuple, c.scan().collect())) \
+        == sorted(map(tuple, t.scan().collect()))
+
+
+def test_clone_failure_cleans_partial_destination(
+        spark, tmp_path, monkeypatch):
+    """A clone that dies mid-walk (e.g. source maintenance deleted a
+    file under it) must remove the partial destination — otherwise
+    every retry hits the not-empty guard on the failed run's debris."""
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(i, "a", i) for i in range(8)]),
+        partition_col=None, key_col="k", max_rows_per_file=2)
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky_link(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError(errno.EIO, "injected I/O error")
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    with pytest.raises(OSError, match="injected"):
+        t.clone(str(tmp_path / "dst"))
+    assert not os.path.exists(tmp_path / "dst")
+    monkeypatch.setattr(os, "link", real_link)
+    c = t.clone(str(tmp_path / "dst"))  # retry succeeds on clean slate
+    assert c.scan().count() == 8
+
+
+def test_clone_falls_back_to_copy_across_devices(
+        spark, tmp_path, monkeypatch):
+    """os.link raising EXDEV (destination on another filesystem) must
+    degrade to a plain copy, file by file, not crash."""
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col="g", key_col="k")
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EXDEV, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "link", no_link)
+    c = t.clone(str(tmp_path / "dst"))
+    assert sorted(map(tuple, c.scan().collect())) \
+        == sorted(map(tuple, t.scan().collect()))
+    # copies, not links: mutating nothing, but refcount must be 1
+    data_dir = os.path.join(str(tmp_path / "dst"), "data")
+    pq = [os.path.join(dp, n) for dp, _d, ns in os.walk(data_dir)
+          for n in ns if n.endswith(".parquet")]
+    assert pq and all(os.stat(p).st_nlink == 1 for p in pq)

@@ -139,3 +139,40 @@ def test_downsample_ohlc_endpoints_and_ties(spark):
     assert abs(b0["avg_value"] - (50 + 20 + 90) / 3) < 1e-12
     b1 = out[t0 + datetime.timedelta(hours=6)]
     assert b1["open_value"] == b1["close_value"] == 70.0
+
+
+def test_downsample_ohlc_key_is_total_order_on_full_int64(spark):
+    """The (epoch-µs, tiebreak) endpoint key must be a TOTAL order over
+    the full int64 × int64 domain: tiebreaks wider than any fixed pad
+    (lpad TRUNCATES over-width input), negative tiebreaks, and
+    pre-1970 timestamps — the naive sign-carrying pad misorders all
+    three silently (both engines agree, so only a hand oracle catches
+    it)."""
+    from iceberg_core_spark.operators.timeseries import downsample_ohlc
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # same ts: 13-digit tiebreak vs its 12-char prefix — a 12-char
+        # pad truncates 1000000000000 to '100000000000' and collides
+        Row(event_id=1_000_000_000_000, ts=t0, value=1.0, k="wide"),
+        Row(event_id=100_000_000_000, ts=t0, value=2.0, k="wide"),
+        # same ts: negative tiebreaks order numerically, not by '-'
+        Row(event_id=-9, ts=t0, value=3.0, k="neg"),
+        Row(event_id=-5, ts=t0, value=4.0, k="neg"),
+        Row(event_id=2, ts=t0, value=5.0, k="neg"),
+        # pre-1970 timestamps: negative epoch-µs must order before 0
+        Row(event_id=1, ts=datetime.datetime(1969, 12, 31, 23, 0, 0),
+            value=6.0, k="pre"),
+        Row(event_id=1, ts=datetime.datetime(1969, 12, 31, 23, 30, 0),
+            value=7.0, k="pre"),
+    ]
+    out = {r["k"]: r for r in downsample_ohlc(
+        spark.createDataFrame(rows), "k", "ts", "value",
+        tiebreak_col="event_id", step_us=6 * 3600 * 1_000_000
+    ).collect()}
+    assert out["wide"]["open_value"] == 2.0   # 1e11 < 1e12
+    assert out["wide"]["close_value"] == 1.0
+    assert out["neg"]["open_value"] == 3.0    # -9 < -5 < 2
+    assert out["neg"]["close_value"] == 5.0
+    assert out["pre"]["open_value"] == 6.0    # 23:00 < 23:30, both <1970
+    assert out["pre"]["close_value"] == 7.0
