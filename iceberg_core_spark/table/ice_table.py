@@ -3141,19 +3141,34 @@ class IceTable:
         on the clone rebuilds it). Metadata-plane cost only: the walk
         touches every file NAME once, never content.
 
-        Concurrent-writer safety comes from COPY ORDER, the mirror of
-        the commit protocol's write order (data → sidecar → snapshot
-        JSON → CURRENT hint): the clone copies CURRENT first (the hint
-        only ever points at or below a snapshot the clone will have,
-        and readers walk it FORWARD over snapshots that exist), then
-        snapshot JSONs, then sidecars, then data — so anything a
-        copied snapshot references was durably on disk BEFORE that
-        snapshot appeared and is therefore still ahead of the walk.
-        A commit landing mid-clone contributes at worst orphan data
-        files the cloned manifest never references. A failed clone
-        (including an EXDEV cross-device fallback that half-ran)
-        removes the partial destination before re-raising, so a retry
-        never trips the not-empty guard on its own debris."""
+        Concurrent-writer safety comes from PINNING the snapshot set
+        up front, then copying in the mirror of the commit protocol's
+        write order (data → sidecar → snapshot JSON → CURRENT hint):
+
+        - One listing of ``_manifest/`` picks the snapshot JSONs; the
+          clone copies exactly those and no later ones (ids are
+          consecutive, so the pinned set is gap-free).
+        - The clone's CURRENT is WRITTEN as the pinned max id, never
+          copied — the source's CURRENT content is a racing writer's
+          mutable hint and can point above the pinned set by the time
+          it is read (readers walk the hint FORWARD over snapshots
+          that exist, so a hint above the set would break the clone,
+          while the derived value is exact by construction).
+        - Sidecars copy from a SECOND listing taken after the
+          snapshots: anything a pinned snapshot references was
+          durably on disk before that snapshot appeared, hence for
+          the whole duration of any later readdir — a single listing
+          could legitimately emit a mid-write snapshot entry while
+          having already passed its (older) sidecar's slot.
+        - Data files copy last (os.walk), by the same argument.
+
+        A commit landing mid-clone therefore contributes at worst
+        orphan data files the cloned manifest never references
+        (``remove_orphans`` on the clone reclaims them). A failed
+        clone (including an EXDEV cross-device fallback that
+        half-ran) removes the partial destination before re-raising,
+        so a retry never trips the not-empty guard on its own
+        debris."""
         if os.path.exists(dst_root) and os.listdir(dst_root):
             raise ValueError(f"clone destination not empty: {dst_root}")
         self.manifest.load(load_files=False)  # must be a real table
@@ -3180,15 +3195,39 @@ class IceTable:
             man_src = os.path.join(self.root, _MANIFEST_DIR)
             man_dst = os.path.join(dst_root, _MANIFEST_DIR)
             os.makedirs(man_dst, exist_ok=True)
-            names = [n for n in os.listdir(man_src) if not _scratch(n)]
-            cur = [n for n in names if n == "CURRENT"]
-            snaps = sorted(n for n in names
-                           if n.startswith("snapshot-") and n.endswith(".json"))
-            rest = [n for n in names if n not in cur and n not in snaps]
-            for group, link in ((cur, False), (snaps, False), (rest, True)):
-                for n in group:
-                    _place(os.path.join(man_src, n),
-                           os.path.join(man_dst, n), link)
+            ids = {int(n[len("snapshot-"):-len(".json")])
+                   for n in os.listdir(man_src)
+                   if n.startswith("snapshot-") and n.endswith(".json")
+                   and not _scratch(n)}
+            # readdir is not atomic: it can emit snapshot-N while
+            # having already passed snapshot-(N-1)'s slot. Real ids
+            # are consecutive, so heal listing gaps with a stat probe
+            # and pin the maximal consecutive run ending at max (a
+            # true low-side gap means a racing expire_snapshots —
+            # history below it is gone either way).
+            lo, hi = min(ids), max(ids)
+            for i in range(lo, hi):
+                if i not in ids and os.path.exists(
+                        os.path.join(man_src, f"snapshot-{i}.json")):
+                    ids.add(i)
+            start = hi
+            while start - 1 in ids:
+                start -= 1
+            snaps = [f"snapshot-{i}.json" for i in range(start, hi + 1)]
+            for n in snaps:  # the pinned, gap-free snapshot set
+                _place(os.path.join(man_src, n),
+                       os.path.join(man_dst, n), link=False)
+            pinned_max = hi
+            with open(os.path.join(man_dst, "CURRENT"), "w") as f:
+                f.write(str(pinned_max))
+            done = set(snaps) | {"CURRENT"}
+            for n in os.listdir(man_src):  # fresh listing: sidecars
+                if (n in done or _scratch(n)
+                        or (n.startswith("snapshot-")
+                            and n.endswith(".json"))):
+                    continue  # post-pin snapshots stay out of the clone
+                _place(os.path.join(man_src, n),
+                       os.path.join(man_dst, n), link=True)
             skip = {"_bucketed", "bloom", _MANIFEST_DIR}
             for dirpath, dirs, walk_names in os.walk(self.root):
                 rel = os.path.relpath(dirpath, self.root)

@@ -164,3 +164,75 @@ def test_clone_falls_back_to_copy_across_devices(
     pq = [os.path.join(dp, n) for dp, _d, ns in os.walk(data_dir)
           for n in ns if n.endswith(".parquet")]
     assert pq and all(os.stat(p).st_nlink == 1 for p in pq)
+
+
+def test_clone_pins_state_against_concurrent_commit(
+        spark, tmp_path, monkeypatch):
+    """A commit landing BETWEEN the manifest pin and the data walk (the
+    widest race window) must leave the clone at the pinned snapshot:
+    the late commit's data files arrive only as unreferenced orphans
+    that remove_orphans reclaims."""
+    src = str(tmp_path / "src")
+    t = IceTable.create(
+        spark, src, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col="g", key_col="k")
+    pre = sorted(map(tuple, t.scan().collect()))
+    writer = IceTable(spark, src)  # a second handle = a second writer
+    real_walk = os.walk
+    fired = {"done": False}
+
+    def racing_walk(top, **kw):
+        if not fired["done"] and top == src:
+            fired["done"] = True
+            writer.append(_df(spark, [(9, "c", 90)]))
+        return real_walk(top, **kw)
+
+    monkeypatch.setattr(os, "walk", racing_walk)
+    c = t.clone(str(tmp_path / "dst"))
+    monkeypatch.setattr(os, "walk", real_walk)
+    assert fired["done"]
+    # the clone pinned the pre-commit snapshot: no row 9, valid loads
+    assert sorted(map(tuple, c.scan().collect())) == pre
+    # the racing commit's files are orphans on the clone; reclaimable
+    c.remove_orphans(older_than_ms=0)
+    assert sorted(map(tuple, c.scan().collect())) == pre
+    # the SOURCE sees the racing commit untouched
+    assert sorted(map(tuple, t.scan().collect())) \
+        == sorted(pre + [(9, "c", 90)])
+
+
+def test_clone_never_trusts_source_current_hint(
+        spark, tmp_path, monkeypatch):
+    """The source's CURRENT content is a racing writer's mutable hint:
+    by the time the clone could read it, it can point ONE ABOVE the
+    snapshot set the clone's listing saw (commit order is snapshot
+    JSON, then hint — and readdir is not atomic against it). The
+    clone derives its CURRENT from the pinned listing instead, so a
+    lagging listing yields a consistent older clone, never a clone
+    whose hint points at a snapshot it does not have."""
+    src = str(tmp_path / "src")
+    t = IceTable.create(
+        spark, src, _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col="g", key_col="k")
+    t.append(_df(spark, [(3, "a", 30)]))  # snapshot 1, CURRENT -> 1
+    man = os.path.join(src, "_manifest")
+    real_listdir = os.listdir
+
+    def lagging_listdir(path="."):
+        names = real_listdir(path)
+        if os.path.abspath(str(path)) == os.path.abspath(man):
+            # simulate a readdir that raced the newest commit: the
+            # snapshot entry is missing while CURRENT already points
+            # at it
+            names = [n for n in names if n != "snapshot-1.json"]
+        return names
+
+    monkeypatch.setattr(os, "listdir", lagging_listdir)
+    c = t.clone(str(tmp_path / "dst"))
+    monkeypatch.setattr(os, "listdir", real_listdir)
+    with open(os.path.join(str(tmp_path / "dst"),
+                           "_manifest", "CURRENT")) as f:
+        assert f.read().strip() == "0"  # pinned, not the source hint
+    # consistent view AT the pinned snapshot; loads cleanly
+    assert sorted(map(tuple, c.scan().collect())) \
+        == sorted(map(tuple, t.scan(snapshot_id=0).collect()))
