@@ -415,3 +415,69 @@ def test_merge_matches_clause_model(spark, tmp_path_factory, state):
             model[k] = (v, s)
     got = sorted((r.k, r.v, r.seq) for r in t.scan().collect())
     assert got == sorted((k, v, s) for k, (v, s) in model.items())
+
+
+# --- OHLC downsampling vs a per-row python model ----------------------
+
+_I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+# timestamps Spark can round-trip (TimestampType is µs within roughly
+# year 1..9999); include pre-1970 negatives explicitly
+_TS_US = st.integers(min_value=-62_000_000_000_000_000,
+                     max_value=250_000_000_000_000_000)
+_OHLC_ROWS = st.lists(
+    st.tuples(_TS_US, _I64,
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False,
+                        width=32),
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=60,
+    # a duplicated (key, ts, tiebreak) with different values would make
+    # the endpoints genuinely ambiguous — not the property under test
+    unique_by=lambda r: (r[3], r[0], r[1]),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=_OHLC_ROWS)
+def test_downsample_ohlc_matches_python_model(spark, rows):
+    """open/close/low/high/count over arbitrary int64 timestamps and
+    tiebreaks (full-domain negatives and 19-digit values included)
+    must equal the obvious per-row python model: the endpoint key is
+    claimed to be a total order over int64 × int64, and any encoding
+    slip (sign handling, pad truncation) flips an endpoint silently
+    in BOTH engines, so only a model oracle can catch it."""
+    from collections import defaultdict
+
+    from iceberg_core_spark.operators.timeseries import downsample_ohlc
+
+    step = 3_600_000_000  # 1h in µs
+    df = spark.createDataFrame(
+        [(k, datetime.datetime(1970, 1, 1)
+          + datetime.timedelta(microseconds=us), i, float(v))
+         for us, i, v, k in rows],
+        "k string, ts timestamp, event_id long, value double")
+    got = {
+        (r["k"], r["bucket"]): r
+        for r in downsample_ohlc(df, "k", "ts", "value",
+                                 tiebreak_col="event_id",
+                                 step_us=step).collect()
+    }
+    model: dict = defaultdict(list)
+    for us, i, v, k in rows:
+        bucket = (us // step) * step  # floor division: exact for <0
+        model[(k, bucket)].append(((us, i), float(v)))
+    assert set(got) == {
+        (k, datetime.datetime(1970, 1, 1)
+         + datetime.timedelta(microseconds=b))
+        for (k, b) in model
+    }
+    for (k, b), events in model.items():
+        r = got[(k, datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(microseconds=b))]
+        events.sort(key=lambda e: e[0])
+        assert r["open_value"] == events[0][1], (k, b, "open")
+        assert r["close_value"] == events[-1][1], (k, b, "close")
+        assert r["low_value"] == min(v for _, v in events)
+        assert r["high_value"] == max(v for _, v in events)
+        assert r["n_events"] == len(events)
