@@ -263,6 +263,23 @@ FROM j
 """
 
 
+def endpoint_key(us_col, tiebreak_col):
+    """A fixed-width string key that totally orders (epoch-µs,
+    tiebreak) over the full int64 × int64 domain, byte-identically in
+    Spark and DuckDB: each half is biased into [0, 2**64) via exact
+    DECIMAL(20,0) arithmetic, then zero-padded to exactly 20 chars —
+    so negative values order correctly and nothing can outgrow the
+    pad (lpad silently TRUNCATES over-width input in both engines,
+    which is why a naive sign-carrying pad is not a total order)."""
+    bias = F.lit(Decimal(2 ** 63)).cast("decimal(20,0)")
+
+    def _pad20(c):
+        return F.lpad((c.cast("decimal(20,0)") + bias).cast("string"),
+                      20, "0")
+
+    return F.concat(_pad20(us_col), _pad20(tiebreak_col))
+
+
 def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
                     value_col: str, tiebreak_col: str,
                     step_us: int) -> DataFrame:
@@ -287,13 +304,7 @@ def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
     us = F.unix_micros(F.col(ts_col))
     bucket = F.timestamp_micros(
         (F.floor(us / step_us) * step_us).cast("long"))
-    bias = F.lit(Decimal(2 ** 63)).cast("decimal(20,0)")
-
-    def _pad20(c):  # biased int64 -> fixed 20-char orderable string
-        return F.lpad((c.cast("decimal(20,0)") + bias).cast("string"),
-                      20, "0")
-
-    ok = F.concat(_pad20(us), _pad20(F.col(tiebreak_col)))
+    ok = endpoint_key(us, F.col(tiebreak_col))
     v = F.col(value_col)
     return (
         df.select(F.col(key_col), bucket.alias("bucket"),

@@ -14,8 +14,8 @@ from iceberg_core_spark.table.manifest import (
     ManifestFile,
     Snapshot,
 )
-from iceberg_core_spark.table.rollup import MaterializedRollup
+from iceberg_core_spark.table.rollup import MaterializedRollup, OhlcRollup
 
 __all__ = ["CommitConflictError", "IceCatalog", "IceTable",
            "MaintenancePolicy", "Manifest", "ManifestFile",
-           "MaterializedRollup", "Snapshot"]
+           "MaterializedRollup", "OhlcRollup", "Snapshot"]

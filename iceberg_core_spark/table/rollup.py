@@ -10,8 +10,10 @@ fact table per refresh. COUNT/SUM fold under insertion AND retraction
 at the cost of the CHANGED rows — an upsert that touched two
 partitions folds in seconds regardless of table size, and a pure
 compaction folds a zero-row delta (the changelog is rewrite-invariant).
-MIN/MAX are deliberately not offered: they are not self-maintainable
-under deletes (a retracted minimum forces a group rescan).
+MIN/MAX (and the OHLC endpoints built on arg-min/arg-max) fold under
+INSERTS only — a retracted extremum forces a group rescan — so those
+rollups rebuild from the pinned snapshot when a delta deletes, and
+fold incrementally otherwise (the append-mostly ingest case).
 
 Exactness contract: sums are maintained as DECIMAL(28,6) — exact,
 associative, engine-portable — so an incrementally-folded rollup is
@@ -256,6 +258,160 @@ class MaterializedRollup:
                 else:
                     rollup = self._fold(stored, changes)
         rollup.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"v={cur}"))
+        if persisted is not None:
+            persisted.unpersist()
+        self._advance(cur)
+        return True
+
+
+class OhlcRollup:
+    """Continuously-maintained OHLC candle store over an IceTable —
+    the hypertable "continuous aggregate" shape: per (group, bucket)
+    open/close (first/last value by (epoch-µs, tiebreak)), low/high,
+    exact-decimal sum + count (mean derives at read), folded forward
+    from the table's changelog so a dashboard's candles refresh at
+    the cost of the CHANGED rows, never a 100 TB rescan.
+
+    Endpoints are arg-min/arg-max under the
+    :func:`~iceberg_core_spark.operators.timeseries.endpoint_key`
+    total order, so the fold is exact and associative: the stored
+    candle IS a partial state (open carries its key), and folding a
+    delta is the same aggregate over the union of partials —
+    byte-identical to :func:`downsample_ohlc` recomputed from
+    scratch (regression-tested). Like MIN/MAX rollups, endpoints are
+    self-maintainable under INSERTS only; a delta containing any
+    delete rebuilds from the pinned snapshot. Same crash discipline
+    as :class:`MaterializedRollup`: write ``v=<snapshot>`` fully,
+    then advance the watermark; ``refresh(table)`` is the same
+    duck-typed hook ``stream_ingest_to_table(rollups=[...])`` ticks
+    per micro-batch.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 group_cols: list[str], ts_col: str, value_col: str,
+                 tiebreak_col: str, step_us: int):
+        self.spark = spark
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.tiebreak_col = tiebreak_col
+        self.step_us = int(step_us)
+
+    # -- meta / storage plumbing (MaterializedRollup discipline) ------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def synced_snapshot(self) -> int | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["synced_snapshot_id"]
+        except FileNotFoundError:
+            return None
+
+    def _advance(self, snapshot_id: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_snapshot_id": snapshot_id,
+                       "ref": f"v={snapshot_id}"}, f)
+        os.replace(tmp, self._meta_path())
+
+    def _read_stored(self) -> DataFrame:
+        with open(self._meta_path()) as f:
+            ref = json.load(f)["ref"]
+        return self.spark.read.parquet(os.path.join(self.root, ref))
+
+    # -- candle algebra ------------------------------------------------
+    _STATE = ["open_key", "open_value", "close_key", "close_value",
+              "low_value", "high_value", "sum_value", "n_events"]
+
+    def _candles(self, rows: DataFrame) -> DataFrame:
+        """Partial candle state per (group, bucket) — the endpoint
+        KEYS travel with the values so states stay foldable."""
+        from iceberg_core_spark.operators.timeseries import endpoint_key
+
+        us = F.unix_micros(F.col(self.ts_col))
+        bucket = F.timestamp_micros(
+            (F.floor(us / self.step_us) * self.step_us).cast("long"))
+        ok = endpoint_key(us, F.col(self.tiebreak_col))
+        v = F.col(self.value_col)
+        return (
+            rows.select(*self.group_cols, bucket.alias("bucket"),
+                        v.alias("__v"), ok.alias("__ok"))
+            .groupBy(*self.group_cols, "bucket")
+            .agg(F.min("__ok").alias("open_key"),
+                 F.min_by("__v", "__ok").alias("open_value"),
+                 F.max("__ok").alias("close_key"),
+                 F.max_by("__v", "__ok").alias("close_value"),
+                 F.min("__v").alias("low_value"),
+                 F.max("__v").alias("high_value"),
+                 F.sum(F.col("__v").cast("decimal(18,2)"))
+                 .alias("sum_value"),
+                 F.count("__v").alias("n_events"))
+        )
+
+    def _fold(self, old: DataFrame, delta: DataFrame) -> DataFrame:
+        """The same aggregate over the union of partial states —
+        associativity is what makes the fold exact."""
+        cols = [*self.group_cols, "bucket", *self._STATE]
+        both = old.select(*cols).unionByName(delta.select(*cols))
+        return (
+            both.groupBy(*self.group_cols, "bucket")
+            .agg(F.min("open_key").alias("open_key"),
+                 F.min_by("open_value", "open_key").alias("open_value"),
+                 F.max("close_key").alias("close_key"),
+                 F.max_by("close_value", "close_key")
+                 .alias("close_value"),
+                 F.min("low_value").alias("low_value"),
+                 F.max("high_value").alias("high_value"),
+                 F.sum("sum_value").cast("decimal(18,2)")
+                 .alias("sum_value"),
+                 F.sum("n_events").alias("n_events"))
+        )
+
+    def read(self) -> DataFrame:
+        """The last fully-committed candles, in the exact
+        :func:`downsample_ohlc` output shape (the endpoint keys are
+        internal fold state)."""
+        return self._read_stored().select(
+            *self.group_cols, "bucket", "open_value", "close_value",
+            "low_value", "high_value",
+            (F.col("sum_value").cast("double")
+             / F.col("n_events")).alias("avg_value"),
+            "n_events",
+        )
+
+    def refresh(self, table) -> bool:
+        """Fold the table's inserts since the last refresh (any delete
+        rebuilds from the pinned snapshot); returns whether anything
+        advanced. Idempotent and crash-healing, exactly like
+        :meth:`MaterializedRollup.refresh`."""
+        cur = table.manifest.load(load_files=False).snapshot_id
+        last = self.synced_snapshot()
+        if last == cur:
+            return False
+        persisted = None
+        if last is None:
+            candles = self._candles(table.scan(snapshot_id=cur))
+        else:
+            try:
+                changes = table.scan_changes(last, cur)
+            except FileNotFoundError:
+                # synced snapshot expired — delta unrecoverable
+                candles = self._candles(table.scan(snapshot_id=cur))
+            else:
+                persisted = changes.persist()
+                has_delete = not persisted.filter(
+                    F.col("_change_type") == "delete").isEmpty()
+                if has_delete:
+                    candles = self._candles(table.scan(snapshot_id=cur))
+                else:
+                    candles = self._fold(
+                        self._read_stored(),
+                        self._candles(persisted.drop("_change_type")))
+        candles.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={cur}"))
         if persisted is not None:
             persisted.unpersist()

@@ -729,3 +729,69 @@ def test_stream_merge_applies_clauses_exactly_once(spark, tmp_path,
     ops = [s.operation for s in t.snapshots()]
     expected = "merge" if merge_mode == "cow" else "cdc-mor"
     assert ops.count(expected) == 2
+
+
+def test_stream_ingest_with_continuous_ohlc(spark, tmp_path):
+    """rollups= ticks an OhlcRollup per micro-batch: after each drain
+    the candle store equals downsample_ohlc recomputed from the full
+    table, and append-only micro-batches fold forward (the watermark
+    advances — never a reset to a full scan)."""
+    import datetime
+
+    from iceberg_core_spark.operators.timeseries import downsample_ohlc
+    from iceberg_core_spark.table import OhlcRollup
+
+    step = 3_600_000_000  # 1h candles
+    base = datetime.datetime(2024, 3, 1)
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            [(i, g, base + datetime.timedelta(microseconds=us), float(v))
+             for i, g, us, v in rows],
+            "id long, g string, ts timestamp, v double")
+
+    def ev_file(rows, name):
+        ev_df(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "_stage"))
+        part = [f for f in os.listdir(os.path.join(src, "_stage"))
+                if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(src, "_stage", part),
+                    os.path.join(src, name))
+        shutil.rmtree(os.path.join(src, "_stage"))
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ru = OhlcRollup(spark, str(tmp_path / "ru"), group_cols=["g"],
+                    ts_col="ts", value_col="v", tiebreak_col="id",
+                    step_us=step)
+
+    def drain():
+        q = stream_ingest_to_table(
+            spark, src, table_root, ev_df([]).schema,
+            partition_col="g", key_col="id",
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+            rollups=[ru],
+        )
+        assert q.awaitTermination(120)
+
+    def recompute():
+        t = IceTable(spark, table_root)
+        return sorted(map(tuple, downsample_ohlc(
+            t.scan(), "g", "ts", "v", tiebreak_col="id",
+            step_us=step).collect()))
+
+    ev_file([(1, "a", 0, 10.0), (2, "a", 50, 20.0),
+             (3, "b", 10, 5.0)], "b1.parquet")
+    drain()
+    assert sorted(map(tuple, ru.read().collect())) == recompute()
+    wm1 = ru.synced_snapshot()
+
+    ev_file([(0, "a", 0, 99.0),          # ties the open's ts, id wins
+             (9, "a", 70, 1.0),          # new close + low
+             (4, "b", step + 5, 44.0)],  # new bucket
+            "b2.parquet")
+    drain()
+    assert sorted(map(tuple, ru.read().collect())) == recompute()
+    assert ru.synced_snapshot() > wm1  # folded forward, not rebuilt

@@ -363,3 +363,79 @@ def test_scan_changes_float_and_map_canonicalization(spark, tmp_path):
     sm1 = tm.manifest.load(load_files=False).snapshot_id
     with pytest.raises(ValueError, match="MapType"):
         tm.scan_changes(sm0, sm1).count()
+
+
+# --- OhlcRollup: continuously-maintained candles ----------------------
+
+def _ts_df(spark, rows):
+    """(id, g, ts µs-offset from epoch, v) event rows."""
+    import datetime
+    base = datetime.datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [(i, g, base + datetime.timedelta(microseconds=us), float(v))
+         for i, g, us, v in rows],
+        "id long, g string, ts timestamp, v double")
+
+
+def _recompute_candles(t, step):
+    from iceberg_core_spark.operators.timeseries import downsample_ohlc
+    return sorted(map(tuple, downsample_ohlc(
+        t.scan(), "g", "ts", "v", tiebreak_col="id",
+        step_us=step).collect()))
+
+
+def test_ohlc_rollup_folds_equal_recompute(spark, tmp_path):
+    """After every append the folded candle store is byte-identical to
+    downsample_ohlc recomputed from the full table — the endpoint key
+    travels with the partial state, so the fold is the same aggregate
+    over unioned partials. The watermark advances per refresh (folds,
+    never a reset to a full scan)."""
+    from iceberg_core_spark.table import OhlcRollup
+
+    step = 3_600_000_000  # 1h
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _ts_df(spark, [(1, "a", 0, 10.0), (2, "a", 50, 20.0),
+                       (3, "b", 10, 5.0)]),
+        partition_col="g", key_col="id")
+    ru = OhlcRollup(spark, str(tmp_path / "ru"), group_cols=["g"],
+                    ts_col="ts", value_col="v", tiebreak_col="id",
+                    step_us=step)
+    assert ru.refresh(t) and ru.synced_snapshot() == 0
+    assert sorted(map(tuple, ru.read().collect())) \
+        == _recompute_candles(t, step)
+
+    # a new open (earlier key in an existing bucket), a new close, a
+    # new bucket, and a new low/high — all in one folded delta
+    t.append(_ts_df(spark, [
+        (0, "a", 0, 99.0),            # ties ts with id 1: id 0 wins open
+        (9, "a", 70, 1.0),            # new close + new low
+        (4, "b", step + 5, 44.0),     # new bucket for g=b
+    ]))
+    assert ru.refresh(t) and ru.synced_snapshot() == 1
+    assert sorted(map(tuple, ru.read().collect())) \
+        == _recompute_candles(t, step)
+    assert ru.refresh(t) is False  # idempotent at the watermark
+
+
+def test_ohlc_rollup_delete_rebuilds(spark, tmp_path):
+    """Deleting a bucket's open/low must not leave stale endpoints:
+    a delta with any delete rebuilds from the pinned snapshot."""
+    from iceberg_core_spark.table import OhlcRollup
+
+    step = 3_600_000_000
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        _ts_df(spark, [(1, "a", 0, 1.0), (2, "a", 50, 20.0),
+                       (3, "a", 90, 30.0)]),
+        partition_col=None, key_col="id")
+    ru = OhlcRollup(spark, str(tmp_path / "ru"), group_cols=["g"],
+                    ts_col="ts", value_col="v", tiebreak_col="id",
+                    step_us=step)
+    ru.refresh(t)
+    t.delete_where("id = 1", mode="cow")  # was open AND low
+    ru.refresh(t)
+    assert sorted(map(tuple, ru.read().collect())) \
+        == _recompute_candles(t, step)
+    [r] = ru.read().collect()
+    assert r["open_value"] == 20.0 and r["low_value"] == 20.0
