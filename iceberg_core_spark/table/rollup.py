@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SUM_T = "decimal(28,6)"
+# OHLC sums: SUM over the house decimal(18,2) inputs widens to (28,2)
+_OHLC_SUM_T = "decimal(28,2)"
 
 
 class MaterializedRollup:
@@ -347,8 +349,10 @@ class OhlcRollup:
                  F.max_by("__v", "__ok").alias("close_value"),
                  F.min("__v").alias("low_value"),
                  F.max("__v").alias("high_value"),
+                 # SUM over decimal(18,2) widens to (28,2); pin that
+                 # as the storage type so folds can't drift it
                  F.sum(F.col("__v").cast("decimal(18,2)"))
-                 .alias("sum_value"),
+                 .cast(_OHLC_SUM_T).alias("sum_value"),
                  F.count("__v").alias("n_events"))
         )
 
@@ -366,7 +370,7 @@ class OhlcRollup:
                  .alias("close_value"),
                  F.min("low_value").alias("low_value"),
                  F.max("high_value").alias("high_value"),
-                 F.sum("sum_value").cast("decimal(18,2)")
+                 F.sum("sum_value").cast(_OHLC_SUM_T)
                  .alias("sum_value"),
                  F.sum("n_events").alias("n_events"))
         )
