@@ -302,8 +302,11 @@ def downsample_ohlc(df: DataFrame, key_col: str, ts_col: str,
     shuffle carries one partial state per (key, bucket) per map task.
     """
     us = F.unix_micros(F.col(ts_col))
-    bucket = F.timestamp_micros(
-        (F.floor(us / step_us) * step_us).cast("long"))
+    # exact integer floor-to-step: floor(us/step)*step via '/' would
+    # round through an IEEE double and misbucket values within ~1 ulp
+    # below a boundary once |µs| > 2^53; us - pmod(us, step) is pure
+    # int64 arithmetic (pmod keeps negatives floor-consistent)
+    bucket = F.timestamp_micros(us - F.pmod(us, F.lit(step_us)))
     ok = endpoint_key(us, F.col(tiebreak_col))
     v = F.col(value_col)
     return (
@@ -335,8 +338,9 @@ def events_downsample(spark: SparkSession, sf: str) -> DataFrame:
 
 EVENTS_DOWNSAMPLE_SQL = """
 SELECT event_type,
-       make_timestamp(CAST(floor(epoch_us(ts) / 21600000000)
-                           * 21600000000 AS BIGINT)) AS bucket,
+       make_timestamp(epoch_us(ts)
+                      - ((epoch_us(ts) % 21600000000 + 21600000000)
+                         % 21600000000)) AS bucket,
        min_by(value,
               lpad(CAST(CAST(epoch_us(ts) AS DECIMAL(20,0))
                         + 9223372036854775808 AS VARCHAR), 20, '0')

@@ -3169,18 +3169,32 @@ class IceTable:
         half-ran) removes the partial destination before re-raising,
         so a retry never trips the not-empty guard on its own
         debris."""
-        if os.path.exists(dst_root) and os.listdir(dst_root):
+        dst_preexisted = os.path.exists(dst_root)
+        if dst_preexisted and os.listdir(dst_root):
             raise ValueError(f"clone destination not empty: {dst_root}")
         self.manifest.load(load_files=False)  # must be a real table
 
         def _scratch(n: str) -> bool:
             # in-flight writer scratch: sidecar tmp (*.tmp), the
-            # commit CAS / CURRENT-hint tmp names (*.tmp-<hex>), and
-            # hidden/underscore scratch
-            return (n.startswith(("_tmp", "."))
+            # commit CAS / CURRENT-hint tmp names (*.tmp-<hex>), the
+            # distributed commit's staging dirs (tmp-entries-<hex>/
+            # tmp-base-<hex>), and hidden/underscore scratch
+            return (n.startswith(("_tmp", "tmp-", "."))
                     or n.endswith(".tmp") or ".tmp-" in n)
 
         def _place(src: str, dst: str, link: bool) -> None:
+            if os.path.isdir(src):
+                # distributed-commit sidecars (files-<sid>-<hex>.
+                # parquet written by Spark once file count exceeds
+                # Manifest.inline_max) are DIRECTORIES of part files:
+                # link leaf by leaf — os.link on a directory is EPERM
+                os.makedirs(dst, exist_ok=True)
+                for n in os.listdir(src):
+                    if _scratch(n):
+                        continue
+                    _place(os.path.join(src, n), os.path.join(dst, n),
+                           link)
+                return
             if not link:
                 shutil.copy2(src, dst)
                 return
@@ -3244,7 +3258,16 @@ class IceTable:
                     _place(os.path.join(dirpath, n), os.path.join(dd, n),
                            link=not (n.endswith(".json") or n == "CURRENT"))
         except BaseException:
-            shutil.rmtree(dst_root, ignore_errors=True)
+            # remove only the clone's own debris: if the CALLER made
+            # the (empty) destination dir, clear its contents but
+            # leave the dir itself (its ownership/ACLs are theirs)
+            if dst_preexisted:
+                for n in os.listdir(dst_root):
+                    p = os.path.join(dst_root, n)
+                    (shutil.rmtree if os.path.isdir(p)
+                     else os.remove)(p)
+            else:
+                shutil.rmtree(dst_root, ignore_errors=True)
             raise
         return IceTable(self.spark, dst_root)
 

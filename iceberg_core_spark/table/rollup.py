@@ -44,7 +44,102 @@ _SUM_T = "decimal(28,6)"
 _OHLC_SUM_T = "decimal(28,2)"
 
 
-class MaterializedRollup:
+class _RollupStore:
+    """Shared storage + watermark discipline for changelog-folded
+    rollups (the AdmissionIndex pattern): each refresh writes a full
+    state version under ``v=<snapshot>`` and only then advances the
+    watermark meta, so a crash between the two heals on the next
+    refresh (the re-run overwrites the same version dir) and
+    ``_read_stored`` always serves the last fully-committed version.
+
+    Subclasses implement the state algebra only:
+
+    - ``_full_state(rows)`` — the state computed from a full scan
+    - ``_delta_state(changes)`` — the state folded from a changelog
+      delta, or ``None`` when this delta cannot fold (schema too old,
+      a retraction the algebra can't absorb, …) and the refresh must
+      rebuild from the pinned snapshot instead. Call
+      ``self._persist(changes)`` if the delta is consumed twice.
+    """
+
+    spark: SparkSession
+    root: str
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def synced_snapshot(self) -> int | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["synced_snapshot_id"]
+        except FileNotFoundError:
+            return None
+
+    def _advance(self, snapshot_id: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_snapshot_id": snapshot_id,
+                       "ref": f"v={snapshot_id}"}, f)
+        os.replace(tmp, self._meta_path())
+
+    def _read_stored(self) -> DataFrame:
+        """The stored frame WITH any internal bookkeeping columns
+        (what a fold consumes)."""
+        with open(self._meta_path()) as f:
+            ref = json.load(f)["ref"]
+        return self.spark.read.parquet(os.path.join(self.root, ref))
+
+    def _persist(self, changes: DataFrame) -> DataFrame:
+        self._persisted = changes.persist()
+        return self._persisted
+
+    @staticmethod
+    def _has_delete(changes: DataFrame) -> bool:
+        return not changes.filter(
+            F.col("_change_type") == "delete").isEmpty()
+
+    def refresh(self, table) -> bool:
+        """Fold the table's changes since the last refresh; returns
+        whether anything advanced. Idempotent and crash-healing: the
+        version dir is derived from the target snapshot, written
+        before the watermark moves."""
+        cur = table.manifest.load(load_files=False).snapshot_id
+        last = self.synced_snapshot()
+        if last == cur:
+            return False
+        self._persisted: DataFrame | None = None
+        # every rebuild/fold is pinned to snapshot `cur` — a commit
+        # landing between the watermark read and the scan would
+        # otherwise store newer-snapshot data under v=cur, and the
+        # next refresh would fold that commit's delta AGAIN
+        if last is None:
+            state = self._full_state(table.scan(snapshot_id=cur))
+        else:
+            try:
+                changes = table.scan_changes(last, cur)
+            except FileNotFoundError:
+                # the synced snapshot was expired (expire_snapshots
+                # dropped its metadata) — the delta is unrecoverable,
+                # so rebuild from the target snapshot's contents; a
+                # rollup refreshed at least once per retention window
+                # never hits this
+                state = self._full_state(table.scan(snapshot_id=cur))
+            else:
+                state = self._delta_state(changes)
+                if state is None:
+                    state = self._full_state(
+                        table.scan(snapshot_id=cur))
+        state.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"v={cur}"))
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
+        self._advance(cur)
+        return True
+
+
+class MaterializedRollup(_RollupStore):
     """Per-``group_cols`` COUNT(*) + exact SUMs of ``sum_cols`` (and
     optionally MIN/MAX of ``min_cols``/``max_cols``), folded forward
     from the table's changelog.
@@ -80,25 +175,6 @@ class MaterializedRollup:
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
 
-    # -- meta / storage plumbing (AdmissionIndex discipline) ----------
-    def _meta_path(self) -> str:
-        return os.path.join(self.root, "_meta.json")
-
-    def synced_snapshot(self) -> int | None:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["synced_snapshot_id"]
-        except FileNotFoundError:
-            return None
-
-    def _advance(self, snapshot_id: int) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"synced_snapshot_id": snapshot_id,
-                       "ref": f"v={snapshot_id}"}, f)
-        os.replace(tmp, self._meta_path())
-
     def _sum_alias(self, c: str) -> str:
         return f"sum_{c}"
 
@@ -127,13 +203,6 @@ class MaterializedRollup:
               .alias(self._nn_alias(c)) for c in self.sum_cols],
             *[F.col(a) for a in self._minmax_aliases()],
         )
-
-    def _read_stored(self) -> DataFrame:
-        """The stored frame WITH the nn_ bookkeeping columns (what a
-        fold consumes)."""
-        with open(self._meta_path()) as f:
-            ref = json.load(f)["ref"]
-        return self.spark.read.parquet(os.path.join(self.root, ref))
 
     def _stored_foldable(self) -> DataFrame | None:
         """The stored frame if a fold can consume it, else ``None``.
@@ -215,59 +284,28 @@ class MaterializedRollup:
             *[F.col(a) for a in self._minmax_aliases()],
         )
 
-    def refresh(self, table) -> bool:
-        """Fold the table's changes since the last refresh; returns
-        whether anything advanced. Idempotent and crash-healing: the
-        version dir is derived from the target snapshot, written
-        before the watermark moves."""
-        cur = table.manifest.load(load_files=False).snapshot_id
-        last = self.synced_snapshot()
-        if last == cur:
-            return False
-        persisted = None
-        # every rebuild/fold is pinned to snapshot `cur` — a commit
-        # landing between the watermark read and the scan would
-        # otherwise store newer-snapshot data under v=cur, and the
-        # next refresh would fold that commit's delta AGAIN
-        if last is None:
-            rollup = self._full(table.scan(snapshot_id=cur))
-        else:
-            try:
-                changes = table.scan_changes(last, cur)
-            except FileNotFoundError:
-                # the synced snapshot was expired (expire_snapshots
-                # dropped its metadata) — the delta is unrecoverable,
-                # so rebuild from the target snapshot's contents; a
-                # rollup refreshed at least once per retention window
-                # never hits this
-                rollup = self._full(table.scan(snapshot_id=cur))
-            else:
-                stored = self._stored_foldable()
-                if stored is None:
-                    # pre-nn_ store (older code version): unfoldable,
-                    # heal with a full rebuild at the target snapshot
-                    rollup = self._full(table.scan(snapshot_id=cur))
-                elif self.min_cols or self.max_cols:
-                    # min/max fold only under inserts: a retraction
-                    # can take the extremum away, which only a group
-                    # rescan answers — rebuild when the delta deletes
-                    persisted = changes.persist()
-                    has_delete = not persisted.filter(
-                        F.col("_change_type") == "delete").isEmpty()
-                    rollup = (self._full(table.scan(snapshot_id=cur))
-                              if has_delete
-                              else self._fold(stored, persisted))
-                else:
-                    rollup = self._fold(stored, changes)
-        rollup.write.mode("overwrite").parquet(
-            os.path.join(self.root, f"v={cur}"))
-        if persisted is not None:
-            persisted.unpersist()
-        self._advance(cur)
-        return True
+    # -- _RollupStore hooks --------------------------------------------
+    def _full_state(self, rows: DataFrame) -> DataFrame:
+        return self._full(rows)
+
+    def _delta_state(self, changes: DataFrame) -> DataFrame | None:
+        stored = self._stored_foldable()
+        if stored is None:
+            # pre-nn_ store (older code version): unfoldable, heal
+            # with a full rebuild at the target snapshot
+            return None
+        if self.min_cols or self.max_cols:
+            # min/max fold only under inserts: a retraction can take
+            # the extremum away, which only a group rescan answers —
+            # rebuild when the delta deletes
+            persisted = self._persist(changes)
+            if self._has_delete(persisted):
+                return None
+            return self._fold(stored, persisted)
+        return self._fold(stored, changes)
 
 
-class OhlcRollup:
+class OhlcRollup(_RollupStore):
     """Continuously-maintained OHLC candle store over an IceTable —
     the hypertable "continuous aggregate" shape: per (group, bucket)
     open/close (first/last value by (epoch-µs, tiebreak)), low/high,
@@ -301,30 +339,6 @@ class OhlcRollup:
         self.tiebreak_col = tiebreak_col
         self.step_us = int(step_us)
 
-    # -- meta / storage plumbing (MaterializedRollup discipline) ------
-    def _meta_path(self) -> str:
-        return os.path.join(self.root, "_meta.json")
-
-    def synced_snapshot(self) -> int | None:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["synced_snapshot_id"]
-        except FileNotFoundError:
-            return None
-
-    def _advance(self, snapshot_id: int) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"synced_snapshot_id": snapshot_id,
-                       "ref": f"v={snapshot_id}"}, f)
-        os.replace(tmp, self._meta_path())
-
-    def _read_stored(self) -> DataFrame:
-        with open(self._meta_path()) as f:
-            ref = json.load(f)["ref"]
-        return self.spark.read.parquet(os.path.join(self.root, ref))
-
     # -- candle algebra ------------------------------------------------
     _STATE = ["open_key", "open_value", "close_key", "close_value",
               "low_value", "high_value", "sum_value", "n_events"]
@@ -335,8 +349,10 @@ class OhlcRollup:
         from iceberg_core_spark.operators.timeseries import endpoint_key
 
         us = F.unix_micros(F.col(self.ts_col))
+        # exact int64 floor-to-step (see downsample_ohlc: '/' would
+        # misbucket near boundaries beyond 2^53 through a double)
         bucket = F.timestamp_micros(
-            (F.floor(us / self.step_us) * self.step_us).cast("long"))
+            us - F.pmod(us, F.lit(self.step_us)))
         ok = endpoint_key(us, F.col(self.tiebreak_col))
         v = F.col(self.value_col)
         return (
@@ -387,37 +403,16 @@ class OhlcRollup:
             "n_events",
         )
 
-    def refresh(self, table) -> bool:
-        """Fold the table's inserts since the last refresh (any delete
-        rebuilds from the pinned snapshot); returns whether anything
-        advanced. Idempotent and crash-healing, exactly like
-        :meth:`MaterializedRollup.refresh`."""
-        cur = table.manifest.load(load_files=False).snapshot_id
-        last = self.synced_snapshot()
-        if last == cur:
-            return False
-        persisted = None
-        if last is None:
-            candles = self._candles(table.scan(snapshot_id=cur))
-        else:
-            try:
-                changes = table.scan_changes(last, cur)
-            except FileNotFoundError:
-                # synced snapshot expired — delta unrecoverable
-                candles = self._candles(table.scan(snapshot_id=cur))
-            else:
-                persisted = changes.persist()
-                has_delete = not persisted.filter(
-                    F.col("_change_type") == "delete").isEmpty()
-                if has_delete:
-                    candles = self._candles(table.scan(snapshot_id=cur))
-                else:
-                    candles = self._fold(
-                        self._read_stored(),
-                        self._candles(persisted.drop("_change_type")))
-        candles.write.mode("overwrite").parquet(
-            os.path.join(self.root, f"v={cur}"))
-        if persisted is not None:
-            persisted.unpersist()
-        self._advance(cur)
-        return True
+    # -- _RollupStore hooks --------------------------------------------
+    def _full_state(self, rows: DataFrame) -> DataFrame:
+        return self._candles(rows)
+
+    def _delta_state(self, changes: DataFrame) -> DataFrame | None:
+        # endpoints fold only under inserts: a retracted open/low
+        # needs a bucket rescan — rebuild when the delta deletes
+        persisted = self._persist(changes)
+        if self._has_delete(persisted):
+            return None
+        return self._fold(
+            self._read_stored(),
+            self._candles(persisted.drop("_change_type")))

@@ -766,6 +766,14 @@ def test_stream_ingest_with_continuous_ohlc(spark, tmp_path):
     ru = OhlcRollup(spark, str(tmp_path / "ru"), group_cols=["g"],
                     ts_col="ts", value_col="v", tiebreak_col="id",
                     step_us=step)
+    folds = {"n": 0}
+    real_fold = ru._fold
+
+    def spy_fold(old, delta):
+        folds["n"] += 1
+        return real_fold(old, delta)
+
+    ru._fold = spy_fold  # foreachBatch refreshes THIS instance
 
     def drain():
         q = stream_ingest_to_table(
@@ -794,4 +802,7 @@ def test_stream_ingest_with_continuous_ohlc(spark, tmp_path):
             "b2.parquet")
     drain()
     assert sorted(map(tuple, ru.read().collect())) == recompute()
-    assert ru.synced_snapshot() > wm1  # folded forward, not rebuilt
+    assert ru.synced_snapshot() > wm1
+    # the append-only micro-batch FOLDED (a rebuild would also advance
+    # the watermark, so the spy is what actually proves no full rescan)
+    assert folds["n"] >= 1

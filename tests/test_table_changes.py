@@ -401,9 +401,18 @@ def test_ohlc_rollup_folds_equal_recompute(spark, tmp_path):
     ru = OhlcRollup(spark, str(tmp_path / "ru"), group_cols=["g"],
                     ts_col="ts", value_col="v", tiebreak_col="id",
                     step_us=step)
+    folds = {"n": 0}
+    real_fold = ru._fold
+
+    def spy_fold(old, delta):
+        folds["n"] += 1
+        return real_fold(old, delta)
+
+    ru._fold = spy_fold
     assert ru.refresh(t) and ru.synced_snapshot() == 0
     assert sorted(map(tuple, ru.read().collect())) \
         == _recompute_candles(t, step)
+    assert folds["n"] == 0  # first refresh is the one full pass
 
     # a new open (earlier key in an existing bucket), a new close, a
     # new bucket, and a new low/high — all in one folded delta
@@ -413,6 +422,7 @@ def test_ohlc_rollup_folds_equal_recompute(spark, tmp_path):
         (4, "b", step + 5, 44.0),     # new bucket for g=b
     ]))
     assert ru.refresh(t) and ru.synced_snapshot() == 1
+    assert folds["n"] == 1  # the append FOLDED — no rebuild rescan
     assert sorted(map(tuple, ru.read().collect())) \
         == _recompute_candles(t, step)
     assert ru.refresh(t) is False  # idempotent at the watermark

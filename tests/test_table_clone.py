@@ -236,3 +236,62 @@ def test_clone_never_trusts_source_current_hint(
     # consistent view AT the pinned snapshot; loads cleanly
     assert sorted(map(tuple, c.scan().collect())) \
         == sorted(map(tuple, t.scan(snapshot_id=0).collect()))
+
+
+def test_clone_handles_directory_sidecars_and_staging_debris(
+        spark, tmp_path, monkeypatch):
+    """Once a commit's file count exceeds Manifest.inline_max, its
+    sidecar is a Spark-written parquet DIRECTORY under _manifest/ —
+    the clone must link its leaf files (os.link on a directory is
+    EPERM), and a crashed distributed commit's tmp-entries-<hex> /
+    tmp-base-<hex> staging dirs must be skipped, not linked in."""
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 3)
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(i, "a", i * 10) for i in range(12)]),
+        partition_col=None, key_col="k", max_rows_per_file=2)
+    man = tmp_path / "src" / "_manifest"
+    sidecar_dirs = [n for n in os.listdir(man)
+                    if n.startswith("files-") and
+                    os.path.isdir(man / n)]
+    assert sidecar_dirs, "test setup must produce a directory sidecar"
+    # a writer that died mid-_commit_distributed leaves staging dirs
+    os.makedirs(man / "tmp-entries-deadbeef.parquet")
+    (man / "tmp-entries-deadbeef.parquet" / "part-0.parquet").write_text("")
+    os.makedirs(man / "tmp-base-deadbeef.parquet")
+
+    c = t.clone(str(tmp_path / "dst"))
+    dman = tmp_path / "dst" / "_manifest"
+    assert not [n for n in os.listdir(dman) if n.startswith("tmp-")]
+    assert sorted(map(tuple, c.scan().collect())) \
+        == sorted(map(tuple, t.scan().collect()))
+    # pruning still works against the linked sidecar directory
+    q = c.query(lo=2, hi=4)
+    assert {r["v"] for r in q.collect()} == {20, 30, 40}
+
+
+def test_clone_failure_leaves_caller_made_destination_dir(
+        spark, tmp_path, monkeypatch):
+    """When the CALLER created the (empty) destination directory, a
+    failed clone clears only the contents it wrote — the directory
+    itself (its ownership/ACLs) stays."""
+    t = IceTable.create(
+        spark, str(tmp_path / "src"),
+        _df(spark, [(1, "a", 10), (2, "b", 20)]),
+        partition_col="g", key_col="k")
+    dst = tmp_path / "dst"
+    os.makedirs(dst)  # caller-managed location
+    real_link = os.link
+
+    def no_link(src, d, **kw):
+        raise OSError(errno.EIO, "injected I/O error")
+
+    monkeypatch.setattr(os, "link", no_link)
+    with pytest.raises(OSError, match="injected"):
+        t.clone(str(dst))
+    assert os.path.isdir(dst) and os.listdir(dst) == []
+    monkeypatch.setattr(os, "link", real_link)
+    c = t.clone(str(dst))  # retry into the same caller-made dir
+    assert c.scan().count() == 2
