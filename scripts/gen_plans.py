@@ -54,6 +54,17 @@ PICKS = [
     ("corpus_despan", "Span clipping — the wide exchanges carry 16-byte gram digests + int positions (never text, plan-gated); non-owner windows merge to (lo,hi) spans per doc and the clip filter is exists(spans, ..) over the token array; the only full-text exchange is the final removal-array join, AQE-broadcastable."),
 ]
 
+# Staged queries (oracle-verified, not yet registered — see TODO.md):
+# resolved from their home modules so their plans stay auditable too.
+STAGED_PICKS = [
+    ("range_join_window", "iceberg_core_spark.operators.rangejoin",
+     "Bucketized range join — intervals explode across their overlapped buckets MAP-SIDE, the join is an EQUI join on the bucket (SMJ/BHJ, never BroadcastNestedLoopJoin — plan-gated) with the exact BETWEEN as residual; at scale each interval replicates ~len/W+1 times and no executor sees a cross product."),
+    ("corpus_bm25", "iceberg_core_spark.functions.search",
+     "BM25 keyword search — the term explode is FILTERED to the query vocabulary (array_intersect) before any exchange, so only hit rows shuffle; corpus stats and per-term df broadcast; per-query top-k is a window partitioned by query_id."),
+    ("corpus_lm_score", "iceberg_core_spark.functions.lm_quality",
+     "Unigram LM scoring — training is ONE vocabulary-sized hash aggregate; scoring joins the BROADCAST model against the exploded tokens and folds per doc in exact decimal; only the final per-token division is double."),
+]
+
 
 def main() -> None:
     from iceberg_core_spark import get_spark
@@ -71,8 +82,13 @@ def main() -> None:
         "noted per plan; these properties are asserted in tests/test_plans.py.",
         "",
     ]
-    for name, note in PICKS:
-        fn, _ = qs[name]
+    import importlib
+
+    staged = []
+    for name, mod, note in STAGED_PICKS:
+        fn, _ = importlib.import_module(mod).QUERIES[name]
+        staged.append((f"{name} (staged)", note, fn))
+    for name, note, fn in [(n, note, qs[n][0]) for n, note in PICKS] + staged:
         df = fn(spark, sf)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
