@@ -481,3 +481,37 @@ def test_downsample_ohlc_matches_python_model(spark, rows):
         assert r["low_value"] == min(v for _, v in events)
         assert r["high_value"] == max(v for _, v in events)
         assert r["n_events"] == len(events)
+
+
+# --- bucketized range join vs brute force ------------------------------
+
+_RJ_INTS = st.integers(min_value=-(10**6), max_value=10**6)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(_RJ_INTS, min_size=1, max_size=25),
+    spans=st.lists(st.tuples(_RJ_INTS, st.integers(0, 5000)),
+                   min_size=1, max_size=12),
+    width=st.integers(min_value=1, max_value=7000),
+)
+def test_range_join_matches_bruteforce_model(spark, points, spans, width):
+    """The bucketized composition is pure plumbing: for ANY bucket
+    width it must produce exactly the brute-force interval matches —
+    the subtle parts are the negative-domain bucket floor (pmod) and
+    the sequence endpoints, which a wrong floor silently shifts."""
+    from iceberg_core_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(p,) for p in points], "p long")
+    ivals = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(spans)],
+        "iid long, lo long, hi long")
+    got = sorted((r["p"], r["iid"]) for r in
+                 range_join(pts, ivals, "p", "lo", "hi",
+                            bucket_width=width).collect())
+    expect = sorted(
+        (p, i)
+        for p in points
+        for i, (lo, ln) in enumerate(spans) if lo <= p <= lo + ln)
+    assert got == expect
