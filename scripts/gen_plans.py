@@ -63,6 +63,10 @@ STAGED_PICKS = [
      "BM25 keyword search — the term explode is FILTERED to the query vocabulary (array_intersect) before any exchange, so only hit rows shuffle; corpus stats and per-term df broadcast; per-query top-k is a window partitioned by query_id."),
     ("corpus_lm_score", "iceberg_core_spark.functions.lm_quality",
      "Unigram LM scoring — training is ONE vocabulary-sized hash aggregate; scoring joins the BROADCAST model against the exploded tokens and folds per doc in exact decimal; only the final per-token division is double."),
+    ("events_funnel", "iceberg_core_spark.operators.events_analytics",
+     "Strict-order funnel — chained conditional MINs: each stage is one per-user aggregate + one equi-join on user_id (the same hash partitioning reused end-to-end), stage counts unioned into one plan; no window over raw events, no self-join explosion."),
+    ("events_retention", "iceberg_core_spark.operators.events_analytics",
+     "Weekly cohort retention — exact integer-µs week floors map-side, one distinct + one per-user MIN + one grouped count-distinct, all sharing the user_id exchange; week indices derive from small differences only (raw epoch-µs exceeds 2^53)."),
 ]
 
 
