@@ -1,16 +1,16 @@
 #!/usr/bin/env python
 """Both halves of retrieval in one script: lexical (BM25 keyword
-search over documents) and semantic (cosine ANN over embeddings),
-each in its 100 TB shape.
+search over documents) and semantic (exact cosine top-k over
+embeddings), each in its 100 TB shape.
 
 Run:  PYTHONPATH=. python examples/retrieval.py
 
-Lexical: the term explode is filtered to the query vocabulary BEFORE
-any exchange, corpus stats broadcast, top-k per query is a window —
-the corpus streams through once however many queries ride along.
-Semantic: the exact brute-force pass is one corpus scan with the
-query batch broadcast; the IVF variant builds centroids once and
-probes a few cells per query.
+Lexical: term frequencies are literal per-term columns (no explode,
+no shuffle), corpus stats collapse to one broadcast row, top-k per
+query rides TakeOrderedAndProject — the corpus streams through
+however many queries ride along. Semantic: the exact pass is one
+corpus scan with the probe broadcast (the bucketed/IVF ANN variants
+live in the registry as sim_search_lsh / sim_search_ivf).
 """
 
 from pyspark.sql import functions as F

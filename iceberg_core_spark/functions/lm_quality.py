@@ -28,15 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_core_spark.functions.text import WS_RE
+from iceberg_core_spark.functions.text import ws_tokens_nonempty
 from iceberg_core_spark.session import load_table
 
 _LOGP_T = "decimal(18,9)"
 
 
 def _toks(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), WS_RE + "+"),
-                    lambda t: t != "")
+    return ws_tokens_nonempty(F.col(text_col))
 
 
 def unigram_model(train: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,19 +61,27 @@ def lm_score(docs: DataFrame, model: DataFrame,
     """Per-document mean token log-probability under ``model``.
     Out-of-vocabulary tokens are dropped from the sum but still count
     in ``n_tokens`` (an unseen token is evidence of divergence — the
-    denominator keeps it; ``n_oov`` surfaces how many). Empty docs
-    score NULL."""
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(_toks(text_col)).alias("term"))
+    denominator keeps it; ``n_oov`` surfaces how many). Docs with no
+    tokens at all stay in the output with n_tokens=0 and a NULL score
+    (explode_outer — a quality pass that never SEES the degenerate
+    empty doc would wave it through unexamined)."""
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       _toks(text_col).alias("__toks"))
+    toks = base.select(
+        "doc_id", F.size("__toks").alias("dl"),
+        F.explode_outer("__toks").alias("term"))
     joined = toks.join(F.broadcast(model), "term", "left")
     return (
         joined.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.sum(F.when(F.col("logp").isNull(), 1)
+        .agg(F.max("dl").cast("long").alias("n_tokens"),
+             F.sum(F.when(F.col("term").isNotNull()
+                          & F.col("logp").isNull(), 1)
                    .otherwise(0)).alias("n_oov"),
              F.sum("logp").alias("__slp"))
         .select("doc_id", "n_tokens", "n_oov",
-                (F.col("__slp").cast("double") / F.col("n_tokens"))
+                F.when(F.col("n_tokens") > 0,
+                       F.col("__slp").cast("double")
+                       / F.col("n_tokens"))
                 .alias("lm_logprob_per_token"))
     )
 
@@ -88,12 +95,13 @@ def corpus_lm_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 CORPUS_LM_SCORE_SQL = """
-WITH toks AS (
+WITH tk AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text),
-                '[ \t\n\x0b\f\r]+'), t -> t != '')) AS term
+         list_filter(string_split_regex(lower(text),
+                     '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
   FROM documents
 ),
+toks AS (SELECT doc_id, unnest(tk) AS term FROM tk),
 counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
 total AS (SELECT SUM(cnt) AS total FROM counts),
 model AS (
@@ -101,15 +109,21 @@ model AS (
          CAST(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
               AS DECIMAL(18,9)) AS logp
   FROM counts CROSS JOIN total
+),
+sums AS (
+  SELECT t.doc_id,
+         SUM(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(m.logp) AS slp
+  FROM toks t LEFT JOIN model m ON m.term = t.term
+  GROUP BY 1
 )
-SELECT t.doc_id,
-       COUNT(*) AS n_tokens,
-       CAST(SUM(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_oov,
-       CAST(SUM(m.logp) AS DOUBLE) / COUNT(*)
+SELECT k.doc_id,
+       len(k.tk) AS n_tokens,
+       CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN len(k.tk) > 0
+            THEN CAST(s.slp AS DOUBLE) / len(k.tk) END
          AS lm_logprob_per_token
-FROM toks t LEFT JOIN model m ON m.term = t.term
-GROUP BY 1
+FROM tk k LEFT JOIN sums s USING (doc_id)
 """
 
 QUERIES = {

@@ -40,11 +40,11 @@ from iceberg_core_spark.session import load_table
 
 
 def _ws_tokens(text: Column) -> Column:
-    """Whitespace tokens, lowercased, empties dropped (split() emits
-    '' for leading/trailing whitespace; both engines filter it)."""
-    return F.filter(
-        F.split(F.lower(text), r"[ \t\n\x0B\f\r]+"), lambda t: t != F.lit("")
-    )
+    """The canonical lowercase/split/drop-empties tokenizer — shared
+    with search.py and lm_quality.py via functions/text.py."""
+    from iceberg_core_spark.functions.text import ws_tokens_nonempty
+
+    return ws_tokens_nonempty(text)
 
 
 def repetition_signals(

@@ -1,27 +1,25 @@
 """Lexical (BM25) search over the documents corpus — the keyword half
 of the retrieval story (sim_search/* covers the embedding half).
 
-Scale shape, per stage:
+Scale shape — the query vocabulary is a LITERAL (keyword queries are
+a handful of terms), so term frequencies are per-term COLUMNS
+computed map-side (``size(filter(tokens, = t))``), never an explode:
 
-- Document lengths are a map-side ``size(split(..))`` — no explode.
-- The term explode is FILTERED to the query vocabulary before the
-  shuffle (``array_intersect`` with a literal term array), so the
-  (doc, term) exchange carries only query-term hits, not the corpus
-  vocabulary — at 100 TB this is the difference between shuffling a
-  few hit rows per document and shuffling every token.
-- Corpus stats (N, avgdl) are one scalar aggregate; per-term document
-  frequencies are ≤ |query terms| rows. Both join back as broadcasts.
-- Top-k per query is a window over the scored hits partitioned by
-  query_id (k small, queries parallel).
+- pass 1: ONE scalar aggregate over the tf projection yields N,
+  avgdl, and every per-term document frequency in a single row;
+- pass 2: the same tf projection cross-joins that broadcast row and
+  scores each query as an expression over its terms — no shuffle, no
+  join, no explode anywhere; the only exchanges are each query's
+  top-k (TakeOrderedAndProject) and the final tiny rank window over
+  ≤ k·|queries| rows.
 
-Cross-engine determinism: tf/df/dl/N are integers; avgdl is pinned as
-``CAST(SUM(dl) AS DOUBLE)/N`` (one division, same tree both engines);
-the BM25 formula uses +,*,/ (correctly-rounded IEEE) plus ONE ``ln``
-per distinct (N, df) input — at most |query terms| distinct
-transcendental evaluations, which the oracle test verifies agree.
-Scores surface rounded to 9 decimals in both engines and ranking
-orders by the rounded score with a doc_id tiebreak, so the emitted
-top-k is stable cross-engine.
+Cross-engine determinism: tf/df/dl/N are integers; avgdl is pinned
+as ``CAST(SUM(dl) AS DOUBLE)/N``; every per-query score is a chain of
++ over the query's terms in FIXED order with identical
+parenthesization in both engines — no aggregate ever folds doubles
+in engine-chosen order (the hazard the earlier explode/SUM design
+had). ``ln`` runs once per distinct (N, df) input; scores surface
+rounded to 9 decimals and rank ties break on doc_id.
 
 Staged for registration (window capacity per TODO.md): the query fn
 and oracle below follow the registry (spark, sf_dir) contract.
@@ -29,14 +27,17 @@ and oracle below follow the registry (spark, sf_dir) contract.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_core_spark.functions.text import WS_RE
+from iceberg_core_spark.functions.text import ws_tokens_nonempty
 from iceberg_core_spark.session import load_table
 
 K1 = 1.2
 B = 0.75
+MAX_VOCAB = 64  # per-term columns: keyword queries, not documents
 
 
 def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
@@ -45,71 +46,74 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     """Score ``docs`` against each whitespace-tokenized query string in
     ``queries`` (``(query_id, query_text)`` pairs) with Lucene-style
     BM25 (idf = ln(1 + (N - df + ½)/(df + ½))) and return the top ``k``
-    documents per query as (query_id, doc_id, score, n_terms_hit),
-    ranked by rounded score then doc_id.
-    """
-    spark = docs.sparkSession
-    q_terms = [(qid, t) for qid, qs in queries
-               for t in dict.fromkeys(qs.lower().split())]
-    qdf = spark.createDataFrame(q_terms, "query_id long, term string")
-    vocab = sorted({t for _, t in q_terms})
+    documents per query as (query_id, doc_id, score, n_terms_hit,
+    rank), ranked by rounded score then doc_id. Only documents hitting
+    at least one query term rank."""
+    q_terms = {qid: list(dict.fromkeys(qs.lower().split()))
+               for qid, qs in queries}
+    vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
+    if len(vocab) > MAX_VOCAB:
+        raise ValueError(
+            f"query vocabulary {len(vocab)} exceeds {MAX_VOCAB} — "
+            "bm25_search materializes one tf column per term")
+    idx = {t: i for i, t in enumerate(vocab)}
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RE + "+"),
-                    lambda t: t != "")
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       toks.alias("__toks"))
-    lens = base.select("doc_id", F.size("__toks").alias("dl"))
+    toks = ws_tokens_nonempty(F.col(text_col))
 
-    # corpus stats: one scalar row, broadcast everywhere below
-    stats = lens.agg(
+    def _eq(term: str):
+        # NB: a two-parameter lambda would receive (element, index)
+        # from F.filter — close over the term instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("__toks", _eq(t))).alias(f"tf_{i}")
+        for i, t in enumerate(vocab)
+    ]
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        toks.alias("__toks"))
+            .select("doc_id", F.size("__toks").alias("dl"), *tf_cols))
+
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)))
-        .alias("avgdl"))
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+          .alias(f"df_{i}") for i in range(len(vocab))])
 
-    # per-(doc, query-term) frequencies: the explode is pre-filtered
-    # to the query vocabulary, so only hits reach the exchange
-    hits = (
-        base.select(
-            "doc_id",
-            F.explode(F.array_intersect(
-                "__toks",
-                F.array(*[F.lit(t) for t in vocab]))).alias("term"),
-            "__toks")
-        .select("doc_id", "term",
-                F.size(F.filter(
-                    "__toks",
-                    lambda x: x == F.col("term"))).alias("tf"))
-    )
-    df_ = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("dl") / F.col("avgdl")))
 
-    scored = (
-        hits.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df_), "term")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__idf",
-            F.log(F.lit(1.0)
-                  + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                  / (F.col("df") + F.lit(0.5))))
-        .withColumn(
-            "__s",
-            F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0)
-            / (F.col("tf") + F.lit(k1)
-               * (F.lit(1.0 - b)
-                  + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("__s"), 9).alias("score"),
-             F.count(F.lit(1)).alias("n_terms_hit"))
-    )
+    def term_score(i: int):
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5)))
+        return idf * ((F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+                      / (F.col(f"tf_{i}") + norm))
+
+    per_query = []
+    for qid, terms in q_terms.items():
+        ids = [idx[t] for t in terms]
+        score = F.round(
+            reduce(lambda a, b_: a + b_, [term_score(i) for i in ids]),
+            9)
+        n_hit = reduce(
+            lambda a, b_: a + b_,
+            [F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in ids])
+        any_hit = reduce(lambda a, b_: a | b_,
+                         [F.col(f"tf_{i}") > 0 for i in ids])
+        per_query.append(
+            scored.filter(any_hit)
+            .select(F.lit(qid).cast("long").alias("query_id"),
+                    "doc_id", score.alias("score"),
+                    n_hit.cast("long").alias("n_terms_hit"))
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k))
+    union = reduce(DataFrame.unionByName, per_query)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
-    )
+    return union.select(
+        "query_id", "doc_id", "score", "n_terms_hit",
+        F.row_number().over(w).cast("long").alias("rank"))
 
 
 SEARCH_QUERIES = [
@@ -126,59 +130,70 @@ def corpus_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10)
 
 
-def _sql_queries_values() -> str:
-    rows = ", ".join(
-        f"({qid}, '{t}')"
-        for qid, qs in SEARCH_QUERIES
-        for t in dict.fromkeys(qs.lower().split()))
-    return rows
+def _bm25_sql(queries: list[tuple[int, str]], k: int = 10,
+              k1: float = K1, b: float = B) -> str:
+    """The DuckDB twin, generated from the SAME query list with the
+    SAME term order and parenthesization as the Spark expressions."""
+    q_terms = {qid: list(dict.fromkeys(qs.lower().split()))
+               for qid, qs in queries}
+    vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
+    idx = {t: i for i, t in enumerate(vocab)}
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(vocab))
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(vocab)))
+    norm = f"({k1} * ({1.0 - b} + ({b} * (dl / avgdl))))"
 
+    def term_score(i: int) -> str:
+        idf = f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        return f"({idf} * ((tf_{i} * {k1 + 1.0}) / (tf_{i} + {norm})))"
 
-CORPUS_BM25_SQL = f"""
-WITH q(query_id, term) AS (VALUES {_sql_queries_values()}),
-toks AS (
+    blocks = []
+    for qid, terms in q_terms.items():
+        ids = [idx[t] for t in terms]
+        score = " + ".join(term_score(i) for i in ids)
+        n_hit = " + ".join(
+            f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in ids)
+        any_hit = " OR ".join(f"tf_{i} > 0" for i in ids)
+        blocks.append(f"""(
+  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,
+         ROUND({score}, 9) AS score,
+         CAST({n_hit} AS BIGINT) AS n_terms_hit
+  FROM scored WHERE {any_hit}
+  ORDER BY score DESC, doc_id LIMIT {k}
+)""")
+        # left-to-right + in SQL == the Spark reduce() association
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tk AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text),
                      '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
   FROM documents
 ),
-lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, len(tk) AS dl,
+         {tf_defs}
+  FROM tk
+),
 stats AS (
   SELECT COUNT(*) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM lens
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_defs}
+  FROM tf
 ),
-hits AS (
-  SELECT t.doc_id, v.term,
-         len(list_filter(t.tk, x -> x = v.term)) AS tf
-  FROM toks t
-  JOIN (SELECT DISTINCT term FROM q) v ON list_contains(t.tk, v.term)
-),
-dfreq AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1
-),
-scored AS (
-  SELECT q.query_id, h.doc_id,
-         ROUND(SUM(
-           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * h.tf * {K1 + 1.0}
-           / (h.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avgdl))
-         ), 9) AS score,
-         COUNT(*) AS n_terms_hit
-  FROM hits h
-  JOIN q ON q.term = h.term
-  JOIN dfreq d ON d.term = h.term
-  JOIN lens l ON l.doc_id = h.doc_id
-  CROSS JOIN stats s
-  GROUP BY 1, 2
-)
-SELECT query_id, doc_id, score, n_terms_hit, rank FROM (
-  SELECT *, CAST(row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-  FROM scored
-) WHERE rank <= 10
+scored AS (SELECT tf.*, s.* FROM tf CROSS JOIN stats s)
+SELECT query_id, doc_id, score, n_terms_hit,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score DESC, doc_id)
+         AS BIGINT) AS rank
+FROM ({union})
 """
+
+
+CORPUS_BM25_SQL = _bm25_sql(SEARCH_QUERIES, k=10)
 
 QUERIES = {
     "corpus_bm25": (corpus_bm25, CORPUS_BM25_SQL),

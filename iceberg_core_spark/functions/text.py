@@ -41,6 +41,14 @@ def ws_tokens(text: Column) -> Column:
     return F.split(F.lower(text), WS_RE + "+")
 
 
+def ws_tokens_nonempty(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties dropped (split() emits
+    '' for leading/trailing whitespace; both engines filter it). The
+    ONE canonical tokenizer for quality/search/LM scoring — a
+    tokenization fix must land here, not in per-module copies."""
+    return F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+
+
 def bpe_tokens(text: Column) -> Column:
     """Regex word/punct tokens — a tokenizer-grade count proxy."""
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)

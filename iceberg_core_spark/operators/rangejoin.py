@@ -47,15 +47,35 @@ def range_join(points: DataFrame, intervals: DataFrame,
     replicate ceil(len/W)+1 times, and a bucket's residual filter
     sees only points within W of some interval. Pick W near the
     median interval length.
+
+    Inverted intervals (``hi < lo``) contain nothing, matching
+    BETWEEN semantics — they are filtered out rather than crashing
+    ``sequence``. ``how`` is restricted to the point-side join types
+    (inner / left / left_semi / left_anti): points carry exactly one
+    bucket so their multiplicity is exact, while an unmatched
+    INTERVAL exists once per bucket replica — a right/full join
+    would null-extend every replica and emit duplicate interval
+    rows, so those types are rejected.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"how={how!r} not supported: interval rows are bucket-"
+            "replicated, so interval-side outer joins would emit one "
+            "null-extended row PER REPLICA — use inner/left/"
+            "left_semi/left_anti")
     w = F.lit(int(bucket_width))
     p_b = F.col(point_col) - F.pmod(F.col(point_col), w)
     lo_b = F.col(lo_col) - F.pmod(F.col(lo_col), w)
     hi_b = F.col(hi_col) - F.pmod(F.col(hi_col), w)
-    ivals = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(lo_b, hi_b, w)))
+    ivals = (
+        intervals.filter(F.col(lo_col) <= F.col(hi_col))
+        .withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b, w)))
+    )
     pts = points.withColumn("__bucket", p_b)
     joined = pts.join(
         ivals,

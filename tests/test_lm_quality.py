@@ -50,3 +50,18 @@ def test_lm_quality_oracle_match(spark, name):
     fn, sql = QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
+
+
+def test_lm_score_keeps_empty_docs_visible(spark):
+    """A degenerate empty/whitespace doc must APPEAR in the output
+    (n_tokens=0, NULL score) — a quality pass that never sees it
+    would wave it through unexamined."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lm_score(docs, unigram_model(docs)).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0 and out[d]["n_oov"] == 0
+        assert out[d]["lm_logprob_per_token"] is None
+    assert out[1]["n_tokens"] == 2

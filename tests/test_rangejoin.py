@@ -64,3 +64,33 @@ def test_rangejoin_oracle_match(spark, name):
     fn, sql = QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    """hi < lo contains nothing under BETWEEN semantics — it must not
+    crash sequence() and must not match."""
+    pts = spark.createDataFrame([(5,), (10,)], "p long")
+    ivals = spark.createDataFrame(
+        [(1, 10, 5), (2, 4, 6)], "iid long, lo long, hi long")
+    got = {(r["p"], r["iid"]) for r in
+           range_join(pts, ivals, "p", "lo", "hi",
+                      bucket_width=3).collect()}
+    assert got == {(5, 2)}
+
+
+def test_range_join_left_keeps_unmatched_points_once(spark):
+    pts = spark.createDataFrame([(1,), (100,)], "p long")
+    ivals = spark.createDataFrame([(1, 0, 2)], "iid long, lo long, hi long")
+    rows = range_join(pts, ivals, "p", "lo", "hi",
+                      bucket_width=1, how="left").collect()
+    assert sorted((r["p"], r["iid"]) for r in rows) \
+        == [(1, 1), (100, None)]
+
+
+def test_range_join_rejects_interval_side_outer_joins(spark):
+    pts = spark.createDataFrame([(1,)], "p long")
+    ivals = spark.createDataFrame([(1, 0, 9)], "iid long, lo long, hi long")
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError, match="PER REPLICA|not supported"):
+            range_join(pts, ivals, "p", "lo", "hi",
+                       bucket_width=3, how=how)

@@ -58,15 +58,18 @@ def test_bm25_multi_query_and_tiebreak(spark):
     assert [r["doc_id"] for r in by_q[8]] == [3]
 
 
-def test_bm25_explode_is_query_filtered(spark):
-    """The exchange must carry only query-term hits: the optimized
-    plan's explode input goes through array_intersect with the query
-    vocabulary (never the raw token array alone)."""
+def test_bm25_plan_has_no_explode_and_no_wide_join(spark):
+    """Term frequencies are literal per-term COLUMNS: the plan must
+    contain no Generate (explode) and no join except the 1-row stats
+    broadcast — the corpus is never exploded to token rows and no
+    per-term exchange exists."""
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a x")], "doc_id long, text string")
-    plan = bm25_search(docs, [(1, "a")], k=3) \
-        ._jdf.queryExecution().optimizedPlan().toString()
-    assert "array_intersect" in plan
+    plan = bm25_search(docs, [(1, "a b")], k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan          # no explode anywhere
+    assert "SortMergeJoin" not in plan     # no per-term shuffle join
+    assert "ShuffledHashJoin" not in plan
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
