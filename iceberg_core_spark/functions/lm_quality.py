@@ -65,15 +65,14 @@ def lm_score(docs: DataFrame, model: DataFrame,
     tokens at all stay in the output with n_tokens=0 and a NULL score
     (explode_outer — a quality pass that never SEES the degenerate
     empty doc would wave it through unexamined)."""
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       _toks(text_col).alias("__toks"))
-    toks = base.select(
-        "doc_id", F.size("__toks").alias("dl"),
-        F.explode_outer("__toks").alias("term"))
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode_outer(_toks(text_col)).alias("term"))
     joined = toks.join(F.broadcast(model), "term", "left")
     return (
         joined.groupBy("doc_id")
-        .agg(F.max("dl").cast("long").alias("n_tokens"),
+        # count(term) skips explode_outer's NULL row, so it IS the
+        # token count — 0 for empty docs, with the doc still present
+        .agg(F.count("term").alias("n_tokens"),
              F.sum(F.when(F.col("term").isNotNull()
                           & F.col("logp").isNull(), 1)
                    .otherwise(0)).alias("n_oov"),

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.dedup import fround, fround_sql
+from iceberg_core_spark.functions.text import ws_tokens_nonempty
 from iceberg_core_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -42,8 +43,6 @@ from iceberg_core_spark.session import load_table
 def _ws_tokens(text: Column) -> Column:
     """The canonical lowercase/split/drop-empties tokenizer — shared
     with search.py and lm_quality.py via functions/text.py."""
-    from iceberg_core_spark.functions.text import ws_tokens_nonempty
-
     return ws_tokens_nonempty(text)
 
 

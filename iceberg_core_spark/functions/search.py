@@ -7,11 +7,16 @@ computed map-side (``size(filter(tokens, = t))``), never an explode:
 
 - pass 1: ONE scalar aggregate over the tf projection yields N,
   avgdl, and every per-term document frequency in a single row;
-- pass 2: the same tf projection cross-joins that broadcast row and
-  scores each query as an expression over its terms — no shuffle, no
-  join, no explode anywhere; the only exchanges are each query's
-  top-k (TakeOrderedAndProject) and the final tiny rank window over
-  ≤ k·|queries| rows.
+- pass 2: the same tf projection cross-joins that broadcast row,
+  scores EVERY query as struct fields of one |queries|-wide array,
+  and melts it with a single explode — so the corpus is scanned
+  exactly twice regardless of the query-batch size (per-query union
+  legs would re-scan once per query: Spark does not CSE scan
+  subtrees across union branches). The only token-granularity work
+  is the map-side tf projection; the melt explodes |queries| skinny
+  structs per hit document, never tokens. The per-query top-k is the
+  standard rank window on (query_id) — the shuffled rows are
+  (query_id, doc_id, score, n_hit) only.
 
 Cross-engine determinism: tf/df/dl/N are integers; avgdl is pinned
 as ``CAST(SUM(dl) AS DOUBLE)/N``; every per-query score is a chain of
@@ -48,9 +53,19 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     BM25 (idf = ln(1 + (N - df + ½)/(df + ½))) and return the top ``k``
     documents per query as (query_id, doc_id, score, n_terms_hit,
     rank), ranked by rounded score then doc_id. Only documents hitting
-    at least one query term rank."""
-    q_terms = {qid: list(dict.fromkeys(qs.lower().split()))
-               for qid, qs in queries}
+    at least one query term rank. A query_id listed twice scores the
+    UNION of its entries' terms; a token-less query or an empty batch
+    is rejected loudly."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    q_terms: dict[int, list[str]] = {}
+    for qid, qs in queries:
+        merged = q_terms.setdefault(qid, [])
+        merged += [t for t in dict.fromkeys(qs.lower().split())
+                   if t not in merged]
+    for qid, terms in q_terms.items():
+        if not terms:
+            raise ValueError(f"query {qid} has no tokens")
     vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
     if len(vocab) > MAX_VOCAB:
         raise ValueError(
@@ -90,7 +105,7 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
         return idf * ((F.col(f"tf_{i}") * F.lit(k1 + 1.0))
                       / (F.col(f"tf_{i}") + norm))
 
-    per_query = []
+    q_structs = []
     for qid, terms in q_terms.items():
         ids = [idx[t] for t in terms]
         score = F.round(
@@ -99,21 +114,24 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
         n_hit = reduce(
             lambda a, b_: a + b_,
             [F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in ids])
-        any_hit = reduce(lambda a, b_: a | b_,
-                         [F.col(f"tf_{i}") > 0 for i in ids])
-        per_query.append(
-            scored.filter(any_hit)
-            .select(F.lit(qid).cast("long").alias("query_id"),
-                    "doc_id", score.alias("score"),
-                    n_hit.cast("long").alias("n_terms_hit"))
-            .orderBy(F.col("score").desc(), F.col("doc_id"))
-            .limit(k))
-    union = reduce(DataFrame.unionByName, per_query)
+        q_structs.append(F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            score.alias("score"),
+            n_hit.cast("long").alias("n_terms_hit")))
+    melted = (
+        scored.select("doc_id", F.explode(F.array(*q_structs))
+                      .alias("q"))
+        .select("doc_id", "q.query_id", "q.score", "q.n_terms_hit")
+        .filter(F.col("n_terms_hit") > 0)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
-    return union.select(
-        "query_id", "doc_id", "score", "n_terms_hit",
-        F.row_number().over(w).cast("long").alias("rank"))
+    return (
+        melted.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+    )
 
 
 SEARCH_QUERIES = [
@@ -133,13 +151,18 @@ def corpus_bm25(spark: SparkSession, sf: str) -> DataFrame:
 def _bm25_sql(queries: list[tuple[int, str]], k: int = 10,
               k1: float = K1, b: float = B) -> str:
     """The DuckDB twin, generated from the SAME query list with the
-    SAME term order and parenthesization as the Spark expressions."""
-    q_terms = {qid: list(dict.fromkeys(qs.lower().split()))
-               for qid, qs in queries}
+    SAME term order and parenthesization as the Spark expressions
+    (duplicate query_ids merge identically; quotes escape)."""
+    q_terms: dict[int, list[str]] = {}
+    for qid, qs in queries:
+        merged = q_terms.setdefault(qid, [])
+        merged += [t for t in dict.fromkeys(qs.lower().split())
+                   if t not in merged]
     vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
     idx = {t: i for i, t in enumerate(vocab)}
     tf_defs = ",\n         ".join(
-        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+        "len(list_filter(tk, x -> x = '{}')) AS tf_{}".format(
+            t.replace("'", "''"), i)
         for i, t in enumerate(vocab))
     df_defs = ",\n         ".join(
         f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"

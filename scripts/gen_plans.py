@@ -60,7 +60,7 @@ STAGED_PICKS = [
     ("range_join_window", "iceberg_core_spark.operators.rangejoin",
      "Bucketized range join — intervals explode across their overlapped buckets MAP-SIDE, the join is an EQUI join on the bucket (SMJ/BHJ, never BroadcastNestedLoopJoin — plan-gated) with the exact BETWEEN as residual; at scale each interval replicates ~len/W+1 times and no executor sees a cross product."),
     ("corpus_bm25", "iceberg_core_spark.functions.search",
-     "BM25 keyword search — term frequencies are literal per-term COLUMNS (no Generate/explode node anywhere); one scalar aggregate yields N + avgdl + every per-term df in a single broadcast row; each query scores as a FIXED-order expression chain (no engine-ordered double fold) and its top-k is TakeOrderedAndProject; the only window is the final rank over <= k x |queries| rows."),
+     "BM25 keyword search — term frequencies are literal per-term COLUMNS (no Generate/explode node anywhere); one scalar aggregate yields N + avgdl + every per-term df in a single broadcast row; each query scores as a FIXED-order expression chain (no engine-ordered double fold); all queries melt through ONE struct explode (never tokens) so the corpus scans exactly twice regardless of batch size, and the rank window shuffles only skinny (query, doc, score) rows."),
     ("corpus_lm_score", "iceberg_core_spark.functions.lm_quality",
      "Unigram LM scoring — training is ONE vocabulary-sized hash aggregate; scoring joins the BROADCAST model against the exploded tokens and folds per doc in exact decimal; only the final per-token division is double."),
     ("events_funnel", "iceberg_core_spark.operators.events_analytics",

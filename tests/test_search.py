@@ -58,18 +58,44 @@ def test_bm25_multi_query_and_tiebreak(spark):
     assert [r["doc_id"] for r in by_q[8]] == [3]
 
 
-def test_bm25_plan_has_no_explode_and_no_wide_join(spark):
-    """Term frequencies are literal per-term COLUMNS: the plan must
-    contain no Generate (explode) and no join except the 1-row stats
-    broadcast — the corpus is never exploded to token rows and no
-    per-term exchange exists."""
+def test_bm25_plan_single_pass_shape(spark):
+    """Term frequencies are literal per-term COLUMNS: the only
+    Generate in the plan is the |queries|-wide struct melt (never a
+    token explode), there is no shuffle join (the sole join is the
+    1-row stats broadcast), and the corpus scans exactly twice
+    regardless of the query count (stats + scoring — per-query union
+    legs would scan once per query)."""
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a x")], "doc_id long, text string")
-    plan = bm25_search(docs, [(1, "a b")], k=3) \
+    plan = bm25_search(docs, [(1, "a b"), (2, "x"), (3, "c d")], k=3) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Generate" not in plan          # no explode anywhere
-    assert "SortMergeJoin" not in plan     # no per-term shuffle join
+    assert plan.count("Generate") == 1     # the struct melt only
+    assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+    assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_bm25_input_validation_and_duplicate_qids(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, [])
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_search(docs, [(1, "   ")])
+    # a qid listed twice scores the UNION of its terms
+    dup = {r["doc_id"]: r for r in bm25_search(
+        docs, [(7, "alpha"), (7, "beta")], k=5).collect()}
+    one = {r["doc_id"]: r for r in bm25_search(
+        docs, [(7, "alpha beta")], k=5).collect()}
+    assert {d: (r["score"], r["n_terms_hit"]) for d, r in dup.items()} \
+        == {d: (r["score"], r["n_terms_hit"]) for d, r in one.items()}
+
+
+def test_bm25_sql_escapes_quotes():
+    from iceberg_core_spark.functions.search import _bm25_sql
+
+    sql = _bm25_sql([(1, "don't stop")])
+    assert "x = 'don''t'" in sql
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
