@@ -19,7 +19,7 @@ of conversions, identical inputs in both engines), the per-doc fold
 is exact decimal arithmetic (integer in-doc count × decimal logprob),
 and only the final per-token division runs in double.
 
-Staged for registration (window capacity per TODO.md): the query fn
+Registered in the r9 window (staged in r8 for capacity): the query fn
 and oracle below follow the registry (spark, sf_dir) contract.
 """
 

@@ -14,9 +14,11 @@ computed map-side (``size(filter(tokens, = t))``), never an explode:
   legs would re-scan once per query: Spark does not CSE scan
   subtrees across union branches). The only token-granularity work
   is the map-side tf projection; the melt explodes |queries| skinny
-  structs per hit document, never tokens. The per-query top-k is the
-  standard rank window on (query_id) — the shuffled rows are
-  (query_id, doc_id, score, n_hit) only.
+  structs per hit document, never tokens. The per-query top-k runs a
+  per-partition Arrow-batched pre-top-k (each task forwards ≤ k rows
+  per query) before the rank window on (query_id), so the window's
+  shuffle carries ~k × partitions skinny (query_id, doc_id, score,
+  n_hit) rows — never every hit document in the corpus.
 
 Cross-engine determinism: tf/df/dl/N are integers; avgdl is pinned
 as ``CAST(SUM(dl) AS DOUBLE)/N``; every per-query score is a chain of
@@ -26,7 +28,7 @@ in engine-chosen order (the hazard the earlier explode/SUM design
 had). ``ln`` runs once per distinct (N, df) input; scores surface
 rounded to 9 decimals and rank ties break on doc_id.
 
-Staged for registration (window capacity per TODO.md): the query fn
+Registered in the r9 window (staged in r8 for capacity): the query fn
 and oracle below follow the registry (spark, sf_dir) contract.
 """
 
@@ -70,7 +72,13 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     if len(vocab) > MAX_VOCAB:
         raise ValueError(
             f"query vocabulary {len(vocab)} exceeds {MAX_VOCAB} — "
-            "bm25_search materializes one tf column per term")
+            "bm25_search materializes one tf column per term, which "
+            "only pays off for keyword-sized term sets. For "
+            "document-length queries, score via an explode-based "
+            "formulation instead: explode the corpus tokens, equi-join "
+            "the (query_id, term) list, and SUM per-term BM25 "
+            "contributions grouped by (query_id, doc_id) — one "
+            "token-granularity shuffle, but no per-term column blowup.")
     idx = {t: i for i, t in enumerate(vocab)}
 
     toks = ws_tokens_nonempty(F.col(text_col))
@@ -124,10 +132,29 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
         .select("doc_id", "q.query_id", "q.score", "q.n_terms_hit")
         .filter(F.col("n_terms_hit") > 0)
     )
+    # Per-partition pre-top-k BEFORE the global rank window: the rank
+    # order (score desc, doc_id) is row-local, so any global top-k row
+    # is necessarily in its partition's local top-k — each scan task
+    # forwards at most k rows per query and the window's shuffle sees
+    # ~k × partitions × |queries| skinny rows instead of EVERY hit
+    # document in the corpus (the same partial/final split
+    # TakeOrderedAndProject does for global top-k, done per query
+    # group). Arrow-batched selection only — scores were computed
+    # JVM-side and pass through byte-identical; per-Arrow-batch top-k
+    # is a superset of per-partition top-k, so correctness does not
+    # depend on batch boundaries.
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.sort_values(["query_id", "score", "doc_id"],
+                                       ascending=[True, False, True])
+                       .groupby("query_id", sort=False).head(k))
+
+    pruned = melted.mapInPandas(_local_topk, melted.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
     return (
-        melted.withColumn("rank",
+        pruned.withColumn("rank",
                           F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "n_terms_hit", "rank")

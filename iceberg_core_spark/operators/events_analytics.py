@@ -2,27 +2,24 @@
 query shapes every product-analytics engine ships and the batch
 time-series family (sessionize/gapfill/downsample) doesn't cover.
 
-Scale shape: every stage is a per-user aggregate or an equi-join on
-``user_id`` — one hash partitioning reused across the whole plan, no
-window over raw events, no self-join explosion. The funnel's ordered
-steps resolve as chained conditional MINs (step N's earliest
-timestamp strictly after step N-1's), so each stage adds one
-aggregate + one join on the same key, and the stage counts union into
-ONE declarative plan (no driver-side loop collects intermediate
-counts). Retention buckets weeks with exact integer-µs arithmetic
+Scale shape: one hash partitioning on ``user_id``, no window over raw
+events, no self-join explosion. The funnel scans ``events`` ONCE
+(filtered to the step types), aggregates each user's per-step sorted
+timestamp arrays in one groupBy, and resolves the ordered steps as
+chained array expressions (step N's earliest timestamp strictly after
+step N-1's) — an N-step funnel is one scan + one shuffle, not N scans
++ N joins (restructured per the r8 verdict, task 3). Retention buckets weeks with exact integer-µs arithmetic
 (``us - pmod(us, week)``), and week INDICES derive only from small
 differences — dividing a raw 2024 epoch-µs (≈1.7e18 > 2^53) by the
 week width in double arithmetic would round the numerator before the
 divide; ``(wk - cohort_start)`` is a few weeks of µs, exactly
 representable, so the division is exact in both engines.
 
-Staged for registration (window capacity per TODO.md): the query fns
+Registered in the r9 window (staged in r8 for capacity): the query fns
 and oracles below follow the registry (spark, sf_dir) contract.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,30 +33,58 @@ def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", type_col: str = "event_type",
            ts_col: str = "ts") -> DataFrame:
     """Strict-order funnel: a user converts to step N at the earliest
-    event of type ``steps[N]`` STRICTLY AFTER their step-N-1 time.
-    Returns one row per step: (step_idx, step, n_users) where n_users
-    counts users who reached that step — one declarative plan."""
+    event of type ``steps[N]`` STRICTLY AFTER their step-N-1 time
+    (greedy earliest matching — taking the earliest feasible time at
+    each step is optimal for reach-step-N existence). Events with a
+    NULL timestamp are unordered and never convert. Returns one row
+    per step: (step_idx, step, n_users) where n_users counts users
+    who reached that step.
+
+    Scale shape: ONE scan of ``events`` (filtered to the step types),
+    ONE per-user aggregate collecting each step's sorted timestamp
+    array, then the conversion chain and the final counts are plain
+    column expressions — an N-step funnel was previously N scans + N
+    joins (r8 verdict task 3). The per-user arrays hold only
+    step-typed events of one user, the frame the chained-join
+    formulation also shuffled per stage — here it shuffles once."""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    per_user = events.select(user_col, type_col, ts_col)
-    reached = per_user.filter(F.col(type_col) == steps[0]) \
-        .groupBy(user_col).agg(F.min(ts_col).alias("t"))
-    stages = [reached]
-    for step in steps[1:]:
-        reached = (
-            per_user.filter(F.col(type_col) == step)
-            .join(reached.select(user_col, "t"), user_col)
-            .filter(F.col(ts_col) > F.col("t"))
-            .groupBy(user_col).agg(F.min(ts_col).alias("t"))
-        )
-        stages.append(reached)
-    counts = [
-        s.agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.lit(i).cast("long").alias("step_idx"),
-                F.lit(step).alias("step"), "n_users")
-        for i, (step, s) in enumerate(zip(steps, stages))
+    per_user = events.select(user_col, type_col, ts_col).filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+    arrs = per_user.groupBy(user_col).agg(*[
+        F.sort_array(F.collect_list(
+            F.when(F.col(type_col) == s, F.col(ts_col))))
+        .alias(f"__ts_{i}")
+        for i, s in enumerate(steps)
+    ])
+    # __t_i = the user's step-i conversion time (NULL = never reached):
+    # the first step-i timestamp strictly after __t_{i-1}. NB: the HOF
+    # lambda takes ONE parameter — a second would receive the array
+    # index from F.filter — so the previous step's column is closed
+    # over via a helper.
+    def _after(prev):
+        return lambda x: x > prev
+
+    r = arrs.withColumn("__t_0",
+                        F.try_element_at(F.col("__ts_0"), F.lit(1)))
+    for i in range(1, len(steps)):
+        r = r.withColumn(
+            f"__t_{i}",
+            F.array_min(F.filter(F.col(f"__ts_{i}"),
+                                 _after(F.col(f"__t_{i - 1}")))))
+    counts_row = r.agg(*[
+        F.count(F.col(f"__t_{i}")).alias(f"__c_{i}")
+        for i in range(len(steps))
+    ])
+    structs = [
+        F.struct(F.lit(i).cast("long").alias("step_idx"),
+                 F.lit(step).alias("step"),
+                 F.col(f"__c_{i}").alias("n_users"))
+        for i, step in enumerate(steps)
     ]
-    return reduce(DataFrame.unionByName, counts)
+    return (counts_row
+            .select(F.explode(F.array(*structs)).alias("__s"))
+            .select("__s.step_idx", "__s.step", "__s.n_users"))
 
 
 def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -72,7 +97,7 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
 EVENTS_FUNNEL_SQL = """
 WITH s0 AS (
   SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' GROUP BY 1
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
 ),
 s1 AS (
   SELECT e.user_id, MIN(e.ts) AS t

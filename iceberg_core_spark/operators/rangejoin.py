@@ -24,7 +24,7 @@ Bucket arithmetic is exact int64 (``x - pmod(x, W)`` floors like the
 time-series operators; ``sequence`` steps by W), so a boundary point
 can never land in the wrong bucket cross-engine.
 
-Staged for registration (window capacity per TODO.md): the query fn
+Registered in the r9 window (staged in r8 for capacity): the query fn
 and oracle below follow the registry (spark, sf_dir) contract.
 """
 

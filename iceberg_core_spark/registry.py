@@ -37,6 +37,12 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
     from iceberg_core_spark.functions.dedup_spans import QUERIES as SPANS
+    from iceberg_core_spark.functions.lm_quality import QUERIES as LMQ
+    from iceberg_core_spark.functions.search import QUERIES as SEARCH
+    from iceberg_core_spark.operators.events_analytics import (
+        QUERIES as EVENTS,
+    )
+    from iceberg_core_spark.operators.rangejoin import QUERIES as RANGEJOIN
     from iceberg_core_spark.operators.timeseries import QUERIES as TS
     from iceberg_core_spark.sources.avro_ocf import QUERIES as AVRO
     from iceberg_core_spark.sources.orc_format import QUERIES as ORC
@@ -59,6 +65,10 @@ def all_queries() -> dict[str, Entry]:
     out.update(TEXTFMT)  # JSONL corpus source roundtrip (NEW r5)
     out.update(ORC)      # native ORC columnar roundtrip (NEW r7)
     out.update(SPANS)    # cross-doc duplicated-span dedup (NEW r7)
+    out.update(SEARCH)   # BM25 lexical search (staged r8, registered r9)
+    out.update(LMQ)      # unigram LM quality scoring (staged r8, reg. r9)
+    out.update(RANGEJOIN)  # bucketized interval join (staged r8, reg. r9)
+    out.update(EVENTS)   # funnel + cohort retention (staged r8, reg. r9)
     out.update(TS)       # batch sessionize + LOCF gapfill (NEW r7)
     out.update(UDF)      # pandas UDF / UDAF / UDTF
     out.update(BUCKETED) # co-located (exchange-free) fact-fact join
@@ -68,48 +78,52 @@ def all_queries() -> dict[str, Entry]:
     out.update(TPCH)     # headline multi-join analytics
 
     # ORDER MATTERS: the driver's correctness artifact covers the first
-    # 50 registry entries in dict order, per the rotation discipline:
-    # every query whose module — or dependency — changed since its
-    # last driver row gets back in, and no green row may age past 2
-    # rounds. Past windows' rationale lives in git history (r3-r6
+    # 50 registry entries in dict order, per the rotation discipline
+    # (r8 judge ruling, VERDICT.md r8 item 1): no green row may age
+    # past 2 rounds UNLESS its defining module is byte-unchanged since
+    # its last green row, in which case it may ride to age 3 (period-4
+    # rotation, capacity 200); any changed module re-windows
+    # immediately. Past windows' rationale lives in git history (r3-r8
     # comments) and in the CORRECTNESS_r*.json artifacts;
-    # `scripts/verify_window.py --ages` audits the discipline
-    # mechanically against those artifacts.
-    # ROUND-8 WINDOW (the r6/r7 window lists are preserved in git
-    # history; `scripts/verify_window.py --ages` checks this
-    # discipline MECHANICALLY against the CORRECTNESS_r*.json
-    # artifacts — run after any reorder):
+    # `scripts/verify_window.py --ages` audits the discipline —
+    # including the byte-unchanged condition, via git — mechanically.
+    # ROUND-9 WINDOW (the r6-r8 window lists are preserved in git
+    # history; run `verify_window.py --ages` after any reorder):
     priority = [
-        # (a) the 7 late-r7 registrations with no driver row yet (all
-        # judge-verified at sf0.01 in the r7 session): ORC source,
-        # the Lee-et-al span-dedup pair, the batch time-series trio,
-        # and O(batch) merge-on-read MERGE
-        "scan_orc", "dedup_spans", "corpus_despan",
-        "events_sessionize", "events_gapfill", "events_interpolate",
-        "table_merge_mor",
-        # (a') NEW r8 registrations (see their modules): span dedup at
-        # the Lee et al. production threshold, and IN-list/AND bloom
-        # point scans
-        "dedup_spans_min16", "corpus_despan_min16",
-        "bloom_point_scan_multi",
-        # (b) ALL 37 age-2 r5 rows (would hit age 3 in r8) — the r5
-        # TPC-H block, the corpus/dedup/multimodal families, UDFs,
-        # the bucketed join, and the remaining scan/stream rows
-        "agg_hash", "text_analysis", "scan_jsonl", "stream_dedup",
-        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding", "dedup_clusters", "dedup_minhash_portable",
-        "sim_search_ivf",
-        "multimodal_meta", "multimodal_features", "multimodal_chunks",
-        "corpus_decontaminate", "corpus_decontaminate_exact",
-        "corpus_pack", "corpus_quality", "corpus_pii", "vocab_topk",
-        "corpus_mix", "corpus_shuffle",
-        "udf_scalar", "udaf_group_stats", "join_bucketed",
-        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-        "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
-        "tpch_q21", "tpch_q22",
-        # (c) spare slots: early refreshes of r6-age rows so the
-        # remaining r6 rows (all due in r9) keep a little slack
-        "join_semi", "join_anti", "join_asof",
+        # (a) the 3 late-r8 registrations with no driver row yet (all
+        # judge-verified at sf0.01 in the r8 session): OHLC candles,
+        # shallow clone, exact interpolated quartiles
+        "events_downsample", "table_clone", "agg_percentile",
+        # (a') NEW r9 registrations — the 5 queries staged in r8
+        # (oracle-verified at sf0.001 AND sf0.01 then, re-verified
+        # this round): bucketized range join, BM25 lexical search,
+        # unigram LM scoring, funnel + retention
+        "range_join_window", "corpus_bm25", "corpus_lm_score",
+        "events_funnel", "events_retention",
+        # (b) 42 of the 47 age-3 r6 rows (their modules — similarity,
+        # dedup_portable, dedup_incremental, assembly, streaming,
+        # sources, ice_table/table_queries, relational_ext, tpch —
+        # changed in r7/r8 or simply rotate on schedule)
+        "sim_search", "sim_search_batch", "dedup_simhash_portable",
+        "dedup_clusters_portable", "dedup_embedding_lsh_portable",
+        "sim_search_lsh_portable", "agg_approx_distinct_portable",
+        "sim_search_ivf_portable", "dedup_incremental", "write_shards",
+        "win_tumbling", "scan_avro", "scan_csv",
+        "schema_evolution", "table_upsert", "table_delete_mor",
+        "table_compact", "table_wap", "table_cdc",
+        "win_rank", "win_analytic", "win_frame", "win_range_frame",
+        "topk_per_group",
+        "explode_tokens", "map_funcs", "agg_stats", "agg_pivot",
+        "agg_string_agg", "win_rank_ext", "scalar_cond",
+        "scalar_subquery", "agg_salted", "agg_median", "agg_minmax_by",
+        "scalar_string2", "agg_conditional", "array_hof",
+        "scalar_subquery_corr",
+        "tpch_q3", "tpch_q5", "tpch_q12",
+        # The 5 DEFERRED r6 rows ride at age 3 under the new ruling —
+        # all in operators/relational.py, byte-unchanged (with its
+        # session.py/asof.py dependencies) since their r6 rows — and
+        # MUST lead the r10 window: join_theta, sort_limit, union_all,
+        # set_intersect, set_except.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

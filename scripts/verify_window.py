@@ -14,22 +14,69 @@ comes from tests/oracle.py.
 registry-comment recount: it reads every CORRECTNESS_r*.json artifact,
 computes each registered query's latest-driver-row age as of round R
 (default: newest artifact round + 1 — the upcoming window), and fails
-if the current first-50 window would let any row exceed age 2 or
-leave a registered query without a row. Run it after reordering the
-registry, before the round's final commit.
+if the current first-50 window would let any row exceed its age bound
+or leave a registered query without a row. Run it after reordering
+the registry, before the round's final commit.
+
+Age bound (r8 judge ruling, VERDICT.md r8 "What's missing" item 1):
+the base bound is age 2; a row may ride ONE extra round (age 3,
+period-4 rotation, capacity 200) ONLY if the module defining its
+query fn is byte-unchanged — checked against git, diffing the
+module file between the row's round-artifact commit (the commit
+titled "round N: ...") and HEAD — since its last green row. A
+changed module re-windows immediately. Cross-module dependencies
+are not walked mechanically; keep leaning conservative when a row's
+helpers (session.py, text.py, oracle helpers) changed.
 """
 
 import glob
+import inspect
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MAX_AGE = 2
+MAX_AGE = 2          # base bound: re-window by age 2 ...
+MAX_AGE_UNCHANGED = 3  # ... unless the module is byte-unchanged
 WINDOW = 50
+
+
+def _round_commit(rnd: int) -> str | None:
+    """The driver's round-N artifact commit (message "round N: ...") —
+    the code state the round-N driver rows were produced against."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H", "--fixed-strings",
+             f"--grep=round {rnd}:", "--max-count=1"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return out or None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def _module_unchanged_since(fn, rnd: int) -> bool | None:
+    """True/False if git can answer whether ``fn``'s defining module is
+    byte-identical between round ``rnd``'s artifact commit and HEAD
+    (including the working tree); None if it can't (no commit found,
+    fn not file-backed)."""
+    commit = _round_commit(rnd)
+    if commit is None:
+        return None
+    try:
+        path = inspect.getfile(fn)
+    except TypeError:
+        return None
+    rel = os.path.relpath(path, REPO)
+    if rel.startswith(".."):
+        return None
+    res = subprocess.run(["git", "diff", "--quiet", commit, "--", rel],
+                         cwd=REPO, capture_output=True)
+    return res.returncode == 0
 
 
 def audit_ages(next_round: int | None = None) -> int:
@@ -56,7 +103,8 @@ def audit_ages(next_round: int | None = None) -> int:
         print("no CORRECTNESS artifacts found")
         return 1
     nr = next_round if next_round is not None else max(rounds) + 1
-    names = list(all_queries())
+    queries = all_queries()
+    names = list(queries)
     window = set(names[:WINDOW])
     # first-seen bookkeeping gives the late-registration pattern
     # teeth: a query registered past a full window legitimately
@@ -98,10 +146,27 @@ def audit_ages(next_round: int | None = None) -> int:
         if not ok and name not in window:
             errors.append(f"{name}: latest row (r{rnd}) FAILED and the "
                           f"query is not in the window for a retest")
-        elif age > MAX_AGE and name not in window:
+        elif age > MAX_AGE_UNCHANGED and name not in window:
             errors.append(f"{name}: latest green row is r{rnd} "
-                          f"(age {age} in r{nr} > {MAX_AGE}) and the "
-                          f"query is not in the window")
+                          f"(age {age} in r{nr} > {MAX_AGE_UNCHANGED}) "
+                          f"and the query is not in the window")
+        elif age > MAX_AGE and name not in window:
+            # the extended tier: legal ONLY for byte-unchanged modules
+            unchanged = _module_unchanged_since(queries[name][0], rnd)
+            if unchanged is True:
+                print(f"  DEFERRED {name}: r{rnd} row rides at age "
+                      f"{age} (module byte-unchanged since r{rnd}); "
+                      f"must re-window by r{rnd + MAX_AGE_UNCHANGED + 1}")
+            elif unchanged is False:
+                errors.append(
+                    f"{name}: latest green row is r{rnd} (age {age} in "
+                    f"r{nr} > {MAX_AGE}) and its module CHANGED since "
+                    f"r{rnd} — changed modules re-window immediately")
+            else:
+                errors.append(
+                    f"{name}: latest green row is r{rnd} (age {age} in "
+                    f"r{nr} > {MAX_AGE}) and the byte-unchanged check "
+                    f"could not run (no round commit / not file-backed)")
     in_window_no_need = len(window) - sum(
         1 for n in names[:WINDOW]
         if n not in latest or not latest[n][1]
@@ -114,7 +179,8 @@ def audit_ages(next_round: int | None = None) -> int:
     for e in errors:
         print(f"  AGE-VIOLATION {e}")
     if not errors:
-        print(f"OK — no row exceeds age {MAX_AGE} in r{nr} "
+        print(f"OK — no row exceeds its age bound ({MAX_AGE} changed / "
+              f"{MAX_AGE_UNCHANGED} byte-unchanged) in r{nr} "
               f"({in_window_no_need} window slots are early refreshes; "
               f"{len(pending)} pending next-round leads)")
     return 1 if errors else 0

@@ -46,6 +46,36 @@ def test_funnel_requires_strict_order(spark):
         == ["view", "click", "purchase"]
 
 
+def test_funnel_single_scan_single_user_shuffle(spark):
+    """The one-scan restructure (r8 verdict task 3): an N-step funnel
+    reads ``events`` exactly ONCE — the chained-join formulation
+    scanned it once per step — and the only wide exchange is the one
+    per-user hash aggregate (plus the single-row final count)."""
+    from iceberg_core_spark.session import load_table
+
+    df = funnel(load_table(spark, SF_DIR, "events"),
+                ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # exchanges: user_id hash agg + the 1-row global count (+ the
+    # explode's trivial single partition) — never one per step
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_null_ts_never_converts(spark):
+    rows = [(1, "view", None),
+            (1, "click", datetime.datetime(2024, 1, 1, 0, 5)),
+            (2, "view", datetime.datetime(2024, 1, 1)),
+            (2, "click", datetime.datetime(2024, 1, 1, 0, 1))]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step_idx"]: r["n_users"]
+           for r in funnel(ev, ["view", "click"]).collect()}
+    # u1's only view is unordered (NULL ts): reaches nothing
+    assert out == {0: 1, 1: 1}
+
+
 def test_retention_cohorts_and_weeks(spark):
     day = 24 * 60
     rows = [

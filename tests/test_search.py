@@ -75,6 +75,37 @@ def test_bm25_plan_single_pass_shape(spark):
     assert plan.count("Scan ExistingRDD") <= 2
 
 
+def test_bm25_pre_topk_before_rank_window(spark):
+    """The per-partition pre-top-k stage exists and sits BELOW the
+    global rank window: the plan's single MapInPandas feeds the
+    Window's exchange, so the shuffle carries at most k rows per
+    (query, input partition), never every hit. Output must be
+    IDENTICAL across partitionings (per-batch top-k is a superset of
+    the global top-k)."""
+    rows = [(i, "hit " * (i % 5 + 1) + "pad") for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(docs.repartition(8), [(1, "hit")], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.index("Window")
+    m = plan.index("MapInPandas")
+    assert m > w, "pre-top-k must be UNDER the window (plans print " \
+                  "top-down: the Window's child MapInPandas prints later)"
+    one = bm25_search(docs.coalesce(1), [(1, "hit")], k=3).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, one))
+    # ties at equal score resolve by doc_id across the partition split:
+    # docs 5,10,...,40 all share tf/dl; the top-3 must be the smallest
+    # doc_ids of the best (tf, dl) class regardless of partitioning
+    assert [r["doc_id"] for r in sorted(one, key=lambda r: r["rank"])] \
+        == sorted(r["doc_id"] for r in one)
+
+
+def test_bm25_vocab_cap_names_the_alternative(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    big = " ".join(f"t{i}" for i in range(65))
+    with pytest.raises(ValueError, match="explode-based"):
+        bm25_search(docs, [(1, big)])
+
+
 def test_bm25_input_validation_and_duplicate_qids(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta")], "doc_id long, text string")
