@@ -34,7 +34,9 @@ HEADLINE = [
     "filter_range",      # reference-shaped partition+key range query
     "win_tumbling",      # event-time windows
     "join_bucketed",     # co-located fact-fact join (write-amortized)
+    "range_join_window", # bucketized interval join, never BNLJ (r9)
     # LLM ops
+    "corpus_bm25",       # BM25 lexical top-k, pre-top-k pushdown (r9)
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",

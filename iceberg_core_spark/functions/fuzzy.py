@@ -1,0 +1,242 @@
+"""Fuzzy (edit-distance) self-match — the string-similarity join every
+entity-resolution / title-dedup pipeline needs: all pairs of strings
+within Levenshtein distance ``d``, without the O(n²) cross product.
+
+Blocking (q-gram prefix filtering, after Gravano et al. / ED-Join):
+
+- each edit operation destroys at most ``q`` positional q-grams of a
+  string, so two strings within distance d share all but ≤ q·d of
+  either side's positional grams — in particular, at most q·d of a
+  string's DISTINCT grams can be entirely absent from the other.
+- therefore if a string has ≥ q·d+1 distinct grams, its q·d+1
+  globally-RAREST grams (order: ascending document frequency, gram)
+  must intersect the other string's full gram set. Candidates come
+  from the equi-join ``kept(probe) ⋈ all(other)`` — the join keys are
+  only RARE grams, so frequent grams ("the", "ing") never fan out.
+- strings with ≤ q·d distinct grams (too short, or long but
+  single-character runs) get no such guarantee: they pair through a
+  bucketized LENGTH-band join instead (each replicates to the
+  ⌈(2d+1)/(d+1)⌉+1 buckets its [len−d, len+d] window overlaps — the
+  range_join composition), which is complete because |len(a)−len(b)|
+  ≤ d is necessary for ed ≤ d. This class is tiny in real corpora;
+  its join is still an equi-join, never a cross product.
+- every candidate pair is verified with the exact thresholded
+  Levenshtein (JVM builtin, early-exit at d+1); the length filter
+  |len(a)−len(b)| ≤ d prunes before verification.
+
+Completeness is property-tested against a brute-force model over
+adversarial small alphabets (tests/test_fuzzy.py); cross-engine value
+equality is oracle-checked with a DuckDB twin that mirrors the same
+blocking and the same (df, gram) global order.
+
+At 100 TB: gram exploding is map-side; the candidate join shuffles on
+gram (AQE/skew rules apply, and the prefix filter keeps join keys
+rare by construction); verification is bounded to candidates. No
+stage ever materializes the cross product.
+
+Staged for r10 registration (r9 window is full): the query fn and
+oracle below follow the registry (spark, sf_dir) contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_core_spark.session import load_table
+
+Q = 3  # q-gram width
+
+
+def _grams(col, q: int):
+    """Distinct q-grams of ``col`` as an array (empty below q chars).
+    NB: Spark's sequence(1, 0) DESCENDS — guard short strings with an
+    explicit empty array instead of a clamped upper bound."""
+    return F.when(
+        F.length(col) >= q,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(col) - (q - 1)),
+            lambda i: F.substring(col, i, F.lit(q)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
+                     max_dist: int, q: int = Q) -> DataFrame:
+    """All unordered pairs of ``strings`` rows whose ``text_col``
+    values are within Levenshtein distance ``max_dist`` (NULL texts
+    never match; exact duplicates match at distance 0). Returns
+    (id_a, id_b, dist) with id_a < id_b.
+
+    ``id_col`` must be unique per row; ``q``/``max_dist`` trade
+    blocking selectivity (prefix keeps q·d+1 rare grams) against the
+    size of the unguaranteed short class (≤ q·d distinct grams)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 2:
+        raise ValueError("q must be >= 2 (unigrams make every pair "
+                         "share a gram — no blocking power)")
+    keep = q * max_dist + 1
+    s = strings.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).alias("__len"),
+        _grams(F.col(text_col), q).alias("__grams"),
+    ).filter(F.col("__s").isNotNull())
+
+    grams = s.select("__id", "__len",
+                     F.explode("__grams").alias("__gram"))
+    # global rarity order: ascending (df, gram) — exact integers, so
+    # the order (and therefore the kept prefix) is engine-portable
+    gram_df = grams.groupBy("__gram").agg(
+        F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("__id").orderBy("__df", "__gram"))
+    ranked = grams.join(gram_df, "__gram")
+    kept = (ranked.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= keep)
+            .select(F.col("__id").alias("__lid"),
+                    F.col("__len").alias("__llen"),
+                    "__gram"))
+
+    n_distinct = F.size("__grams")
+    guaranteed = s.filter(n_distinct >= keep)
+    short = s.filter(n_distinct < keep)
+
+    # (1) probe join: a pair within distance d with at least one
+    # guaranteed side ALWAYS surfaces here — that side's kept grams
+    # intersect the other side's full gram set (see module doc)
+    all_side = grams.select(F.col("__id").alias("__rid"),
+                            F.col("__len").alias("__rlen"), "__gram")
+    cand_probe = (
+        kept.join(all_side, "__gram")
+        .filter(F.col("__lid") != F.col("__rid"))
+        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
+                <= F.lit(max_dist))
+        .select(F.least("__lid", "__rid").alias("id_a"),
+                F.greatest("__lid", "__rid").alias("id_b"))
+    )
+
+    # (2) short class (no prefix guarantee on EITHER side): complete
+    # via the bucketized length-band equi-join — ed <= d implies
+    # |len(a) - len(b)| <= d
+    w = F.lit(max_dist + 1)
+    lo_b = (F.col("__len") - w + 1) - F.pmod(F.col("__len") - w + 1, w)
+    hi_b = (F.col("__len") + w - 1) - F.pmod(F.col("__len") + w - 1, w)
+    s_short = short.select("__id", "__len")
+    left_b = s_short.select(
+        F.col("__id").alias("__lid"), F.col("__len").alias("__llen"),
+        F.explode(F.sequence(lo_b, hi_b, w)).alias("__bucket"))
+    right_b = s_short.select(
+        F.col("__id").alias("__rid"), F.col("__len").alias("__rlen"),
+        (F.col("__len") - F.pmod(F.col("__len"), w)).alias("__bucket"))
+    cand_short = (
+        left_b.join(right_b, "__bucket")
+        .filter(F.col("__lid") != F.col("__rid"))
+        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
+                <= F.lit(max_dist))
+        .select(F.least("__lid", "__rid").alias("id_a"),
+                F.greatest("__lid", "__rid").alias("id_b"))
+    )
+
+    cands = cand_probe.unionByName(cand_short).distinct()
+    a = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    b = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb",
+                                          max_dist + 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry query: near-identical document openings — pairs of docs
+# whose normalized 40-char prefix is within edit distance 2
+
+PREFIX_LEN = 40
+MAX_DIST = 2
+
+
+def _norm_prefix(col):
+    """ASCII-safe normalized prefix: lowercase, printable-ASCII only,
+    whitespace runs collapsed to single spaces, first 40 chars. The
+    non-ASCII strip pins Levenshtein to one code-unit-per-char on both
+    engines; the whitespace collapse keeps formatting-only reflows
+    from counting as edits."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^\\x20-\\x7e]", "")
+    c = F.regexp_replace(c, "[ ]+", " ")
+    return F.substring(F.trim(c), 1, PREFIX_LEN)
+
+
+def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-shaped query: document pairs whose normalized 40-char
+    openings are within Levenshtein distance 2 — the cheap first-pass
+    signal for boilerplate families and near-identical variants."""
+    docs = load_table(spark, sf, "documents")
+    pref = docs.select(F.col("doc_id"),
+                       _norm_prefix(F.col("text")).alias("prefix"))
+    return fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
+
+
+# The DuckDB twin mirrors the SAME blocking (grams, (df, gram) global
+# order, q·d+1 prefix, short class via the length band — which the
+# band bucketization makes a plain |len diff| <= d here) and the same
+# thresholded verify, so every value the engine emits is value-hash
+# checked; blocking COMPLETENESS is proven separately by the
+# hypothesis property test against brute force.
+CORPUS_FUZZY_PREFIX_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS id,
+         substr(trim(regexp_replace(regexp_replace(lower(text),
+                '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
+                1, {PREFIX_LEN}) AS s
+  FROM documents
+  WHERE text IS NOT NULL
+),
+st AS (
+  SELECT id, s, length(s) AS len,
+         list_distinct([substr(s, i, {Q})
+                        FOR i IN range(1, greatest(length(s) - {Q - 1},
+                                                   0) + 1)]) AS grams
+  FROM s
+),
+grams AS (SELECT id, len, unnest(grams) AS gram FROM st),
+gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1),
+kept AS (
+  SELECT id AS lid, len AS llen, gram FROM (
+    SELECT g.id, g.len, g.gram,
+           row_number() OVER (PARTITION BY g.id
+                              ORDER BY d.df, g.gram) AS rk
+    FROM grams g JOIN gram_df d USING (gram)
+  ) WHERE rk <= {Q * MAX_DIST + 1}
+),
+cand_probe AS (
+  SELECT least(k.lid, g.id) AS id_a, greatest(k.lid, g.id) AS id_b
+  FROM kept k JOIN grams g USING (gram)
+  WHERE k.lid <> g.id AND abs(k.llen - g.len) <= {MAX_DIST}
+),
+short AS (SELECT id, len FROM st
+          WHERE len(grams) < {Q * MAX_DIST + 1}),
+cand_short AS (
+  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+  FROM short a JOIN short b
+    ON abs(a.len - b.len) <= {MAX_DIST} AND a.id <> b.id
+),
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM
+  (SELECT * FROM cand_probe UNION ALL SELECT * FROM cand_short)
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+FROM cands c
+JOIN s sa ON sa.id = c.id_a
+JOIN s sb ON sb.id = c.id_b
+WHERE levenshtein(sa.s, sb.s) <= {MAX_DIST}
+"""
+
+QUERIES = {
+    "corpus_fuzzy_prefix": (corpus_fuzzy_prefix, CORPUS_FUZZY_PREFIX_SQL),
+}

@@ -47,6 +47,55 @@ B = 0.75
 MAX_VOCAB = 64  # per-term columns: keyword queries, not documents
 
 
+def _merge_query_terms(
+        queries: list[tuple[int, str]]) -> dict[int, list[str]]:
+    """(query_id, text) pairs → per-query ordered unique term lists —
+    the ONE parsing both engines' builders share, so the Spark
+    expressions and the oracle SQL can never disagree on term order."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    q_terms: dict[int, list[str]] = {}
+    for qid, qs in queries:
+        merged = q_terms.setdefault(qid, [])
+        merged += [t for t in dict.fromkeys(qs.lower().split())
+                   if t not in merged]
+    for qid, terms in q_terms.items():
+        if not terms:
+            raise ValueError(f"query {qid} has no tokens")
+    return q_terms
+
+
+def _rank_topk(melted: DataFrame, k: int) -> DataFrame:
+    """(doc_id, query_id, score, n_terms_hit) → per-query top-k with
+    rank. Runs a per-partition Arrow-batched pre-top-k BEFORE the
+    global rank window: the rank order (score desc, doc_id) is
+    row-local, so any global top-k row is necessarily in its
+    partition's local top-k — each task forwards at most k rows per
+    query and the window's shuffle sees ~k × partitions × |queries|
+    skinny rows instead of EVERY hit document in the corpus (the same
+    partial/final split TakeOrderedAndProject does for global top-k,
+    done per query group). Arrow-batched selection only — scores pass
+    through byte-identical, and per-Arrow-batch top-k is a superset
+    of per-partition top-k, so correctness does not depend on batch
+    boundaries."""
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.sort_values(["query_id", "score", "doc_id"],
+                                       ascending=[True, False, True])
+                       .groupby("query_id", sort=False).head(k))
+
+    pruned = melted.mapInPandas(_local_topk, melted.schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (
+        pruned.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+    )
+
+
 def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
                 text_col: str = "text", id_col: str = "doc_id",
                 k: int = 10, k1: float = K1, b: float = B) -> DataFrame:
@@ -58,27 +107,18 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     at least one query term rank. A query_id listed twice scores the
     UNION of its entries' terms; a token-less query or an empty batch
     is rejected loudly."""
-    if not queries:
-        raise ValueError("queries must be non-empty")
-    q_terms: dict[int, list[str]] = {}
-    for qid, qs in queries:
-        merged = q_terms.setdefault(qid, [])
-        merged += [t for t in dict.fromkeys(qs.lower().split())
-                   if t not in merged]
-    for qid, terms in q_terms.items():
-        if not terms:
-            raise ValueError(f"query {qid} has no tokens")
+    q_terms = _merge_query_terms(queries)
     vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
     if len(vocab) > MAX_VOCAB:
         raise ValueError(
             f"query vocabulary {len(vocab)} exceeds {MAX_VOCAB} — "
             "bm25_search materializes one tf column per term, which "
             "only pays off for keyword-sized term sets. For "
-            "document-length queries, score via an explode-based "
-            "formulation instead: explode the corpus tokens, equi-join "
-            "the (query_id, term) list, and SUM per-term BM25 "
-            "contributions grouped by (query_id, doc_id) — one "
-            "token-granularity shuffle, but no per-term column blowup.")
+            "document-length queries use bm25_search_exploded: it "
+            "explodes the corpus tokens, equi-joins the (query_id, "
+            "term) list, and folds per-term BM25 contributions "
+            "grouped by (query_id, doc_id) — one token-granularity "
+            "shuffle, no per-term column blowup.")
     idx = {t: i for i, t in enumerate(vocab)}
 
     toks = ws_tokens_nonempty(F.col(text_col))
@@ -126,39 +166,18 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
             F.lit(qid).cast("long").alias("query_id"),
             score.alias("score"),
             n_hit.cast("long").alias("n_terms_hit")))
+    # docs hitting NO vocab term at all can't survive any query's
+    # n_terms_hit filter — drop them map-side BEFORE the melt so the
+    # explode only runs over hit documents
+    any_hit = reduce(lambda a, b_: a | b_,
+                     [F.col(f"tf_{i}") > 0 for i in range(len(vocab))])
     melted = (
-        scored.select("doc_id", F.explode(F.array(*q_structs))
-                      .alias("q"))
+        scored.filter(any_hit)
+        .select("doc_id", F.explode(F.array(*q_structs)).alias("q"))
         .select("doc_id", "q.query_id", "q.score", "q.n_terms_hit")
         .filter(F.col("n_terms_hit") > 0)
     )
-    # Per-partition pre-top-k BEFORE the global rank window: the rank
-    # order (score desc, doc_id) is row-local, so any global top-k row
-    # is necessarily in its partition's local top-k — each scan task
-    # forwards at most k rows per query and the window's shuffle sees
-    # ~k × partitions × |queries| skinny rows instead of EVERY hit
-    # document in the corpus (the same partial/final split
-    # TakeOrderedAndProject does for global top-k, done per query
-    # group). Arrow-batched selection only — scores were computed
-    # JVM-side and pass through byte-identical; per-Arrow-batch top-k
-    # is a superset of per-partition top-k, so correctness does not
-    # depend on batch boundaries.
-    def _local_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (pdf.sort_values(["query_id", "score", "doc_id"],
-                                       ascending=[True, False, True])
-                       .groupby("query_id", sort=False).head(k))
-
-    pruned = melted.mapInPandas(_local_topk, melted.schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id"))
-    return (
-        pruned.withColumn("rank",
-                          F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
-    )
+    return _rank_topk(melted, k)
 
 
 SEARCH_QUERIES = [
@@ -180,11 +199,7 @@ def _bm25_sql(queries: list[tuple[int, str]], k: int = 10,
     """The DuckDB twin, generated from the SAME query list with the
     SAME term order and parenthesization as the Spark expressions
     (duplicate query_ids merge identically; quotes escape)."""
-    q_terms: dict[int, list[str]] = {}
-    for qid, qs in queries:
-        merged = q_terms.setdefault(qid, [])
-        merged += [t for t in dict.fromkeys(qs.lower().split())
-                   if t not in merged]
+    q_terms = _merge_query_terms(queries)
     vocab = list(dict.fromkeys(t for ts in q_terms.values() for t in ts))
     idx = {t: i for i, t in enumerate(vocab)}
     tf_defs = ",\n         ".join(
@@ -247,4 +262,168 @@ CORPUS_BM25_SQL = _bm25_sql(SEARCH_QUERIES, k=10)
 
 QUERIES = {
     "corpus_bm25": (corpus_bm25, CORPUS_BM25_SQL),
+}
+
+
+# ---------------------------------------------------------------------------
+# document-scale term sets: the explode-based formulation the vocab
+# cap points at. No per-term columns — the corpus tokens explode
+# ONCE, semi-join the (broadcast) query vocabulary, and fold per-term
+# contributions per (query, doc).
+
+_CONTRIB_T = "decimal(18,9)"
+
+
+def bm25_search_exploded(docs: DataFrame,
+                         queries: list[tuple[int, str]],
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 10, k1: float = K1,
+                         b: float = B) -> DataFrame:
+    """BM25 for DOCUMENT-SCALE query term sets (hundreds+ of terms —
+    past ``bm25_search``'s per-term-column sweet spot). Same scoring,
+    same output schema and ranking as ``bm25_search``.
+
+    Scale shape: one token explode semi-joined to the broadcast query
+    vocabulary (tokens outside every query never shuffle), one hash
+    aggregate per (doc, term), broadcast joins for document
+    frequencies and the 1-row corpus stats, one hash aggregate per
+    (query, doc). The per-(query, doc) score fold uses the house
+    exact-decimal pattern (lm_quality.py): each per-term contribution
+    is quantized ONCE to DECIMAL(18,9), the fold is exact decimal
+    addition (engine-fold-order independent), and only the final
+    round-to-9 runs on the double. The top-k reuses the shared
+    pre-top-k + rank window (``_rank_topk``).
+
+    Scores differ from ``bm25_search`` only below the 1e-9
+    quantization; ranking ties still break on doc_id."""
+    q_terms = _merge_query_terms(queries)
+    vocab = sorted(set(t for ts in q_terms.values() for t in ts))
+    spark = docs.sparkSession
+
+    toks = ws_tokens_nonempty(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       toks.alias("__toks")) \
+        .select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+
+    vocab_df = spark.createDataFrame([(t,) for t in vocab],
+                                     "term string")
+    tf = (base.select("doc_id", "dl",
+                      F.explode("__toks").alias("term"))
+          .join(F.broadcast(vocab_df), "term")
+          .groupBy("doc_id", "term")
+          .agg(F.max("dl").alias("dl"),
+               F.count(F.lit(1)).alias("tf")))
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    contrib = (tf.join(F.broadcast(dfs), "term")
+               .crossJoin(F.broadcast(stats))
+               .select("doc_id", "term",
+                       (idf * ((F.col("tf") * F.lit(k1 + 1.0))
+                               / (F.col("tf") + norm)))
+                       .cast(_CONTRIB_T).alias("c")))
+
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in q_terms.items() for t in ts],
+        "query_id long, term string")
+    melted = (
+        contrib.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 9).alias("score"),
+             F.count(F.lit(1)).alias("n_terms_hit"))
+        .select("doc_id", "query_id", "score", "n_terms_hit")
+    )
+    return _rank_topk(melted, k)
+
+
+# a "document as query": every corpus vocabulary word plus 40
+# out-of-vocabulary terms — 71 terms, past MAX_VOCAB by design
+DOC_QUERY_TEXT = (
+    "spark join hash row batch scan customer column filter small slow "
+    "merge order vector line data table agg value key stream window "
+    "group part big sort query fast dup the a "
+    + " ".join(f"oov{i}term" for i in range(40)))
+DOC_QUERY = [(42, DOC_QUERY_TEXT)]
+
+
+def corpus_bm25_exploded(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-shaped query: BM25 top-20 for one 71-term
+    document-scale query via the explode-based path."""
+    docs = load_table(spark, sf, "documents")
+    return bm25_search_exploded(docs, DOC_QUERY, k=20)
+
+
+def _bm25_exploded_sql(queries: list[tuple[int, str]], k: int = 10,
+                       k1: float = K1, b: float = B) -> str:
+    """DuckDB twin of ``bm25_search_exploded`` — same vocabulary,
+    same decimal quantization, same fold."""
+    q_terms = _merge_query_terms(queries)
+    vocab = sorted(set(t for ts in q_terms.values() for t in ts))
+
+    def _q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    vocab_rows = ", ".join(f"({_q(t)})" for t in vocab)
+    qmap_rows = ", ".join(f"({qid}, {_q(t)})"
+                          for qid, ts in q_terms.items() for t in ts)
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    norm = f"({k1} * ({1.0 - b} + ({b} * (dl / avgdl))))"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text),
+                     '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+vocab(term) AS (VALUES {vocab_rows}),
+tf AS (
+  SELECT t.doc_id, t.term, MAX(t.dl) AS dl, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM base) t
+  JOIN vocab v USING (term)
+  GROUP BY 1, 2
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         CAST(({idf}) * ((tf * {k1 + 1.0}) / (tf + {norm}))
+              AS DECIMAL(18,9)) AS c
+  FROM tf t JOIN dfs USING (term) CROSS JOIN stats
+),
+qmap(query_id, term) AS (VALUES {qmap_rows}),
+scores AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, c.doc_id,
+         ROUND(CAST(SUM(c.c) AS DOUBLE), 9) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM contrib c JOIN qmap q USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, n_terms_hit, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id)
+    AS BIGINT) AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
+CORPUS_BM25_EXPLODED_SQL = _bm25_exploded_sql(DOC_QUERY, k=20)
+
+# staged for r10 registration (the r9 window is full; registering now
+# would force an unplanned r10 lead) — same contract as QUERIES
+STAGED_QUERIES = {
+    "corpus_bm25_exploded": (corpus_bm25_exploded,
+                             CORPUS_BM25_EXPLODED_SQL),
 }

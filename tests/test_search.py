@@ -7,7 +7,12 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_core_spark.functions.search import QUERIES, bm25_search
+from iceberg_core_spark.functions.search import (
+    QUERIES,
+    STAGED_QUERIES,
+    bm25_search,
+    bm25_search_exploded,
+)
 from tests.oracle import compare, duck_connection
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -102,7 +107,7 @@ def test_bm25_pre_topk_before_rank_window(spark):
 def test_bm25_vocab_cap_names_the_alternative(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     big = " ".join(f"t{i}" for i in range(65))
-    with pytest.raises(ValueError, match="explode-based"):
+    with pytest.raises(ValueError, match="bm25_search_exploded"):
         bm25_search(docs, [(1, big)])
 
 
@@ -129,8 +134,41 @@ def test_bm25_sql_escapes_quotes():
     assert "x = 'don''t'" in sql
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_bm25_exploded_agrees_with_column_path(spark):
+    """Same corpus, same sub-64-term queries: the explode-based path
+    must reproduce the per-term-column path's ranking exactly and its
+    scores to the 1e-9 decimal quantization."""
+    rows = [(i, "hit " * (i % 5 + 1) + "pad word" + str(i % 7))
+            for i in range(1, 31)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = [(1, "hit word3"), (2, "pad"), (3, "missingterm")]
+    col_rows = bm25_search(docs, qs, k=5).collect()
+    exp_rows = bm25_search_exploded(docs, qs, k=5).collect()
+    col = {(r["query_id"], r["doc_id"]): r for r in col_rows}
+    exp = {(r["query_id"], r["doc_id"]): r for r in exp_rows}
+    assert set(col) == set(exp)
+    for key, c in col.items():
+        e = exp[key]
+        assert e["rank"] == c["rank"] \
+            and e["n_terms_hit"] == c["n_terms_hit"]
+        assert e["score"] == pytest.approx(c["score"], abs=2e-9)
+
+
+def test_bm25_exploded_takes_document_scale_vocab(spark):
+    """71 distinct terms: the column path refuses, the exploded path
+    scores — and OOV terms neither crash nor contribute."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string")
+    big = "alpha " + " ".join(f"zz{i}" for i in range(70))
+    with pytest.raises(ValueError, match="bm25_search_exploded"):
+        bm25_search(docs, [(5, big)])
+    out = bm25_search_exploded(docs, [(5, big)], k=10).collect()
+    assert [(r["doc_id"], r["n_terms_hit"]) for r in out] == [(1, 1)]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES) + sorted(STAGED_QUERIES))
 def test_search_oracle_match(spark, name):
-    fn, sql = QUERIES[name]
+    fn, sql = {**QUERIES, **STAGED_QUERIES}[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
