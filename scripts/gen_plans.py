@@ -54,19 +54,27 @@ PICKS = [
     ("corpus_despan", "Span clipping — the wide exchanges carry 16-byte gram digests + int positions (never text, plan-gated); non-owner windows merge to (lo,hi) spans per doc and the clip filter is exists(spans, ..) over the token array; the only full-text exchange is the final removal-array join, AQE-broadcastable."),
 ]
 
+PICKS += [
+    # the five r8-staged queries, registered in the r9 window
+    ("range_join_window",
+     "Bucketized range join — intervals explode across their overlapped buckets MAP-SIDE, the join is an EQUI join on the bucket (SMJ/BHJ, never BroadcastNestedLoopJoin — plan-gated) with the exact BETWEEN as residual; at scale each interval replicates ~len/W+1 times and no executor sees a cross product."),
+    ("corpus_bm25",
+     "BM25 keyword search — term frequencies are literal per-term COLUMNS (the only Generate is the struct melt, never tokens); one scalar aggregate yields N + avgdl + every per-term df in a single broadcast row; each query scores as a FIXED-order expression chain (no engine-ordered double fold); no-hit docs drop map-side before the melt, a per-partition Arrow pre-top-k (MapInPandas under the Window, r9) caps the rank window's shuffle at ~k rows per (query, partition)."),
+    ("corpus_lm_score",
+     "Unigram LM scoring — training is ONE vocabulary-sized hash aggregate; scoring joins the BROADCAST model against the exploded tokens and folds per doc in exact decimal; only the final per-token division is double."),
+    ("events_funnel",
+     "Strict-order funnel — ONE events scan (step-type filter pushed) + ONE per-user hash aggregate collecting per-step sorted timestamp arrays; the conversion chain is array expressions over that single aggregate and the counts melt from a 1-row aggregate (plan-gated: 1 scan, 0 joins, 1 hash exchange — was N scans + N joins before r9)."),
+    ("events_retention",
+     "Weekly cohort retention — exact integer-µs week floors map-side, one distinct + one per-user MIN + one grouped count-distinct, all sharing the user_id exchange; week indices derive from small differences only (raw epoch-µs exceeds 2^53)."),
+]
+
 # Staged queries (oracle-verified, not yet registered — see TODO.md):
 # resolved from their home modules so their plans stay auditable too.
 STAGED_PICKS = [
-    ("range_join_window", "iceberg_core_spark.operators.rangejoin",
-     "Bucketized range join — intervals explode across their overlapped buckets MAP-SIDE, the join is an EQUI join on the bucket (SMJ/BHJ, never BroadcastNestedLoopJoin — plan-gated) with the exact BETWEEN as residual; at scale each interval replicates ~len/W+1 times and no executor sees a cross product."),
-    ("corpus_bm25", "iceberg_core_spark.functions.search",
-     "BM25 keyword search — term frequencies are literal per-term COLUMNS (no Generate/explode node anywhere); one scalar aggregate yields N + avgdl + every per-term df in a single broadcast row; each query scores as a FIXED-order expression chain (no engine-ordered double fold); all queries melt through ONE struct explode (never tokens) so the corpus scans exactly twice regardless of batch size, and the rank window shuffles only skinny (query, doc, score) rows."),
-    ("corpus_lm_score", "iceberg_core_spark.functions.lm_quality",
-     "Unigram LM scoring — training is ONE vocabulary-sized hash aggregate; scoring joins the BROADCAST model against the exploded tokens and folds per doc in exact decimal; only the final per-token division is double."),
-    ("events_funnel", "iceberg_core_spark.operators.events_analytics",
-     "Strict-order funnel — chained conditional MINs: each stage is one per-user aggregate + one equi-join on user_id (the same hash partitioning reused end-to-end), stage counts unioned into one plan; no window over raw events, no self-join explosion."),
-    ("events_retention", "iceberg_core_spark.operators.events_analytics",
-     "Weekly cohort retention — exact integer-µs week floors map-side, one distinct + one per-user MIN + one grouped count-distinct, all sharing the user_id exchange; week indices derive from small differences only (raw epoch-µs exceeds 2^53)."),
+    ("corpus_fuzzy_prefix", "iceberg_core_spark.functions.fuzzy",
+     "Fuzzy edit-distance self-match — gram explode and the rarest-gram prefix (row_number over (df, gram)) are the only wide work; candidates come from an EQUI join whose keys are rare grams by construction (+ the bucketized length-band equi-join for the short class); thresholded levenshtein verifies candidates only. No CartesianProduct, no BroadcastNestedLoopJoin (plan-gated)."),
+    ("corpus_bm25_exploded", "iceberg_core_spark.functions.search",
+     "Document-scale BM25 — one token explode semi-joined to the BROADCAST query vocabulary (non-query tokens never shuffle), one (doc, term) hash aggregate, broadcast df/stats joins, exact-decimal per-(query, doc) folds, shared Arrow pre-top-k under the rank window."),
 ]
 
 
@@ -90,8 +98,10 @@ def main() -> None:
 
     staged = []
     for name, mod, note in STAGED_PICKS:
-        fn, _ = importlib.import_module(mod).QUERIES[name]
-        staged.append((f"{name} (staged)", note, fn))
+        m = importlib.import_module(mod)
+        pool = {**getattr(m, "QUERIES", {}),
+                **getattr(m, "STAGED_QUERIES", {})}
+        staged.append((f"{name} (staged)", note, pool[name][0]))
     for name, note, fn in [(n, note, qs[n][0]) for n, note in PICKS] + staged:
         df = fn(spark, sf)
         plan = spark._jvm.PythonSQLUtils.explainString(
