@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_core_spark.operators.rangejoin import range_join
 from iceberg_core_spark.session import load_table
 
 Q = 3  # q-gram width
@@ -118,23 +119,19 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
     )
 
     # (2) short class (no prefix guarantee on EITHER side): complete
-    # via the bucketized length-band equi-join — ed <= d implies
-    # |len(a) - len(b)| <= d
-    w = F.lit(max_dist + 1)
-    lo_b = (F.col("__len") - w + 1) - F.pmod(F.col("__len") - w + 1, w)
-    hi_b = (F.col("__len") + w - 1) - F.pmod(F.col("__len") + w - 1, w)
-    s_short = short.select("__id", "__len")
-    left_b = s_short.select(
-        F.col("__id").alias("__lid"), F.col("__len").alias("__llen"),
-        F.explode(F.sequence(lo_b, hi_b, w)).alias("__bucket"))
-    right_b = s_short.select(
-        F.col("__id").alias("__rid"), F.col("__len").alias("__rlen"),
-        (F.col("__len") - F.pmod(F.col("__len"), w)).alias("__bucket"))
+    # via the length-band join — ed <= d implies |len(a) - len(b)| <= d
+    # — expressed as the plan-gated bucketized range_join composition
+    # (points = lengths, intervals = [len-d, len+d]) instead of a
+    # second hand-rolled bucketization
+    pts = short.select(F.col("__id").alias("__rid"),
+                       F.col("__len").alias("__rlen"))
+    ivals = short.select(F.col("__id").alias("__lid"),
+                         (F.col("__len") - max_dist).alias("__lo"),
+                         (F.col("__len") + max_dist).alias("__hi"))
     cand_short = (
-        left_b.join(right_b, "__bucket")
+        range_join(pts, ivals, "__rlen", "__lo", "__hi",
+                   bucket_width=max_dist + 1)
         .filter(F.col("__lid") != F.col("__rid"))
-        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
-                <= F.lit(max_dist))
         .select(F.least("__lid", "__rid").alias("id_a"),
                 F.greatest("__lid", "__rid").alias("id_b"))
     )
@@ -237,6 +234,8 @@ JOIN s sb ON sb.id = c.id_b
 WHERE levenshtein(sa.s, sb.s) <= {MAX_DIST}
 """
 
-QUERIES = {
+# staged for r10 registration (the r9 window is full) — rename to
+# QUERIES (the registered-surface convention) at registration time
+STAGED_QUERIES = {
     "corpus_fuzzy_prefix": (corpus_fuzzy_prefix, CORPUS_FUZZY_PREFIX_SQL),
 }

@@ -132,8 +132,12 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
         F.size(F.filter("__toks", _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(vocab)
     ]
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        toks.alias("__toks"))
+    # NULL-text docs have no tokens and no length: size(NULL) is -1 on
+    # Spark (poisoning avgdl) while DuckDB's len(NULL) is NULL-skipped —
+    # exclude them from the corpus statistics in BOTH engines (r9 review)
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    toks.alias("__toks"))
             .select("doc_id", F.size("__toks").alias("dl"), *tf_cols))
 
     stats = base.agg(
@@ -237,6 +241,7 @@ WITH tk AS (
          list_filter(string_split_regex(lower(text),
                      '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
   FROM documents
+  WHERE text IS NOT NULL
 ),
 tf AS (
   SELECT doc_id, len(tk) AS dl,
@@ -294,16 +299,20 @@ def bm25_search_exploded(docs: DataFrame,
     round-to-9 runs on the double. The top-k reuses the shared
     pre-top-k + rank window (``_rank_topk``).
 
-    Scores differ from ``bm25_search`` only below the 1e-9
-    quantization; ranking ties still break on doc_id."""
+    Scores differ from ``bm25_search`` only by the per-term
+    DECIMAL(18,9) quantization — up to ~0.5e-9 per MATCHED term, so a
+    query matching m terms can diverge by ~m·0.5e-9 (near-tied docs
+    may rank differently between the two paths at that granularity);
+    ranking ties still break on doc_id."""
     q_terms = _merge_query_terms(queries)
     vocab = sorted(set(t for ts in q_terms.values() for t in ts))
     spark = docs.sparkSession
 
     toks = ws_tokens_nonempty(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       toks.alias("__toks")) \
-        .select("doc_id", F.size("__toks").alias("dl"), "__toks")
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    toks.alias("__toks"))
+            .select("doc_id", F.size("__toks").alias("dl"), "__toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
@@ -381,6 +390,7 @@ WITH tk AS (
          list_filter(string_split_regex(lower(text),
                      '[ \t\n\x0b\f\r]+'), t -> t != '') AS tk
   FROM documents
+  WHERE text IS NOT NULL
 ),
 base AS (SELECT doc_id, len(tk) AS dl, tk FROM tk),
 stats AS (

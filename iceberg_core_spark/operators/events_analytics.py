@@ -36,9 +36,12 @@ def funnel(events: DataFrame, steps: list[str],
     event of type ``steps[N]`` STRICTLY AFTER their step-N-1 time
     (greedy earliest matching — taking the earliest feasible time at
     each step is optimal for reach-step-N existence). Events with a
-    NULL timestamp are unordered and never convert. Returns one row
-    per step: (step_idx, step, n_users) where n_users counts users
-    who reached that step.
+    NULL timestamp are unordered and never convert; events with a
+    NULL user belong to no funnel and are excluded up front (a
+    groupBy would otherwise fuse them into one pseudo-user, which a
+    SQL equi-join formulation drops — the cross-engine divergence the
+    r9 review caught). Returns one row per step: (step_idx, step,
+    n_users) where n_users counts users who reached that step.
 
     Scale shape: ONE scan of ``events`` (filtered to the step types),
     ONE per-user aggregate collecting each step's sorted timestamp
@@ -50,7 +53,8 @@ def funnel(events: DataFrame, steps: list[str],
     if not steps:
         raise ValueError("funnel needs at least one step")
     per_user = events.select(user_col, type_col, ts_col).filter(
-        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull())
     arrs = per_user.groupBy(user_col).agg(*[
         F.sort_array(F.collect_list(
             F.when(F.col(type_col) == s, F.col(ts_col))))
@@ -97,7 +101,9 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
 EVENTS_FUNNEL_SQL = """
 WITH s0 AS (
   SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+  WHERE event_type = 'view' AND ts IS NOT NULL
+    AND user_id IS NOT NULL
+  GROUP BY 1
 ),
 s1 AS (
   SELECT e.user_id, MIN(e.ts) AS t

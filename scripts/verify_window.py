@@ -45,18 +45,27 @@ MAX_AGE_UNCHANGED = 3  # ... unless the module is byte-unchanged
 WINDOW = 50
 
 
+_ROUND_COMMITS: dict[int, str | None] = {}
+
+
 def _round_commit(rnd: int) -> str | None:
-    """The driver's round-N artifact commit (message "round N: ...") —
-    the code state the round-N driver rows were produced against."""
+    """The driver's round-N artifact commit (message STARTS with
+    "round N:" — anchored, so a later revert/quote mentioning the
+    title can't shadow it) — the code state the round-N driver rows
+    were produced against. Memoized: one git-log scan per round."""
+    if rnd in _ROUND_COMMITS:
+        return _ROUND_COMMITS[rnd]
     try:
         out = subprocess.run(
-            ["git", "log", "--format=%H", "--fixed-strings",
-             f"--grep=round {rnd}:", "--max-count=1"],
+            ["git", "log", "--format=%H",
+             f"--grep=^round {rnd}:", "--max-count=1"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        return out or None
+        commit = out or None
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+        commit = None
+    _ROUND_COMMITS[rnd] = commit
+    return commit
 
 
 def _module_unchanged_since(fn, rnd: int) -> bool | None:

@@ -63,16 +63,22 @@ def test_funnel_single_scan_single_user_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_funnel_null_ts_never_converts(spark):
+def test_funnel_null_ts_or_user_never_converts(spark):
     rows = [(1, "view", None),
             (1, "click", datetime.datetime(2024, 1, 1, 0, 5)),
             (2, "view", datetime.datetime(2024, 1, 1)),
-            (2, "click", datetime.datetime(2024, 1, 1, 0, 1))]
+            (2, "click", datetime.datetime(2024, 1, 1, 0, 1)),
+            # NULL user with a full conversion sequence: belongs to no
+            # funnel — a groupBy would fuse all NULL users into one
+            # pseudo-user that SQL equi-joins drop (r9 review)
+            (None, "view", datetime.datetime(2024, 1, 1)),
+            (None, "click", datetime.datetime(2024, 1, 1, 0, 2))]
     ev = spark.createDataFrame(
         rows, "user_id long, event_type string, ts timestamp")
     out = {r["step_idx"]: r["n_users"]
            for r in funnel(ev, ["view", "click"]).collect()}
-    # u1's only view is unordered (NULL ts): reaches nothing
+    # u1's only view is unordered (NULL ts): reaches nothing;
+    # the NULL user is excluded entirely
     assert out == {0: 1, 1: 1}
 
 

@@ -9,7 +9,7 @@ import random
 import pytest
 
 from iceberg_core_spark.functions.fuzzy import (
-    QUERIES,
+    STAGED_QUERIES,
     fuzzy_self_match,
 )
 from tests.oracle import compare, duck_connection
@@ -113,15 +113,15 @@ def test_fuzzy_validation(spark):
 def test_fuzzy_plan_no_cross_product(spark):
     """Candidates come from equi-joins only — no CartesianProduct /
     BroadcastNestedLoopJoin anywhere, at any corpus size."""
-    fn, _sql = QUERIES["corpus_fuzzy_prefix"]
+    fn, _sql = STAGED_QUERIES["corpus_fuzzy_prefix"]
     plan = fn(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_fuzzy_oracle_match(spark, name):
-    fn, sql = QUERIES[name]
+    fn, sql = STAGED_QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
