@@ -61,6 +61,40 @@ def _grams(col, q: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _check_params(max_dist: int, q: int) -> int:
+    """Shared validation; returns the prefix length q·d+1."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 2:
+        raise ValueError("q must be >= 2 (unigrams make every pair "
+                         "share a gram — no blocking power)")
+    return q * max_dist + 1
+
+
+def _prep(frame: DataFrame, id_col: str, text_col: str,
+          q: int) -> DataFrame:
+    """(__id, __s, __len, __grams) projection; NULL texts dropped."""
+    return frame.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).alias("__len"),
+        _grams(F.col(text_col), q).alias("__grams"),
+    ).filter(F.col("__s").isNotNull())
+
+
+def _kept_prefix(grams: DataFrame, gram_df: DataFrame,
+                 keep: int) -> DataFrame:
+    """Each string's ``keep`` globally-rarest grams under the shared
+    (df, gram) total order — the probe side of the prefix filter."""
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("__id").orderBy("__df", "__gram"))
+    return (grams.join(gram_df, "__gram")
+            .withColumn("__rk", rk)
+            .filter(F.col("__rk") <= keep)
+            .drop("__rk", "__df"))
+
+
 def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
                      max_dist: int, q: int = Q) -> DataFrame:
     """All unordered pairs of ``strings`` rows whose ``text_col``
@@ -71,18 +105,8 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
     ``id_col`` must be unique per row; ``q``/``max_dist`` trade
     blocking selectivity (prefix keeps q·d+1 rare grams) against the
     size of the unguaranteed short class (≤ q·d distinct grams)."""
-    if max_dist < 0:
-        raise ValueError("max_dist must be >= 0")
-    if q < 2:
-        raise ValueError("q must be >= 2 (unigrams make every pair "
-                         "share a gram — no blocking power)")
-    keep = q * max_dist + 1
-    s = strings.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__s"),
-        F.length(text_col).alias("__len"),
-        _grams(F.col(text_col), q).alias("__grams"),
-    ).filter(F.col("__s").isNotNull())
+    keep = _check_params(max_dist, q)
+    s = _prep(strings, id_col, text_col, q)
 
     grams = s.select("__id", "__len",
                      F.explode("__grams").alias("__gram"))
@@ -90,19 +114,12 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
     # the order (and therefore the kept prefix) is engine-portable
     gram_df = grams.groupBy("__gram").agg(
         F.count(F.lit(1)).alias("__df"))
-    from pyspark.sql import Window
-    rk = F.row_number().over(
-        Window.partitionBy("__id").orderBy("__df", "__gram"))
-    ranked = grams.join(gram_df, "__gram")
-    kept = (ranked.withColumn("__rk", rk)
-            .filter(F.col("__rk") <= keep)
+    kept = (_kept_prefix(grams, gram_df, keep)
             .select(F.col("__id").alias("__lid"),
                     F.col("__len").alias("__llen"),
                     "__gram"))
 
-    n_distinct = F.size("__grams")
-    guaranteed = s.filter(n_distinct >= keep)
-    short = s.filter(n_distinct < keep)
+    short = s.filter(F.size("__grams") < keep)
 
     # (1) probe join: a pair within distance d with at least one
     # guaranteed side ALWAYS surfaces here — that side's kept grams
@@ -148,6 +165,79 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
     )
 
 
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_id: str, left_text: str,
+               right_id: str, right_text: str,
+               max_dist: int, q: int = Q) -> DataFrame:
+    """Cross-corpus fuzzy join: every (left, right) pair whose texts
+    are within Levenshtein distance ``max_dist`` — the two-sided
+    variant of ``fuzzy_self_match`` (fuzzy eval-set decontamination,
+    catalog reconciliation). Returns (left_id, right_id, dist); ids
+    must be unique within each side (candidate pairs dedupe on the id
+    pair), and the same id value on both sides means two DIFFERENT
+    entities — unlike the self-match, such pairs are kept.
+
+    Blocking mirrors the self-match with BOTH probe directions: the
+    shared (df, gram) total order comes from the UNION of both
+    corpora's grams, `kept(left) ⋈ all(right)` catches pairs whose
+    left side is prefix-guaranteed, `all(left) ⋈ kept(right)` the
+    rest, and pairs where NEITHER side has q·d+1 distinct grams go
+    through the bucketized length-band range_join. Same completeness
+    theorem per direction; property-tested against brute force."""
+    keep = _check_params(max_dist, q)
+    sl = _prep(left, left_id, left_text, q)
+    sr = _prep(right, right_id, right_text, q)
+    gl = sl.select("__id", "__len", F.explode("__grams").alias("__gram"))
+    gr = sr.select("__id", "__len", F.explode("__grams").alias("__gram"))
+    # ONE total order shared by both prefixes (any fixed order makes
+    # the guarantee hold; sharing it keeps the blocking symmetric)
+    gram_df = (gl.select("__gram").unionAll(gr.select("__gram"))
+               .groupBy("__gram").agg(F.count(F.lit(1)).alias("__df")))
+
+    def _as(frame, side):
+        return frame.select(F.col("__id").alias(f"__{side}id"),
+                            F.col("__len").alias(f"__{side}len"),
+                            "__gram")
+
+    kept_l = _as(_kept_prefix(gl, gram_df, keep), "l")
+    kept_r = _as(_kept_prefix(gr, gram_df, keep), "r")
+    cand_probe = (
+        kept_l.join(_as(gr, "r"), "__gram")
+        .unionByName(_as(gl, "l").join(kept_r, "__gram"))
+        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
+                <= F.lit(max_dist))
+        .select("__lid", "__rid")
+    )
+
+    short_l = sl.filter(F.size("__grams") < keep)
+    short_r = sr.filter(F.size("__grams") < keep)
+    pts = short_r.select(F.col("__id").alias("__rid"),
+                         F.col("__len").alias("__rlen"))
+    ivals = short_l.select(F.col("__id").alias("__lid"),
+                           (F.col("__len") - max_dist).alias("__lo"),
+                           (F.col("__len") + max_dist).alias("__hi"))
+    cand_short = (
+        range_join(pts, ivals, "__rlen", "__lo", "__hi",
+                   bucket_width=max_dist + 1)
+        .select("__lid", "__rid")
+    )
+
+    cands = cand_probe.unionByName(cand_short).distinct()
+    a = sl.select(F.col("__id").alias("__lid"),
+                  F.col("__s").alias("__sa"))
+    b = sr.select(F.col("__id").alias("__rid"),
+                  F.col("__s").alias("__sb"))
+    return (
+        cands.join(a, "__lid").join(b, "__rid")
+        .withColumn("dist", F.levenshtein("__sa", "__sb",
+                                          max_dist + 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(F.col("__lid").alias("left_id"),
+                F.col("__rid").alias("right_id"),
+                F.col("dist").cast("long").alias("dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry query: near-identical document openings — pairs of docs
 # whose normalized 40-char prefix is within edit distance 2
@@ -156,7 +246,7 @@ PREFIX_LEN = 40
 MAX_DIST = 2
 
 
-def _norm_prefix(col):
+def norm_ascii_prefix(col):
     """ASCII-safe normalized prefix: lowercase, printable-ASCII only,
     whitespace runs collapsed to single spaces, first 40 chars. The
     non-ASCII strip pins Levenshtein to one code-unit-per-char on both
@@ -174,7 +264,7 @@ def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
     signal for boilerplate families and near-identical variants."""
     docs = load_table(spark, sf, "documents")
     pref = docs.select(F.col("doc_id"),
-                       _norm_prefix(F.col("text")).alias("prefix"))
+                       norm_ascii_prefix(F.col("text")).alias("prefix"))
     return fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
 
 

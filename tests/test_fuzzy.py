@@ -102,6 +102,58 @@ def test_fuzzy_mixed_corpus_matches_brute_force(spark):
                              f"extra {sorted(got - want)[:5]}")
 
 
+def _brute_cross(lrows, rrows, d):
+    out = set()
+    for i, a in lrows:
+        for j, b in rrows:
+            if a is None or b is None:
+                continue
+            dist = _lev(a, b)
+            if dist <= d:
+                out.add((i, j, dist))
+    return out
+
+
+def test_fuzzy_join_cross_corpus_matches_brute_force(spark):
+    """Two corpora with planted cross-mutations, both-short pairs,
+    and COLLIDING id values (left 0 and right 0 are distinct
+    entities — a cross join must not suppress them)."""
+    from iceberg_core_spark.functions.fuzzy import fuzzy_join
+
+    rng = random.Random(424242)
+    alpha = "abcd"
+    lbase = ["".join(rng.choice(alpha)
+                     for _ in range(rng.randint(10, 15)))
+             for _ in range(15)]
+
+    def mutate(s, edits):
+        s = list(s)
+        for _ in range(edits):
+            op = rng.choice("ids")
+            p = rng.randrange(len(s) + (op == "i"))
+            if op == "i":
+                s.insert(p, rng.choice(alpha))
+            elif op == "d" and s:
+                s.pop(min(p, len(s) - 1))
+            else:
+                s[min(p, len(s) - 1)] = rng.choice(alpha)
+        return "".join(s)
+
+    lrows = list(enumerate(lbase + ["ab", "", "aaa", None]))
+    rstrings = [mutate(s, rng.randint(0, 2)) for s in lbase[:10]]
+    rstrings += ["ba", "a", "aaaa", "zzzzzzzzzzzz"]
+    rrows = list(enumerate(rstrings))
+    ldf = spark.createDataFrame(lrows, "lid long, ls string")
+    rdf = spark.createDataFrame(rrows, "rid long, rs string")
+    for d in (1, 2):
+        got = {(r["left_id"], r["right_id"], r["dist"])
+               for r in fuzzy_join(ldf, rdf, "lid", "ls", "rid", "rs",
+                                   d).collect()}
+        want = _brute_cross(lrows, rrows, d)
+        assert got == want, (f"d={d}: missed {sorted(want - got)[:5]}, "
+                             f"extra {sorted(got - want)[:5]}")
+
+
 def test_fuzzy_validation(spark):
     df = spark.createDataFrame([(1, "abc")], "id long, s string")
     with pytest.raises(ValueError, match="max_dist"):
