@@ -273,9 +273,11 @@ def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # band bucketization makes a plain |len diff| <= d here) and the same
 # thresholded verify, so every value the engine emits is value-hash
 # checked; blocking COMPLETENESS is proven separately by the
-# hypothesis property test against brute force.
-CORPUS_FUZZY_PREFIX_SQL = f"""
-WITH s AS (
+# property test against brute force. The CTE body is SHARED between
+# the pairs query and the clusters query (the portable-clusters
+# precedent: the oracle builds its transitive closure over the SAME
+# pairs text, so the two can never drift).
+_FUZZY_PAIRS_CTES = f"""s AS (
   SELECT doc_id AS id,
          substr(trim(regexp_replace(regexp_replace(lower(text),
                 '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
@@ -315,17 +317,62 @@ cand_short AS (
 cands AS (
   SELECT DISTINCT id_a, id_b FROM
   (SELECT * FROM cand_probe UNION ALL SELECT * FROM cand_short)
-)
-SELECT c.id_a, c.id_b,
-       CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
-FROM cands c
-JOIN s sa ON sa.id = c.id_a
-JOIN s sb ON sb.id = c.id_b
-WHERE levenshtein(sa.s, sb.s) <= {MAX_DIST}
+),
+fpairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+  FROM cands c
+  JOIN s sa ON sa.id = c.id_a
+  JOIN s sb ON sb.id = c.id_b
+  WHERE levenshtein(sa.s, sb.s) <= {MAX_DIST}
+)"""
+
+CORPUS_FUZZY_PREFIX_SQL = f"""
+WITH {_FUZZY_PAIRS_CTES}
+SELECT id_a, id_b, dist FROM fpairs
 """
 
-# staged for r10 registration (the r9 window is full) — rename to
+
+def corpus_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-shaped query: the fuzzy family end-to-end — prefix
+    edit-distance pairs fold into connected components and a
+    per-document canonical verdict (doc_id, canon_id, keep,
+    cluster_size), the entity-resolution analog of dedup_clusters.
+    Reuses the proven alternating-star CC machinery; the oracle is
+    DuckDB's recursive transitive closure over the SAME pairs CTE
+    text the pairs query runs."""
+    from iceberg_core_spark.functions.dedup import dedup_cluster_assign
+
+    docs = load_table(spark, sf, "documents")
+    pref = docs.select(F.col("doc_id"),
+                       norm_ascii_prefix(F.col("text")).alias("prefix"))
+    pairs = fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
+    return dedup_cluster_assign(pref, pairs, id_col="doc_id",
+                                a_col="id_a", b_col="id_b")
+
+
+CORPUS_FUZZY_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_FUZZY_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM fpairs
+  UNION ALL
+  SELECT id_b, id_a FROM fpairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+cc AS (SELECT id AS doc_id, MIN(label) AS canon_id FROM reach GROUP BY id)
+SELECT doc_id, canon_id, doc_id = canon_id AS keep,
+       COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+FROM cc
+"""
+
+# staged for r10+ registration (the r9 window is full) — rename to
 # QUERIES (the registered-surface convention) at registration time
 STAGED_QUERIES = {
     "corpus_fuzzy_prefix": (corpus_fuzzy_prefix, CORPUS_FUZZY_PREFIX_SQL),
+    "corpus_fuzzy_clusters": (corpus_fuzzy_clusters,
+                              CORPUS_FUZZY_CLUSTERS_SQL),
 }
