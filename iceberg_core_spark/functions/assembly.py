@@ -66,9 +66,83 @@ def mixture_plan(
     )
 
 
+def mixture_plan_temperature(
+    df: DataFrame, temperature: float = 2.0,
+    source_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Temperature-reweighted downsample-only mixture — the standard
+    multilingual/pretraining mix: target share_i ∝ mass_i^(1/T)
+    (T=1 keeps proportions, T→∞ → equal-share), realized with the
+    LARGEST total mass that upsamples nothing, so exactly one source
+    keeps rate 1 and the rest downsample toward the tempered shares.
+    Returns (source, n_docs, n_tokens, rate); feed the rates into
+    ``sampling.sample_stratified`` like ``mixture_plan``'s.
+
+    Determinism: with w_i = mass_i^(1/T), the normalizing Σw cancels
+    out of ``rate_i = min_j(mass_j/w_j) · w_i / mass_i`` — no sum of
+    doubles ever folds, and MIN is order-free. At T=2 the weights are
+    ``sqrt`` of exact integers (IEEE-correctly-rounded on every
+    engine); other temperatures go through ``pow``, which libms only
+    promise to ~1 ulp — fine for planning, but pin T=2 where the plan
+    must be value-reproducible cross-engine. Zero-token sources get
+    rate 0 (nothing to keep) and never poison the min."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col(text_col)).cast("long"))
+        .alias("n_tokens"),
+    )
+    mass = F.col("n_tokens").cast("double")
+    if temperature == 2.0:
+        wgt = F.sqrt(mass)
+    else:
+        wgt = F.pow(mass, 1.0 / temperature)
+    w = Window.partitionBy()
+    scale = F.min(F.when(F.col("n_tokens") > 0, mass / wgt)).over(w)
+    return per.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               fround(F.least(F.lit(1.0), scale * wgt / mass), 6))
+        .otherwise(F.lit(0.0)).alias("rate"),
+    )
+
+
 def corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Registry query: equal-share mixture plan over document sources."""
     return mixture_plan(load_table(spark, sf, "documents"))
+
+
+def corpus_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-shaped query: temperature-2 mixture plan (the
+    value-reproducible sqrt path) over document sources."""
+    return mixture_plan_temperature(load_table(spark, sf, "documents"),
+                                    temperature=2.0)
+
+
+CORPUS_MIX_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), scaled AS (
+  SELECT source, n_docs, n_tokens,
+         MIN(CASE WHEN n_tokens > 0 THEN
+               CAST(n_tokens AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+             END) OVER () AS scale
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CASE WHEN n_tokens > 0 THEN
+         {fround_sql(
+             'least(1.0, (scale * sqrt(CAST(n_tokens AS DOUBLE)))'
+             ' / CAST(n_tokens AS DOUBLE))', 6)}
+       ELSE 0.0 END AS rate
+FROM scaled
+"""
 
 
 CORPUS_MIX_SQL = f"""
@@ -189,4 +263,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix": (corpus_mix, CORPUS_MIX_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "write_shards": (write_shards_q, CORPUS_SHUFFLE_SQL),
+}
+
+# staged for a future window (r10+) — rename/merge into QUERIES at
+# registration time
+STAGED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_mix_temperature": (corpus_mix_temperature,
+                               CORPUS_MIX_TEMPERATURE_SQL),
 }

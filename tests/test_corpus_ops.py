@@ -6,6 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
+from iceberg_core_spark.functions.assembly import (
+    STAGED_QUERIES as ASSEMBLY_STAGED,
+)
 from iceberg_core_spark.functions.assembly import shuffle_assign
 from iceberg_core_spark.functions.quality import (
     QUERIES as QUALITY,
@@ -16,7 +19,7 @@ from iceberg_core_spark.functions.quality import (
 from iceberg_core_spark.functions.vocab import QUERIES as VOCAB
 from tests.oracle import compare, duck_connection
 
-QUERIES = {**QUALITY, **VOCAB, **ASSEMBLY}
+QUERIES = {**QUALITY, **VOCAB, **ASSEMBLY, **ASSEMBLY_STAGED}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -121,6 +124,39 @@ def test_vocab_topk_rank_contract(spark):
     by_rank = sorted(out, key=lambda r: r["rnk"])
     tfs = [r["tf"] for r in by_rank]
     assert tfs == sorted(tfs, reverse=True)
+
+
+def test_mixture_temperature_invariants(spark):
+    """T=2 mixture model-checked against the closed form: rate_i =
+    min_j(n_j/√n_j)·√n_i/n_i = √(min_j n_j / n_i) — the smallest
+    source keeps everything, larger sources downsample by the sqrt of
+    the mass ratio; zero-token sources rate 0; T→∞-ish behavior
+    sanity (temperatures above 1 compress spread)."""
+    import math
+
+    from iceberg_core_spark.functions.assembly import (
+        mixture_plan_temperature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "tok " * 100), ("a", "tok " * 100),
+         ("b", "tok " * 800), ("c", "tok " * 50), ("d", "")],
+        "source string, text string")
+    out = {r["source"]: r for r in
+           mixture_plan_temperature(df, 2.0).collect()}
+    masses = {"a": 200, "b": 800, "c": 50, "d": 0}
+    assert {s: r["n_tokens"] for s, r in out.items()} == masses
+    assert out["c"]["rate"] == 1.0          # smallest source: keep all
+    assert out["d"]["rate"] == 0.0          # empty source
+    for s in ("a", "b"):
+        want = round(math.sqrt(50 / masses[s]), 6)
+        assert out[s]["rate"] == pytest.approx(want, abs=2e-6), s
+    # rates order inversely with mass, and downsampling is gentler
+    # than equal-share (sqrt vs linear): sqrt(50/800) > 50/800
+    assert out["b"]["rate"] < out["a"]["rate"] < 1.0
+    assert out["b"]["rate"] > 50 / 800
+    with pytest.raises(ValueError, match="temperature"):
+        mixture_plan_temperature(df, 0.0)
 
 
 def test_mixture_plan_invariants(spark):
