@@ -39,7 +39,9 @@ def main() -> None:
      .show(10, truncate=False))
 
     # --- document-as-query BM25 (past the 64-term column cap) ------
-    sample = docs.orderBy("doc_id").limit(1).collect()[0]
+    sample = (docs.filter(F.col("text").isNotNull()
+                          & (F.trim("text") != ""))
+              .orderBy("doc_id").limit(1).collect()[0])
     hits = bm25_search_exploded(docs, [(sample["doc_id"],
                                         sample["text"])], k=5)
     print(f"Top-5 BM25 matches for doc {sample['doc_id']} "

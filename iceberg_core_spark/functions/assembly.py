@@ -73,8 +73,9 @@ def mixture_plan_temperature(
     """Temperature-reweighted downsample-only mixture — the standard
     multilingual/pretraining mix: target share_i ∝ mass_i^(1/T)
     (T=1 keeps proportions, T→∞ → equal-share), realized with the
-    LARGEST total mass that upsamples nothing, so exactly one source
-    keeps rate 1 and the rest downsample toward the tempered shares.
+    LARGEST total mass that upsamples nothing, so at least one source
+    (every minimizer of mass/weight — ties possible) keeps rate 1 and
+    the rest downsample toward the tempered shares.
     Returns (source, n_docs, n_tokens, rate); feed the rates into
     ``sampling.sample_stratified`` like ``mixture_plan``'s.
 

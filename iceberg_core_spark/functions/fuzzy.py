@@ -95,6 +95,42 @@ def _kept_prefix(grams: DataFrame, gram_df: DataFrame,
             .drop("__rk", "__df"))
 
 
+def _band_pairs(intervals_side: DataFrame, points_side: DataFrame,
+                max_dist: int) -> DataFrame:
+    """(__lid, __rid) candidates with |len diff| <= max_dist between
+    two _prep frames — the short-class length band as the plan-gated
+    bucketized range_join composition (points = lengths, intervals =
+    [len-d, len+d])."""
+    pts = points_side.select(F.col("__id").alias("__rid"),
+                             F.col("__len").alias("__rlen"))
+    ivals = intervals_side.select(
+        F.col("__id").alias("__lid"),
+        (F.col("__len") - max_dist).alias("__lo"),
+        (F.col("__len") + max_dist).alias("__hi"))
+    return range_join(pts, ivals, "__rlen", "__lo", "__hi",
+                      bucket_width=max_dist + 1).select("__lid", "__rid")
+
+
+def _verify_pairs(cands: DataFrame, sl: DataFrame, sr: DataFrame,
+                  max_dist: int, a_name: str, b_name: str) -> DataFrame:
+    """Thresholded-Levenshtein verification of (__lid, __rid)
+    candidates against two _prep frames — the ONE predicate both
+    variants (and the DuckDB oracle text) must agree on."""
+    a = sl.select(F.col("__id").alias("__lid"),
+                  F.col("__s").alias("__sa"))
+    b = sr.select(F.col("__id").alias("__rid"),
+                  F.col("__s").alias("__sb"))
+    return (
+        cands.join(a, "__lid").join(b, "__rid")
+        .withColumn("dist", F.levenshtein("__sa", "__sb",
+                                          max_dist + 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(F.col("__lid").alias(a_name),
+                F.col("__rid").alias(b_name),
+                F.col("dist").cast("long").alias("dist"))
+    )
+
+
 def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
                      max_dist: int, q: int = Q) -> DataFrame:
     """All unordered pairs of ``strings`` rows whose ``text_col``
@@ -131,38 +167,22 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
         .filter(F.col("__lid") != F.col("__rid"))
         .filter(F.abs(F.col("__llen") - F.col("__rlen"))
                 <= F.lit(max_dist))
-        .select(F.least("__lid", "__rid").alias("id_a"),
-                F.greatest("__lid", "__rid").alias("id_b"))
     )
 
     # (2) short class (no prefix guarantee on EITHER side): complete
-    # via the length-band join — ed <= d implies |len(a) - len(b)| <= d
-    # — expressed as the plan-gated bucketized range_join composition
-    # (points = lengths, intervals = [len-d, len+d]) instead of a
-    # second hand-rolled bucketization
-    pts = short.select(F.col("__id").alias("__rid"),
-                       F.col("__len").alias("__rlen"))
-    ivals = short.select(F.col("__id").alias("__lid"),
-                         (F.col("__len") - max_dist).alias("__lo"),
-                         (F.col("__len") + max_dist).alias("__hi"))
-    cand_short = (
-        range_join(pts, ivals, "__rlen", "__lo", "__hi",
-                   bucket_width=max_dist + 1)
-        .filter(F.col("__lid") != F.col("__rid"))
-        .select(F.least("__lid", "__rid").alias("id_a"),
-                F.greatest("__lid", "__rid").alias("id_b"))
-    )
+    # via the shared length-band range_join composition
+    cand_short = _band_pairs(short, short, max_dist).filter(
+        F.col("__lid") != F.col("__rid"))
 
-    cands = cand_probe.unionByName(cand_short).distinct()
-    a = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
-    b = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
-    return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("dist", F.levenshtein("__sa", "__sb",
-                                          max_dist + 1))
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    # normalize to unordered pairs, then verify once
+    cands = (
+        cand_probe.select("__lid", "__rid")
+        .unionByName(cand_short)
+        .select(F.least("__lid", "__rid").alias("__lid"),
+                F.greatest("__lid", "__rid").alias("__rid"))
+        .distinct()
     )
+    return _verify_pairs(cands, s, s, max_dist, "id_a", "id_b")
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame,
@@ -179,16 +199,25 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     Blocking mirrors the self-match with BOTH probe directions: the
     shared (df, gram) total order comes from the UNION of both
-    corpora's grams, `kept(left) ⋈ all(right)` catches pairs whose
-    left side is prefix-guaranteed, `all(left) ⋈ kept(right)` the
-    rest, and pairs where NEITHER side has q·d+1 distinct grams go
-    through the bucketized length-band range_join. Same completeness
-    theorem per direction; property-tested against brute force."""
+    corpora's grams, `kept(left) ⋈ all(right)` catches every pair
+    whose left side is prefix-guaranteed, and `kept(right) ⋈
+    grams(SHORT left)` the pairs whose left is short but right is
+    guaranteed — the second probe only needs the short-left grams,
+    because left-guaranteed pairs already surfaced in direction one
+    (restricting it halves the second join's input and stops
+    both-guaranteed pairs from being produced twice). Pairs where
+    NEITHER side has q·d+1 distinct grams go through the bucketized
+    length-band range_join. Same completeness theorem per direction;
+    property-tested against brute force."""
     keep = _check_params(max_dist, q)
     sl = _prep(left, left_id, left_text, q)
     sr = _prep(right, right_id, right_text, q)
+    short_l = sl.filter(F.size("__grams") < keep)
+    short_r = sr.filter(F.size("__grams") < keep)
     gl = sl.select("__id", "__len", F.explode("__grams").alias("__gram"))
     gr = sr.select("__id", "__len", F.explode("__grams").alias("__gram"))
+    gl_short = short_l.select("__id", "__len",
+                              F.explode("__grams").alias("__gram"))
     # ONE total order shared by both prefixes (any fixed order makes
     # the guarantee hold; sharing it keeps the blocking symmetric)
     gram_df = (gl.select("__gram").unionAll(gr.select("__gram"))
@@ -203,39 +232,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     kept_r = _as(_kept_prefix(gr, gram_df, keep), "r")
     cand_probe = (
         kept_l.join(_as(gr, "r"), "__gram")
-        .unionByName(_as(gl, "l").join(kept_r, "__gram"))
+        .unionByName(_as(gl_short, "l").join(kept_r, "__gram"))
         .filter(F.abs(F.col("__llen") - F.col("__rlen"))
                 <= F.lit(max_dist))
         .select("__lid", "__rid")
     )
 
-    short_l = sl.filter(F.size("__grams") < keep)
-    short_r = sr.filter(F.size("__grams") < keep)
-    pts = short_r.select(F.col("__id").alias("__rid"),
-                         F.col("__len").alias("__rlen"))
-    ivals = short_l.select(F.col("__id").alias("__lid"),
-                           (F.col("__len") - max_dist).alias("__lo"),
-                           (F.col("__len") + max_dist).alias("__hi"))
-    cand_short = (
-        range_join(pts, ivals, "__rlen", "__lo", "__hi",
-                   bucket_width=max_dist + 1)
-        .select("__lid", "__rid")
-    )
-
+    cand_short = _band_pairs(short_l, short_r, max_dist)
     cands = cand_probe.unionByName(cand_short).distinct()
-    a = sl.select(F.col("__id").alias("__lid"),
-                  F.col("__s").alias("__sa"))
-    b = sr.select(F.col("__id").alias("__rid"),
-                  F.col("__s").alias("__sb"))
-    return (
-        cands.join(a, "__lid").join(b, "__rid")
-        .withColumn("dist", F.levenshtein("__sa", "__sb",
-                                          max_dist + 1))
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select(F.col("__lid").alias("left_id"),
-                F.col("__rid").alias("right_id"),
-                F.col("dist").cast("long").alias("dist"))
-    )
+    return _verify_pairs(cands, sl, sr, max_dist, "left_id", "right_id")
 
 
 # ---------------------------------------------------------------------------

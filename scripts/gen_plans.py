@@ -75,6 +75,10 @@ STAGED_PICKS = [
      "Fuzzy edit-distance self-match — gram explode and the rarest-gram prefix (row_number over (df, gram)) are the only wide work; candidates come from an EQUI join whose keys are rare grams by construction (+ the bucketized length-band equi-join for the short class); thresholded levenshtein verifies candidates only. No CartesianProduct, no BroadcastNestedLoopJoin (plan-gated)."),
     ("corpus_bm25_exploded", "iceberg_core_spark.functions.search",
      "Document-scale BM25 — one token explode semi-joined to the BROADCAST query vocabulary (non-query tokens never shuffle), one (doc, term) hash aggregate, broadcast df/stats joins, exact-decimal per-(query, doc) folds, shared Arrow pre-top-k under the rank window."),
+    ("corpus_fuzzy_clusters", "iceberg_core_spark.functions.fuzzy",
+     "Fuzzy pairs → connected components — the blocked pair generation feeds the alternating-star CC (driver union-find at this edge count, star rounds above the tier switch); verdict assembly is one window over canon_id."),
+    ("corpus_mix_temperature", "iceberg_core_spark.functions.assembly",
+     "Temperature-2 mixture plan — ONE corpus hash aggregate to the per-source rollup; the rate closed form (min_j(mass/w) · w_i/mass_i) runs on the few-row rollup with an order-free MIN window, no double ever folds."),
 ]
 
 
