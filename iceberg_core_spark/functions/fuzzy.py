@@ -374,10 +374,65 @@ SELECT doc_id, canon_id, doc_id = canon_id AS keep,
 FROM cc
 """
 
+def corpus_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry-shaped query: FUZZY eval-set decontamination — train
+    docs whose normalized opening is within edit distance 2 of any
+    pseudo-benchmark doc (a ``doc_id % 11`` split — wider than
+    decontam.py's % 53 so the fuzzy check has cross-split signal at
+    driver scale),
+    reported as (doc_id, n_eval_matches, min_dist). The edit-distance
+    complement to decontaminate()'s Jaccard and n-gram-collision
+    checks: it catches light paraphrase/typo-level leakage that
+    token-set overlap scores below threshold.
+
+    At 100 TB the eval side is benchmark-sized, exactly the asymmetry
+    fuzzy_join's blocking exploits (kept_r is tiny; the train side
+    never shuffles more than its rare-gram prefix rows)."""
+    docs = load_table(spark, sf, "documents")
+    pref = docs.select(F.col("doc_id"),
+                       norm_ascii_prefix(F.col("text")).alias("prefix"))
+    train = pref.filter("doc_id % 11 <> 0")
+    evald = pref.filter("doc_id % 11 = 0")
+    pairs = fuzzy_join(train, evald, "doc_id", "prefix",
+                       "doc_id", "prefix", MAX_DIST, q=Q)
+    return (pairs.groupBy(F.col("left_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_eval_matches"),
+                 F.min("dist").alias("min_dist")))
+
+
+# The oracle is INDEPENDENT brute force (the eval side is ~2% of the
+# corpus, so train × eval is small at oracle scale) — unlike the
+# mirrored-blocking twins above, this one re-proves the cross-corpus
+# blocking COMPLETE on real data every driver round, not just on the
+# property-test corpora.
+CORPUS_FUZZY_DECONTAMINATE_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS id,
+         substr(trim(regexp_replace(regexp_replace(lower(text),
+                '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
+                1, {PREFIX_LEN}) AS s
+  FROM documents
+  WHERE text IS NOT NULL
+),
+t AS (SELECT id, s FROM s WHERE id % 11 <> 0),
+e AS (SELECT id, s FROM s WHERE id % 11 = 0),
+pairs AS (
+  SELECT t.id AS doc_id, levenshtein(t.s, e.s) AS dist
+  FROM t, e
+  WHERE levenshtein(t.s, e.s) <= {MAX_DIST}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pairs GROUP BY 1
+"""
+
 # staged for r10+ registration (the r9 window is full) — rename to
 # QUERIES (the registered-surface convention) at registration time
 STAGED_QUERIES = {
     "corpus_fuzzy_prefix": (corpus_fuzzy_prefix, CORPUS_FUZZY_PREFIX_SQL),
     "corpus_fuzzy_clusters": (corpus_fuzzy_clusters,
                               CORPUS_FUZZY_CLUSTERS_SQL),
+    "corpus_fuzzy_decontaminate": (corpus_fuzzy_decontaminate,
+                                   CORPUS_FUZZY_DECONTAMINATE_SQL),
 }
