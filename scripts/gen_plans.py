@@ -79,6 +79,8 @@ STAGED_PICKS = [
      "Fuzzy pairs → connected components — the blocked pair generation feeds the alternating-star CC (driver union-find at this edge count, star rounds above the tier switch); verdict assembly is one window over canon_id."),
     ("corpus_mix_temperature", "iceberg_core_spark.functions.assembly",
      "Temperature-2 mixture plan — ONE corpus hash aggregate to the per-source rollup; the rate closed form (min_j(mass/w) · w_i/mass_i) runs on the few-row rollup with an order-free MIN window, no double ever folds."),
+    ("corpus_fuzzy_decontaminate", "iceberg_core_spark.functions.fuzzy",
+     "Fuzzy eval-set decontamination — asymmetric fuzzy_join: the benchmark-sized eval side's kept prefix is tiny (broadcastable at any corpus scale), the train side ships only rare-gram prefix rows + its short class; verify bounded to candidates; one per-train-doc aggregate."),
 ]
 
 
