@@ -305,8 +305,35 @@ def bm25_search_exploded(docs: DataFrame,
     may rank differently between the two paths at that granularity);
     ranking ties still break on doc_id."""
     q_terms = _merge_query_terms(queries)
-    vocab = sorted(set(t for ts in q_terms.values() for t in ts))
     spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in q_terms.items() for t in ts],
+        "query_id long, term string")
+    return bm25_search_exploded_frame(docs, qterms, text_col=text_col,
+                                      id_col=id_col, k=k, k1=k1, b=b)
+
+
+def bm25_search_exploded_frame(docs: DataFrame, qterms: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               k: int = 10, k1: float = K1,
+                               b: float = B) -> DataFrame:
+    """``bm25_search_exploded`` with the query term sets as a
+    DATAFRAME ``(query_id long, term string)`` — the zero-driver
+    variant for query batches too large to ship as a Python list
+    (query documents derived from another table: decontamination
+    probes, related-document retrieval). Terms must be pre-normalized
+    the way the corpus tokenizes (lowercased, whitespace-split);
+    duplicate (query_id, term) rows and NULL terms are dropped.
+
+    The term-set frame broadcasts (query batches are probe-sized next
+    to a 100 TB corpus); everything else is identical to the list
+    variant."""
+    qmap = (qterms.select(F.col("query_id").cast("long").alias("query_id"),
+                          F.col("term"))
+            .filter(F.col("term").isNotNull())
+            .distinct())
+    vocab_df = qmap.select("term").distinct()
 
     toks = ws_tokens_nonempty(F.col(text_col))
     base = (docs.filter(F.col(text_col).isNotNull())
@@ -317,8 +344,6 @@ def bm25_search_exploded(docs: DataFrame,
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
 
-    vocab_df = spark.createDataFrame([(t,) for t in vocab],
-                                     "term string")
     tf = (base.select("doc_id", "dl",
                       F.explode("__toks").alias("term"))
           .join(F.broadcast(vocab_df), "term")
@@ -339,9 +364,6 @@ def bm25_search_exploded(docs: DataFrame,
                                / (F.col("tf") + norm)))
                        .cast(_CONTRIB_T).alias("c")))
 
-    qmap = spark.createDataFrame(
-        [(qid, t) for qid, ts in q_terms.items() for t in ts],
-        "query_id long, term string")
     melted = (
         contrib.join(F.broadcast(qmap), "term")
         .groupBy("query_id", "doc_id")

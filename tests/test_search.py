@@ -167,6 +167,30 @@ def test_bm25_exploded_takes_document_scale_vocab(spark):
     assert [(r["doc_id"], r["n_terms_hit"]) for r in out] == [(1, 1)]
 
 
+def test_bm25_exploded_frame_variant_identical(spark):
+    """The DataFrame term-set input (the zero-driver scale path) must
+    be byte-identical to the list input for the same term sets —
+    including duplicate and NULL term rows, which the frame variant
+    dedupes/drops to match _merge_query_terms' semantics."""
+    from iceberg_core_spark.functions.search import (
+        bm25_search_exploded_frame,
+    )
+
+    rows = [(i, "hit " * (i % 4 + 1) + "pad w" + str(i % 3))
+            for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = [(1, "hit pad"), (2, "w1 hit")]
+    qterms = spark.createDataFrame(
+        [(1, "hit"), (1, "pad"), (1, "pad"), (1, None),
+         (2, "w1"), (2, "hit")],
+        "query_id long, term string")
+    a = sorted(map(tuple, bm25_search_exploded(docs, qs, k=4).collect()))
+    b = sorted(map(tuple,
+                   bm25_search_exploded_frame(docs, qterms,
+                                              k=4).collect()))
+    assert a == b
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES) + sorted(STAGED_QUERIES))
 def test_search_oracle_match(spark, name):
     fn, sql = {**QUERIES, **STAGED_QUERIES}[name]
