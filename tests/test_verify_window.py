@@ -1,0 +1,71 @@
+"""The rotation audit's byte-unchanged machinery (scripts/
+verify_window.py): round-commit resolution must anchor to real
+round-artifact commits, and the module-diff check must say True for
+modules untouched since a round and False for modules that changed —
+the two answers the age-3 deferral tier rides on."""
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _vw():
+    spec = importlib.util.spec_from_file_location(
+        "verify_window", os.path.join(REPO, "scripts", "verify_window.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("verify_window", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_round_commits_resolve_and_are_distinct():
+    vw = _vw()
+    commits = {r: vw._round_commit(r) for r in (6, 7, 8)}
+    for r, c in commits.items():
+        assert c and len(c) == 40, f"round {r} commit unresolved"
+    assert len(set(commits.values())) == 3
+    # memoized: second call returns the identical object without a
+    # second git scan (cache populated)
+    assert 6 in vw._ROUND_COMMITS
+    assert vw._round_commit(6) == commits[6]
+    # a round that never happened resolves to None, also cached
+    assert vw._round_commit(999) is None
+
+
+def test_module_unchanged_check_true_and_false():
+    import subprocess
+
+    import pytest
+
+    vw = _vw()
+    # relational.py is byte-unchanged since round 6 as of r9 (the
+    # basis of the five deferred rows); if a LATER round legitimately
+    # edits it, skip rather than freeze that fact — the False case
+    # below stays valid forever
+    from iceberg_core_spark.operators.relational import QUERIES as REL
+
+    fn = REL["sort_limit"][0]
+    rel_path = os.path.join("iceberg_core_spark", "operators",
+                            "relational.py")
+    still_same = subprocess.run(
+        ["git", "diff", "--quiet", vw._round_commit(6), "--", rel_path],
+        cwd=REPO).returncode == 0
+    if not still_same:
+        pytest.skip("relational.py edited after r9 — pick a new "
+                    "byte-unchanged module for the True case")
+    assert vw._module_unchanged_since(fn, 6) is True
+    # ... while search.py changed after round 8 (the r9 pre-top-k):
+    # a row from r8 could NOT ride the extended tier
+    from iceberg_core_spark.functions.search import QUERIES as SEARCH
+
+    fn2 = SEARCH["corpus_bm25"][0]
+    assert vw._module_unchanged_since(fn2, 8) is False
+
+
+def test_module_check_unanswerable_is_none():
+    vw = _vw()
+    # a builtin has no source file — the audit must treat the check
+    # as unanswerable (None → hard error path), never as unchanged
+    assert vw._module_unchanged_since(len, 6) is None
