@@ -282,14 +282,20 @@ def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # the pairs query and the clusters query (the portable-clusters
 # precedent: the oracle builds its transitive closure over the SAME
 # pairs text, so the two can never drift).
-_FUZZY_PAIRS_CTES = f"""s AS (
+# ONE normalization text shared by every oracle in this module (the
+# pairs/clusters mirrored twins AND the decontaminate brute force) —
+# a tweak that edits one copy cannot silently leave another testing a
+# different prefix.
+_NORM_PREFIX_CTE = f"""s AS (
   SELECT doc_id AS id,
          substr(trim(regexp_replace(regexp_replace(lower(text),
                 '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
                 1, {PREFIX_LEN}) AS s
   FROM documents
   WHERE text IS NOT NULL
-),
+)"""
+
+_FUZZY_PAIRS_CTES = f"""{_NORM_PREFIX_CTE},
 st AS (
   SELECT id, s, length(s) AS len,
          list_distinct([substr(s, i, {Q})
@@ -385,9 +391,12 @@ def corpus_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     checks: it catches light paraphrase/typo-level leakage that
     token-set overlap scores below threshold.
 
-    At 100 TB the eval side is benchmark-sized, exactly the asymmetry
-    fuzzy_join's blocking exploits (kept_r is tiny; the train side
-    never shuffles more than its rare-gram prefix rows)."""
+    The % 11 split makes the eval side ~9% of the corpus — sized so
+    the fuzzy check has cross-split signal at DRIVER scale, not the
+    production shape. In production the eval side is benchmark-sized
+    (thousands of docs, like decontam.py's % 53 split), exactly the
+    asymmetry fuzzy_join's blocking exploits (kept_r is tiny; the
+    train side never shuffles more than its rare-gram prefix rows)."""
     docs = load_table(spark, sf, "documents")
     pref = docs.select(F.col("doc_id"),
                        norm_ascii_prefix(F.col("text")).alias("prefix"))
@@ -400,20 +409,13 @@ def corpus_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("dist").alias("min_dist")))
 
 
-# The oracle is INDEPENDENT brute force (the eval side is ~2% of the
-# corpus, so train × eval is small at oracle scale) — unlike the
+# The oracle is INDEPENDENT brute force (train × eval levenshtein —
+# ~0.09·n² calls at the % 11 split, cheap at oracle scales) — unlike the
 # mirrored-blocking twins above, this one re-proves the cross-corpus
 # blocking COMPLETE on real data every driver round, not just on the
 # property-test corpora.
 CORPUS_FUZZY_DECONTAMINATE_SQL = f"""
-WITH s AS (
-  SELECT doc_id AS id,
-         substr(trim(regexp_replace(regexp_replace(lower(text),
-                '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
-                1, {PREFIX_LEN}) AS s
-  FROM documents
-  WHERE text IS NOT NULL
-),
+WITH {_NORM_PREFIX_CTE},
 t AS (SELECT id, s FROM s WHERE id % 11 <> 0),
 e AS (SELECT id, s FROM s WHERE id % 11 = 0),
 pairs AS (

@@ -324,14 +324,20 @@ def bm25_search_exploded_frame(docs: DataFrame, qterms: DataFrame,
     (query documents derived from another table: decontamination
     probes, related-document retrieval). Terms must be pre-normalized
     the way the corpus tokenizes (lowercased, whitespace-split);
-    duplicate (query_id, term) rows and NULL terms are dropped.
+    duplicate (query_id, term) rows, NULL terms, and NULL query_ids
+    are dropped. Unlike the list variant, emptiness cannot be
+    validated without forcing a job — an empty (or all-NULL) term
+    frame yields an EMPTY result, so validate upstream when an empty
+    query batch should be an error.
 
     The term-set frame broadcasts (query batches are probe-sized next
-    to a 100 TB corpus); everything else is identical to the list
-    variant."""
+    to a 100 TB corpus), and the plan references it TWICE (the vocab
+    semi-join and the scoring melt) — persist ``qterms`` upstream if
+    its lineage is expensive to recompute."""
     qmap = (qterms.select(F.col("query_id").cast("long").alias("query_id"),
                           F.col("term"))
-            .filter(F.col("term").isNotNull())
+            .filter(F.col("term").isNotNull()
+                    & F.col("query_id").isNotNull())
             .distinct())
     vocab_df = qmap.select("term").distinct()
 

@@ -49,9 +49,16 @@ def test_module_unchanged_check_true_and_false():
     fn = REL["sort_limit"][0]
     rel_path = os.path.join("iceberg_core_spark", "operators",
                             "relational.py")
-    still_same = subprocess.run(
-        ["git", "diff", "--quiet", vw._round_commit(6), "--", rel_path],
-        cwd=REPO).returncode == 0
+    c6 = vw._round_commit(6)
+    if c6 is None:
+        pytest.skip("round-6 artifact commit unresolvable "
+                    "(shallow clone?)")
+    # INDEPENDENT byte-level oracle (git show + file read), not the
+    # git-diff call the implementation itself makes
+    blob = subprocess.run(["git", "show", f"{c6}:{rel_path}"],
+                          cwd=REPO, capture_output=True).stdout
+    with open(os.path.join(REPO, rel_path), "rb") as f:
+        still_same = f.read() == blob
     if not still_same:
         pytest.skip("relational.py edited after r9 — pick a new "
                     "byte-unchanged module for the True case")
