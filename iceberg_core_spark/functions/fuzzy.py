@@ -249,6 +249,17 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
 PREFIX_LEN = 40
 MAX_DIST = 2
+# Minimum normalized-prefix length to participate in matching: q·(d+1)
+# is the first length at which a string CAN carry the q·d+1 positional
+# grams the prefix-filter guarantee needs. Below it the opening holds
+# no usable identity signal — and, decisively, a non-Latin-script
+# corpus normalizes to EMPTY/near-empty ASCII prefixes that would all
+# fall into the short class's same length bucket (an n² candidate
+# blow-up with every empty pair "matching" at distance 0). Such
+# documents are EXCLUDED from the prefix signal entirely (r9 ADVICE);
+# a script-aware normalization is the right tool for them, not a
+# degenerate ASCII prefix.
+MIN_PREFIX_LEN = Q * (MAX_DIST + 1)
 
 
 def norm_ascii_prefix(col):
@@ -263,13 +274,23 @@ def norm_ascii_prefix(col):
     return F.substring(F.trim(c), 1, PREFIX_LEN)
 
 
+def _prefix_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, prefix) for every document whose normalized opening is
+    long enough to matter (>= MIN_PREFIX_LEN) — the ONE input frame all
+    three corpus_fuzzy_* queries share, mirrored by _NORM_PREFIX_CTE."""
+    docs = load_table(spark, sf, "documents")
+    return (docs.select(F.col("doc_id"),
+                        norm_ascii_prefix(F.col("text")).alias("prefix"))
+            .filter(F.length("prefix") >= MIN_PREFIX_LEN))
+
+
 def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Registry-shaped query: document pairs whose normalized 40-char
     openings are within Levenshtein distance 2 — the cheap first-pass
-    signal for boilerplate families and near-identical variants."""
-    docs = load_table(spark, sf, "documents")
-    pref = docs.select(F.col("doc_id"),
-                       norm_ascii_prefix(F.col("text")).alias("prefix"))
+    signal for boilerplate families and near-identical variants.
+    Openings shorter than MIN_PREFIX_LEN normalized ASCII chars are
+    out of scope (see the constant's rationale)."""
+    pref = _prefix_frame(spark, sf)
     return fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
 
 
@@ -287,12 +308,14 @@ def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # a tweak that edits one copy cannot silently leave another testing a
 # different prefix.
 _NORM_PREFIX_CTE = f"""s AS (
-  SELECT doc_id AS id,
-         substr(trim(regexp_replace(regexp_replace(lower(text),
-                '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
-                1, {PREFIX_LEN}) AS s
-  FROM documents
-  WHERE text IS NOT NULL
+  SELECT id, s FROM (
+    SELECT doc_id AS id,
+           substr(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\\x20-\\x7e]', '', 'g'), '[ ]+', ' ', 'g')),
+                  1, {PREFIX_LEN}) AS s
+    FROM documents
+    WHERE text IS NOT NULL
+  ) WHERE length(s) >= {MIN_PREFIX_LEN}
 )"""
 
 _FUZZY_PAIRS_CTES = f"""{_NORM_PREFIX_CTE},
@@ -354,9 +377,7 @@ def corpus_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
     text the pairs query runs."""
     from iceberg_core_spark.functions.dedup import dedup_cluster_assign
 
-    docs = load_table(spark, sf, "documents")
-    pref = docs.select(F.col("doc_id"),
-                       norm_ascii_prefix(F.col("text")).alias("prefix"))
+    pref = _prefix_frame(spark, sf)
     pairs = fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
     return dedup_cluster_assign(pref, pairs, id_col="doc_id",
                                 a_col="id_a", b_col="id_b")
@@ -370,7 +391,7 @@ edges AS (
   SELECT id_b, id_a FROM fpairs
 ),
 reach(id, label) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT id, id FROM s
   UNION
   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
 ),
@@ -397,9 +418,7 @@ def corpus_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     (thousands of docs, like decontam.py's % 53 split), exactly the
     asymmetry fuzzy_join's blocking exploits (kept_r is tiny; the
     train side never shuffles more than its rare-gram prefix rows)."""
-    docs = load_table(spark, sf, "documents")
-    pref = docs.select(F.col("doc_id"),
-                       norm_ascii_prefix(F.col("text")).alias("prefix"))
+    pref = _prefix_frame(spark, sf)
     train = pref.filter("doc_id % 11 <> 0")
     evald = pref.filter("doc_id % 11 = 0")
     pairs = fuzzy_join(train, evald, "doc_id", "prefix",

@@ -46,26 +46,41 @@ WINDOW = 50
 
 
 _ROUND_COMMITS: dict[int, str | None] = {}
+_LOG_SCANNED = False
 
 
 def _round_commit(rnd: int) -> str | None:
-    """The driver's round-N artifact commit (message STARTS with
-    "round N:" — anchored, so a later revert/quote mentioning the
-    title can't shadow it) — the code state the round-N driver rows
-    were produced against. Memoized: one git-log scan per round."""
+    """The driver's round-N artifact commit (SUBJECT line starts with
+    "round N:") — the code state the round-N driver rows were produced
+    against. Matches the subject ONLY, parsed from one
+    ``git log --format=%H%x09%s`` scan: ``--grep`` line-anchoring
+    matches anywhere in the MESSAGE, so a later commit whose body
+    quotes "round N: ..." (changelog paste, revert description) would
+    shadow the real anchor and make a changed module look
+    byte-unchanged (r9 ADVICE). The OLDEST subject match wins — the
+    driver writes its artifact commit once at round close, so any
+    later same-subject commit is the impostor. Memoized: one git-log
+    scan for every round."""
+    global _LOG_SCANNED
     if rnd in _ROUND_COMMITS:
         return _ROUND_COMMITS[rnd]
-    try:
-        out = subprocess.run(
-            ["git", "log", "--format=%H",
-             f"--grep=^round {rnd}:", "--max-count=1"],
-            cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.strip()
-        commit = out or None
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        commit = None
-    _ROUND_COMMITS[rnd] = commit
-    return commit
+    if not _LOG_SCANNED:
+        try:
+            out = subprocess.run(
+                ["git", "log", "--format=%H%x09%s"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            out = ""
+        # git log prints newest-first; walk the whole history so the
+        # LAST (oldest) match for each round ends up in the memo
+        for line in out.splitlines():
+            sha, _, subject = line.partition("\t")
+            m = re.match(r"round (\d+):", subject)
+            if m:
+                _ROUND_COMMITS[int(m.group(1))] = sha
+        _LOG_SCANNED = True
+    return _ROUND_COMMITS.setdefault(rnd, None)
 
 
 def _module_unchanged_since(fn, rnd: int) -> bool | None:

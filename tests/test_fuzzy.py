@@ -177,3 +177,37 @@ def test_fuzzy_oracle_match(spark, name):
     fn, sql = STAGED_QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
+
+
+def test_fuzzy_prefix_excludes_degenerate_non_ascii(spark, tmp_path):
+    """r9 ADVICE regression: non-Latin-script documents normalize to
+    empty/near-empty ASCII prefixes — before the MIN_PREFIX_LEN floor
+    they all landed in one short-class length bucket (n² candidates,
+    every empty pair 'matching' at distance 0). They must now be
+    excluded from the prefix signal on BOTH engines."""
+    import duckdb
+
+    from iceberg_core_spark.functions.fuzzy import MIN_PREFIX_LEN
+
+    rows = [
+        (1, "这是一个完全非拉丁文的文档开头，没有任何ASCII字符可言"),
+        (2, "这是另一个完全非拉丁文的文档，同样没有ASCII"),
+        (3, "hi"),                                   # short ASCII
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy hog"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    fn, sql = STAGED_QUERIES["corpus_fuzzy_prefix"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    result = fn(spark, str(tmp_path)).collect()
+    compare(fn(spark, str(tmp_path)), con, sql, "fuzzy_non_ascii")
+
+    pairs = {(r["id_a"], r["id_b"]) for r in result}
+    assert pairs == {(4, 5)}, pairs  # degenerate docs never pair
+    # and the floor is the documented guarantee threshold q*(d+1)
+    assert MIN_PREFIX_LEN == 9

@@ -34,6 +34,39 @@ def test_round_commits_resolve_and_are_distinct():
     assert vw._round_commit(999) is None
 
 
+def test_round_commit_matches_subject_only_oldest_first():
+    """r9 ADVICE regression: the anchor must come from commit SUBJECT
+    lines only (a body line starting 'round N:' — changelog paste,
+    revert description — must not shadow it) and, among subject
+    matches, the OLDEST wins (the driver's artifact commit precedes
+    any later same-subject impostor). Oracle: an independent
+    subject-only scan of git log, reversed."""
+    import re
+    import subprocess
+
+    vw = _vw()
+    out = subprocess.run(["git", "log", "--format=%H%x09%s"],
+                         cwd=REPO, capture_output=True, text=True,
+                         check=True).stdout
+    oldest: dict[int, str] = {}
+    for line in out.splitlines():  # newest-first: later lines overwrite
+        sha, _, subject = line.partition("\t")
+        m = re.match(r"round (\d+):", subject)
+        if m:
+            oldest[int(m.group(1))] = sha
+    assert oldest, "no round-artifact commits in history?"
+    for rnd, sha in oldest.items():
+        assert vw._round_commit(rnd) == sha
+    # and the subject-only property: bodies that MENTION a round title
+    # contribute nothing (every memoized value must be a subject match)
+    for rnd, sha in vw._ROUND_COMMITS.items():
+        if sha is not None:
+            subj = subprocess.run(
+                ["git", "log", "-1", "--format=%s", sha],
+                cwd=REPO, capture_output=True, text=True).stdout
+            assert subj.startswith(f"round {rnd}:")
+
+
 def test_module_unchanged_check_true_and_false():
     import subprocess
 
