@@ -264,11 +264,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix": (corpus_mix, CORPUS_MIX_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "write_shards": (write_shards_q, CORPUS_SHUFFLE_SQL),
-}
-
-# staged for a future window (r10+) — rename/merge into QUERIES at
-# registration time
-STAGED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    # registered r10 (staged r9, oracle-green at sf0.001 + sf0.01)
     "corpus_mix_temperature": (corpus_mix_temperature,
                                CORPUS_MIX_TEMPERATURE_SQL),
 }

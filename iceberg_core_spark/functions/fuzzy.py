@@ -34,8 +34,8 @@ gram (AQE/skew rules apply, and the prefix filter keeps join keys
 rare by construction); verification is bounded to candidates. No
 stage ever materializes the cross product.
 
-Staged for r10 registration (r9 window is full): the query fn and
-oracle below follow the registry (spark, sf_dir) contract.
+Registered r10 (staged r9): the query fns and oracles below follow
+the registry (spark, sf_dir) contract.
 """
 
 from __future__ import annotations
@@ -448,9 +448,9 @@ SELECT doc_id,
 FROM pairs GROUP BY 1
 """
 
-# staged for r10+ registration (the r9 window is full) — rename to
-# QUERIES (the registered-surface convention) at registration time
-STAGED_QUERIES = {
+# registered r10 (staged r9, oracle-green at sf0.001 + sf0.01; the
+# decontaminate oracle is INDEPENDENT brute force)
+QUERIES = {
     "corpus_fuzzy_prefix": (corpus_fuzzy_prefix, CORPUS_FUZZY_PREFIX_SQL),
     "corpus_fuzzy_clusters": (corpus_fuzzy_clusters,
                               CORPUS_FUZZY_CLUSTERS_SQL),

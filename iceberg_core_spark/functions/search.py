@@ -459,9 +459,6 @@ SELECT query_id, doc_id, score, n_terms_hit, rank FROM (
 
 CORPUS_BM25_EXPLODED_SQL = _bm25_exploded_sql(DOC_QUERY, k=20)
 
-# staged for r10 registration (the r9 window is full; registering now
-# would force an unplanned r10 lead) — same contract as QUERIES
-STAGED_QUERIES = {
-    "corpus_bm25_exploded": (corpus_bm25_exploded,
-                             CORPUS_BM25_EXPLODED_SQL),
-}
+# registered r10 (staged r9, oracle-green at sf0.001 + sf0.01)
+QUERIES["corpus_bm25_exploded"] = (corpus_bm25_exploded,
+                                   CORPUS_BM25_EXPLODED_SQL)

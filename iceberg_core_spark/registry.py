@@ -37,6 +37,7 @@ def all_queries() -> dict[str, Entry]:
     from iceberg_core_spark.streaming.queries import QUERIES as STREAM
 
     from iceberg_core_spark.functions.dedup_spans import QUERIES as SPANS
+    from iceberg_core_spark.functions.fuzzy import QUERIES as FUZZY
     from iceberg_core_spark.functions.lm_quality import QUERIES as LMQ
     from iceberg_core_spark.functions.search import QUERIES as SEARCH
     from iceberg_core_spark.operators.events_analytics import (
@@ -66,6 +67,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(ORC)      # native ORC columnar roundtrip (NEW r7)
     out.update(SPANS)    # cross-doc duplicated-span dedup (NEW r7)
     out.update(SEARCH)   # BM25 lexical search (staged r8, registered r9)
+    out.update(FUZZY)    # edit-distance matching (staged r9, reg. r10)
     out.update(LMQ)      # unigram LM quality scoring (staged r8, reg. r9)
     out.update(RANGEJOIN)  # bucketized interval join (staged r8, reg. r9)
     out.update(EVENTS)   # funnel + cohort retention (staged r8, reg. r9)
@@ -87,43 +89,43 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline —
     # including the byte-unchanged condition, via git — mechanically.
-    # ROUND-9 WINDOW (the r6-r8 window lists are preserved in git
+    # ROUND-10 WINDOW (the r6-r9 window lists are preserved in git
     # history; run `verify_window.py --ages` after any reorder):
     priority = [
-        # (a) the 3 late-r8 registrations with no driver row yet (all
-        # judge-verified at sf0.01 in the r8 session): OHLC candles,
-        # shallow clone, exact interpolated quartiles
-        "events_downsample", "table_clone", "agg_percentile",
-        # (a') NEW r9 registrations — the 5 queries staged in r8
-        # (oracle-verified at sf0.001 AND sf0.01 then, re-verified
-        # this round): bucketized range join, BM25 lexical search,
-        # unigram LM scoring, funnel + retention
-        "range_join_window", "corpus_bm25", "corpus_lm_score",
-        "events_funnel", "events_retention",
-        # (b) 42 of the 47 age-3 r6 rows (their modules — similarity,
-        # dedup_portable, dedup_incremental, assembly, streaming,
-        # sources, ice_table/table_queries, relational_ext, tpch —
-        # changed in r7/r8 or simply rotate on schedule)
-        "sim_search", "sim_search_batch", "dedup_simhash_portable",
-        "dedup_clusters_portable", "dedup_embedding_lsh_portable",
-        "sim_search_lsh_portable", "agg_approx_distinct_portable",
-        "sim_search_ivf_portable", "dedup_incremental", "write_shards",
-        "win_tumbling", "scan_avro", "scan_csv",
-        "schema_evolution", "table_upsert", "table_delete_mor",
-        "table_compact", "table_wap", "table_cdc",
-        "win_rank", "win_analytic", "win_frame", "win_range_frame",
-        "topk_per_group",
-        "explode_tokens", "map_funcs", "agg_stats", "agg_pivot",
-        "agg_string_agg", "win_rank_ext", "scalar_cond",
-        "scalar_subquery", "agg_salted", "agg_median", "agg_minmax_by",
-        "scalar_string2", "agg_conditional", "array_hof",
-        "scalar_subquery_corr",
-        "tpch_q3", "tpch_q5", "tpch_q12",
-        # The 5 DEFERRED r6 rows ride at age 3 under the new ruling —
-        # all in operators/relational.py, byte-unchanged (with its
-        # session.py/asof.py dependencies) since their r6 rows — and
-        # MUST lead the r10 window: join_theta, sort_limit, union_all,
-        # set_intersect, set_except.
+        # (a) the 5 r10 registrations — staged in r9, oracle-verified
+        # at sf0.001 AND sf0.01 then and re-verified this round; the
+        # decontaminate row's oracle is INDEPENDENT brute force (it
+        # re-proves the cross-corpus blocking complete on real data)
+        "corpus_fuzzy_prefix", "corpus_fuzzy_clusters",
+        "corpus_fuzzy_decontaminate", "corpus_bm25_exploded",
+        "corpus_mix_temperature",
+        # (b) the 14 rows the --ages audit FORCES into r10: the 5
+        # age-4 relational.py rows deferred at r9 ...
+        "join_theta", "sort_limit", "union_all", "set_intersect",
+        "set_except",
+        # ... and the 9 r7-age rows whose defining modules (ice_table/
+        # table_queries/bloom/zorder/rollup) changed in r8 — changed
+        # modules never ride the age-3 tier (r9 ADVICE: listed here
+        # explicitly so the next window builder doesn't rediscover
+        # them from the audit)
+        "table_incremental", "zorder_range_scan", "table_time_travel",
+        "table_partition_evolution", "table_cdc_mor", "table_changelog",
+        "table_rollup", "bloom_point_scan", "table_merge",
+        # (c) 31 of the 41 byte-unchanged age-3 r7 rows (the other 10
+        # — tpch_q2/q9/q10/q11/q15/q16/q20, join_broadcast,
+        # join_sortmerge, join_full — ride to age 4 and are FORCED
+        # into the r11 window)
+        "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_minhash",
+        "corpus_clean", "sim_search_lsh", "text_ngrams",
+        "admission_index", "split_train_test", "sample_stratified",
+        "win_sliding", "win_session", "stream_ingest", "stream_join",
+        "stateful_stats", "udtf_tokenize",
+        "scan_parquet", "project", "filter_pred", "filter_range",
+        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
+        "scalar_json",
+        "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+        "agg_approx_distinct",
+        "join_left", "join_right",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -6,9 +6,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.assembly import QUERIES as ASSEMBLY
-from iceberg_core_spark.functions.assembly import (
-    STAGED_QUERIES as ASSEMBLY_STAGED,
-)
 from iceberg_core_spark.functions.assembly import shuffle_assign
 from iceberg_core_spark.functions.quality import (
     QUERIES as QUALITY,
@@ -19,7 +16,7 @@ from iceberg_core_spark.functions.quality import (
 from iceberg_core_spark.functions.vocab import QUERIES as VOCAB
 from tests.oracle import compare, duck_connection
 
-QUERIES = {**QUALITY, **VOCAB, **ASSEMBLY, **ASSEMBLY_STAGED}
+QUERIES = {**QUALITY, **VOCAB, **ASSEMBLY}
 
 SF_DIR = "/root/testdata/sf0.001"
 

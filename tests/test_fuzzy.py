@@ -9,7 +9,7 @@ import random
 import pytest
 
 from iceberg_core_spark.functions.fuzzy import (
-    STAGED_QUERIES,
+    QUERIES,
     fuzzy_self_match,
 )
 from tests.oracle import compare, duck_connection
@@ -165,16 +165,16 @@ def test_fuzzy_validation(spark):
 def test_fuzzy_plan_no_cross_product(spark):
     """Candidates come from equi-joins only — no CartesianProduct /
     BroadcastNestedLoopJoin anywhere, at any corpus size."""
-    fn, _sql = STAGED_QUERIES["corpus_fuzzy_prefix"]
+    fn, _sql = QUERIES["corpus_fuzzy_prefix"]
     plan = fn(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_fuzzy_oracle_match(spark, name):
-    fn, sql = STAGED_QUERIES[name]
+    fn, sql = QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
 
@@ -200,7 +200,7 @@ def test_fuzzy_prefix_excludes_degenerate_non_ascii(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
 
-    fn, sql = STAGED_QUERIES["corpus_fuzzy_prefix"]
+    fn, sql = QUERIES["corpus_fuzzy_prefix"]
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"'{tmp_path}/documents.parquet/*.parquet'")

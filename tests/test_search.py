@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.search import (
     QUERIES,
-    STAGED_QUERIES,
     bm25_search,
     bm25_search_exploded,
 )
@@ -191,8 +190,8 @@ def test_bm25_exploded_frame_variant_identical(spark):
     assert a == b
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES) + sorted(STAGED_QUERIES))
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_search_oracle_match(spark, name):
-    fn, sql = {**QUERIES, **STAGED_QUERIES}[name]
+    fn, sql = QUERIES[name]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, name)
