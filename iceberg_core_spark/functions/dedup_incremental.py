@@ -46,9 +46,7 @@ exactly that idea to a queryable index).
 
 from __future__ import annotations
 
-import json as _json
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,6 +68,7 @@ from iceberg_core_spark.functions.dedup_portable import (
     N_BANDS,
     THRESHOLD,
 )
+from iceberg_core_spark.functions.index_store import SnapshotSyncedStore
 from iceberg_core_spark.session import load_table, spread
 
 
@@ -200,105 +199,32 @@ def dedup_batch(
     )
 
 
-class AdmissionIndex:
+class AdmissionIndex(SnapshotSyncedStore):
     """Persisted admission index — the production variant of
     :func:`dedup_batch` for corpora too large to re-scan per batch.
     Three parquet tables under ``root`` hold the corpus-side frames
     the judge pipeline needs: ``fp`` (fingerprint, id), ``bands``
     (id, band_idx, band_hash), ``shingles`` (id, shingle set).
 
-    The index derives from an APPEND-ONLY :class:`IceTable` — the
-    single source of truth: :meth:`sync` catches up to the table's
-    newest snapshot by computing the three frames from each
-    row-adding snapshot's increment and writing them under
-    ``snap=<id>`` partition directories. Idempotent by construction
-    (a re-sync overwrites the same per-snapshot dirs before advancing
-    the watermark), so a crash anywhere between a table commit and an
-    index write heals on the next sync — the index can never
-    permanently miss or double-count a document. Rewrite-only
-    (compact) and metadata-only (rename/spec) snapshots change no
-    rows the index mirrors and are skipped; a WAP publish indexes the
-    rows it reveals (the staged append synced empty — its files were
-    hidden); a watermark gap (the synced snapshot expired out of the
-    chain) or a legitimate row-removing commit (rollback, drop-branch)
-    forces a full :meth:`rebuild` — never a silent skip that would let
-    duplicates of the missed documents through; upsert/delete/
-    overwrite contradict the append-only contract and raise.
+    Persistence, incremental sync from an append-only
+    :class:`IceTable`, generation-flip compaction, and the rebuild
+    recovery paths are the shared snapshot-synced-store discipline —
+    see :class:`~iceberg_core_spark.functions.index_store.
+    SnapshotSyncedStore` (extracted r10; behavior unchanged).
 
     :meth:`judge` runs the SAME ``_judge`` pipeline as
     :func:`dedup_batch`, reading the persisted frames instead of
     deriving them — per-batch cost drops the corpus text pass and the
     shingle/signature recompute; what remains is the fp hash-join,
     the asymmetric band join, and candidate-targeted shingle reads.
-
-    Layout & maintenance: each table lives under a GENERATION dir
-    (``fp/gen=G/snap=<id>/...``). Per-snapshot sync dirs accumulate
-    with every micro-batch — a month of 1-minute batches is ~43k
-    directories — so :meth:`compact` consolidates the current
-    generation into ``gen=G+1`` (one right-sized dir per table) and
-    flips the meta atomically: a crash mid-compact leaves gen G
-    authoritative and a partial G+1 that the next compact overwrites;
-    stale generations are swept opportunistically. Single maintainer
-    assumed (the streaming ingest's driver), same as the table layer's
-    single-writer commit discipline per lineage.
     """
 
-    _ROW_ADDING = ("create", "append", "add_files")
-    _REWRITE_ONLY = ("compact",)
-    # commits that change METADATA but not the visible row set that
-    # the index mirrors (partition-spec / column-name changes) —
-    # skipped, not poisonous. (Tags never commit a snapshot, so they
-    # cannot reach this loop at all.) NOT "publish": a staged append
-    # syncs EMPTY (its files are hidden until published), so publish
-    # is the commit that actually surfaces those rows — it indexes
-    # the revealed rows via the changelog below.
-    _METADATA_ONLY = ("set-spec", "rename")
-    # commits that can REMOVE (or resurrect) visible rows without
-    # violating the append-only spirit of an admission corpus — an
-    # operator rolled back a bad delivery or dropped an audit branch.
-    # The delta is not derivable from the snapshot chain, so these
-    # force a full rebuild (one corpus pass, then incremental again).
-    _REBUILD_ON = ("rollback", "drop-branch")
-    _KINDS = ("fp", "bands", "shingles")
-    _ROWS_PER_FILE = 250_000
-
-    def __init__(self, spark: SparkSession, root: str,
-                 text_col: str = "text", id_col: str = "doc_id"):
-        self.spark = spark
-        self.root = root
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def _meta_path(self) -> str:
-        return os.path.join(self.root, "_meta.json")
-
-    def _meta(self) -> dict:
-        try:
-            with open(self._meta_path()) as f:
-                return _json.load(f)
-        except FileNotFoundError:
-            return {"synced_snapshot_id": None, "generation": 0}
-
-    def synced_snapshot(self) -> int | None:
-        return self._meta()["synced_snapshot_id"]
-
-    def generation(self) -> int:
-        return self._meta().get("generation", 0)
-
-    def _write_meta(self, meta: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(meta, f)
-        os.replace(tmp, self._meta_path())
-
-    def _advance(self, snapshot_id: int) -> None:
-        self._write_meta({**self._meta(),
-                          "synced_snapshot_id": snapshot_id})
-
-    def _kind_dir(self, kind: str, gen: int | None = None) -> str:
-        g = self.generation() if gen is None else gen
-        return os.path.join(self.root, kind, f"gen={g}")
+    _KIND_COLS = {
+        "fp": ["fp", "__cid"],
+        "bands": ["__cid", "band_idx", "band_hash"],
+        "shingles": ["__cid", "tb"],
+    }
+    _COUNT_KIND = "fp"
 
     def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
         rows = rows.select(self.id_col, self.text_col)
@@ -311,154 +237,15 @@ class AdmissionIndex:
                                          self.id_col),
         }
 
-    def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
-        # size the files to the increment: spread() widened the hash
-        # maps to cluster parallelism, but a micro-batch increment
-        # should land as a handful of files, not 32 shards of nothing
-        n = rows.count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
-        sub = f"snap={snapshot_id}"
-        for kind, frame in self._frames(rows).items():
-            frame.coalesce(parts).write.mode("overwrite").parquet(
-                os.path.join(self._kind_dir(kind), sub))
-
-    def _flip_generation(self, frames: dict[str, DataFrame],
-                         parts: int, sub: str,
-                         synced_snapshot_id: int) -> int:
-        """The shared crash-safe generation flip — ONE copy of the
-        invariant both :meth:`compact` and :meth:`rebuild` rely on:
-        write every kind's frame under ``gen=G+1/<sub>`` (clearing any
-        partial G+1 a crashed earlier attempt left — it was never
-        authoritative), then advance generation + watermark in the
-        single atomic meta write, then sweep every other generation.
-        A crash before the meta flip leaves gen G authoritative; a
-        crash after it leaves only sweepable garbage."""
-        meta = self._meta()
-        gen = meta.get("generation", 0) + 1
-        for kind, frame in frames.items():
-            shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
-            frame.repartition(parts).write.mode("overwrite").parquet(
-                os.path.join(self._kind_dir(kind, gen), sub))
-        self._write_meta({**meta, "generation": gen,
-                          "synced_snapshot_id": synced_snapshot_id})
-        for kind in self._KINDS:
-            base = os.path.join(self.root, kind)
-            for d in os.listdir(base):
-                if d != f"gen={gen}":
-                    shutil.rmtree(os.path.join(base, d),
-                                  ignore_errors=True)
-        return gen
-
-    def compact(self) -> int:
-        """Consolidate the current generation's per-snapshot dirs into
-        one right-sized dir under ``gen=G+1``; returns the new
-        generation (the current one if there was nothing to compact).
-        Crash discipline: :meth:`_flip_generation`."""
-        meta = self._meta()
-        if meta["synced_snapshot_id"] is None:
-            return meta.get("generation", 0)
-        gen = meta.get("generation", 0)
-        snap_dirs = [d for d in os.listdir(self._kind_dir("fp", gen))
-                     if d.startswith("snap=")]
-        if len(snap_dirs) <= 1:
-            return gen
-        n = self._read("fp", ["__cid"]).count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
-        frames = {
-            "fp": self._read("fp", ["fp", "__cid"]),
-            "bands": self._read("bands",
-                                ["__cid", "band_idx", "band_hash"]),
-            "shingles": self._read("shingles", ["__cid", "tb"]),
-        }
-        return self._flip_generation(
-            frames, parts, f"snap={meta['synced_snapshot_id']}",
-            meta["synced_snapshot_id"])
-
-    def rebuild(self, table) -> int:
-        """Re-derive the whole index from the table's CURRENT
-        contents into a fresh generation — the recovery path when the
-        per-snapshot delta chain is unusable (expired watermark,
-        rollback, dropped branch). Crash discipline:
-        :meth:`_flip_generation`. Cost is one corpus pass — then sync
-        is incremental again. Returns the target snapshot id."""
-        cur = table.manifest.load(load_files=False).snapshot_id
-        rows = table.scan(snapshot_id=cur).select(
-            self.id_col, self.text_col)
-        n = rows.count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
-        self._flip_generation(self._frames(rows), parts,
-                              f"snap={cur}", cur)
-        return cur
-
-    def sync(self, table) -> int:
-        """Catch the index up to ``table``'s current snapshot; returns
-        how many snapshots were ingested. Watermark advances AFTER
-        each snapshot's three frames land, so partial progress
-        persists and every step is re-runnable. Two recovery paths
-        keep the 'never permanently misses a document' contract
-        without poisoning the caller: a watermark GAP (the synced
-        snapshot was expired out of the chain, so intermediate deltas
-        are unrecoverable) and a row-removing-but-legitimate commit
-        (rollback / drop-branch) both force :meth:`rebuild`;
-        metadata-only commits (rename, spec changes) are skipped and
-        a WAP publish indexes the rows it reveals. Edits that
-        contradict the append-only contract (upsert/delete/overwrite)
-        still raise."""
-        last = self.synced_snapshot()
-        all_snaps = table.manifest.snapshots(load_files=False)
-        if last is not None and last not in {
-                s.snapshot_id for s in all_snaps}:
-            self.rebuild(table)
-            return 1
-        snaps = [s for s in all_snaps
-                 if last is None or s.snapshot_id > last]
-        snaps.sort(key=lambda s: s.snapshot_id)
-        n = 0
-        for s in snaps:
-            if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:
-                self._advance(s.snapshot_id)
-                continue
-            if s.operation in self._REBUILD_ON:
-                self.rebuild(table)
-                return n + 1
-            if s.operation == "publish":
-                # a staged (WAP) append synced as an empty increment —
-                # its files were hidden; the publish is what reveals
-                # them, and the net changelog of the publish window is
-                # exactly those rows (publish can only reveal, never
-                # remove, so the delta is insert-only by construction)
-                inc = table.scan_changes(
-                    s.parent_id, s.snapshot_id).filter(
-                    F.col("_change_type") == "insert").drop(
-                    "_change_type")
-            elif s.operation not in self._ROW_ADDING:
-                raise ValueError(
-                    f"AdmissionIndex requires an append-only table; "
-                    f"snapshot {s.snapshot_id} is {s.operation!r} — "
-                    f"rebuild the index from the current contents")
-            elif s.parent_id is None:
-                inc = table.scan(snapshot_id=s.snapshot_id)
-            else:
-                inc = table.scan_incremental(
-                    since=s.parent_id, until=s.snapshot_id)
-            self._write_increment(inc, s.snapshot_id)
-            self._advance(s.snapshot_id)
-            n += 1
-        return n
-
-    def _read(self, kind: str, cols: list[str]) -> DataFrame:
-        return self.spark.read.parquet(
-            self._kind_dir(kind)).select(*cols)
-
     def judge(self, batch: DataFrame,
               threshold: float = THRESHOLD) -> DataFrame:
         """Admission verdicts for ``batch`` against the indexed corpus
         — same output contract as :func:`dedup_batch`."""
         return _judge(
             batch,
-            self._read("fp", ["fp", "__cid"]),
-            self._read("bands", ["__cid", "band_idx", "band_hash"]),
-            self._read("shingles", ["__cid", "tb"]),
+            self._read("fp"),
+            self._read("bands"),
+            self._read("shingles"),
             self.text_col, self.id_col, threshold,
         )
 

@@ -83,13 +83,25 @@ def _prep(frame: DataFrame, id_col: str, text_col: str,
 
 
 def _kept_prefix(grams: DataFrame, gram_df: DataFrame,
-                 keep: int) -> DataFrame:
+                 keep: int, unseen_df: int | None = None) -> DataFrame:
     """Each string's ``keep`` globally-rarest grams under the shared
-    (df, gram) total order — the probe side of the prefix filter."""
+    (df, gram) total order — the probe side of the prefix filter.
+
+    ``unseen_df``: when set, grams ABSENT from ``gram_df`` are ranked
+    with that frequency instead of being dropped (left join) — the
+    batch side of an incremental probe, where new-vocabulary grams are
+    the rarest of all (df 0: they can't fan out in the candidate join
+    at all). The self-match path keeps the inner join: there every
+    gram is in its own corpus-wide aggregate by construction."""
     from pyspark.sql import Window
     rk = F.row_number().over(
         Window.partitionBy("__id").orderBy("__df", "__gram"))
-    return (grams.join(gram_df, "__gram")
+    if unseen_df is None:
+        joined = grams.join(gram_df, "__gram")
+    else:
+        joined = (grams.join(gram_df, "__gram", "left")
+                  .fillna({"__df": unseen_df}))
+    return (joined
             .withColumn("__rk", rk)
             .filter(F.col("__rk") <= keep)
             .drop("__rk", "__df"))

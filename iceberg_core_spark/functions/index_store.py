@@ -1,0 +1,269 @@
+"""Snapshot-synced index stores — the shared persistence discipline
+behind every "judge a batch against a 100 TB corpus" operator
+(:class:`~iceberg_core_spark.functions.dedup_incremental.AdmissionIndex`,
+:class:`~iceberg_core_spark.functions.fuzzy_index.FuzzyIndex`).
+
+A store mirrors derived frames ("kinds") of an APPEND-ONLY
+:class:`IceTable` — the single source of truth — as parquet under
+``root/<kind>/gen=G/snap=<id>/``:
+
+- :meth:`sync` catches up to the table's newest snapshot by computing
+  each kind from every row-adding snapshot's increment. Idempotent by
+  construction (a re-sync overwrites the same per-snapshot dirs before
+  advancing the watermark), so a crash anywhere between a table commit
+  and an index write heals on the next sync — the index can never
+  permanently miss or double-count a document. Rewrite-only (compact)
+  and metadata-only (rename/spec) snapshots change no rows the index
+  mirrors and are skipped; a WAP publish indexes the rows it reveals
+  (the staged append synced empty — its files were hidden); a
+  watermark gap (the synced snapshot expired out of the chain) or a
+  legitimate row-removing commit (rollback, drop-branch) forces a full
+  :meth:`rebuild` — never a silent skip that would let duplicates of
+  the missed documents through; upsert/delete/overwrite contradict
+  the append-only contract and raise.
+- :meth:`compact` consolidates the current generation's per-snapshot
+  dirs (a month of 1-minute micro-batches is ~43k directories) into
+  one right-sized dir per kind under ``gen=G+1`` and flips the meta
+  atomically: a crash mid-compact leaves gen G authoritative and a
+  partial G+1 that the next compact overwrites; stale generations are
+  swept opportunistically. Single maintainer assumed (the streaming
+  ingest's driver), same as the table layer's single-writer commit
+  discipline per lineage.
+
+Subclasses declare ``_KIND_COLS`` (kind -> column list), implement
+``_frames(rows)`` (derive every kind from an increment of (id, text)
+rows), and may override ``_fold_for_compact`` when a kind's
+per-snapshot rows are PARTIAL states that compaction should fold
+(e.g. additive document-frequency counts). ``judge()`` lives on the
+subclass — it is the only part that differs between index families.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotSyncedStore:
+    """Generic snapshot-synced parquet store (see module docstring)."""
+
+    _ROW_ADDING = ("create", "append", "add_files")
+    _REWRITE_ONLY = ("compact",)
+    # commits that change METADATA but not the visible row set that
+    # the index mirrors (partition-spec / column-name changes) —
+    # skipped, not poisonous. (Tags never commit a snapshot, so they
+    # cannot reach this loop at all.) NOT "publish": a staged append
+    # syncs EMPTY (its files are hidden until published), so publish
+    # is the commit that actually surfaces those rows — it indexes
+    # the revealed rows via the changelog.
+    _METADATA_ONLY = ("set-spec", "rename")
+    # commits that can REMOVE (or resurrect) visible rows without
+    # violating the append-only spirit of an admission corpus — an
+    # operator rolled back a bad delivery or dropped an audit branch.
+    # The delta is not derivable from the snapshot chain, so these
+    # force a full rebuild (one corpus pass, then incremental again).
+    _REBUILD_ON = ("rollback", "drop-branch")
+
+    #: kind name -> columns, in storage order (subclass contract)
+    _KIND_COLS: dict[str, list[str]] = {}
+    #: kind whose row count sizes compaction output files — pick one
+    #: with ~one row per document
+    _COUNT_KIND: str = ""
+    _ROWS_PER_FILE = 250_000
+
+    def __init__(self, spark: SparkSession, root: str,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.id_col = id_col
+
+    # -- subclass contract -------------------------------------------------
+
+    def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
+        """Derive every kind's frame from an increment of
+        (id_col, text_col) rows."""
+        raise NotImplementedError
+
+    def _fold_for_compact(
+            self, frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Hook: fold kinds whose per-snapshot rows are partial states
+        (default: concatenation is already the folded state)."""
+        return frames
+
+    # -- meta / layout -----------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return {"synced_snapshot_id": None, "generation": 0}
+
+    def synced_snapshot(self) -> int | None:
+        return self._meta()["synced_snapshot_id"]
+
+    def generation(self) -> int:
+        return self._meta().get("generation", 0)
+
+    def _write_meta(self, meta: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def _advance(self, snapshot_id: int) -> None:
+        self._write_meta({**self._meta(),
+                          "synced_snapshot_id": snapshot_id})
+
+    def _kind_dir(self, kind: str, gen: int | None = None) -> str:
+        g = self.generation() if gen is None else gen
+        return os.path.join(self.root, kind, f"gen={g}")
+
+    def _read(self, kind: str, cols: list[str] | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._kind_dir(kind)).select(
+            *(cols if cols is not None else self._KIND_COLS[kind]))
+
+    # -- write paths ---------------------------------------------------
+
+    def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
+        # size the files to the increment: hash/gram maps may widen to
+        # cluster parallelism, but a micro-batch increment should land
+        # as a handful of files, not 32 shards of nothing
+        n = rows.count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        sub = f"snap={snapshot_id}"
+        for kind, frame in self._frames(rows).items():
+            frame.coalesce(parts).write.mode("overwrite").parquet(
+                os.path.join(self._kind_dir(kind), sub))
+
+    def _flip_generation(self, frames: dict[str, DataFrame],
+                         parts: int, sub: str,
+                         synced_snapshot_id: int) -> int:
+        """The shared crash-safe generation flip — ONE copy of the
+        invariant both :meth:`compact` and :meth:`rebuild` rely on:
+        write every kind's frame under ``gen=G+1/<sub>`` (clearing any
+        partial G+1 a crashed earlier attempt left — it was never
+        authoritative), then advance generation + watermark in the
+        single atomic meta write, then sweep every other generation.
+        A crash before the meta flip leaves gen G authoritative; a
+        crash after it leaves only sweepable garbage."""
+        meta = self._meta()
+        gen = meta.get("generation", 0) + 1
+        for kind, frame in frames.items():
+            shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
+            frame.repartition(parts).write.mode("overwrite").parquet(
+                os.path.join(self._kind_dir(kind, gen), sub))
+        self._write_meta({**meta, "generation": gen,
+                          "synced_snapshot_id": synced_snapshot_id})
+        for kind in self._KIND_COLS:
+            base = os.path.join(self.root, kind)
+            for d in os.listdir(base):
+                if d != f"gen={gen}":
+                    shutil.rmtree(os.path.join(base, d),
+                                  ignore_errors=True)
+        return gen
+
+    # -- lifecycle -----------------------------------------------------
+
+    def compact(self) -> int:
+        """Consolidate the current generation's per-snapshot dirs into
+        one right-sized dir under ``gen=G+1``; returns the new
+        generation (the current one if there was nothing to compact).
+        Crash discipline: :meth:`_flip_generation`."""
+        meta = self._meta()
+        if meta["synced_snapshot_id"] is None:
+            return meta.get("generation", 0)
+        gen = meta.get("generation", 0)
+        snap_dirs = [d for d in os.listdir(
+                         self._kind_dir(self._COUNT_KIND, gen))
+                     if d.startswith("snap=")]
+        if len(snap_dirs) <= 1:
+            return gen
+        n = self._read(self._COUNT_KIND).count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        frames = self._fold_for_compact(
+            {kind: self._read(kind) for kind in self._KIND_COLS})
+        return self._flip_generation(
+            frames, parts, f"snap={meta['synced_snapshot_id']}",
+            meta["synced_snapshot_id"])
+
+    def rebuild(self, table) -> int:
+        """Re-derive the whole index from the table's CURRENT
+        contents into a fresh generation — the recovery path when the
+        per-snapshot delta chain is unusable (expired watermark,
+        rollback, dropped branch). Crash discipline:
+        :meth:`_flip_generation`. Cost is one corpus pass — then sync
+        is incremental again. Returns the target snapshot id."""
+        cur = table.manifest.load(load_files=False).snapshot_id
+        rows = table.scan(snapshot_id=cur).select(
+            self.id_col, self.text_col)
+        n = rows.count()
+        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        self._flip_generation(self._frames(rows), parts,
+                              f"snap={cur}", cur)
+        return cur
+
+    def sync(self, table) -> int:
+        """Catch the index up to ``table``'s current snapshot; returns
+        how many snapshots were ingested. Watermark advances AFTER
+        each snapshot's frames land, so partial progress persists and
+        every step is re-runnable. Two recovery paths keep the 'never
+        permanently misses a document' contract without poisoning the
+        caller: a watermark GAP (the synced snapshot was expired out
+        of the chain, so intermediate deltas are unrecoverable) and a
+        row-removing-but-legitimate commit (rollback / drop-branch)
+        both force :meth:`rebuild`; metadata-only commits (rename,
+        spec changes) are skipped and a WAP publish indexes the rows
+        it reveals. Edits that contradict the append-only contract
+        (upsert/delete/overwrite) still raise."""
+        last = self.synced_snapshot()
+        all_snaps = table.manifest.snapshots(load_files=False)
+        if last is not None and last not in {
+                s.snapshot_id for s in all_snaps}:
+            self.rebuild(table)
+            return 1
+        snaps = [s for s in all_snaps
+                 if last is None or s.snapshot_id > last]
+        snaps.sort(key=lambda s: s.snapshot_id)
+        n = 0
+        for s in snaps:
+            if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:
+                self._advance(s.snapshot_id)
+                continue
+            if s.operation in self._REBUILD_ON:
+                self.rebuild(table)
+                return n + 1
+            if s.operation == "publish":
+                # a staged (WAP) append synced as an empty increment —
+                # its files were hidden; the publish is what reveals
+                # them, and the net changelog of the publish window is
+                # exactly those rows (publish can only reveal, never
+                # remove, so the delta is insert-only by construction)
+                inc = table.scan_changes(
+                    s.parent_id, s.snapshot_id).filter(
+                    F.col("_change_type") == "insert").drop(
+                    "_change_type")
+            elif s.operation not in self._ROW_ADDING:
+                raise ValueError(
+                    f"{type(self).__name__} requires an append-only "
+                    f"table; snapshot {s.snapshot_id} is "
+                    f"{s.operation!r} — rebuild the index from the "
+                    f"current contents")
+            elif s.parent_id is None:
+                inc = table.scan(snapshot_id=s.snapshot_id)
+            else:
+                inc = table.scan_incremental(
+                    since=s.parent_id, until=s.snapshot_id)
+            self._write_increment(inc, s.snapshot_id)
+            self._advance(s.snapshot_id)
+            n += 1
+        return n
