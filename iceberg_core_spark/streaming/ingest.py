@@ -213,6 +213,8 @@ def stream_admit_to_table(
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     source_format: str = "parquet",
+    method: str = "minhash",
+    max_dist: int | None = None,
 ) -> StreamingQuery:
     """Admission-filtered streaming ingest: every micro-batch is judged
     against the TABLE'S CURRENT CONTENTS with
@@ -251,14 +253,67 @@ def stream_admit_to_table(
     source's maxFilesPerTrigger, honored by availableNow drains) so
     each delivery is judged as its own micro-batch against the
     admissions before it.
-    """
-    from iceberg_core_spark.functions.dedup_incremental import (
-        THRESHOLD,
-        AdmissionIndex,
-        dedup_batch,
-    )
 
-    thr = THRESHOLD if threshold is None else threshold
+    ``method`` selects the identity notion: ``"minhash"`` (default)
+    judges exact fingerprints + MinHash-LSH Jaccard near-duplicates
+    (``threshold`` applies); ``"fuzzy"`` judges Levenshtein
+    near-identity via
+    :func:`~iceberg_core_spark.functions.fuzzy_index.fuzzy_batch`
+    (``max_dist`` edits, default
+    :data:`~iceberg_core_spark.functions.fuzzy.MAX_DIST`) — the
+    typo/variant admission gate for short keys (titles, names), with
+    :class:`~iceberg_core_spark.functions.fuzzy_index.FuzzyIndex` as
+    its ``index_root`` form. Same sync/judge/compact lifecycle, same
+    compounding, same quarantine contract (verdict column values are
+    family-specific: exact_dup/near_dup vs fuzzy_dup).
+    """
+    if method == "minhash":
+        from iceberg_core_spark.functions.dedup_incremental import (
+            THRESHOLD,
+            AdmissionIndex,
+            dedup_batch,
+        )
+
+        thr = THRESHOLD if threshold is None else threshold
+        if max_dist is not None:
+            raise ValueError("max_dist applies to method='fuzzy'")
+
+        def make_index():
+            return AdmissionIndex(spark, index_root,
+                                  text_col=text_col, id_col=id_col)
+
+        def judge_index(idx, batch_df):
+            return idx.judge(batch_df, threshold=thr)
+
+        def judge_scan(corpus, batch_df):
+            return dedup_batch(corpus, batch_df, text_col=text_col,
+                               id_col=id_col, threshold=thr)
+    elif method == "fuzzy":
+        from iceberg_core_spark.functions.fuzzy import MAX_DIST
+        from iceberg_core_spark.functions.fuzzy_index import (
+            FuzzyIndex,
+            fuzzy_batch,
+        )
+
+        if threshold is not None:
+            raise ValueError("threshold applies to method='minhash'; "
+                             "fuzzy admission takes max_dist")
+        dist = MAX_DIST if max_dist is None else max_dist
+
+        def make_index():
+            return FuzzyIndex(spark, index_root,
+                              text_col=text_col, id_col=id_col,
+                              max_dist=dist)
+
+        def judge_index(idx, batch_df):
+            return idx.judge(batch_df)
+
+        def judge_scan(corpus, batch_df):
+            return fuzzy_batch(corpus, batch_df, id_col=id_col,
+                               text_col=text_col, max_dist=dist)
+    else:
+        raise ValueError(f"unknown admission method {method!r} "
+                         "(expected 'minhash' or 'fuzzy')")
     reader = spark.readStream.format(source_format).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
@@ -286,8 +341,7 @@ def stream_admit_to_table(
             # sync BEFORE the replay check: a crash between the table
             # commit and the index write heals here even when the
             # batch itself is then skipped as a replay
-            idx = AdmissionIndex(spark, index_root,
-                                 text_col=text_col, id_col=id_col)
+            idx = make_index()
             idx.sync(table)
             # the per-snapshot sync dirs accumulate one per batch —
             # consolidate on the maintenance cadence (crash-safe
@@ -299,11 +353,10 @@ def stream_admit_to_table(
         if last is not None and batch_id <= last:
             return
         if idx is not None:
-            verdicts = idx.judge(batch_df, threshold=thr)
+            verdicts = judge_index(idx, batch_df)
         else:
             corpus = table.scan().select(id_col, text_col)
-            verdicts = dedup_batch(corpus, batch_df, text_col=text_col,
-                                   id_col=id_col, threshold=thr)
+            verdicts = judge_scan(corpus, batch_df)
         # the judge pipeline (corpus scan or index joins + MinHash
         # verify) is by far the batch's dominant cost — persist the
         # verdicts so the quarantine write, the emptiness check, and

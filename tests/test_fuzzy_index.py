@@ -207,6 +207,99 @@ def test_fuzzy_index_rejects_non_append(spark, tmp_path):
         idx.sync(t)
 
 
+def _doc_file(spark, src, rows, name):
+    import shutil
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "_stage"))
+    part = [f for f in os.listdir(os.path.join(src, "_stage"))
+            if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(src, "_stage", part),
+                os.path.join(src, name))
+
+
+@pytest.mark.parametrize("use_index", [False, True],
+                         ids=["scan", "index"])
+def test_stream_fuzzy_admit_compounds(spark, tmp_path, use_index):
+    """method='fuzzy' streaming admission end to end, both judge
+    paths: batch 1 creates the table; batch 2's one-edit variant of
+    an existing doc is rejected (quarantined with its edit distance)
+    while its genuinely different doc lands; batch 3's near-variant
+    OF A BATCH-2 ADMISSION is rejected — fuzzy admission compounds
+    exactly like the MinHash family."""
+    from iceberg_core_spark.streaming.ingest import stream_admit_to_table
+    from iceberg_core_spark.table import IceTable
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    quarantine = str(tmp_path / "quarantine")
+    index_root = str(tmp_path / "index") if use_index else None
+
+    base = "the quick brown fox jumps over the lazy dog"
+    other = "parquet footer statistics prune row groups"
+    fresh = "stream processing with event time windows"
+
+    batches = [
+        [(1, base), (2, other)],
+        [(10, base.replace("jumps", "jumped")),  # 2 edits → reject
+         (11, fresh)],                           # unique → admit
+        [(20, fresh + "s")],                     # 1 edit off a BATCH-2
+                                                 # admission → reject
+    ]
+
+    def drain(n):
+        _doc_file(spark, src, batches[n], f"b{n}.parquet")
+        q = stream_admit_to_table(
+            spark, src, table_root,
+            spark.createDataFrame([], "doc_id long, text string").schema,
+            partition_col=None, key_col="doc_id",
+            quarantine_root=quarantine, index_root=index_root,
+            method="fuzzy", max_dist=2,
+            trigger={"availableNow": True}, checkpoint_dir=ckpt,
+        )
+        assert q.awaitTermination(180)
+
+    for n in range(len(batches)):
+        drain(n)
+
+    t = IceTable(spark, table_root)
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 11]
+
+    q2 = {r.doc_id: (r.verdict, r.match_id, r.dist)
+          for r in spark.read.parquet(
+              os.path.join(quarantine, "batch=1")).collect()}
+    assert q2 == {10: ("fuzzy_dup", 1, 2)}
+    q3 = {r.doc_id: (r.verdict, r.match_id, r.dist)
+          for r in spark.read.parquet(
+              os.path.join(quarantine, "batch=2")).collect()}
+    assert q3 == {20: ("fuzzy_dup", 11, 1)}  # compounding
+    # every batch stamped (replay guard applies unchanged)
+    snaps = t.manifest.snapshots(load_files=False)
+    assert [s.source_batch_id for s in snaps] == [0, 1, 2]
+
+
+def test_stream_admit_param_validation(spark, tmp_path):
+    from iceberg_core_spark.streaming.ingest import stream_admit_to_table
+
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    with pytest.raises(ValueError, match="max_dist applies"):
+        stream_admit_to_table(
+            spark, str(tmp_path / "s"), str(tmp_path / "t"), schema,
+            partition_col=None, key_col="doc_id", max_dist=2)
+    with pytest.raises(ValueError, match="threshold applies"):
+        stream_admit_to_table(
+            spark, str(tmp_path / "s"), str(tmp_path / "t"), schema,
+            partition_col=None, key_col="doc_id", method="fuzzy",
+            threshold=0.8)
+    with pytest.raises(ValueError, match="unknown admission method"):
+        stream_admit_to_table(
+            spark, str(tmp_path / "s"), str(tmp_path / "t"), schema,
+            partition_col=None, key_col="doc_id", method="cosine")
+
+
 def test_fuzzy_admission_plan_no_cross_product(spark):
     fn, _sql = STAGED_QUERIES["corpus_fuzzy_admission"]
     plan = fn(spark, SF_DIR)._jdf.queryExecution() \
