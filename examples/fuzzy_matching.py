@@ -5,10 +5,10 @@ keyword search with a document-scale term set.
 
 Run:  PYTHONPATH=. python examples/fuzzy_matching.py
 
-The fuzzy pass is the q-gram-blocked Levenshtein join (candidates
-come from rare-gram equi-joins, never a cross product — see
-functions/fuzzy.py); the search pass is the explode-based BM25 that
-takes term sets past the column path's 64-term cap.
+The fuzzy pass is the segment-pigeonhole-blocked Levenshtein join
+(candidates come from exact-piece equi-joins, never a cross product —
+see functions/fuzzy.py); the search pass is the explode-based BM25
+that takes term sets past the column path's 64-term cap.
 """
 
 from pyspark.sql import functions as F

@@ -2,37 +2,54 @@
 entity-resolution / title-dedup pipeline needs: all pairs of strings
 within Levenshtein distance ``d``, without the O(n²) cross product.
 
-Blocking (q-gram prefix filtering, after Gravano et al. / ED-Join):
+Blocking (segment pigeonhole, after PassJoin — Li, Deng & Feng,
+PVLDB 2011; replaced the q-gram prefix filter in r10):
 
-- each edit operation destroys at most ``q`` positional q-grams of a
-  string, so two strings within distance d share all but ≤ q·d of
-  either side's positional grams — in particular, at most q·d of a
-  string's DISTINCT grams can be entirely absent from the other.
-- therefore if a string has ≥ q·d+1 distinct grams, its q·d+1
-  globally-RAREST grams (order: ascending document frequency, gram)
-  must intersect the other string's full gram set. Candidates come
-  from the equi-join ``kept(probe) ⋈ all(other)`` — the join keys are
-  only RARE grams, so frequent grams ("the", "ing") never fan out.
-- strings with ≤ q·d distinct grams (too short, or long but
-  single-character runs) get no such guarantee: they pair through a
-  bucketized LENGTH-band join instead (each replicates to the
-  ⌈(2d+1)/(d+1)⌉+1 buckets its [len−d, len+d] window overlaps — the
-  range_join composition), which is complete because |len(a)−len(b)|
-  ≤ d is necessary for ed ≤ d. This class is tiny in real corpora;
-  its join is still an equi-join, never a cross product.
+- split every string into k = d+1 contiguous SEGMENTS (even
+  partition). An edit script of ≤ d operations can touch at most d of
+  them, so at least one segment of A survives INTACT as an exact
+  substring of any B within distance d.
+- the intact segment's start position in B shifts by δ = (net
+  insertions−deletions before it), and the edits after it account for
+  the rest of the length change Δ = len(B)−len(A); since each edit
+  contributes to exactly one side, |δ| + |Δ−δ| ≤ d. Candidates are
+  therefore the EQUI-join ``probes(B) ⋈ segments(A)`` on
+  (partner length, segment index, piece text), where B enumerates its
+  substrings at exactly the (length, index, shift) combinations that
+  bound allows — ≤ (2d+1)·(d+1) pieces per string, a constant.
+- why not the classic rarest-q-gram prefix filter: its join keys are
+  only as selective as the corpus' GRAM VOCABULARY is wide. On a
+  template-heavy corpus (measured on this repo's synthetic documents:
+  375 distinct 3-grams across 5000 prefixes) even the rarest grams
+  have huge document frequency and the candidate set degenerates
+  toward n² (5.03M candidate pairs for 256 true pairs at sf0.1).
+  Segment pieces are length ⌊len/(d+1)⌋ ≥ q — long enough to be
+  near-unique — and the SAME data yields 7.5k candidates: 665× fewer,
+  and the gap widens with corpus size.
+- strings shorter than q·(d+1) chars make every segment shorter than
+  q — too unselective to index. They pair through a bucketized
+  LENGTH-band join instead (each replicates to the buckets its
+  [len−d, len+d] window overlaps — the range_join composition),
+  complete because |len(a)−len(b)| ≤ d is necessary for ed ≤ d. This
+  class is tiny (sub-9-char strings at the defaults) and its join is
+  still an equi-join, never a cross product.
 - every candidate pair is verified with the exact thresholded
-  Levenshtein (JVM builtin, early-exit at d+1); the length filter
-  |len(a)−len(b)| ≤ d prunes before verification.
+  Levenshtein (JVM builtin, early-exit at d+1).
 
 Completeness is property-tested against a brute-force model over
 adversarial small alphabets (tests/test_fuzzy.py); cross-engine value
 equality is oracle-checked with a DuckDB twin that mirrors the same
-blocking and the same (df, gram) global order.
+segmentation, probe enumeration, and shift bound.
 
-At 100 TB: gram exploding is map-side; the candidate join shuffles on
-gram (AQE/skew rules apply, and the prefix filter keeps join keys
-rare by construction); verification is bounded to candidates. No
-stage ever materializes the cross product.
+At 100 TB: segmenting is map-side and emits d+1 rows per string
+(probe enumeration ≤ (2d+1)(d+1), both constants); the candidate
+join shuffles on (length, segment, piece) — long near-unique keys,
+so no hot key fans out (AQE skew rules cover residual template
+collisions); verification is bounded to candidates. No stage ever
+materializes the cross product, and no corpus-wide frequency
+aggregate exists anywhere (the q-gram design needed one per run —
+segments are a per-string pure function, which is what makes the
+persisted FuzzyIndex increment-only).
 
 Registered r10 (staged r9): the query fns and oracles below follow
 the registry (spark, sf_dir) contract.
@@ -46,65 +63,100 @@ from pyspark.sql import functions as F
 from iceberg_core_spark.operators.rangejoin import range_join
 from iceberg_core_spark.session import load_table
 
-Q = 3  # q-gram width
-
-
-def _grams(col, q: int):
-    """Distinct q-grams of ``col`` as an array (empty below q chars).
-    NB: Spark's sequence(1, 0) DESCENDS — guard short strings with an
-    explicit empty array instead of a clamped upper bound."""
-    return F.when(
-        F.length(col) >= q,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length(col) - (q - 1)),
-            lambda i: F.substring(col, i, F.lit(q)))),
-    ).otherwise(F.array().cast("array<string>"))
+Q = 3  # minimum segment width; guarantee class needs len >= q*(d+1)
 
 
 def _check_params(max_dist: int, q: int) -> int:
-    """Shared validation; returns the prefix length q·d+1."""
+    """Shared validation; returns the guarantee-class length floor
+    q·(d+1) — the shortest length at which every one of the d+1
+    segments is at least q chars wide (selective enough to index)."""
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     if q < 2:
-        raise ValueError("q must be >= 2 (unigrams make every pair "
-                         "share a gram — no blocking power)")
-    return q * max_dist + 1
+        raise ValueError("q must be >= 2 (1-char segment pieces make "
+                         "every pair collide — no blocking power)")
+    return q * (max_dist + 1)
 
 
-def _prep(frame: DataFrame, id_col: str, text_col: str,
-          q: int) -> DataFrame:
-    """(__id, __s, __len, __grams) projection; NULL texts dropped."""
+def _prep(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __s, __len) projection; NULL texts dropped."""
     return frame.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__s"),
         F.length(text_col).alias("__len"),
-        _grams(F.col(text_col), q).alias("__grams"),
     ).filter(F.col("__s").isNotNull())
 
 
-def _kept_prefix(grams: DataFrame, gram_df: DataFrame,
-                 keep: int, unseen_df: int | None = None) -> DataFrame:
-    """Each string's ``keep`` globally-rarest grams under the shared
-    (df, gram) total order — the probe side of the prefix filter.
+def _seg_geometry(la, seg, k: int):
+    """(start, length) of segment ``seg`` (1-based) in the even
+    partition of a string of length ``la`` into ``k`` pieces: the
+    first k−(la mod k) segments get ⌊la/k⌋ chars, the rest one more.
+    Pure integer Column arithmetic — identical in the DuckDB oracle
+    text, so the two engines cannot disagree on a boundary."""
+    base = (la / k).cast("int")          # la ≥ 0: trunc == floor
+    rem = la % k
+    start = F.lit(1) + (seg - 1) * base + F.greatest(
+        F.lit(0), seg - 1 - (F.lit(k) - rem))
+    slen = base + F.when(seg > F.lit(k) - rem, 1).otherwise(0)
+    return start, slen
 
-    ``unseen_df``: when set, grams ABSENT from ``gram_df`` are ranked
-    with that frequency instead of being dropped (left join) — the
-    batch side of an incremental probe, where new-vocabulary grams are
-    the rarest of all (df 0: they can't fan out in the candidate join
-    at all). The self-match path keeps the inner join: there every
-    gram is in its own corpus-wide aggregate by construction."""
-    from pyspark.sql import Window
-    rk = F.row_number().over(
-        Window.partitionBy("__id").orderBy("__df", "__gram"))
-    if unseen_df is None:
-        joined = grams.join(gram_df, "__gram")
-    else:
-        joined = (grams.join(gram_df, "__gram", "left")
-                  .fillna({"__df": unseen_df}))
-    return (joined
-            .withColumn("__rk", rk)
-            .filter(F.col("__rk") <= keep)
-            .drop("__rk", "__df"))
+
+def _segments(prep: DataFrame, max_dist: int) -> DataFrame:
+    """The indexed side: every string's d+1 segment pieces —
+    (__id, __la, __seg, __piece), where __la is the string's own
+    length (the probe side joins on it as the partner length)."""
+    k = max_dist + 1
+    out = prep.select(
+        "__id", "__s", F.col("__len").alias("__la"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__seg"))
+    start, slen = _seg_geometry(F.col("__la"), F.col("__seg"), k)
+    return out.select(
+        "__id", "__la", "__seg",
+        F.col("__s").substr(start, slen).alias("__piece"))
+
+
+def _probes(prep: DataFrame, max_dist: int, min_len: int) -> DataFrame:
+    """The probing side: every substring of each string that could be
+    an intact segment of a guarantee-class partner —
+    (__id, __len, __la, __seg, __piece) for partner lengths
+    __la ∈ [len−d, len+d] ∩ [min_len, ∞), with the start shift δ
+    bounded by |δ| + |Δ−δ| ≤ d (Δ = len−__la): δ covers the net
+    length drift of the edits BEFORE the intact segment and Δ−δ the
+    edits after, and the script has only d in total. ≤ (2d+1)(d+1)
+    rows per string before the bound prunes."""
+    k = max_dist + 1
+    d = max_dist
+    s, ln = F.col("__s"), F.col("__len")
+
+    def piece_struct(la, seg, sh):
+        start, slen = _seg_geometry(la, seg, k)
+        bstart = start + sh
+        keep = (
+            (la >= min_len)
+            & (F.abs(sh) + F.abs(ln - la - sh) <= d)
+            & (bstart >= 1) & (bstart + slen - 1 <= ln)
+        )
+        return F.when(keep, F.struct(
+            la.alias("__la"), seg.alias("__seg"),
+            s.substr(bstart, slen).alias("__piece")))
+
+    # the full (la, seg, sh) combo space — ≤ (2d+1)(d+1)(2d+1) entries
+    # — is enumerated, pruned, and DEDUPED inside one array expression
+    # (map-side, no exchange), then exploded once; the dedupe keeps a
+    # repetitive string ("aaaa…": every shift yields the same piece)
+    # from fanning the candidate join out
+    combos = F.array_distinct(F.filter(
+        F.flatten(F.flatten(F.transform(
+            F.sequence(ln - d, ln + d), lambda la:
+            F.transform(F.sequence(F.lit(1), F.lit(k)), lambda seg:
+                        F.transform(F.sequence(F.lit(-d), F.lit(d)),
+                                    lambda sh:
+                                    piece_struct(la, seg, sh)))))),
+        lambda x: x.isNotNull()))
+    return (prep.select("__id", "__len",
+                        F.explode(combos).alias("__p"))
+            .select("__id", "__len", "__p.__la", "__p.__seg",
+                    "__p.__piece"))
 
 
 def _band_pairs(intervals_side: DataFrame, points_side: DataFrame,
@@ -143,6 +195,19 @@ def _verify_pairs(cands: DataFrame, sl: DataFrame, sr: DataFrame,
     )
 
 
+def _as_seg_side(segs: DataFrame) -> DataFrame:
+    return segs.select(F.col("__id").alias("__rid"),
+                       "__la", "__seg", "__piece")
+
+
+def _as_probe_side(probes: DataFrame) -> DataFrame:
+    return probes.select(F.col("__id").alias("__lid"),
+                         "__la", "__seg", "__piece")
+
+
+_JOIN_KEYS = ["__la", "__seg", "__piece"]
+
+
 def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
                      max_dist: int, q: int = Q) -> DataFrame:
     """All unordered pairs of ``strings`` rows whose ``text_col``
@@ -150,39 +215,30 @@ def fuzzy_self_match(strings: DataFrame, id_col: str, text_col: str,
     never match; exact duplicates match at distance 0). Returns
     (id_a, id_b, dist) with id_a < id_b.
 
-    ``id_col`` must be unique per row; ``q``/``max_dist`` trade
-    blocking selectivity (prefix keeps q·d+1 rare grams) against the
-    size of the unguaranteed short class (≤ q·d distinct grams)."""
-    keep = _check_params(max_dist, q)
-    s = _prep(strings, id_col, text_col, q)
+    ``id_col`` must be unique per row; ``q``/``max_dist`` set the
+    guarantee-class floor q·(d+1) — every segment piece of an indexed
+    string is at least q chars wide; shorter strings pair through the
+    length-band join (module doc)."""
+    min_len = _check_params(max_dist, q)
+    s = _prep(strings, id_col, text_col)
 
-    grams = s.select("__id", "__len",
-                     F.explode("__grams").alias("__gram"))
-    # global rarity order: ascending (df, gram) — exact integers, so
-    # the order (and therefore the kept prefix) is engine-portable
-    gram_df = grams.groupBy("__gram").agg(
-        F.count(F.lit(1)).alias("__df"))
-    kept = (_kept_prefix(grams, gram_df, keep)
-            .select(F.col("__id").alias("__lid"),
-                    F.col("__len").alias("__llen"),
-                    "__gram"))
-
-    short = s.filter(F.size("__grams") < keep)
-
-    # (1) probe join: a pair within distance d with at least one
-    # guaranteed side ALWAYS surfaces here — that side's kept grams
-    # intersect the other side's full gram set (see module doc)
-    all_side = grams.select(F.col("__id").alias("__rid"),
-                            F.col("__len").alias("__rlen"), "__gram")
+    # (1) segment pigeonhole: a pair within distance d whose indexed
+    # member is guarantee-class ALWAYS surfaces here — one of its d+1
+    # segments survives intact in the other string, which enumerates
+    # exactly the substrings the shift bound allows (module doc).
+    # Probes come from EVERY string, so guaranteed × short pairs are
+    # covered by the guaranteed member's segments.
+    segs = _as_seg_side(_segments(s.filter(F.col("__len") >= min_len),
+                                  max_dist))
     cand_probe = (
-        kept.join(all_side, "__gram")
+        _as_probe_side(_probes(s, max_dist, min_len))
+        .join(segs, _JOIN_KEYS)
         .filter(F.col("__lid") != F.col("__rid"))
-        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
-                <= F.lit(max_dist))
     )
 
-    # (2) short class (no prefix guarantee on EITHER side): complete
-    # via the shared length-band range_join composition
+    # (2) short class (both sides below the floor): complete via the
+    # shared length-band range_join composition
+    short = s.filter(F.col("__len") < min_len)
     cand_short = _band_pairs(short, short, max_dist).filter(
         F.col("__lid") != F.col("__rid"))
 
@@ -209,45 +265,43 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     pair), and the same id value on both sides means two DIFFERENT
     entities — unlike the self-match, such pairs are kept.
 
-    Blocking mirrors the self-match with BOTH probe directions: the
-    shared (df, gram) total order comes from the UNION of both
-    corpora's grams, `kept(left) ⋈ all(right)` catches every pair
-    whose left side is prefix-guaranteed, and `kept(right) ⋈
-    grams(SHORT left)` the pairs whose left is short but right is
-    guaranteed — the second probe only needs the short-left grams,
-    because left-guaranteed pairs already surfaced in direction one
-    (restricting it halves the second join's input and stops
+    Put the BIG corpus on the RIGHT: the right side contributes d+1
+    segment rows per document, the left side the (2d+1)(d+1)-bounded
+    probe substrings — the asymmetric shape batch-vs-corpus callers
+    (decontamination, admission) want.
+
+    Blocking mirrors the self-match with BOTH directions:
+    `probes(left) ⋈ segments(right)` catches every pair whose RIGHT
+    side is guarantee-class (one of its segments survives intact in
+    the left string), and `probes(SHORT right) ⋈ segments(left)` the
+    pairs whose right is short but left is guaranteed — the second
+    join only needs the short-right probes, because guaranteed-right
+    pairs already surfaced in direction one (restricting it keeps
     both-guaranteed pairs from being produced twice). Pairs where
-    NEITHER side has q·d+1 distinct grams go through the bucketized
+    NEITHER side reaches the q·(d+1) floor go through the bucketized
     length-band range_join. Same completeness theorem per direction;
     property-tested against brute force."""
-    keep = _check_params(max_dist, q)
-    sl = _prep(left, left_id, left_text, q)
-    sr = _prep(right, right_id, right_text, q)
-    short_l = sl.filter(F.size("__grams") < keep)
-    short_r = sr.filter(F.size("__grams") < keep)
-    gl = sl.select("__id", "__len", F.explode("__grams").alias("__gram"))
-    gr = sr.select("__id", "__len", F.explode("__grams").alias("__gram"))
-    gl_short = short_l.select("__id", "__len",
-                              F.explode("__grams").alias("__gram"))
-    # ONE total order shared by both prefixes (any fixed order makes
-    # the guarantee hold; sharing it keeps the blocking symmetric)
-    gram_df = (gl.select("__gram").unionAll(gr.select("__gram"))
-               .groupBy("__gram").agg(F.count(F.lit(1)).alias("__df")))
+    min_len = _check_params(max_dist, q)
+    sl = _prep(left, left_id, left_text)
+    sr = _prep(right, right_id, right_text)
+    short_l = sl.filter(F.col("__len") < min_len)
+    short_r = sr.filter(F.col("__len") < min_len)
 
-    def _as(frame, side):
-        return frame.select(F.col("__id").alias(f"__{side}id"),
-                            F.col("__len").alias(f"__{side}len"),
-                            "__gram")
-
-    kept_l = _as(_kept_prefix(gl, gram_df, keep), "l")
-    kept_r = _as(_kept_prefix(gr, gram_df, keep), "r")
+    segs_r = _as_seg_side(
+        _segments(sr.filter(F.col("__len") >= min_len), max_dist))
+    segs_l = _as_seg_side(
+        _segments(sl.filter(F.col("__len") >= min_len), max_dist))
+    # direction 2's probe side is the RIGHT corpus, so its join output
+    # has probe ids in __lid and left ids in __rid — swap back
     cand_probe = (
-        kept_l.join(_as(gr, "r"), "__gram")
-        .unionByName(_as(gl_short, "l").join(kept_r, "__gram"))
-        .filter(F.abs(F.col("__llen") - F.col("__rlen"))
-                <= F.lit(max_dist))
+        _as_probe_side(_probes(sl, max_dist, min_len)).join(
+            segs_r, _JOIN_KEYS)
         .select("__lid", "__rid")
+        .unionByName(
+            _as_probe_side(_probes(short_r, max_dist, min_len)).join(
+                segs_l, _JOIN_KEYS)
+            .select(F.col("__rid").alias("__lid"),
+                    F.col("__lid").alias("__rid")))
     )
 
     cand_short = _band_pairs(short_l, short_r, max_dist)
@@ -330,31 +384,51 @@ _NORM_PREFIX_CTE = f"""s AS (
   ) WHERE length(s) >= {MIN_PREFIX_LEN}
 )"""
 
+# Mirror of the Spark blocking: the same even-partition segment
+# geometry, the same probe (partner length, segment, shift)
+# enumeration with the |δ| + |Δ−δ| ≤ d bound, the same q·(d+1)
+# guarantee-class floor and length-band short class, the same
+# thresholded verify. _D/_K/_MINLEN are spelled once here so the SQL
+# text cannot drift from the constants the engine uses.
+_D, _K, _MINLEN = MAX_DIST, MAX_DIST + 1, Q * (MAX_DIST + 1)
+
 _FUZZY_PAIRS_CTES = f"""{_NORM_PREFIX_CTE},
-st AS (
-  SELECT id, s, length(s) AS len,
-         list_distinct([substr(s, i, {Q})
-                        FOR i IN range(1, greatest(length(s) - {Q - 1},
-                                                   0) + 1)]) AS grams
-  FROM s
+st AS (SELECT id, s, length(s) AS len FROM s),
+segs AS (
+  SELECT id AS rid, len AS la, seg,
+         substr(s, 1 + (seg-1)*(len//{_K})
+                     + greatest(0, seg-1-({_K}-(len%{_K}))),
+                (len//{_K})
+                 + CASE WHEN seg > {_K}-(len%{_K}) THEN 1 ELSE 0 END)
+           AS piece
+  FROM (SELECT id, s, len, unnest(range(1, {_K}+1)) AS seg
+        FROM st WHERE len >= {_MINLEN})
 ),
-grams AS (SELECT id, len, unnest(grams) AS gram FROM st),
-gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1),
-kept AS (
-  SELECT id AS lid, len AS llen, gram FROM (
-    SELECT g.id, g.len, g.gram,
-           row_number() OVER (PARTITION BY g.id
-                              ORDER BY d.df, g.gram) AS rk
-    FROM grams g JOIN gram_df d USING (gram)
-  ) WHERE rk <= {Q * MAX_DIST + 1}
+probes AS (
+  SELECT DISTINCT id AS lid, la, seg,
+         substr(s, bstart, slen) AS piece
+  FROM (
+    SELECT id, s, len, la, seg,
+           1 + (seg-1)*(la//{_K}) + greatest(0, seg-1-({_K}-(la%{_K})))
+             + sh AS bstart,
+           (la//{_K})
+             + CASE WHEN seg > {_K}-(la%{_K}) THEN 1 ELSE 0 END AS slen
+    FROM (SELECT id, s, len, len + dl AS la, dl, seg, sh
+          FROM st,
+               (SELECT unnest(range(-{_D}, {_D}+1)) AS dl),
+               (SELECT unnest(range(1, {_K}+1)) AS seg),
+               (SELECT unnest(range(-{_D}, {_D}+1)) AS sh))
+    WHERE la >= {_MINLEN}
+      AND abs(sh) + abs((len - la) - sh) <= {_D}
+  ) WHERE bstart >= 1 AND bstart + slen - 1 <= len
 ),
 cand_probe AS (
-  SELECT least(k.lid, g.id) AS id_a, greatest(k.lid, g.id) AS id_b
-  FROM kept k JOIN grams g USING (gram)
-  WHERE k.lid <> g.id AND abs(k.llen - g.len) <= {MAX_DIST}
+  SELECT least(p.lid, g.rid) AS id_a, greatest(p.lid, g.rid) AS id_b
+  FROM probes p JOIN segs g
+    ON g.la = p.la AND g.seg = p.seg AND g.piece = p.piece
+  WHERE p.lid <> g.rid
 ),
-short AS (SELECT id, len FROM st
-          WHERE len(grams) < {Q * MAX_DIST + 1}),
+short AS (SELECT id, len FROM st WHERE len < {_MINLEN}),
 cand_short AS (
   SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
   FROM short a JOIN short b
@@ -428,14 +502,16 @@ def corpus_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     the fuzzy check has cross-split signal at DRIVER scale, not the
     production shape. In production the eval side is benchmark-sized
     (thousands of docs, like decontam.py's % 53 split), exactly the
-    asymmetry fuzzy_join's blocking exploits (kept_r is tiny; the
-    train side never shuffles more than its rare-gram prefix rows)."""
+    asymmetry fuzzy_join's blocking exploits: the eval side goes LEFT
+    (probe substrings enumerated from the small corpus), the train
+    side RIGHT (d+1 segment rows per doc — the big corpus never
+    contributes more than that per document)."""
     pref = _prefix_frame(spark, sf)
     train = pref.filter("doc_id % 11 <> 0")
     evald = pref.filter("doc_id % 11 = 0")
-    pairs = fuzzy_join(train, evald, "doc_id", "prefix",
+    pairs = fuzzy_join(evald, train, "doc_id", "prefix",
                        "doc_id", "prefix", MAX_DIST, q=Q)
-    return (pairs.groupBy(F.col("left_id").alias("doc_id"))
+    return (pairs.groupBy(F.col("right_id").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_eval_matches"),
                  F.min("dist").alias("min_dist")))
 

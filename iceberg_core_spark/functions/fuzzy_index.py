@@ -1,51 +1,46 @@
 """Incremental fuzzy (edit-distance) admission — judge an INCOMING
 BATCH against an EXISTING CORPUS by near-identity of their strings,
-without recomputing any corpus-wide aggregate per batch. This is
+without recomputing any corpus-wide state per batch. This is
 ``fuzzy_join``'s continuous-ingest shape, exactly as
 :class:`AdmissionIndex` is ``dedup_batch``'s: the corpus is
 append-only and already curated; each new delivery is checked for
 typo/near-variant collisions before admission (r9 verdict task 3 —
-the 100 TB gap in the fuzzy family: ``fuzzy_self_match`` re-ran the
-full-corpus gram document-frequency aggregate and per-doc rarest
-prefixes on every call).
+the 100 TB gap in the fuzzy family).
 
-Why a PERSISTED prefix index is sound — the theorem that carries the
-whole module: the q-gram prefix-filter guarantee (fuzzy.py module
-doc) holds for ANY fixed choice of q·d+1 distinct grams per string —
-each edit destroys at most q positional grams, so at most q·d of a
-string's distinct grams can be absent from a string within distance
-d, and any q·d+1 of them therefore intersect it. The ascending-
-document-frequency order is purely a PERFORMANCE heuristic (rare join
-keys don't fan out). Hence corpus-side kept prefixes chosen under the
-df counts at index time remain complete forever, no matter how the
-corpus vocabulary drifts — an incremental index never has to revisit
-old documents.
+Why a PERSISTED index is trivially sound here: segment-pigeonhole
+blocking (fuzzy.py module doc — PassJoin) derives each document's
+d+1 segment pieces and its probe substrings from THAT DOCUMENT
+ALONE. There is no corpus-wide statistic anywhere (the earlier
+q-gram design ranked prefixes by corpus document frequency — a
+vocabulary-sized aggregate recomputed per run), so an increment's
+index rows are byte-identical whether the document arrived first or
+last, and old documents never need revisiting as the corpus grows.
 
-Three probe directions, mirroring ``fuzzy_join`` with batch=left:
+Three probe directions, mirroring ``fuzzy_join`` with batch=left and
+corpus=right:
 
-- guaranteed batch doc  → its q·d+1 kept grams (ranked by CORPUS df;
-  unseen grams rank df=0 — they cannot fan out at all) equi-join the
-  corpus gram POSTINGS;
-- short batch doc (< q·d+1 distinct grams) → its FULL gram set
-  equi-joins the corpus KEPT prefixes (covers guaranteed corpus
-  docs);
+- batch probe substrings → equi-join the corpus SEGMENTS (d+1 skinny
+  rows per corpus doc — covers every guarantee-class corpus doc);
+- batch guarantee-class segments → equi-join the persisted probe
+  substrings of SHORT corpus docs (covers guaranteed batch × short
+  corpus);
 - short × short → the bucketized length-band ``range_join``
   composition over the persisted corpus short-class lengths.
 
-Every direction is an equi-join; candidates are verified with the
-thresholded JVM ``levenshtein(…, d+1)``. Per-batch cost: the corpus
-side contributes only skinny scans (postings (gram,id,len), kept
-prefixes, short lengths) that AQE broadcasts the batch side against —
+Every direction is an equi-join on (partner length, segment index,
+piece); candidates are verified with the thresholded JVM
+``levenshtein(…, d+1)``. Per-batch cost: the corpus side contributes
+only skinny scans (segments (la, seg, piece, id), short-class probe
+pieces, short lengths) that AQE broadcasts the batch side against —
 never a corpus text pass, never a corpus-wide aggregate, never
-corpus × corpus. The (gram, df) counts are persisted as ADDITIVE
-per-snapshot partials; ranking a batch sums the vocabulary-sized
-partials table, not the postings.
+corpus × corpus.
 
 Persistence/sync/compaction discipline is the shared
 :class:`SnapshotSyncedStore` (same crash-safe generation flip, same
-append-only snapshot walk as :class:`AdmissionIndex`). Reference
-lineage: R16's content-identity admission (block.go:60-115) extended
-from exact identity to near-identity.
+append-only snapshot walk as :class:`AdmissionIndex`); every kind is
+a plain concatenation of per-snapshot increments (nothing to fold at
+compaction). Reference lineage: R16's content-identity admission
+(block.go:60-115) extended from exact identity to near-identity.
 """
 
 from __future__ import annotations
@@ -62,61 +57,45 @@ from iceberg_core_spark.functions.fuzzy import (
     _NORM_PREFIX_CTE,
     _band_pairs,
     _check_params,
-    _kept_prefix,
-    _prep,
     _prefix_frame,
-    _verify_pairs,
+    _prep,
+    _probes,
+    _segments,
 )
 from iceberg_core_spark.functions.index_store import SnapshotSyncedStore
 from iceberg_core_spark.session import load_table
 
 
-def _explode_grams(prep: DataFrame) -> DataFrame:
-    """(__id, __len, __gram) rows of a _prep frame."""
-    return prep.select("__id", "__len",
-                       F.explode("__grams").alias("__gram"))
-
-
-def _corpus_frames(prep: DataFrame,
-                   rank_df: DataFrame | None = None,
-                   keep: int = Q * MAX_DIST + 1) -> dict[str, DataFrame]:
-    """The four corpus-side frames the judge needs, plus the additive
-    (gram, df) counts of THIS frame — shared by the on-the-fly path
-    (:func:`fuzzy_batch`) and the index sync (:class:`FuzzyIndex`),
-    so the two cannot drift. ``rank_df``: the df counts to rank kept
-    prefixes by (defaults to this frame's own counts — the self-
-    contained case); ANY ranking yields a complete prefix (module
-    doc), so an increment ranked against accumulated counts and a
-    from-scratch corpus ranked against its own agree on verdicts."""
-    grams = _explode_grams(prep)
-    inc_df = grams.groupBy("__gram").agg(
-        F.count(F.lit(1)).alias("__df"))
-    kept = _kept_prefix(grams, rank_df if rank_df is not None
-                        else inc_df, keep)
+def _corpus_frames(prep: DataFrame, max_dist: int,
+                   min_len: int) -> dict[str, DataFrame]:
+    """The corpus-side frames the judge needs — shared by the
+    on-the-fly path (:func:`fuzzy_batch`) and the index sync
+    (:class:`FuzzyIndex`), so the two cannot drift. All are pure
+    per-document functions (module doc), so per-snapshot increments
+    concatenate into exactly the from-scratch frames."""
+    guaranteed = prep.filter(F.col("__len") >= min_len)
+    short = prep.filter(F.col("__len") < min_len)
 
     def _as_c(frame: DataFrame) -> DataFrame:
-        return frame.select(F.col("__id").alias("__cid"),
-                            F.col("__len").alias("__clen"), "__gram")
+        return frame.withColumnRenamed("__id", "__cid")
 
     return {
-        "grams": _as_c(grams),
-        "kept": _as_c(kept),
-        "short": (prep.filter(F.size("__grams") < keep)
-                  .select(F.col("__id").alias("__cid"),
-                          F.col("__len").alias("__clen"))),
+        "segs": _as_c(_segments(guaranteed, max_dist)),
+        "sprobe": _as_c(_probes(short, max_dist, min_len)
+                        .withColumnRenamed("__len", "__clen")),
+        "short": short.select(F.col("__id").alias("__cid"),
+                              F.col("__len").alias("__clen")),
         "strings": prep.select(F.col("__id").alias("__cid"),
                                F.col("__s").alias("__cs")),
-        "df": inc_df,
     }
 
 
 def _fuzzy_judge(
     batch: DataFrame,
-    cgrams: DataFrame,
-    ckept: DataFrame,
+    csegs: DataFrame,
+    csprobe: DataFrame,
     cshort: DataFrame,
     cstrings: DataFrame,
-    cdf_partials: DataFrame,
     text_col: str,
     id_col: str,
     max_dist: int,
@@ -127,35 +106,31 @@ def _fuzzy_judge(
     index (:class:`FuzzyIndex.judge`). Returns one row per batch doc:
     (id, verdict 'fuzzy_dup'|'unique', match_id, dist) where match_id
     is the best corpus match (smallest distance, then smallest id)."""
-    keep = _check_params(max_dist, q)
-    b = _prep(batch, id_col, text_col, q)
-    bgrams = _explode_grams(b)
-    short_b = b.filter(F.size("__grams") < keep)
-
-    # batch prefixes ranked by corpus-global df (sum of the additive
-    # partials — a vocabulary-sized aggregate, not a postings pass);
-    # grams the corpus has never seen rank rarest (df 0) and generate
-    # zero candidates in the probe join — free blocking power
-    df_tot = cdf_partials.groupBy("__gram").agg(
-        F.sum("__df").alias("__df"))
-    kept_b = _kept_prefix(bgrams, df_tot, keep, unseen_df=0)
-
-    def _as_b(frame: DataFrame) -> DataFrame:
-        return frame.select(F.col("__id").alias("__bid"),
-                            F.col("__len").alias("__blen"), "__gram")
-
-    # direction A: guaranteed batch docs probe the corpus postings
-    cand_a = _as_b(kept_b).join(cgrams, "__gram")
-    # direction B: short batch docs' FULL grams probe the corpus kept
-    # prefixes (covers every guaranteed corpus doc)
-    cand_b = _as_b(_explode_grams(short_b)).join(ckept, "__gram")
-    cand_probe = (
-        cand_a.unionByName(cand_b)
-        .filter(F.abs(F.col("__blen") - F.col("__clen"))
-                <= F.lit(max_dist))
-        .select("__bid", "__cid")
+    from iceberg_core_spark.functions.fuzzy import (
+        _JOIN_KEYS,
+        _verify_pairs,
     )
 
+    min_len = _check_params(max_dist, q)
+    b = _prep(batch, id_col, text_col)
+    short_b = b.filter(F.col("__len") < min_len)
+    keys = _JOIN_KEYS
+
+    # direction A: batch probes × corpus segments (covers every
+    # guarantee-class corpus doc, whatever the batch doc's class)
+    cand_a = (
+        _probes(b, max_dist, min_len)
+        .select(F.col("__id").alias("__bid"), *keys)
+        .join(csegs.select("__cid", *keys), keys)
+        .select("__bid", "__cid")
+    )
+    # direction B: guaranteed batch segments × short-corpus probes
+    cand_b = (
+        csprobe.select("__cid", *keys)
+        .join(_segments(b.filter(F.col("__len") >= min_len), max_dist)
+              .select(F.col("__id").alias("__bid"), *keys), keys)
+        .select("__bid", "__cid")
+    )
     # direction C: short × short via the bucketized length band
     cshort_prep = cshort.select(F.col("__cid").alias("__id"),
                                 F.col("__clen").alias("__len"))
@@ -163,7 +138,7 @@ def _fuzzy_judge(
               .select(F.col("__lid").alias("__bid"),
                       F.col("__rid").alias("__cid")))
 
-    cands = (cand_probe.unionByName(cand_c).distinct()
+    cands = (cand_a.unionByName(cand_b).unionByName(cand_c).distinct()
              .select(F.col("__bid").alias("__lid"),
                      F.col("__cid").alias("__rid")))
     cs = cstrings.select(F.col("__cid").alias("__id"),
@@ -198,12 +173,12 @@ def fuzzy_batch(corpus: DataFrame, batch: DataFrame,
     :class:`FuzzyIndex` is the persisted variant that amortizes it.
     Batch-internal near-duplicates are out of scope by design (run
     ``fuzzy_self_match`` over the batch alone for that)."""
-    keep = _check_params(max_dist, q)
-    c = _prep(corpus, id_col, text_col, q)
-    frames = _corpus_frames(c, keep=keep)
+    min_len = _check_params(max_dist, q)
+    c = _prep(corpus, id_col, text_col)
+    frames = _corpus_frames(c, max_dist, min_len)
     return _fuzzy_judge(
-        batch, frames["grams"], frames["kept"], frames["short"],
-        frames["strings"], frames["df"], text_col, id_col, max_dist, q,
+        batch, frames["segs"], frames["sprobe"], frames["short"],
+        frames["strings"], text_col, id_col, max_dist, q,
     )
 
 
@@ -211,24 +186,18 @@ class FuzzyIndex(SnapshotSyncedStore):
     """Persisted fuzzy-admission index over an append-only
     :class:`IceTable` — the production variant of :func:`fuzzy_batch`
     (module doc has the completeness argument and the probe shapes).
-    Five kinds: ``grams`` (postings: id, len, gram), ``kept`` (each
-    doc's q·d+1 prefix grams, chosen at sync time), ``short``
-    (short-class ids + lengths), ``strings`` (verification text),
-    ``df`` (ADDITIVE per-snapshot (gram, count) partials — judge and
-    sync sum them; compaction folds them).
-
-    Sync ranks an increment's kept prefixes against the accumulated
-    counts (persisted partials + the increment's own) — the best
-    rarity estimate available at that moment; older documents' stale
-    prefixes stay complete by the any-prefix theorem, so no rewrite.
+    Four kinds: ``segs`` (guarantee-class docs' d+1 segment pieces),
+    ``sprobe`` (short docs' probe substrings), ``short`` (short-class
+    ids + lengths), ``strings`` (verification text). Every kind is a
+    pure per-document function, so increments are self-contained —
+    sync never reads, re-ranks, or rewrites existing rows.
     """
 
     _KIND_COLS = {
-        "grams": ["__cid", "__clen", "__gram"],
-        "kept": ["__cid", "__clen", "__gram"],
+        "segs": ["__cid", "__la", "__seg", "__piece"],
+        "sprobe": ["__cid", "__clen", "__la", "__seg", "__piece"],
         "short": ["__cid", "__clen"],
         "strings": ["__cid", "__cs"],
-        "df": ["__gram", "__df"],
     }
     _COUNT_KIND = "strings"
 
@@ -238,29 +207,12 @@ class FuzzyIndex(SnapshotSyncedStore):
         super().__init__(spark, root, text_col, id_col)
         self.max_dist = max_dist
         self.q = q
-        self._keep = _check_params(max_dist, q)
+        self._min_len = _check_params(max_dist, q)
 
     def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
         prep = _prep(rows.select(self.id_col, self.text_col),
-                     self.id_col, self.text_col, self.q)
-        rank_df = None
-        if os.path.isdir(self._kind_dir("df")):
-            # accumulated counts = persisted partials + this increment
-            # (summed inside _kept_prefix's join via a pre-aggregate)
-            inc = _explode_grams(prep).groupBy("__gram").agg(
-                F.count(F.lit(1)).alias("__df"))
-            rank_df = (self._read("df").unionByName(inc)
-                       .groupBy("__gram").agg(
-                           F.sum("__df").alias("__df")))
-        return _corpus_frames(prep, rank_df=rank_df, keep=self._keep)
-
-    def _fold_for_compact(
-            self, frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        # the df partials are additive states — fold them so a long
-        # sync history compacts to one row per gram
-        return {**frames,
-                "df": frames["df"].groupBy("__gram").agg(
-                    F.sum("__df").alias("__df"))}
+                     self.id_col, self.text_col)
+        return _corpus_frames(prep, self.max_dist, self._min_len)
 
     def judge(self, batch: DataFrame) -> DataFrame:
         """Fuzzy-admission verdicts for ``batch`` against the indexed
@@ -268,11 +220,10 @@ class FuzzyIndex(SnapshotSyncedStore):
         share ``_fuzzy_judge``, so drift is structurally impossible)."""
         return _fuzzy_judge(
             batch,
-            self._read("grams"),
-            self._read("kept"),
+            self._read("segs"),
+            self._read("sprobe"),
             self._read("short"),
             self._read("strings"),
-            self._read("df"),
             self.text_col, self.id_col, self.max_dist, self.q,
         )
 

@@ -146,18 +146,17 @@ def test_fuzzy_index_judge_equals_fuzzy_batch(spark, tmp_path):
     assert got == want
 
 
-def test_fuzzy_index_compact_folds_df_and_preserves_judge(spark,
-                                                          tmp_path):
+def test_fuzzy_index_compact_preserves_judge(spark, tmp_path):
     crows, brows = _seeded_corpora()
     _t, idx = _committed_index(spark, tmp_path, crows)
     bdf = spark.createDataFrame(brows, "doc_id long, text string")
     before = _collect_verdicts(idx.judge(bdf))
     gen0 = idx.generation()
     assert idx.compact() == gen0 + 1
-    # folded: one row per gram, counts equal the corpus-wide truth
-    df_rows = idx._read("df").collect()
-    grams = [r["__gram"] for r in df_rows]
-    assert len(grams) == len(set(grams))
+    # consolidated: the three per-snapshot sync dirs folded into one
+    segs_dir = idx._kind_dir("segs")
+    assert [d for d in os.listdir(segs_dir)
+            if d.startswith("snap=")] == [f"snap={idx.synced_snapshot()}"]
     assert _collect_verdicts(idx.judge(bdf)) == before
     # idempotent: nothing left to compact
     assert idx.compact() == gen0 + 1
