@@ -37,6 +37,8 @@ HEADLINE = [
     "range_join_window", # bucketized interval join, never BNLJ (r9)
     # LLM ops
     "corpus_bm25",       # BM25 lexical top-k, pre-top-k pushdown (r9)
+    "corpus_fuzzy_prefix",  # edit-distance pairs: segment-pigeonhole
+                            # blocking + thresholded verify (r10)
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",

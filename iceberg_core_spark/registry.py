@@ -114,7 +114,16 @@ def all_queries() -> dict[str, Entry]:
         # (c) 31 of the 41 byte-unchanged age-3 r7 rows (the other 10
         # — tpch_q2/q9/q10/q11/q15/q16/q20, join_broadcast,
         # join_sortmerge, join_full — ride to age 4 and are FORCED
-        # into the r11 window)
+        # into the r11 window).
+        # R11 MANDATORY LEADS (verify_window.py --ages 11, simulated
+        # at r10 close): those 10 age-4 rows + 2 changed-module r8
+        # rows (corpus_mix, corpus_shuffle — assembly.py changed when
+        # the temperature mixture was staged in r9) + the r10-staged
+        # corpus_fuzzy_admission registration (fuzzy_index.py
+        # STAGED_QUERIES; one import line) = 13 forced; the 12
+        # byte-unchanged r8 tpch rows (q1/q4/q6/q7/q8/q13/q14/q17/
+        # q18/q19/q21/q22) may defer ONCE more but then hard-stop at
+        # r12 — budget r11's ~37 flex slots accordingly.
         "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_minhash",
         "corpus_clean", "sim_search_lsh", "text_ngrams",
         "admission_index", "split_train_test", "sample_stratified",

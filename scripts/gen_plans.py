@@ -68,19 +68,27 @@ PICKS += [
      "Weekly cohort retention — exact integer-µs week floors map-side, one distinct + one per-user MIN + one grouped count-distinct, all sharing the user_id exchange; week indices derive from small differences only (raw epoch-µs exceeds 2^53)."),
 ]
 
+# Registered in r10 — notes reflect the r10 segment-pigeonhole
+# blocking (PassJoin), which replaced the q-gram prefix filter.
+REGISTERED_R10_PICKS = [
+    ("corpus_fuzzy_prefix",
+     "Fuzzy edit-distance self-match — segment pieces (d+1 per string) and the bounded probe substrings are map-side array expressions exploded once; candidates come from an EQUI join on (partner length, segment index, piece) whose keys are long near-unique substrings (+ the bucketized length-band equi-join for the sub-q·(d+1) short class); thresholded levenshtein verifies candidates only. No CartesianProduct, no BroadcastNestedLoopJoin (plan-gated)."),
+    ("corpus_bm25_exploded",
+     "Document-scale BM25 — one token explode semi-joined to the BROADCAST query vocabulary (non-query tokens never shuffle), one (doc, term) hash aggregate, broadcast df/stats joins, exact-decimal per-(query, doc) folds, shared Arrow pre-top-k under the rank window."),
+    ("corpus_fuzzy_clusters",
+     "Fuzzy pairs → connected components — the blocked pair generation feeds the alternating-star CC (driver union-find at this edge count, star rounds above the tier switch); verdict assembly is one window over canon_id."),
+    ("corpus_mix_temperature",
+     "Temperature-2 mixture plan — ONE corpus hash aggregate to the per-source rollup; the rate closed form (min_j(mass/w) · w_i/mass_i) runs on the few-row rollup with an order-free MIN window, no double ever folds."),
+    ("corpus_fuzzy_decontaminate",
+     "Fuzzy eval-set decontamination — asymmetric fuzzy_join: the benchmark-sized eval side goes LEFT (probe substrings from the small corpus), the train side ships only d+1 segment rows per doc + its short class; verify bounded to candidates; one per-train-doc aggregate."),
+]
+PICKS = PICKS + REGISTERED_R10_PICKS
+
 # Staged queries (oracle-verified, not yet registered — see TODO.md):
 # resolved from their home modules so their plans stay auditable too.
 STAGED_PICKS = [
-    ("corpus_fuzzy_prefix", "iceberg_core_spark.functions.fuzzy",
-     "Fuzzy edit-distance self-match — gram explode and the rarest-gram prefix (row_number over (df, gram)) are the only wide work; candidates come from an EQUI join whose keys are rare grams by construction (+ the bucketized length-band equi-join for the short class); thresholded levenshtein verifies candidates only. No CartesianProduct, no BroadcastNestedLoopJoin (plan-gated)."),
-    ("corpus_bm25_exploded", "iceberg_core_spark.functions.search",
-     "Document-scale BM25 — one token explode semi-joined to the BROADCAST query vocabulary (non-query tokens never shuffle), one (doc, term) hash aggregate, broadcast df/stats joins, exact-decimal per-(query, doc) folds, shared Arrow pre-top-k under the rank window."),
-    ("corpus_fuzzy_clusters", "iceberg_core_spark.functions.fuzzy",
-     "Fuzzy pairs → connected components — the blocked pair generation feeds the alternating-star CC (driver union-find at this edge count, star rounds above the tier switch); verdict assembly is one window over canon_id."),
-    ("corpus_mix_temperature", "iceberg_core_spark.functions.assembly",
-     "Temperature-2 mixture plan — ONE corpus hash aggregate to the per-source rollup; the rate closed form (min_j(mass/w) · w_i/mass_i) runs on the few-row rollup with an order-free MIN window, no double ever folds."),
-    ("corpus_fuzzy_decontaminate", "iceberg_core_spark.functions.fuzzy",
-     "Fuzzy eval-set decontamination — asymmetric fuzzy_join: the benchmark-sized eval side's kept prefix is tiny (broadcastable at any corpus scale), the train side ships only rare-gram prefix rows + its short class; verify bounded to candidates; one per-train-doc aggregate."),
+    ("corpus_fuzzy_admission", "iceberg_core_spark.functions.fuzzy_index",
+     "Incremental fuzzy admission — the batch probes equi-join the PERSISTED corpus segment index (d+1 skinny rows per corpus doc; scans, never a corpus text pass), guaranteed batch segments equi-join the persisted short-class probes, short×short rides the length band; verify bounded to candidates, best-match rollup is one window over the batch ids."),
 ]
 
 
