@@ -269,25 +269,14 @@ def _admission_index_root(spark: SparkSession, sf: str) -> str:
     persisted AdmissionIndex synced from it — so the driver row proves
     the incremental sync (create + append increments), not just the
     on-the-fly derivation."""
-    import tempfile
-
-    root = _IDX_CACHE.get(sf)
-    if root is not None and os.path.isdir(root):
-        return root
-    from iceberg_core_spark.table import IceTable
+    from iceberg_core_spark.functions.index_store import (
+        split_corpus_index_root,
+    )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="ice_admidx_")
-    troot = os.path.join(base, "corpus")
-    t = IceTable.create(
-        spark, troot,
-        docs.filter("doc_id % 10 <> 0 AND doc_id % 3 <> 0"),
-        partition_col=None, key_col="doc_id")
-    t.append(docs.filter("doc_id % 10 <> 0 AND doc_id % 3 = 0"))
-    idx = AdmissionIndex(spark, os.path.join(base, "idx"))
-    idx.sync(t)
-    _IDX_CACHE[sf] = base
-    return base
+    return split_corpus_index_root(
+        spark, docs, _IDX_CACHE, sf, "ice_admidx_",
+        lambda root: AdmissionIndex(spark, root))
 
 
 def admission_index(spark: SparkSession, sf: str) -> DataFrame:

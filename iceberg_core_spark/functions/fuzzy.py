@@ -315,16 +315,17 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
 PREFIX_LEN = 40
 MAX_DIST = 2
-# Minimum normalized-prefix length to participate in matching: q·(d+1)
-# is the first length at which a string CAN carry the q·d+1 positional
-# grams the prefix-filter guarantee needs. Below it the opening holds
-# no usable identity signal — and, decisively, a non-Latin-script
-# corpus normalizes to EMPTY/near-empty ASCII prefixes that would all
-# fall into the short class's same length bucket (an n² candidate
-# blow-up with every empty pair "matching" at distance 0). Such
-# documents are EXCLUDED from the prefix signal entirely (r9 ADVICE);
-# a script-aware normalization is the right tool for them, not a
-# degenerate ASCII prefix.
+# Minimum normalized-prefix length to participate in matching: the
+# guarantee-class floor q·(d+1) — the shortest length at which every
+# one of the d+1 segments is ≥ q chars (selective enough to index).
+# Below it the opening holds no usable identity signal — and,
+# decisively, a non-Latin-script corpus normalizes to EMPTY/
+# near-empty ASCII prefixes that would all fall into the short
+# class's same length bucket (an n² candidate blow-up with every
+# empty pair "matching" at distance 0). Such documents are EXCLUDED
+# from the prefix signal entirely (r9 ADVICE); a script-aware
+# normalization is the right tool for them, not a degenerate ASCII
+# prefix.
 MIN_PREFIX_LEN = Q * (MAX_DIST + 1)
 
 
@@ -360,9 +361,10 @@ def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_self_match(pref, "doc_id", "prefix", MAX_DIST, q=Q)
 
 
-# The DuckDB twin mirrors the SAME blocking (grams, (df, gram) global
-# order, q·d+1 prefix, short class via the length band — which the
-# band bucketization makes a plain |len diff| <= d here) and the same
+# The DuckDB twin mirrors the SAME blocking (segment geometry, probe
+# enumeration under the |δ|+|Δ−δ| ≤ d shift bound, q·(d+1) class
+# floor, short class via the length band — which the band
+# bucketization makes a plain |len diff| <= d here) and the same
 # thresholded verify, so every value the engine emits is value-hash
 # checked; blocking COMPLETENESS is proven separately by the
 # property test against brute force. The CTE body is SHARED between

@@ -149,8 +149,13 @@ def _fuzzy_judge(
     best = (pairs.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("__bid", "__cid", "dist"))
+    # verdict rows come from the RAW batch, not the NULL-filtered
+    # _prep frame: a NULL-text doc can never match (fuzzy.py: NULL
+    # texts never pair) but it still gets its 'unique' row — same
+    # one-row-per-batch-doc contract as the MinHash _judge, so the
+    # streaming admission path neither admits-silently nor loses it
     return (
-        b.select(F.col("__id").alias(id_col))
+        batch.select(F.col(id_col))
         .join(best, F.col(id_col) == F.col("__bid"), "left")
         .select(
             F.col(id_col),
@@ -209,6 +214,12 @@ class FuzzyIndex(SnapshotSyncedStore):
         self.q = q
         self._min_len = _check_params(max_dist, q)
 
+    def _index_params(self) -> dict:
+        # the persisted (la, seg, piece) rows are only joinable by a
+        # probe side cut with the SAME geometry — stamped at first
+        # write, re-checked on every sync/compact/judge (base class)
+        return {"max_dist": self.max_dist, "q": self.q}
+
     def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
         prep = _prep(rows.select(self.id_col, self.text_col),
                      self.id_col, self.text_col)
@@ -218,6 +229,7 @@ class FuzzyIndex(SnapshotSyncedStore):
         """Fuzzy-admission verdicts for ``batch`` against the indexed
         corpus — same output contract as :func:`fuzzy_batch` (the two
         share ``_fuzzy_judge``, so drift is structurally impossible)."""
+        self._ensure_params()
         return _fuzzy_judge(
             batch,
             self._read("segs"),
@@ -241,26 +253,14 @@ def _fuzzy_index_root(spark: SparkSession, sf: str) -> str:
     """Build (once per corpus) the persisted index: the 90% corpus
     (doc_id % 10 != 0, MIN_PREFIX_LEN-floored normalized openings)
     committed in two IceTable commits, then synced."""
-    import tempfile
+    from iceberg_core_spark.functions.index_store import (
+        split_corpus_index_root,
+    )
 
-    root = _IDX_CACHE.get(sf)
-    if root is not None and os.path.isdir(root):
-        return root
-    from iceberg_core_spark.table import IceTable
-
-    pref = _prefix_frame(spark, sf)
-    base = tempfile.mkdtemp(prefix="ice_fuzzyidx_")
-    troot = os.path.join(base, "corpus")
-    t = IceTable.create(
-        spark, troot,
-        pref.filter("doc_id % 10 <> 0 AND doc_id % 3 <> 0"),
-        partition_col=None, key_col="doc_id")
-    t.append(pref.filter("doc_id % 10 <> 0 AND doc_id % 3 = 0"))
-    idx = FuzzyIndex(spark, os.path.join(base, "idx"),
-                     text_col="prefix")
-    idx.sync(t)
-    _IDX_CACHE[sf] = base
-    return base
+    return split_corpus_index_root(
+        spark, _prefix_frame(spark, sf), _IDX_CACHE, sf,
+        "ice_fuzzyidx_",
+        lambda root: FuzzyIndex(spark, root, text_col="prefix"))
 
 
 def corpus_fuzzy_admission(spark: SparkSession, sf: str) -> DataFrame:

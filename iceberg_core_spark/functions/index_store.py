@@ -95,6 +95,40 @@ class SnapshotSyncedStore:
         (default: concatenation is already the folded state)."""
         return frames
 
+    def _index_params(self) -> dict:
+        """Hook: the parameters the PERSISTED frames were derived
+        under (e.g. segment geometry). A non-empty dict is stamped
+        into ``_meta.json`` at the first write and re-checked on
+        every subsequent open — reopening an index with different
+        derivation parameters would silently produce wrong judgments
+        (the persisted rows and the probe-side enumeration must share
+        the same geometry), so it raises instead."""
+        return {}
+
+    def _ensure_params(self) -> None:
+        """Raise if this store's params disagree with the stamped
+        ones (see :meth:`_index_params`); stamp them if absent."""
+        mine = self._index_params()
+        if not mine:
+            return
+        meta = self._meta()
+        stamped = meta.get("params")
+        if stamped is None:
+            if meta["synced_snapshot_id"] is not None:
+                # pre-params index: frames exist but their derivation
+                # params were never recorded — refuse to guess
+                raise ValueError(
+                    f"{type(self).__name__} at {self.root} predates "
+                    f"parameter stamping; rebuild() it to stamp "
+                    f"{mine}")
+            self._write_meta({**meta, "params": mine})
+        elif stamped != mine:
+            raise ValueError(
+                f"{type(self).__name__} at {self.root} was built "
+                f"with params {stamped}, opened with {mine} — the "
+                f"persisted frames don't match this geometry; use "
+                f"the original params or rebuild()")
+
     # -- meta / layout -----------------------------------------------------
 
     def _meta_path(self) -> str:
@@ -162,8 +196,11 @@ class SnapshotSyncedStore:
             shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
             frame.repartition(parts).write.mode("overwrite").parquet(
                 os.path.join(self._kind_dir(kind, gen), sub))
+        stamp = ({"params": self._index_params()}
+                 if self._index_params() else {})
         self._write_meta({**meta, "generation": gen,
-                          "synced_snapshot_id": synced_snapshot_id})
+                          "synced_snapshot_id": synced_snapshot_id,
+                          **stamp})
         for kind in self._KIND_COLS:
             base = os.path.join(self.root, kind)
             for d in os.listdir(base):
@@ -179,6 +216,7 @@ class SnapshotSyncedStore:
         one right-sized dir under ``gen=G+1``; returns the new
         generation (the current one if there was nothing to compact).
         Crash discipline: :meth:`_flip_generation`."""
+        self._ensure_params()
         meta = self._meta()
         if meta["synced_snapshot_id"] is None:
             return meta.get("generation", 0)
@@ -225,6 +263,7 @@ class SnapshotSyncedStore:
         spec changes) are skipped and a WAP publish indexes the rows
         it reveals. Edits that contradict the append-only contract
         (upsert/delete/overwrite) still raise."""
+        self._ensure_params()
         last = self.synced_snapshot()
         all_snaps = table.manifest.snapshots(load_files=False)
         if last is not None and last not in {
@@ -267,3 +306,33 @@ class SnapshotSyncedStore:
             self._advance(s.snapshot_id)
             n += 1
         return n
+
+
+def split_corpus_index_root(spark: SparkSession, frame: DataFrame,
+                            cache: dict[str, str], cache_key: str,
+                            tmp_prefix: str, make_index) -> str:
+    """Shared registry-query scaffolding: build (once per corpus) a
+    persisted index over the 90% corpus split of ``frame`` —
+    ``doc_id % 10 != 0`` committed to an append-only IceTable in TWO
+    commits (so the driver row proves the incremental sync, not just
+    a bulk create), then synced through ``make_index(idx_root)``.
+    Returns the base dir (``corpus/`` + ``idx/``); ``cache`` memoizes
+    it per ``cache_key`` for the process lifetime. One implementation
+    for both index families' registry queries — a cache/cleanup fix
+    here cannot silently miss one of them."""
+    import tempfile
+
+    root = cache.get(cache_key)
+    if root is not None and os.path.isdir(root):
+        return root
+    from iceberg_core_spark.table import IceTable
+
+    base = tempfile.mkdtemp(prefix=tmp_prefix)
+    t = IceTable.create(
+        spark, os.path.join(base, "corpus"),
+        frame.filter("doc_id % 10 <> 0 AND doc_id % 3 <> 0"),
+        partition_col=None, key_col="doc_id")
+    t.append(frame.filter("doc_id % 10 <> 0 AND doc_id % 3 = 0"))
+    make_index(os.path.join(base, "idx")).sync(t)
+    cache[cache_key] = base
+    return base

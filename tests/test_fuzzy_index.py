@@ -35,10 +35,14 @@ def _lev(a: str, b: str) -> int:
 
 
 def _brute_verdicts(crows, brows, d):
-    """The model: best corpus match per batch doc (min dist, min id)."""
+    """The model: best corpus match per batch doc (min dist, min id).
+    NULL-text batch docs never match but STILL get their 'unique' row
+    (one row per batch doc — the admission path must neither silently
+    admit nor lose them)."""
     out = {}
     for i, a in brows:
         if a is None:
+            out[i] = ("unique", None, None)
             continue
         best = None
         for j, b in crows:
@@ -132,10 +136,11 @@ def _committed_index(spark, tmp_path, crows, n_commits=3):
 
 
 def test_fuzzy_index_judge_equals_fuzzy_batch(spark, tmp_path):
-    """The persisted index (built over THREE incremental syncs, so
-    early documents' kept prefixes were ranked under stale df counts)
-    must produce exactly fuzzy_batch's verdicts — the any-prefix
-    completeness theorem, exercised end-to-end."""
+    """The persisted index (built over THREE incremental syncs) must
+    produce exactly fuzzy_batch's verdicts — increments are
+    self-contained per-document frames (segment pieces are pure
+    functions of the string), so concatenating three syncs must equal
+    the from-scratch derivation, exercised end-to-end."""
     crows, brows = _seeded_corpora()
     _t, idx = _committed_index(spark, tmp_path, crows)
     cdf = spark.createDataFrame(crows, "doc_id long, text string")
@@ -188,6 +193,33 @@ def test_fuzzy_index_new_docs_change_verdicts_after_sync(spark,
     assert idx.sync(t) == 1
     assert _collect_verdicts(idx.judge(bdf)) == {
         100: ("fuzzy_dup", 2, 1)}
+
+
+def test_fuzzy_index_rejects_param_mismatch(spark, tmp_path):
+    """Reopening an index with different segment geometry must raise,
+    not silently judge against unjoinable persisted pieces."""
+    from iceberg_core_spark.table import IceTable
+
+    rows = [(i, f"document number {i} padded out") for i in range(4)]
+    cdf = spark.createDataFrame(rows, "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "corpus"), cdf,
+                        partition_col=None, key_col="doc_id")
+    idx = FuzzyIndex(spark, str(tmp_path / "idx"), max_dist=2)
+    idx.sync(t)
+    bdf = spark.createDataFrame([(9, "document number 1 padded out")],
+                                "doc_id long, text string")
+    reopened = FuzzyIndex(spark, str(tmp_path / "idx"), max_dist=1)
+    with pytest.raises(ValueError, match="was built with params"):
+        reopened.judge(bdf)
+    with pytest.raises(ValueError, match="was built with params"):
+        reopened.sync(t)
+    # the original params still work, and rebuild() restamps new ones
+    assert _collect_verdicts(
+        FuzzyIndex(spark, str(tmp_path / "idx"), max_dist=2).judge(bdf)
+    )[9][0] == "fuzzy_dup"
+    reopened.rebuild(t)
+    assert _collect_verdicts(reopened.judge(bdf)) == {
+        9: ("fuzzy_dup", 1, 0)}
 
 
 def test_fuzzy_index_rejects_non_append(spark, tmp_path):
@@ -244,7 +276,12 @@ def test_stream_fuzzy_admit_compounds(spark, tmp_path, use_index):
     batches = [
         [(1, base), (2, other)],
         [(10, base.replace("jumps", "jumped")),  # 2 edits → reject
-         (11, fresh)],                           # unique → admit
+         (11, fresh),                            # unique → admit
+         (12, None)],                            # NULL text: never
+                                                 # matches → admit
+                                                 # (one verdict row per
+                                                 # batch doc — not
+                                                 # silently dropped)
         [(20, fresh + "s")],                     # 1 edit off a BATCH-2
                                                  # admission → reject
     ]
@@ -265,7 +302,7 @@ def test_stream_fuzzy_admit_compounds(spark, tmp_path, use_index):
         drain(n)
 
     t = IceTable(spark, table_root)
-    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 11]
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 11, 12]
 
     q2 = {r.doc_id: (r.verdict, r.match_id, r.dist)
           for r in spark.read.parquet(
