@@ -90,6 +90,17 @@ def _corpus_frames(prep: DataFrame, max_dist: int,
     }
 
 
+def _collect_bounded(frame: DataFrame, col: str,
+                     max_keys: int) -> list | None:
+    """The distinct values of ``col`` if there are at most
+    ``max_keys`` of them, else None — the guard that keeps the
+    pushdown's driver collect bounded by the BATCH size knob, never
+    the corpus."""
+    vals = [r[0] for r in
+            frame.select(col).distinct().limit(max_keys + 1).collect()]
+    return vals if len(vals) <= max_keys else None
+
+
 def _fuzzy_judge(
     batch: DataFrame,
     csegs: DataFrame,
@@ -100,12 +111,22 @@ def _fuzzy_judge(
     id_col: str,
     max_dist: int,
     q: int,
+    piece_pushdown: int = 0,
 ) -> DataFrame:
     """Shared verdict pipeline over corpus-SIDE frames — fed either by
     on-the-fly derivation (:func:`fuzzy_batch`) or by the persisted
     index (:class:`FuzzyIndex.judge`). Returns one row per batch doc:
     (id, verdict 'fuzzy_dup'|'unique', match_id, dist) where match_id
-    is the best corpus match (smallest distance, then smallest id)."""
+    is the best corpus match (smallest distance, then smallest id).
+
+    ``piece_pushdown`` > 0 enables the scan-pruning fast path: the
+    batch's distinct probe/segment pieces (bounded by the knob, with
+    a limit-guarded collect) become an ``isin`` filter on the
+    corpus-side frames — a NECESSARY condition of the equi-join, so
+    output is unchanged, but against the PERSISTED index the filter
+    pushes into the parquet scan (``PushedFilters: [In(__piece, …)]``)
+    and the piece-clustered files compaction writes let row groups
+    skip wholesale: per-batch I/O tracks the batch, not the corpus."""
     from iceberg_core_spark.functions.fuzzy import (
         _JOIN_KEYS,
         _verify_pairs,
@@ -116,19 +137,29 @@ def _fuzzy_judge(
     short_b = b.filter(F.col("__len") < min_len)
     keys = _JOIN_KEYS
 
+    probes_b = (_probes(b, max_dist, min_len)
+                .select(F.col("__id").alias("__bid"), *keys))
+    segs_b = (_segments(b.filter(F.col("__len") >= min_len), max_dist)
+              .select(F.col("__id").alias("__bid"), *keys))
+    if piece_pushdown:
+        pieces = _collect_bounded(probes_b, "__piece", piece_pushdown)
+        if pieces is not None:
+            csegs = csegs.filter(F.col("__piece").isin(pieces))
+        bpieces = _collect_bounded(segs_b, "__piece", piece_pushdown)
+        if bpieces is not None:
+            csprobe = csprobe.filter(F.col("__piece").isin(bpieces))
+
     # direction A: batch probes × corpus segments (covers every
     # guarantee-class corpus doc, whatever the batch doc's class)
     cand_a = (
-        _probes(b, max_dist, min_len)
-        .select(F.col("__id").alias("__bid"), *keys)
+        probes_b
         .join(csegs.select("__cid", *keys), keys)
         .select("__bid", "__cid")
     )
     # direction B: guaranteed batch segments × short-corpus probes
     cand_b = (
         csprobe.select("__cid", *keys)
-        .join(_segments(b.filter(F.col("__len") >= min_len), max_dist)
-              .select(F.col("__id").alias("__bid"), *keys), keys)
+        .join(segs_b, keys)
         .select("__bid", "__cid")
     )
     # direction C: short × short via the bucketized length band
@@ -208,11 +239,18 @@ class FuzzyIndex(SnapshotSyncedStore):
 
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text", id_col: str = "doc_id",
-                 max_dist: int = MAX_DIST, q: int = Q):
+                 max_dist: int = MAX_DIST, q: int = Q,
+                 pushdown_max_keys: int = 100_000):
         super().__init__(spark, root, text_col, id_col)
         self.max_dist = max_dist
         self.q = q
         self._min_len = _check_params(max_dist, q)
+        #: judge-time scan pruning: when the batch carries at most
+        #: this many distinct pieces, they are collected and pushed
+        #: into the persisted frames' parquet scans (0 disables).
+        #: Not an _index_params entry — it changes the PLAN, never
+        #: the persisted frames or the verdicts.
+        self.pushdown_max_keys = pushdown_max_keys
 
     def _index_params(self) -> dict:
         # the persisted (la, seg, piece) rows are only joinable by a
@@ -224,6 +262,17 @@ class FuzzyIndex(SnapshotSyncedStore):
         prep = _prep(rows.select(self.id_col, self.text_col),
                      self.id_col, self.text_col)
         return _corpus_frames(prep, self.max_dist, self._min_len)
+
+    def _cluster_for_write(self, kind: str, frame: DataFrame,
+                           parts: int) -> DataFrame:
+        # compaction lays the piece-keyed kinds out range-clustered
+        # and sorted by piece, so the judge's pushed-down In filter
+        # skips whole files/row groups by min-max stats and
+        # dictionary pages — per-batch I/O then tracks the batch
+        if kind in ("segs", "sprobe"):
+            return frame.repartitionByRange(
+                parts, "__piece").sortWithinPartitions("__piece")
+        return super()._cluster_for_write(kind, frame, parts)
 
     def judge(self, batch: DataFrame) -> DataFrame:
         """Fuzzy-admission verdicts for ``batch`` against the indexed
@@ -237,6 +286,7 @@ class FuzzyIndex(SnapshotSyncedStore):
             self._read("short"),
             self._read("strings"),
             self.text_col, self.id_col, self.max_dist, self.q,
+            piece_pushdown=self.pushdown_max_keys,
         )
 
 

@@ -95,6 +95,16 @@ class SnapshotSyncedStore:
         (default: concatenation is already the folded state)."""
         return frames
 
+    def _cluster_for_write(self, kind: str, frame: DataFrame,
+                           parts: int) -> DataFrame:
+        """Hook: how a kind's frame is laid out when a generation is
+        rewritten (compact/rebuild). Default: plain repartition.
+        Subclasses cluster probe-key kinds (e.g. range-partition +
+        sort by the join key) so the per-file min/max stats and
+        dictionary pages let a pushed-down key filter skip most of
+        the store at judge time."""
+        return frame.repartition(parts)
+
     def _index_params(self) -> dict:
         """Hook: the parameters the PERSISTED frames were derived
         under (e.g. segment geometry). A non-empty dict is stamped
@@ -194,7 +204,8 @@ class SnapshotSyncedStore:
         gen = meta.get("generation", 0) + 1
         for kind, frame in frames.items():
             shutil.rmtree(self._kind_dir(kind, gen), ignore_errors=True)
-            frame.repartition(parts).write.mode("overwrite").parquet(
+            self._cluster_for_write(kind, frame, parts).write.mode(
+                "overwrite").parquet(
                 os.path.join(self._kind_dir(kind, gen), sub))
         stamp = ({"params": self._index_params()}
                  if self._index_params() else {})

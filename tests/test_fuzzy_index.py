@@ -195,6 +195,25 @@ def test_fuzzy_index_new_docs_change_verdicts_after_sync(spark,
         100: ("fuzzy_dup", 2, 1)}
 
 
+def test_fuzzy_index_piece_pushdown(spark, tmp_path):
+    """The judge's batch-piece In filter must reach the persisted
+    segs parquet scan (PushedFilters), and toggling the pushdown off
+    must not change a single verdict — it is a necessary condition of
+    the equi-join, a plan change only."""
+    crows, brows = _seeded_corpora()
+    _t, idx = _committed_index(spark, tmp_path, crows)
+    idx.compact()  # range-clustered by __piece from here on
+    bdf = spark.createDataFrame(brows, "doc_id long, text string")
+    plan = idx.judge(bdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "In(__piece" in plan, plan[:2000]
+    off = FuzzyIndex(spark, str(tmp_path / "idx"), pushdown_max_keys=0)
+    assert "In(__piece" not in off.judge(bdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert (_collect_verdicts(off.judge(bdf))
+            == _collect_verdicts(idx.judge(bdf)))
+
+
 def test_fuzzy_index_rejects_param_mismatch(spark, tmp_path):
     """Reopening an index with different segment geometry must raise,
     not silently judge against unjoinable persisted pieces."""
