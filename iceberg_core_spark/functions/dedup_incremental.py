@@ -68,7 +68,10 @@ from iceberg_core_spark.functions.dedup_portable import (
     N_BANDS,
     THRESHOLD,
 )
-from iceberg_core_spark.functions.index_store import SnapshotSyncedStore
+from iceberg_core_spark.functions.index_store import (
+    SnapshotSyncedStore,
+    _collect_bounded,
+)
 from iceberg_core_spark.session import load_table, spread
 
 
@@ -121,22 +124,39 @@ def _judge(
     text_col: str,
     id_col: str,
     threshold: float,
+    key_pushdown: int = 0,
 ) -> DataFrame:
     """Shared verdict pipeline over corpus-SIDE frames — fed either by
     on-the-fly derivation (:func:`dedup_batch`) or by persisted index
     tables (:class:`AdmissionIndex`), so the two paths cannot drift.
     ``cfp_rows``: (fp, __cid); ``cbands``: (__cid, band_idx,
-    band_hash); ``ctoks``: (__cid, tb)."""
+    band_hash); ``ctoks``: (__cid, tb).
+
+    ``key_pushdown`` > 0 enables the scan-pruning fast path (the
+    FuzzyIndex pattern): the batch's distinct fingerprints and band
+    hashes — bounded by the knob, limit-guarded — become ``isin``
+    filters on the corpus frames. A necessary condition of each
+    equi-join, so verdicts are unchanged; against the PERSISTED
+    key-clustered index the filters push into the parquet scans and
+    per-batch I/O tracks the batch, not the corpus."""
     # exact tier: one hash-join on fp against the fp -> min id rollup
-    cfp = cfp_rows.groupBy("fp").agg(F.min("__cid").alias("exact_match"))
     bfp = batch.select(
         F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp")
     )
-    exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")
-
     # near tier: batch bands x corpus bands only
     bb = _band_triples(batch, text_col, id_col).withColumnRenamed(
         id_col, "__bid")
+    if key_pushdown:
+        fps = _collect_bounded(bfp, "fp", key_pushdown)
+        if fps is not None:
+            cfp_rows = cfp_rows.filter(F.col("fp").isin(fps))
+        hashes = _collect_bounded(bb, "band_hash", key_pushdown)
+        if hashes is not None:
+            cbands = cbands.filter(F.col("band_hash").isin(hashes))
+
+    cfp = cfp_rows.groupBy("fp").agg(F.min("__cid").alias("exact_match"))
+    exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")
+
     cand = _spread_verify(
         bb.join(cbands, ["band_idx", "band_hash"])
         .select("__bid", "__cid").distinct(),
@@ -226,6 +246,28 @@ class AdmissionIndex(SnapshotSyncedStore):
     }
     _COUNT_KIND = "fp"
 
+    def __init__(self, spark: SparkSession, root: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 pushdown_max_keys: int = 100_000):
+        super().__init__(spark, root, text_col, id_col)
+        #: judge-time scan pruning (the FuzzyIndex knob): batch
+        #: fingerprints / band hashes pushed into the persisted
+        #: scans when at most this many are distinct (0 disables).
+        #: A plan change only — never affects frames or verdicts.
+        self.pushdown_max_keys = pushdown_max_keys
+
+    def _cluster_for_write(self, kind: str, frame, parts: int):
+        # compaction clusters the probe-keyed kinds by their join
+        # key so the pushed-down In filters skip files/row groups
+        # by min-max stats and dictionary pages
+        if kind == "fp":
+            return frame.repartitionByRange(
+                parts, "fp").sortWithinPartitions("fp")
+        if kind == "bands":
+            return frame.repartitionByRange(
+                parts, "band_hash").sortWithinPartitions("band_hash")
+        return super()._cluster_for_write(kind, frame, parts)
+
     def _frames(self, rows: DataFrame) -> dict[str, DataFrame]:
         rows = rows.select(self.id_col, self.text_col)
         return {
@@ -247,6 +289,7 @@ class AdmissionIndex(SnapshotSyncedStore):
             self._read("bands"),
             self._read("shingles"),
             self.text_col, self.id_col, threshold,
+            key_pushdown=self.pushdown_max_keys,
         )
 
 

@@ -62,7 +62,10 @@ from iceberg_core_spark.functions.fuzzy import (
     _probes,
     _segments,
 )
-from iceberg_core_spark.functions.index_store import SnapshotSyncedStore
+from iceberg_core_spark.functions.index_store import (
+    SnapshotSyncedStore,
+    _collect_bounded,
+)
 from iceberg_core_spark.session import load_table
 
 
@@ -88,17 +91,6 @@ def _corpus_frames(prep: DataFrame, max_dist: int,
         "strings": prep.select(F.col("__id").alias("__cid"),
                                F.col("__s").alias("__cs")),
     }
-
-
-def _collect_bounded(frame: DataFrame, col: str,
-                     max_keys: int) -> list | None:
-    """The distinct values of ``col`` if there are at most
-    ``max_keys`` of them, else None — the guard that keeps the
-    pushdown's driver collect bounded by the BATCH size knob, never
-    the corpus."""
-    vals = [r[0] for r in
-            frame.select(col).distinct().limit(max_keys + 1).collect()]
-    return vals if len(vals) <= max_keys else None
 
 
 def _fuzzy_judge(

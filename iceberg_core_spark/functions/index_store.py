@@ -48,6 +48,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _collect_bounded(frame: DataFrame, col: str,
+                     max_keys: int) -> list | None:
+    """The distinct values of ``col`` if there are at most
+    ``max_keys`` of them, else None — the guard that keeps the
+    pushdown's driver collect bounded by the BATCH size knob, never
+    the corpus."""
+    vals = [r[0] for r in
+            frame.select(col).distinct().limit(max_keys + 1).collect()]
+    return vals if len(vals) <= max_keys else None
+
+
 class SnapshotSyncedStore:
     """Generic snapshot-synced parquet store (see module docstring)."""
 

@@ -482,6 +482,45 @@ def test_admission_index_matches_scan_derived(spark, tmp_path):
         idx.sync(t)
 
 
+def test_admission_index_key_pushdown(spark, tmp_path):
+    """The judge's batch fingerprint / band-hash In filters must reach
+    the persisted parquet scans (PushedFilters), and toggling the
+    pushdown off must not change a single verdict — necessary
+    conditions of the equi-joins, a plan change only."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    cdf = spark.createDataFrame(
+        [(1, base), (2, "corpus text about parquet row groups"),
+         (3, "a third corpus document about manifests")],
+        "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "t"), cdf.filter("doc_id<3"),
+                        partition_col=None, key_col="doc_id")
+    t.append(cdf.filter("doc_id=3"))
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    idx.sync(t)
+    idx.compact()  # fp/bands range-clustered by their keys from here
+
+    batch = spark.createDataFrame(
+        [(100, base), (101, base + " omega"), (102, None)],
+        "doc_id long, text string")
+    plan = idx.judge(batch)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "In(fp" in plan, plan[:2000]
+    assert "In(band_hash" in plan, plan[:2000]
+    off = AdmissionIndex(spark, str(tmp_path / "idx"),
+                         pushdown_max_keys=0)
+    off_plan = off.judge(batch)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "In(fp" not in off_plan and "In(band_hash" not in off_plan
+    assert (sorted(map(tuple, idx.judge(batch).collect()))
+            == sorted(map(tuple, off.judge(batch).collect())))
+
+
 def test_admission_index_compaction(spark, tmp_path):
     """compact() consolidates the per-snapshot sync dirs into one
     generation dir with byte-identical verdicts; sync continues into
