@@ -147,6 +147,14 @@ def _judge(
     bb = _band_triples(batch, text_col, id_col).withColumnRenamed(
         id_col, "__bid")
     if key_pushdown:
+        # persist the batch-side frames BEFORE the key collects: the
+        # band map (N_HASHES md5 per token) is the pipeline's CPU hot
+        # spot, and without the cache the collect would compute it
+        # once and the candidate join a second time. Batch-sized;
+        # the ContextCleaner reclaims the cache once the caller drops
+        # the verdict frame.
+        bfp = bfp.persist()
+        bb = bb.persist()
         fps = _collect_bounded(bfp, "fp", key_pushdown)
         if fps is not None:
             cfp_rows = cfp_rows.filter(F.col("fp").isin(fps))
@@ -248,13 +256,17 @@ class AdmissionIndex(SnapshotSyncedStore):
 
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text", id_col: str = "doc_id",
-                 pushdown_max_keys: int = 100_000):
+                 pushdown_max_keys: int = 100_000,
+                 pushdown_min_store_bytes: int = 1 << 30):
         super().__init__(spark, root, text_col, id_col)
         #: judge-time scan pruning (the FuzzyIndex knob): batch
         #: fingerprints / band hashes pushed into the persisted
         #: scans when at most this many are distinct (0 disables).
         #: A plan change only — never affects frames or verdicts.
         self.pushdown_max_keys = pushdown_max_keys
+        #: self-disables below this store size (see FuzzyIndex: the
+        #: In-literal planning overhead only pays on GB-sized stores)
+        self.pushdown_min_store_bytes = pushdown_min_store_bytes
 
     def _cluster_for_write(self, kind: str, frame, parts: int):
         # compaction clusters the probe-keyed kinds by their join
@@ -283,13 +295,16 @@ class AdmissionIndex(SnapshotSyncedStore):
               threshold: float = THRESHOLD) -> DataFrame:
         """Admission verdicts for ``batch`` against the indexed corpus
         — same output contract as :func:`dedup_batch`."""
+        pushdown = (self.pushdown_max_keys
+                    if self._store_bytes("bands")
+                    >= self.pushdown_min_store_bytes else 0)
         return _judge(
             batch,
             self._read("fp"),
             self._read("bands"),
             self._read("shingles"),
             self.text_col, self.id_col, threshold,
-            key_pushdown=self.pushdown_max_keys,
+            key_pushdown=pushdown,
         )
 
 

@@ -134,6 +134,11 @@ def _fuzzy_judge(
     segs_b = (_segments(b.filter(F.col("__len") >= min_len), max_dist)
               .select(F.col("__id").alias("__bid"), *keys))
     if piece_pushdown:
+        # cache the batch-side frames across the key collect and the
+        # candidate join (batch-sized; ContextCleaner reclaims them
+        # once the caller drops the verdict frame)
+        probes_b = probes_b.persist()
+        segs_b = segs_b.persist()
         pieces = _collect_bounded(probes_b, "__piece", piece_pushdown)
         if pieces is not None:
             csegs = csegs.filter(F.col("__piece").isin(pieces))
@@ -232,7 +237,8 @@ class FuzzyIndex(SnapshotSyncedStore):
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text", id_col: str = "doc_id",
                  max_dist: int = MAX_DIST, q: int = Q,
-                 pushdown_max_keys: int = 100_000):
+                 pushdown_max_keys: int = 100_000,
+                 pushdown_min_store_bytes: int = 1 << 30):
         super().__init__(spark, root, text_col, id_col)
         self.max_dist = max_dist
         self.q = q
@@ -243,6 +249,12 @@ class FuzzyIndex(SnapshotSyncedStore):
         #: Not an _index_params entry — it changes the PLAN, never
         #: the persisted frames or the verdicts.
         self.pushdown_max_keys = pushdown_max_keys
+        #: the pushdown self-disables below this store size: its
+        #: literal In lists cost ~seconds of plan compilation plus an
+        #: extra batch job, which only beats the full skinny scan once
+        #: the store is GB-sized (measured: +1.9 s/judge on an MB-
+        #: sized store; a 1 GiB scan costs more than that)
+        self.pushdown_min_store_bytes = pushdown_min_store_bytes
 
     def _index_params(self) -> dict:
         # the persisted (la, seg, piece) rows are only joinable by a
@@ -271,6 +283,9 @@ class FuzzyIndex(SnapshotSyncedStore):
         corpus — same output contract as :func:`fuzzy_batch` (the two
         share ``_fuzzy_judge``, so drift is structurally impossible)."""
         self._ensure_params()
+        pushdown = (self.pushdown_max_keys
+                    if self._store_bytes("segs")
+                    >= self.pushdown_min_store_bytes else 0)
         return _fuzzy_judge(
             batch,
             self._read("segs"),
@@ -278,7 +293,7 @@ class FuzzyIndex(SnapshotSyncedStore):
             self._read("short"),
             self._read("strings"),
             self.text_col, self.id_col, self.max_dist, self.q,
-            piece_pushdown=self.pushdown_max_keys,
+            piece_pushdown=pushdown,
         )
 
 

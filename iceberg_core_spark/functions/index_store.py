@@ -183,6 +183,21 @@ class SnapshotSyncedStore:
         g = self.generation() if gen is None else gen
         return os.path.join(self.root, kind, f"gen={g}")
 
+    def _store_bytes(self, kind: str) -> int:
+        """On-disk bytes of a kind's current generation — driver-side
+        metadata (os.walk), used to decide whether judge-time key
+        pushdown pays: the In-literal lists cost seconds of plan
+        compilation, which only beats a full skinny scan once the
+        store is GB-sized."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self._kind_dir(kind)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
     def _read(self, kind: str, cols: list[str] | None = None) -> DataFrame:
         return self.spark.read.parquet(self._kind_dir(kind)).select(
             *(cols if cols is not None else self._KIND_COLS[kind]))

@@ -201,9 +201,16 @@ def test_fuzzy_index_piece_pushdown(spark, tmp_path):
     must not change a single verdict — it is a necessary condition of
     the equi-join, a plan change only."""
     crows, brows = _seeded_corpora()
-    _t, idx = _committed_index(spark, tmp_path, crows)
-    idx.compact()  # range-clustered by __piece from here on
+    _t, deflt = _committed_index(spark, tmp_path, crows)
+    deflt.compact()  # range-clustered by __piece from here on
     bdf = spark.createDataFrame(brows, "doc_id long, text string")
+    # this store is KB-sized, so the default auto-gate (GB threshold)
+    # keeps the pushdown off — the In-literal planning overhead would
+    # cost more than the scan it saves
+    assert "In(__piece" not in deflt.judge(bdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    idx = FuzzyIndex(spark, str(tmp_path / "idx"),
+                     pushdown_min_store_bytes=0)
     plan = idx.judge(bdf)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "In(__piece" in plan, plan[:2000]

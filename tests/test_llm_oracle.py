@@ -501,13 +501,20 @@ def test_admission_index_key_pushdown(spark, tmp_path):
     t = IceTable.create(spark, str(tmp_path / "t"), cdf.filter("doc_id<3"),
                         partition_col=None, key_col="doc_id")
     t.append(cdf.filter("doc_id=3"))
-    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
-    idx.sync(t)
-    idx.compact()  # fp/bands range-clustered by their keys from here
+    deflt = AdmissionIndex(spark, str(tmp_path / "idx"))
+    deflt.sync(t)
+    deflt.compact()  # fp/bands range-clustered by their keys from here
 
     batch = spark.createDataFrame(
         [(100, base), (101, base + " omega"), (102, None)],
         "doc_id long, text string")
+    # KB-sized store: the default auto-gate (GB threshold) keeps the
+    # pushdown off — its planning overhead would exceed the scan
+    deflt_plan = deflt.judge(batch)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "In(fp" not in deflt_plan and "In(band_hash" not in deflt_plan
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"),
+                         pushdown_min_store_bytes=0)
     plan = idx.judge(batch)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "In(fp" in plan, plan[:2000]
