@@ -70,7 +70,7 @@ from iceberg_core_spark.functions.dedup_portable import (
 )
 from iceberg_core_spark.functions.index_store import (
     SnapshotSyncedStore,
-    _collect_bounded,
+    _push_batch_keys,
 )
 from iceberg_core_spark.session import load_table, spread
 
@@ -147,20 +147,13 @@ def _judge(
     bb = _band_triples(batch, text_col, id_col).withColumnRenamed(
         id_col, "__bid")
     if key_pushdown:
-        # persist the batch-side frames BEFORE the key collects: the
-        # band map (N_HASHES md5 per token) is the pipeline's CPU hot
-        # spot, and without the cache the collect would compute it
-        # once and the candidate join a second time. Batch-sized;
-        # the ContextCleaner reclaims the cache once the caller drops
-        # the verdict frame.
-        bfp = bfp.persist()
-        bb = bb.persist()
-        fps = _collect_bounded(bfp, "fp", key_pushdown)
-        if fps is not None:
-            cfp_rows = cfp_rows.filter(F.col("fp").isin(fps))
-        hashes = _collect_bounded(bb, "band_hash", key_pushdown)
-        if hashes is not None:
-            cbands = cbands.filter(F.col("band_hash").isin(hashes))
+        # the localized batch frames also stop the band map (N_HASHES
+        # md5 per token — the pipeline's CPU hot spot) from computing
+        # once for the key collect and again for the candidate join
+        bfp, cfp_rows = _push_batch_keys(bfp, "fp", cfp_rows,
+                                         key_pushdown)
+        bb, cbands = _push_batch_keys(bb, "band_hash", cbands,
+                                      key_pushdown)
 
     cfp = cfp_rows.groupBy("fp").agg(F.min("__cid").alias("exact_match"))
     exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")
@@ -254,20 +247,6 @@ class AdmissionIndex(SnapshotSyncedStore):
     }
     _COUNT_KIND = "fp"
 
-    def __init__(self, spark: SparkSession, root: str,
-                 text_col: str = "text", id_col: str = "doc_id",
-                 pushdown_max_keys: int = 100_000,
-                 pushdown_min_store_bytes: int = 1 << 30):
-        super().__init__(spark, root, text_col, id_col)
-        #: judge-time scan pruning (the FuzzyIndex knob): batch
-        #: fingerprints / band hashes pushed into the persisted
-        #: scans when at most this many are distinct (0 disables).
-        #: A plan change only — never affects frames or verdicts.
-        self.pushdown_max_keys = pushdown_max_keys
-        #: self-disables below this store size (see FuzzyIndex: the
-        #: In-literal planning overhead only pays on GB-sized stores)
-        self.pushdown_min_store_bytes = pushdown_min_store_bytes
-
     def _cluster_for_write(self, kind: str, frame, parts: int):
         # compaction clusters the probe-keyed kinds by their join
         # key so the pushed-down In filters skip files/row groups
@@ -295,9 +274,7 @@ class AdmissionIndex(SnapshotSyncedStore):
               threshold: float = THRESHOLD) -> DataFrame:
         """Admission verdicts for ``batch`` against the indexed corpus
         — same output contract as :func:`dedup_batch`."""
-        pushdown = (self.pushdown_max_keys
-                    if self._store_bytes("bands")
-                    >= self.pushdown_min_store_bytes else 0)
+        pushdown = self._pushdown_limit("fp", "bands")
         return _judge(
             batch,
             self._read("fp"),
@@ -331,9 +308,11 @@ def _admission_index_root(spark: SparkSession, sf: str) -> str:
         split_corpus_index_root,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return split_corpus_index_root(
-        spark, docs, _IDX_CACHE, sf, "ice_admidx_",
+        spark,
+        lambda: load_table(spark, sf, "documents").select(
+            "doc_id", "text"),
+        _IDX_CACHE, sf, "ice_admidx_",
         lambda root: AdmissionIndex(spark, root))
 
 

@@ -64,7 +64,7 @@ from iceberg_core_spark.functions.fuzzy import (
 )
 from iceberg_core_spark.functions.index_store import (
     SnapshotSyncedStore,
-    _collect_bounded,
+    _push_batch_keys,
 )
 from iceberg_core_spark.session import load_table
 
@@ -134,17 +134,10 @@ def _fuzzy_judge(
     segs_b = (_segments(b.filter(F.col("__len") >= min_len), max_dist)
               .select(F.col("__id").alias("__bid"), *keys))
     if piece_pushdown:
-        # cache the batch-side frames across the key collect and the
-        # candidate join (batch-sized; ContextCleaner reclaims them
-        # once the caller drops the verdict frame)
-        probes_b = probes_b.persist()
-        segs_b = segs_b.persist()
-        pieces = _collect_bounded(probes_b, "__piece", piece_pushdown)
-        if pieces is not None:
-            csegs = csegs.filter(F.col("__piece").isin(pieces))
-        bpieces = _collect_bounded(segs_b, "__piece", piece_pushdown)
-        if bpieces is not None:
-            csprobe = csprobe.filter(F.col("__piece").isin(bpieces))
+        probes_b, csegs = _push_batch_keys(
+            probes_b, "__piece", csegs, piece_pushdown)
+        segs_b, csprobe = _push_batch_keys(
+            segs_b, "__piece", csprobe, piece_pushdown)
 
     # direction A: batch probes × corpus segments (covers every
     # guarantee-class corpus doc, whatever the batch doc's class)
@@ -239,22 +232,13 @@ class FuzzyIndex(SnapshotSyncedStore):
                  max_dist: int = MAX_DIST, q: int = Q,
                  pushdown_max_keys: int = 100_000,
                  pushdown_min_store_bytes: int = 1 << 30):
-        super().__init__(spark, root, text_col, id_col)
+        super().__init__(spark, root, text_col, id_col,
+                         pushdown_max_keys=pushdown_max_keys,
+                         pushdown_min_store_bytes=(
+                             pushdown_min_store_bytes))
         self.max_dist = max_dist
         self.q = q
         self._min_len = _check_params(max_dist, q)
-        #: judge-time scan pruning: when the batch carries at most
-        #: this many distinct pieces, they are collected and pushed
-        #: into the persisted frames' parquet scans (0 disables).
-        #: Not an _index_params entry — it changes the PLAN, never
-        #: the persisted frames or the verdicts.
-        self.pushdown_max_keys = pushdown_max_keys
-        #: the pushdown self-disables below this store size: its
-        #: literal In lists cost ~seconds of plan compilation plus an
-        #: extra batch job, which only beats the full skinny scan once
-        #: the store is GB-sized (measured: +1.9 s/judge on an MB-
-        #: sized store; a 1 GiB scan costs more than that)
-        self.pushdown_min_store_bytes = pushdown_min_store_bytes
 
     def _index_params(self) -> dict:
         # the persisted (la, seg, piece) rows are only joinable by a
@@ -283,9 +267,9 @@ class FuzzyIndex(SnapshotSyncedStore):
         corpus — same output contract as :func:`fuzzy_batch` (the two
         share ``_fuzzy_judge``, so drift is structurally impossible)."""
         self._ensure_params()
-        pushdown = (self.pushdown_max_keys
-                    if self._store_bytes("segs")
-                    >= self.pushdown_min_store_bytes else 0)
+        # the filters prune BOTH piece-keyed kinds — gate on whichever
+        # is larger (a short-key corpus can be sprobe-dominated)
+        pushdown = self._pushdown_limit("segs", "sprobe")
         return _fuzzy_judge(
             batch,
             self._read("segs"),
@@ -315,7 +299,7 @@ def _fuzzy_index_root(spark: SparkSession, sf: str) -> str:
     )
 
     return split_corpus_index_root(
-        spark, _prefix_frame(spark, sf), _IDX_CACHE, sf,
+        spark, lambda: _prefix_frame(spark, sf), _IDX_CACHE, sf,
         "ice_fuzzyidx_",
         lambda root: FuzzyIndex(spark, root, text_col="prefix"))
 

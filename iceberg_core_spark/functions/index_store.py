@@ -48,15 +48,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _collect_bounded(frame: DataFrame, col: str,
-                     max_keys: int) -> list | None:
-    """The distinct values of ``col`` if there are at most
-    ``max_keys`` of them, else None — the guard that keeps the
-    pushdown's driver collect bounded by the BATCH size knob, never
-    the corpus."""
-    vals = [r[0] for r in
-            frame.select(col).distinct().limit(max_keys + 1).collect()]
-    return vals if len(vals) <= max_keys else None
+def _push_batch_keys(batch_frame: DataFrame, key_col: str,
+                     corpus_frame: DataFrame,
+                     max_rows: int) -> tuple[DataFrame, DataFrame]:
+    """The judge-time key-pushdown step, shared by both index
+    families: materialize ``batch_frame`` on the driver (bounded by
+    ``max_rows`` with a limit-guarded collect — the knob bounds the
+    pull by the BATCH, never the corpus) and filter ``corpus_frame``
+    to rows whose ``key_col`` appears in it. Returns the (possibly
+    localized) batch frame and the (possibly filtered) corpus frame;
+    both unchanged when the bound is exceeded.
+
+    One collect total: the localized batch frame feeds the candidate
+    join as a LocalTableScan, so nothing is computed twice and
+    nothing is persist()-pinned (a Dataset.persist here would leak —
+    CacheManager holds strong references until an explicit
+    unpersist, which the caller's lazy verdict frame makes
+    impossible). The filter is a NECESSARY condition of the equi-join
+    on ``key_col``, so verdicts never change; against parquet it
+    lands as ``PushedFilters: [In(key_col, …)]``."""
+    rows = batch_frame.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return batch_frame, corpus_frame
+    spark = batch_frame.sparkSession
+    local = spark.createDataFrame(rows, batch_frame.schema)
+    keys = [k for k in {r[key_col] for r in rows} if k is not None]
+    if keys:
+        corpus_frame = corpus_frame.filter(F.col(key_col).isin(keys))
+    else:
+        # empty batch side: the join output is empty regardless
+        corpus_frame = corpus_frame.filter(F.lit(False))
+    return local, corpus_frame
 
 
 class SnapshotSyncedStore:
@@ -87,11 +109,35 @@ class SnapshotSyncedStore:
     _ROWS_PER_FILE = 250_000
 
     def __init__(self, spark: SparkSession, root: str,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 pushdown_max_keys: int = 100_000,
+                 pushdown_min_store_bytes: int = 1 << 30):
         self.spark = spark
         self.root = root
         self.text_col = text_col
         self.id_col = id_col
+        #: judge-time scan pruning: when the batch-side frame fits
+        #: under this many rows, it is localized and its keys pushed
+        #: into the persisted scans (0 disables). A plan change only
+        #: — never affects frames or verdicts.
+        self.pushdown_max_keys = pushdown_max_keys
+        #: the pushdown self-disables while every pruned kind is
+        #: below this size: its In-literal lists cost ~seconds of
+        #: plan compilation plus a batch collect, which only beats
+        #: the full skinny scan once a store is GB-sized (measured:
+        #: +1.9 s/judge on an MB-sized store)
+        self.pushdown_min_store_bytes = pushdown_min_store_bytes
+
+    def _pushdown_limit(self, *kinds: str) -> int:
+        """The effective pushdown row bound for a judge over
+        ``kinds`` — 0 (disabled) until at least one of the kinds the
+        filter would prune crosses the size floor."""
+        if not self.pushdown_max_keys:
+            return 0
+        if max(self._store_bytes(k) for k in kinds) \
+                < self.pushdown_min_store_bytes:
+            return 0
+        return self.pushdown_max_keys
 
     # -- subclass contract -------------------------------------------------
 
@@ -126,29 +172,44 @@ class SnapshotSyncedStore:
         the same geometry), so it raises instead."""
         return {}
 
-    def _ensure_params(self) -> None:
-        """Raise if this store's params disagree with the stamped
-        ones (see :meth:`_index_params`); stamp them if absent."""
+    def _params_state(self) -> str:
+        """How this instance's params relate to the stamped ones:
+        ``ok`` (match, or the subclass declares none), ``fresh``
+        (nothing synced yet — safe to stamp), ``unstamped`` (frames
+        exist but their derivation params were never recorded) or
+        ``mismatch``."""
         mine = self._index_params()
         if not mine:
-            return
+            return "ok"
         meta = self._meta()
         stamped = meta.get("params")
         if stamped is None:
-            if meta["synced_snapshot_id"] is not None:
-                # pre-params index: frames exist but their derivation
-                # params were never recorded — refuse to guess
-                raise ValueError(
-                    f"{type(self).__name__} at {self.root} predates "
-                    f"parameter stamping; rebuild() it to stamp "
-                    f"{mine}")
-            self._write_meta({**meta, "params": mine})
-        elif stamped != mine:
+            return ("unstamped" if meta["synced_snapshot_id"]
+                    is not None else "fresh")
+        return "ok" if stamped == mine else "mismatch"
+
+    def _ensure_params(self) -> None:
+        """Raise if this store's params disagree with (or were never
+        recorded against) the persisted frames; stamp them on a fresh
+        store. ``sync`` self-heals the unstamped case instead (it has
+        the table to rebuild from); read paths can only instruct."""
+        state = self._params_state()
+        if state == "fresh":
+            self._write_meta({**self._meta(),
+                              "params": self._index_params()})
+        elif state == "unstamped":
+            raise ValueError(
+                f"{type(self).__name__} at {self.root} predates "
+                f"parameter stamping; rebuild() (or sync(), which "
+                f"rebuilds automatically) restamps it with "
+                f"{self._index_params()}")
+        elif state == "mismatch":
             raise ValueError(
                 f"{type(self).__name__} at {self.root} was built "
-                f"with params {stamped}, opened with {mine} — the "
-                f"persisted frames don't match this geometry; use "
-                f"the original params or rebuild()")
+                f"with params {self._meta().get('params')}, opened "
+                f"with {self._index_params()} — the persisted frames "
+                f"don't match this geometry; use the original params "
+                f"or rebuild()")
 
     # -- meta / layout -----------------------------------------------------
 
@@ -300,6 +361,13 @@ class SnapshotSyncedStore:
         spec changes) are skipped and a WAP publish indexes the rows
         it reveals. Edits that contradict the append-only contract
         (upsert/delete/overwrite) still raise."""
+        # an unstamped store (pre-params upgrade) self-heals here —
+        # sync has the table, so one rebuild re-derives everything
+        # under this instance's params and stamps them; a true
+        # geometry MISMATCH still raises (the operator must choose)
+        if self._params_state() == "unstamped":
+            self.rebuild(table)
+            return 1
         self._ensure_params()
         last = self.synced_snapshot()
         all_snaps = table.manifest.snapshots(load_files=False)
@@ -345,18 +413,19 @@ class SnapshotSyncedStore:
         return n
 
 
-def split_corpus_index_root(spark: SparkSession, frame: DataFrame,
+def split_corpus_index_root(spark: SparkSession, frame_fn,
                             cache: dict[str, str], cache_key: str,
                             tmp_prefix: str, make_index) -> str:
     """Shared registry-query scaffolding: build (once per corpus) a
-    persisted index over the 90% corpus split of ``frame`` —
+    persisted index over the 90% corpus split of ``frame_fn()`` —
     ``doc_id % 10 != 0`` committed to an append-only IceTable in TWO
     commits (so the driver row proves the incremental sync, not just
     a bulk create), then synced through ``make_index(idx_root)``.
     Returns the base dir (``corpus/`` + ``idx/``); ``cache`` memoizes
-    it per ``cache_key`` for the process lifetime. One implementation
-    for both index families' registry queries — a cache/cleanup fix
-    here cannot silently miss one of them."""
+    it per ``cache_key`` for the process lifetime — ``frame_fn`` is a
+    thunk so a cache hit never pays the table-load/plan construction.
+    One implementation for both index families' registry queries — a
+    cache/cleanup fix here cannot silently miss one of them."""
     import tempfile
 
     root = cache.get(cache_key)
@@ -364,6 +433,7 @@ def split_corpus_index_root(spark: SparkSession, frame: DataFrame,
         return root
     from iceberg_core_spark.table import IceTable
 
+    frame = frame_fn()
     base = tempfile.mkdtemp(prefix=tmp_prefix)
     t = IceTable.create(
         spark, os.path.join(base, "corpus"),

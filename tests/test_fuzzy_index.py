@@ -248,6 +248,38 @@ def test_fuzzy_index_rejects_param_mismatch(spark, tmp_path):
         9: ("fuzzy_dup", 1, 0)}
 
 
+def test_fuzzy_index_unstamped_store_self_heals_on_sync(spark,
+                                                        tmp_path):
+    """A store whose meta predates parameter stamping must fail READ
+    paths with instructions, but sync() — which has the table — must
+    self-heal by rebuilding under the current params."""
+    import json
+
+    from iceberg_core_spark.table import IceTable
+
+    rows = [(i, f"document number {i} padded out") for i in range(4)]
+    cdf = spark.createDataFrame(rows, "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "corpus"), cdf,
+                        partition_col=None, key_col="doc_id")
+    idx = FuzzyIndex(spark, str(tmp_path / "idx"))
+    idx.sync(t)
+    # simulate the pre-stamping layout
+    meta_path = tmp_path / "idx" / "_meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["params"]
+    meta_path.write_text(json.dumps(meta))
+
+    bdf = spark.createDataFrame([(9, "document number 1 padded out")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="predates parameter"):
+        idx.judge(bdf)
+    with pytest.raises(ValueError, match="predates parameter"):
+        idx.compact()
+    assert idx.sync(t) == 1  # rebuild, restamped
+    assert _collect_verdicts(idx.judge(bdf)) == {
+        9: ("fuzzy_dup", 1, 0)}
+
+
 def test_fuzzy_index_rejects_non_append(spark, tmp_path):
     from iceberg_core_spark.table import IceTable
 
