@@ -47,6 +47,11 @@ HEADLINE = [
     "admission_index",   # same verdicts via the persisted index (r7):
                          # the delta vs dedup_incremental is what the
                          # index saves — the corpus text pass
+    "corpus_fuzzy_admission",  # typo-tolerant admission via the
+                               # PERSISTED FuzzyIndex (r11): measures
+                               # the per-batch judge — batch×corpus
+                               # equi-joins over the skinny persisted
+                               # frames, never a corpus text pass
     "dedup_clusters",    # pairs → connected components → canonical docs
     "sim_search",
     "split_train_test",  # reproducible hash-bucket split
@@ -157,6 +162,12 @@ def main() -> None:
     )
 
     _admission_index_root(spark, sf_dir)
+    # same discipline for the fuzzy family's persisted index
+    from iceberg_core_spark.functions.fuzzy_index import (
+        _fuzzy_index_root,
+    )
+
+    _fuzzy_index_root(spark, sf_dir)
     # the five-commit lifecycle table + its rollup build once too
     # (table_changelog then measures the skinny net diff, table_rollup
     # the IVM read — not the lifecycle construction)

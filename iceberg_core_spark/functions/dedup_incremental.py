@@ -274,6 +274,7 @@ class AdmissionIndex(SnapshotSyncedStore):
               threshold: float = THRESHOLD) -> DataFrame:
         """Admission verdicts for ``batch`` against the indexed corpus
         — same output contract as :func:`dedup_batch`."""
+        self._ensure_readable()
         pushdown = self._pushdown_limit("fp", "bands")
         return _judge(
             batch,

@@ -266,7 +266,7 @@ class FuzzyIndex(SnapshotSyncedStore):
         """Fuzzy-admission verdicts for ``batch`` against the indexed
         corpus — same output contract as :func:`fuzzy_batch` (the two
         share ``_fuzzy_judge``, so drift is structurally impossible)."""
-        self._ensure_params()
+        self._ensure_readable()
         # the filters prune BOTH piece-keyed kinds — gate on whichever
         # is larger (a short-key corpus can be sprobe-dominated)
         pushdown = self._pushdown_limit("segs", "sprobe")
@@ -344,9 +344,11 @@ LEFT JOIN best bst ON bst.bid = b.id AND bst.rn = 1
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# staged for r11 registration (the r10 window is full) — merge into
-# the registered surface at registration time
-STAGED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+# staged in r10 (that window was full), registered in r11
+# (registry.py imports QUERIES; STAGED_QUERIES stays as an alias for
+# the tests/tools that referenced the staging name)
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_fuzzy_admission": (corpus_fuzzy_admission,
                                CORPUS_FUZZY_ADMISSION_SQL),
 }
+STAGED_QUERIES = QUERIES

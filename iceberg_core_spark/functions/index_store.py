@@ -211,6 +211,21 @@ class SnapshotSyncedStore:
                 f"don't match this geometry; use the original params "
                 f"or rebuild()")
 
+    def _ensure_readable(self) -> None:
+        """Read-path guard (``judge`` and friends): a store that has
+        never synced has no frames to read, so raise a descriptive
+        error instead of letting Spark surface PATH_NOT_FOUND — and
+        never mutate ``_meta.json`` from a read path. With a watermark
+        present the params state cannot be ``fresh``, so delegating to
+        :meth:`_ensure_params` afterwards can only validate (raise on
+        unstamped/mismatch), never stamp."""
+        if self.synced_snapshot() is None:
+            raise ValueError(
+                f"{type(self).__name__} at {self.root} has never "
+                f"been synced — call sync(table) or rebuild(table) "
+                f"before judging")
+        self._ensure_params()
+
     # -- meta / layout -----------------------------------------------------
 
     def _meta_path(self) -> str:
@@ -350,8 +365,12 @@ class SnapshotSyncedStore:
 
     def sync(self, table) -> int:
         """Catch the index up to ``table``'s current snapshot; returns
-        how many snapshots were ingested. Watermark advances AFTER
-        each snapshot's frames land, so partial progress persists and
+        how many snapshots this call brought into the index — the
+        per-snapshot increments on the incremental path, or the full
+        chain length when a recovery :meth:`rebuild` supersedes the
+        delta walk (the rebuild re-derives every chain snapshot's
+        contents in one pass). Watermark advances AFTER each
+        snapshot's frames land, so partial progress persists and
         every step is re-runnable. Two recovery paths keep the 'never
         permanently misses a document' contract without poisoning the
         caller: a watermark GAP (the synced snapshot was expired out
@@ -361,20 +380,20 @@ class SnapshotSyncedStore:
         spec changes) are skipped and a WAP publish indexes the rows
         it reveals. Edits that contradict the append-only contract
         (upsert/delete/overwrite) still raise."""
+        all_snaps = table.manifest.snapshots(load_files=False)
         # an unstamped store (pre-params upgrade) self-heals here —
         # sync has the table, so one rebuild re-derives everything
         # under this instance's params and stamps them; a true
         # geometry MISMATCH still raises (the operator must choose)
         if self._params_state() == "unstamped":
             self.rebuild(table)
-            return 1
+            return len(all_snaps)
         self._ensure_params()
         last = self.synced_snapshot()
-        all_snaps = table.manifest.snapshots(load_files=False)
         if last is not None and last not in {
                 s.snapshot_id for s in all_snaps}:
             self.rebuild(table)
-            return 1
+            return len(all_snaps)
         snaps = [s for s in all_snaps
                  if last is None or s.snapshot_id > last]
         snaps.sort(key=lambda s: s.snapshot_id)
@@ -384,8 +403,11 @@ class SnapshotSyncedStore:
                 self._advance(s.snapshot_id)
                 continue
             if s.operation in self._REBUILD_ON:
+                # the rebuild covers this snapshot and every one
+                # after it in the chain, on top of the n already
+                # ingested incrementally
                 self.rebuild(table)
-                return n + 1
+                return n + len(snaps) - snaps.index(s)
             if s.operation == "publish":
                 # a staged (WAP) append synced as an empty increment —
                 # its files were hidden; the publish is what reveals
@@ -423,9 +445,14 @@ def split_corpus_index_root(spark: SparkSession, frame_fn,
     a bulk create), then synced through ``make_index(idx_root)``.
     Returns the base dir (``corpus/`` + ``idx/``); ``cache`` memoizes
     it per ``cache_key`` for the process lifetime — ``frame_fn`` is a
-    thunk so a cache hit never pays the table-load/plan construction.
+    thunk so a cache hit never pays the table-load/plan construction
+    — and an ``atexit`` hook removes the temp dir when the process
+    exits (the build is deliberately per-process: the testdata under
+    ``cache_key`` can change between runs, so reusing an on-disk
+    index across processes would judge against a stale corpus).
     One implementation for both index families' registry queries — a
     cache/cleanup fix here cannot silently miss one of them."""
+    import atexit
     import tempfile
 
     root = cache.get(cache_key)
@@ -435,6 +462,7 @@ def split_corpus_index_root(spark: SparkSession, frame_fn,
 
     frame = frame_fn()
     base = tempfile.mkdtemp(prefix=tmp_prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     t = IceTable.create(
         spark, os.path.join(base, "corpus"),
         frame.filter("doc_id % 10 <> 0 AND doc_id % 3 <> 0"),

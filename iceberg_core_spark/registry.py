@@ -38,6 +38,9 @@ def all_queries() -> dict[str, Entry]:
 
     from iceberg_core_spark.functions.dedup_spans import QUERIES as SPANS
     from iceberg_core_spark.functions.fuzzy import QUERIES as FUZZY
+    from iceberg_core_spark.functions.fuzzy_index import (
+        QUERIES as FUZZYIDX,
+    )
     from iceberg_core_spark.functions.lm_quality import QUERIES as LMQ
     from iceberg_core_spark.functions.search import QUERIES as SEARCH
     from iceberg_core_spark.operators.events_analytics import (
@@ -68,6 +71,7 @@ def all_queries() -> dict[str, Entry]:
     out.update(SPANS)    # cross-doc duplicated-span dedup (NEW r7)
     out.update(SEARCH)   # BM25 lexical search (staged r8, registered r9)
     out.update(FUZZY)    # edit-distance matching (staged r9, reg. r10)
+    out.update(FUZZYIDX) # persisted fuzzy admission (staged r10, reg. r11)
     out.update(LMQ)      # unigram LM quality scoring (staged r8, reg. r9)
     out.update(RANGEJOIN)  # bucketized interval join (staged r8, reg. r9)
     out.update(EVENTS)   # funnel + cohort retention (staged r8, reg. r9)
@@ -89,52 +93,47 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline —
     # including the byte-unchanged condition, via git — mechanically.
-    # ROUND-10 WINDOW (the r6-r9 window lists are preserved in git
+    # ROUND-11 WINDOW (the r6-r10 window lists are preserved in git
     # history; run `verify_window.py --ages` after any reorder):
     priority = [
-        # (a) the 5 r10 registrations — staged in r9, oracle-verified
-        # at sf0.001 AND sf0.01 then and re-verified this round; the
-        # decontaminate row's oracle is INDEPENDENT brute force (it
-        # re-proves the cross-corpus blocking complete on real data)
-        "corpus_fuzzy_prefix", "corpus_fuzzy_clusters",
-        "corpus_fuzzy_decontaminate", "corpus_bm25_exploded",
-        "corpus_mix_temperature",
-        # (b) the 14 rows the --ages audit FORCES into r10: the 5
-        # age-4 relational.py rows deferred at r9 ...
-        "join_theta", "sort_limit", "union_all", "set_intersect",
-        "set_except",
-        # ... and the 9 r7-age rows whose defining modules (ice_table/
-        # table_queries/bloom/zorder/rollup) changed in r8 — changed
-        # modules never ride the age-3 tier (r9 ADVICE: listed here
-        # explicitly so the next window builder doesn't rediscover
-        # them from the audit)
-        "table_incremental", "zorder_range_scan", "table_time_travel",
-        "table_partition_evolution", "table_cdc_mor", "table_changelog",
-        "table_rollup", "bloom_point_scan", "table_merge",
-        # (c) 31 of the 41 byte-unchanged age-3 r7 rows (the other 10
-        # — tpch_q2/q9/q10/q11/q15/q16/q20, join_broadcast,
-        # join_sortmerge, join_full — ride to age 4 and are FORCED
-        # into the r11 window).
-        # R11 MANDATORY LEADS (verify_window.py --ages 11, simulated
-        # at r10 close): those 10 age-4 rows + 2 changed-module r8
-        # rows (corpus_mix, corpus_shuffle — assembly.py changed when
-        # the temperature mixture was staged in r9) + the r10-staged
-        # corpus_fuzzy_admission registration (fuzzy_index.py
-        # STAGED_QUERIES; one import line) = 13 forced; the 12
-        # byte-unchanged r8 tpch rows (q1/q4/q6/q7/q8/q13/q14/q17/
-        # q18/q19/q21/q22) may defer ONCE more but then hard-stop at
-        # r12 — budget r11's ~37 flex slots accordingly.
-        "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_minhash",
-        "corpus_clean", "sim_search_lsh", "text_ngrams",
-        "admission_index", "split_train_test", "sample_stratified",
-        "win_sliding", "win_session", "stream_ingest", "stream_join",
-        "stateful_stats", "udtf_tokenize",
-        "scan_parquet", "project", "filter_pred", "filter_range",
-        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
-        "scalar_json",
-        "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-        "agg_approx_distinct",
-        "join_left", "join_right",
+        # (a) the r11 registration — staged in r10, oracle-green at
+        # sf0.001+sf0.01+sf0.1 vs an INDEPENDENT brute-force oracle;
+        # a green driver row re-proves the PERSISTED index's
+        # incremental blocking complete on real data
+        "corpus_fuzzy_admission",
+        # (b) the 12 rows the --ages audit FORCES into r11: the 2
+        # changed-module r8 rows (assembly.py changed in r9) ...
+        "corpus_mix", "corpus_shuffle",
+        # ... and the 10 age-4 r7 rows that rode the byte-unchanged
+        # tier through r9+r10 and hard-stop now
+        "join_broadcast", "join_sortmerge", "join_full",
+        "tpch_q2", "tpch_q9", "tpch_q10", "tpch_q11",
+        "tpch_q15", "tpch_q16", "tpch_q20",
+        # (c) 37 of the 48 byte-unchanged age-3 r8 rows (r10 VERDICT
+        # task 2: defuse the r12 rotation cliff). The 11 left riding
+        # to age 4 — stream_dedup, scan_jsonl, scan_orc,
+        # events_sessionize, events_gapfill, events_interpolate,
+        # udf_scalar, udaf_group_stats, table_merge_mor,
+        # bloom_point_scan_multi, vocab_topk — are FORCED into r12.
+        # R12 MANDATORY LEADS (simulated via --ages 12 with a
+        # hypothetical all-green r11 artifact at r11 close): those 11
+        # age-4 rows + 3 changed-module r9 rows (dedup_incremental,
+        # corpus_bm25 — dedup_incremental.py/search.py changed in
+        # r10 — and write_shards — assembly.py changed in r9) = 14
+        # forced, ~36 flex slots for r9 refreshes (50 r9 rows exist;
+        # the remainder hard-stop at r13).
+        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
+        "tpch_q21", "tpch_q22",
+        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+        "dedup_embedding", "dedup_clusters", "dedup_minhash_portable",
+        "dedup_spans", "corpus_despan", "dedup_spans_min16",
+        "corpus_despan_min16", "sim_search_ivf",
+        "multimodal_meta", "multimodal_features", "multimodal_chunks",
+        "corpus_decontaminate", "corpus_decontaminate_exact",
+        "corpus_pack", "corpus_quality", "corpus_pii", "text_analysis",
+        "join_bucketed", "agg_hash", "join_semi", "join_anti",
+        "join_asof",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

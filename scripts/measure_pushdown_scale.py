@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""r10 VERDICT task 4 — measure before prototyping: when a judge's
+batch exceeds ``pushdown_max_keys`` the corpus-side frames fall back
+to the FULL skinny-store scan (index_store._push_batch_keys returns
+both frames unchanged). Is that scan the dominant cost at GB store
+sizes, or is the candidate join itself the cost?
+
+Builds a synthetic GB-scale FuzzyIndex (JVM-side generated strings,
+one IceTable commit, rebuild), then times:
+
+  1. judge, batch under the knob   (pushdown ACTIVE: In-filter scan)
+  2. judge, batch 10x the knob     (fallback: full skinny scan)
+  3. the bare full scan of the two piece kinds (noop write) — the
+     upper bound of what any scan-pruning scheme could save in (2)
+
+If (3) is a small share of (2), no distributed pruning scheme (range
+aggregate, coarse bloom) can materially help — the join/verify work
+dominates — and the fallback stands as-is. Writes its findings as
+one JSON line; run on an otherwise idle host.
+
+Usage: PYTHONPATH=. python scripts/measure_pushdown_scale.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.functions.fuzzy_index import FuzzyIndex
+    from iceberg_core_spark.session import get_spark
+    from iceberg_core_spark.table import IceTable
+
+    spark = get_spark("measure-pushdown-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    # synthetic corpus: unique-ish 64-char hex bodies with a varying
+    # 0-16 char tail so the length-class machinery sees >1 class;
+    # generated JVM-side (no Python row path)
+    def doc_frame(lo: int, hi: int):
+        return (
+            spark.range(lo, hi, 1, par)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.sha2(F.col("id").cast("string"), 256),
+                    F.expr("substring('abcdefghijklmnop', 1, "
+                           "cast(id % 17 as int))"),
+                ).alias("text"),
+            )
+        )
+
+    base = tempfile.mkdtemp(prefix="ice_pushdown_scale_")
+    out = {"n_docs": n_docs}
+    try:
+        t0 = time.perf_counter()
+        t = IceTable.create(spark, os.path.join(base, "corpus"),
+                            doc_frame(0, n_docs),
+                            partition_col=None, key_col="doc_id")
+        idx = FuzzyIndex(spark, os.path.join(base, "idx"))
+        idx.sync(t)
+        idx.compact()  # range-clustered layout, as production would be
+        out["build_sec"] = round(time.perf_counter() - t0, 1)
+        out["store_bytes"] = {k: idx._store_bytes(k)
+                              for k in idx._KIND_COLS}
+        out["pushdown_floor_met"] = bool(
+            idx._pushdown_limit("segs", "sprobe"))
+
+        def timed(df) -> float:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 2)
+
+        # batches drawn from the same id space (worst case: every
+        # batch piece has corpus partners)
+        small = doc_frame(0, idx.pushdown_max_keys // 2)
+        big = doc_frame(0, idx.pushdown_max_keys * 10)
+
+        out["judge_small_pushdown_sec"] = timed(idx.judge(small))
+        out["judge_big_fallback_sec"] = timed(idx.judge(big))
+        # the bare scan: everything a pruning scheme could ever save
+        out["bare_scan_sec"] = timed(
+            idx._read("segs").unionByName(
+                idx._read("sprobe"), allowMissingColumns=True))
+        out["scan_share_of_fallback"] = round(
+            out["bare_scan_sec"] / out["judge_big_fallback_sec"], 3)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -296,6 +296,49 @@ def test_fuzzy_index_rejects_non_append(spark, tmp_path):
         idx.sync(t)
 
 
+def test_judge_on_never_synced_store_raises_descriptively(
+        spark, tmp_path):
+    """r10 ADVICE: judging a store that has never synced must raise a
+    'never been synced' error (not Spark's raw PATH_NOT_FOUND) and
+    must NOT write _meta.json from the read path — both index
+    families share the guard via SnapshotSyncedStore._ensure_readable."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+
+    bdf = spark.createDataFrame([(9, "document number 1 padded out")],
+                                "doc_id long, text string")
+    for idx in (FuzzyIndex(spark, str(tmp_path / "fidx")),
+                AdmissionIndex(spark, str(tmp_path / "aidx"))):
+        with pytest.raises(ValueError, match="never been synced"):
+            idx.judge(bdf)
+        assert not os.path.exists(idx._meta_path())  # read-only path
+
+
+def test_sync_rebuild_returns_chain_coverage(spark, tmp_path):
+    """r10 ADVICE: recovery syncs report how many chain snapshots the
+    rebuild actually covered, not a constant 1 — pinned here on a
+    TWO-snapshot chain through the unstamped self-heal path."""
+    import json
+
+    from iceberg_core_spark.table import IceTable
+
+    rows = [(i, f"document number {i} padded out") for i in range(4)]
+    cdf = spark.createDataFrame(rows, "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "corpus"),
+                        cdf.filter("doc_id < 2"),
+                        partition_col=None, key_col="doc_id")
+    t.append(cdf.filter("doc_id >= 2"))
+    idx = FuzzyIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 2
+    meta_path = tmp_path / "idx" / "_meta.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["params"]
+    meta_path.write_text(json.dumps(meta))
+    assert idx.sync(t) == 2  # rebuild covered the 2-snapshot chain
+    assert idx.sync(t) == 0  # incremental (and stamped) again
+
+
 def _doc_file(spark, src, rows, name):
     import shutil
 
