@@ -134,7 +134,7 @@ def _judge(
 
     ``key_pushdown`` > 0 enables the scan-pruning fast path (the
     FuzzyIndex pattern): the batch's distinct fingerprints and band
-    hashes — bounded by the knob, limit-guarded — become ``isin``
+    hashes — bounded by the knob, count-guarded — become ``isin``
     filters on the corpus frames. A necessary condition of each
     equi-join, so verdicts are unchanged; against the PERSISTED
     key-clustered index the filters push into the parquet scans and

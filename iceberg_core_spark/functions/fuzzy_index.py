@@ -113,7 +113,7 @@ def _fuzzy_judge(
 
     ``piece_pushdown`` > 0 enables the scan-pruning fast path: the
     batch's distinct probe/segment pieces (bounded by the knob, with
-    a limit-guarded collect) become an ``isin`` filter on the
+    a count-guarded collect) become an ``isin`` filter on the
     corpus-side frames — a NECESSARY condition of the equi-join, so
     output is unchanged, but against the PERSISTED index the filter
     pushes into the parquet scan (``PushedFilters: [In(__piece, …)]``)

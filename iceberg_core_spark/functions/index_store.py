@@ -53,7 +53,7 @@ def _push_batch_keys(batch_frame: DataFrame, key_col: str,
                      max_rows: int) -> tuple[DataFrame, DataFrame]:
     """The judge-time key-pushdown step, shared by both index
     families: materialize ``batch_frame`` on the driver (bounded by
-    ``max_rows`` with a limit-guarded collect — the knob bounds the
+    ``max_rows`` with a count-guarded collect — the knob bounds the
     pull by the BATCH, never the corpus) and filter ``corpus_frame``
     to rows whose ``key_col`` appears in it. Returns the (possibly
     localized) batch frame and the (possibly filtered) corpus frame;
@@ -66,10 +66,21 @@ def _push_batch_keys(batch_frame: DataFrame, key_col: str,
     unpersist, which the caller's lazy verdict frame makes
     impossible). The filter is a NECESSARY condition of the equi-join
     on ``key_col``, so verdicts never change; against parquet it
-    lands as ``PushedFilters: [In(key_col, …)]``."""
-    rows = batch_frame.limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    lands as ``PushedFilters: [In(key_col, …)]``.
+
+    The bound check is a JVM-side full count (map-side partial agg,
+    no row movement), NOT a collect and NOT a truncated
+    limit-then-count: an over-bound batch must never pay a
+    max_rows-row py4j transfer that is then discarded (~14 s/judge
+    at 10x the knob on a 1.1 GiB store), and ``limit(n).count()`` is
+    worse still — LocalLimit keeps n rows per partition and funnels
+    them through a single-partition exchange (~32 s measured, same
+    setup — scripts/measure_pushdown_scale.py). The batch frame is
+    map-side-derived from the (small) batch, so counting it twice
+    (here + the under-bound collect) costs far less than either."""
+    if batch_frame.count() > max_rows:
         return batch_frame, corpus_frame
+    rows = batch_frame.collect()
     spark = batch_frame.sparkSession
     local = spark.createDataFrame(rows, batch_frame.schema)
     keys = [k for k in {r[key_col] for r in rows} if k is not None]
@@ -281,15 +292,31 @@ class SnapshotSyncedStore:
     # -- write paths ---------------------------------------------------
 
     def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
-        # size the files to the increment: hash/gram maps may widen to
-        # cluster parallelism, but a micro-batch increment should land
-        # as a handful of files, not 32 shards of nothing
-        n = rows.count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
-        sub = f"snap={snapshot_id}"
-        for kind, frame in self._frames(rows).items():
-            frame.coalesce(parts).write.mode("overwrite").parquet(
-                os.path.join(self._kind_dir(kind), sub))
+        # ONE materialization of the increment feeds the count and
+        # every kind's write — deriving it per action (count + one
+        # write per kind) is free only while the snapshot's files sit
+        # in the page cache; on remote storage each re-derivation is
+        # a full re-read (measured cold-cache: 8-snapshot sync
+        # 23.1 -> 18.8 s, warm-cache parity —
+        # scripts/measure_sync_persist.py). Unpersisted in `finally`,
+        # so nothing outlives the call (the r10 pushdown persist-leak
+        # lesson: only persist what you can provably unpersist).
+        from pyspark.storagelevel import StorageLevel
+
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # size the files to the increment: hash/gram maps may
+            # widen to cluster parallelism, but a micro-batch
+            # increment should land as a handful of files, not 32
+            # shards of nothing
+            n = rows.count()
+            parts = max(1, -(-n // self._ROWS_PER_FILE))
+            sub = f"snap={snapshot_id}"
+            for kind, frame in self._frames(rows).items():
+                frame.coalesce(parts).write.mode("overwrite").parquet(
+                    os.path.join(self._kind_dir(kind), sub))
+        finally:
+            rows.unpersist()
 
     def _flip_generation(self, frames: dict[str, DataFrame],
                          parts: int, sub: str,

@@ -41,7 +41,11 @@ def main() -> int:
     from iceberg_core_spark.session import get_spark
     from iceberg_core_spark.table import IceTable
 
-    spark = get_spark("measure-pushdown-scale")
+    # the GB-scale judge join needs more than the library's 8g local
+    # default (measurement session only — production sizing is the
+    # cluster operator's knob)
+    spark = get_spark("measure-pushdown-scale",
+                      extra_conf={"spark.driver.memory": "48g"})
     spark.sparkContext.setLogLevel("ERROR")
     par = spark.sparkContext.defaultParallelism
 
@@ -83,12 +87,41 @@ def main() -> int:
             return round(time.perf_counter() - t0, 2)
 
         # batches drawn from the same id space (worst case: every
-        # batch piece has corpus partners)
-        small = doc_frame(0, idx.pushdown_max_keys // 2)
-        big = doc_frame(0, idx.pushdown_max_keys * 10)
+        # batch piece has corpus partners). The knob bounds PROBE
+        # rows (~(2d+1)^2(d+1) per doc), not batch docs — so 1k docs
+        # is ~75k probe rows (under the 100k knob, pushdown ACTIVE)
+        # and 13k docs is ~10x the knob (fallback full scan). The
+        # off-switch twin for each size isolates what the In-literal
+        # path actually buys vs costs at each key count.
+        import statistics
 
-        out["judge_small_pushdown_sec"] = timed(idx.judge(small))
-        out["judge_big_fallback_sec"] = timed(idx.judge(big))
+        idx_off = FuzzyIndex(spark, os.path.join(base, "idx"),
+                             pushdown_max_keys=0)
+        timed(idx_off.judge(doc_frame(0, 100)))  # JVM/codegen warmup
+        big = idx.pushdown_max_keys * 10 // 75
+        cells = [(docs, tag, ix) for docs in (100, 1_000, big)
+                 for tag, ix in (("auto", idx), ("off", idx_off))]
+        runs: dict[str, list[float]] = {}
+        for _ in range(3):  # interleaved passes; median rejects noise
+            for docs, tag, ix in cells:
+                runs.setdefault(f"judge_{docs}docs_{tag}_sec", []) \
+                    .append(timed(ix.judge(doc_frame(0, docs))))
+        out.update({k: round(statistics.median(v), 2)
+                    for k, v in runs.items()})
+        out["judge_big_fallback_sec"] = out[f"judge_{big}docs_auto_sec"]
+        # the over-bound guard in isolation: two map-side counts of
+        # the big batch's probe/segment frames
+        from iceberg_core_spark.functions.fuzzy import (
+            _prep, _probes, _segments, _check_params,
+        )
+
+        bb = _prep(doc_frame(0, big), "doc_id", "text")
+        min_len = _check_params(idx.max_dist, idx.q)
+        t0 = time.perf_counter()
+        _probes(bb, idx.max_dist, min_len).count()
+        _segments(bb.filter("__len >= %d" % min_len),
+                  idx.max_dist).count()
+        out["guard_counts_sec"] = round(time.perf_counter() - t0, 2)
         # the bare scan: everything a pruning scheme could ever save
         out["bare_scan_sec"] = timed(
             idx._read("segs").unionByName(

@@ -221,6 +221,24 @@ def test_fuzzy_index_piece_pushdown(spark, tmp_path):
             == _collect_verdicts(idx.judge(bdf)))
 
 
+def test_push_batch_keys_over_bound_is_a_cheap_no_op(spark):
+    """An over-bound batch must leave BOTH frames untouched (same
+    objects — the bound check is a truncated count, not a row
+    collect that gets discarded; measured at 10x the knob the old
+    collect added ~14 s/judge on a GiB store)."""
+    from iceberg_core_spark.functions.index_store import (
+        _push_batch_keys,
+    )
+
+    b = spark.range(0, 10).selectExpr("id as k")
+    c = spark.range(0, 100).selectExpr("id as k")
+    b_over, c_over = _push_batch_keys(b, "k", c, max_rows=5)
+    assert b_over is b and c_over is c
+    b_under, c_under = _push_batch_keys(b, "k", c, max_rows=50)
+    assert b_under is not b  # localized
+    assert c_under.count() == 10  # filtered to the batch keys
+
+
 def test_fuzzy_index_rejects_param_mismatch(spark, tmp_path):
     """Reopening an index with different segment geometry must raise,
     not silently judge against unjoinable persisted pieces."""
