@@ -18,6 +18,12 @@ if the current first-50 window would let any row exceed its age bound
 or leave a registered query without a row. Run it after reordering
 the registry, before the round's final commit.
 
+``--ages R --assume-green-window`` additionally pretends every query
+in the CURRENT window got a green row in round R-1 — the what-if
+every round-close runs to budget the NEXT round's forced set (the
+r10 verdict's "simulate --ages 12 before closing") without
+hand-writing a hypothetical artifact file. Always read-only.
+
 Age bound (r8 judge ruling, VERDICT.md r8 "What's missing" item 1):
 the base bound is age 2; a row may ride ONE extra round (age 3,
 period-4 rotation, capacity 200) ONLY if the module defining its
@@ -103,11 +109,15 @@ def _module_unchanged_since(fn, rnd: int) -> bool | None:
     return res.returncode == 0
 
 
-def audit_ages(next_round: int | None = None) -> int:
+def audit_ages(next_round: int | None = None,
+               assume_green_window: bool = False) -> int:
     """Row-age audit: with the CURRENT registry order, would round
     ``next_round``'s 50-slot window keep every query's latest green
     row at age <= MAX_AGE? Also flags rows whose latest artifact run
-    FAILED (they need a retest slot, not just freshness)."""
+    FAILED (they need a retest slot, not just freshness).
+    ``assume_green_window`` seeds a hypothetical green round-(R-1)
+    row for every current-window query first (round-close what-if
+    for the NEXT round's budget)."""
     from iceberg_core_spark.registry import all_queries
 
     latest: dict[str, tuple[int, bool]] = {}
@@ -130,6 +140,14 @@ def audit_ages(next_round: int | None = None) -> int:
     queries = all_queries()
     names = list(queries)
     window = set(names[:WINDOW])
+    if assume_green_window:
+        # what-if: every current-window query went green in r(nr-1);
+        # hypothetical rows are age 1 at nr, so they never reach the
+        # byte-unchanged git check (no phantom round-commit needed)
+        for name in names[:WINDOW]:
+            prev = latest.get(name)
+            if prev is None or prev[0] < nr - 1:
+                latest[name] = (nr - 1, True)
     # first-seen bookkeeping gives the late-registration pattern
     # teeth: a query registered past a full window legitimately
     # waits ONE round (pending lead), but if a later round's audit
@@ -147,8 +165,9 @@ def audit_ages(next_round: int | None = None) -> int:
     # Only persist first-seen stamps when auditing the DEFAULT (next)
     # round: an explicit round argument is a read-only what-if, and
     # stamping new registrations with a hypothetical round would
-    # permanently mis-date them (r7 ADVICE).
-    if missing and next_round is None:
+    # permanently mis-date them (r7 ADVICE). Assume-green mode is
+    # always a what-if, whatever the round argument.
+    if missing and next_round is None and not assume_green_window:
         with open(seen_path, "w") as f:
             json.dump(seen, f, indent=0, sort_keys=True)
 
@@ -212,7 +231,11 @@ def audit_ages(next_round: int | None = None) -> int:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--ages":
-        return audit_ages(int(sys.argv[2]) if len(sys.argv) > 2 else None)
+        args = sys.argv[2:]
+        assume = "--assume-green-window" in args
+        args = [a for a in args if a != "--assume-green-window"]
+        return audit_ages(int(args[0]) if args else None,
+                          assume_green_window=assume)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 

@@ -104,6 +104,33 @@ def test_module_unchanged_check_true_and_false():
     assert vw._module_unchanged_since(fn2, 8) is False
 
 
+def test_assume_green_window_is_readonly_whatif(capsys):
+    """--assume-green-window seeds hypothetical green rows for the
+    CURRENT window only (age 1 next round — never the git check) and
+    must not write first-seen stamps even for the default round."""
+    import json
+
+    vw = _vw()
+    seen_path = os.path.join(REPO, "scripts",
+                             ".registry_first_seen.json")
+    before = open(seen_path).read() if os.path.exists(seen_path) else None
+    rc_plain = vw.audit_ages(None)
+    plain_out = capsys.readouterr().out
+    rc_sim = vw.audit_ages(None, assume_green_window=True)
+    sim_out = capsys.readouterr().out
+    after = open(seen_path).read() if os.path.exists(seen_path) else None
+    assert before == after  # read-only in assume mode
+    assert rc_plain == 0  # the committed window must always audit green
+    # the what-if can only relax constraints for the same round: no
+    # violation may APPEAR under assumed green rows
+    assert rc_sim == 0
+    assert sim_out.count("AGE-VIOLATION") <= \
+        plain_out.count("AGE-VIOLATION")
+    # and the json file (if present) still parses
+    if after is not None:
+        json.loads(after)
+
+
 def test_module_check_unanswerable_is_none():
     vw = _vw()
     # a builtin has no source file — the audit must treat the check
