@@ -60,7 +60,7 @@ def _push_batch_keys(batch_frame: DataFrame, key_col: str,
     both unchanged when the bound is exceeded.
 
     One collect total: the localized batch frame feeds the candidate
-    join as a LocalTableScan, so nothing is computed twice and
+    join as a LocalTableScan, so the join never recomputes it and
     nothing is persist()-pinned (a Dataset.persist here would leak —
     CacheManager holds strong references until an explicit
     unpersist, which the caller's lazy verdict frame makes
@@ -379,34 +379,56 @@ class SnapshotSyncedStore:
         contents into a fresh generation — the recovery path when the
         per-snapshot delta chain is unusable (expired watermark,
         rollback, dropped branch). Crash discipline:
-        :meth:`_flip_generation`. Cost is one corpus pass — then sync
-        is incremental again. Returns the target snapshot id."""
+        :meth:`_flip_generation`. The corpus scan persists for the
+        duration of the count + per-kind writes (same cold-storage
+        argument as :meth:`_write_increment`, at corpus scale:
+        without it each action re-reads the whole table; with it the
+        re-reads hit executor-local MEMORY_AND_DISK blocks) — then
+        sync is incremental again. Returns the target snapshot id."""
+        from pyspark.storagelevel import StorageLevel
+
         cur = table.manifest.load(load_files=False).snapshot_id
         rows = table.scan(snapshot_id=cur).select(
-            self.id_col, self.text_col)
-        n = rows.count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
-        self._flip_generation(self._frames(rows), parts,
-                              f"snap={cur}", cur)
+            self.id_col, self.text_col).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = rows.count()
+            parts = max(1, -(-n // self._ROWS_PER_FILE))
+            self._flip_generation(self._frames(rows), parts,
+                                  f"snap={cur}", cur)
+        finally:
+            rows.unpersist()
         return cur
+
+    def _row_bearing(self, snaps) -> int:
+        """How many of ``snaps`` the incremental walk would count —
+        the commits whose rows an ingest actually lands (row-adding
+        + publish); rewrite/metadata-only commits are watermark-only
+        and rollback/drop-branch remove rows rather than add them.
+        Keeps sync()'s return value path-independent: a rebuild that
+        covers a chain segment reports the same number an
+        incremental walk of that segment would."""
+        skip = (self._REWRITE_ONLY + self._METADATA_ONLY
+                + self._REBUILD_ON)
+        return sum(1 for s in snaps if s.operation not in skip)
 
     def sync(self, table) -> int:
         """Catch the index up to ``table``'s current snapshot; returns
-        how many snapshots this call brought into the index — the
-        per-snapshot increments on the incremental path, or the full
-        chain length when a recovery :meth:`rebuild` supersedes the
-        delta walk (the rebuild re-derives every chain snapshot's
-        contents in one pass). Watermark advances AFTER each
-        snapshot's frames land, so partial progress persists and
-        every step is re-runnable. Two recovery paths keep the 'never
-        permanently misses a document' contract without poisoning the
-        caller: a watermark GAP (the synced snapshot was expired out
-        of the chain, so intermediate deltas are unrecoverable) and a
-        row-removing-but-legitimate commit (rollback / drop-branch)
-        both force :meth:`rebuild`; metadata-only commits (rename,
-        spec changes) are skipped and a WAP publish indexes the rows
-        it reveals. Edits that contradict the append-only contract
-        (upsert/delete/overwrite) still raise."""
+        how many row-bearing snapshots this call brought into the
+        index — counted identically whether they arrive as
+        per-snapshot increments or inside a recovery :meth:`rebuild`
+        (which re-derives the chain's contents in one pass).
+        Watermark advances AFTER each snapshot's frames land, so
+        partial progress persists and every step is re-runnable. Two
+        recovery paths keep the 'never permanently misses a document'
+        contract without poisoning the caller: a watermark GAP (the
+        synced snapshot was expired out of the chain, so intermediate
+        deltas are unrecoverable) and a row-removing-but-legitimate
+        commit (rollback / drop-branch) both force :meth:`rebuild`;
+        metadata-only commits (rename, spec changes) are skipped and
+        a WAP publish indexes the rows it reveals. Edits that
+        contradict the append-only contract (upsert/delete/overwrite)
+        still raise."""
         all_snaps = table.manifest.snapshots(load_files=False)
         # an unstamped store (pre-params upgrade) self-heals here —
         # sync has the table, so one rebuild re-derives everything
@@ -414,18 +436,18 @@ class SnapshotSyncedStore:
         # geometry MISMATCH still raises (the operator must choose)
         if self._params_state() == "unstamped":
             self.rebuild(table)
-            return len(all_snaps)
+            return self._row_bearing(all_snaps)
         self._ensure_params()
         last = self.synced_snapshot()
         if last is not None and last not in {
                 s.snapshot_id for s in all_snaps}:
             self.rebuild(table)
-            return len(all_snaps)
+            return self._row_bearing(all_snaps)
         snaps = [s for s in all_snaps
                  if last is None or s.snapshot_id > last]
         snaps.sort(key=lambda s: s.snapshot_id)
         n = 0
-        for s in snaps:
+        for i, s in enumerate(snaps):
             if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:
                 self._advance(s.snapshot_id)
                 continue
@@ -434,7 +456,7 @@ class SnapshotSyncedStore:
                 # after it in the chain, on top of the n already
                 # ingested incrementally
                 self.rebuild(table)
-                return n + len(snaps) - snaps.index(s)
+                return n + self._row_bearing(snaps[i:])
             if s.operation == "publish":
                 # a staged (WAP) append synced as an empty increment —
                 # its files were hidden; the publish is what reveals

@@ -73,8 +73,12 @@ def main() -> int:
                             doc_frame(0, n_docs),
                             partition_col=None, key_col="doc_id")
         idx = FuzzyIndex(spark, os.path.join(base, "idx"))
-        idx.sync(t)
-        idx.compact()  # range-clustered layout, as production would be
+        # rebuild (not sync+compact): a single-commit table leaves
+        # compact() a no-op (one snap dir), which would measure an
+        # UN-clustered layout; rebuild always routes through
+        # _cluster_for_write, giving the production range-clustered
+        # piece layout the file-skipping claim depends on
+        idx.rebuild(t)
         out["build_sec"] = round(time.perf_counter() - t0, 1)
         out["store_bytes"] = {k: idx._store_bytes(k)
                               for k in idx._KIND_COLS}

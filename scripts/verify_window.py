@@ -143,10 +143,12 @@ def audit_ages(next_round: int | None = None,
     if assume_green_window:
         # what-if: every current-window query went green in r(nr-1);
         # hypothetical rows are age 1 at nr, so they never reach the
-        # byte-unchanged git check (no phantom round-commit needed)
+        # byte-unchanged git check (no phantom round-commit needed).
+        # <= so a real FAILED r(nr-1) row is also overridden — the
+        # premise is the window WENT green, whatever actually landed
         for name in names[:WINDOW]:
             prev = latest.get(name)
-            if prev is None or prev[0] < nr - 1:
+            if prev is None or prev[0] <= nr - 1:
                 latest[name] = (nr - 1, True)
     # first-seen bookkeeping gives the late-registration pattern
     # teeth: a query registered past a full window legitimately
