@@ -17,10 +17,14 @@ A store mirrors derived frames ("kinds") of an APPEND-ONLY
   mirrors and are skipped; a WAP publish indexes the rows it reveals
   (the staged append synced empty — its files were hidden); a
   watermark gap (the synced snapshot expired out of the chain) or a
-  legitimate row-removing commit (rollback, drop-branch) forces a full
+  legitimate row-removing commit (rollback) forces a full
   :meth:`rebuild` — never a silent skip that would let duplicates of
-  the missed documents through; upsert/delete/overwrite contradict
-  the append-only contract and raise.
+  the missed documents through; a drop-branch removes only files its
+  staged appends HID from the main view (the index synced them as
+  empty increments), so it skips like a metadata commit;
+  upsert/delete/overwrite contradict the append-only contract and
+  raise — on the incremental walk AND before any recovery rebuild
+  that would otherwise paper over them.
 - :meth:`compact` consolidates the current generation's per-snapshot
   dirs (a month of 1-minute micro-batches is ~43k directories) into
   one right-sized dir per kind under ``gen=G+1`` and flips the meta
@@ -77,10 +81,16 @@ def _push_batch_keys(batch_frame: DataFrame, key_col: str,
     them through a single-partition exchange (~32 s measured, same
     setup — scripts/measure_pushdown_scale.py). The batch frame is
     map-side-derived from the (small) batch, so counting it twice
-    (here + the under-bound collect) costs far less than either."""
+    (here + the under-bound collect) costs far less than either. The
+    under-bound collect keeps ``limit(max_rows + 1)`` as a structural
+    belt: count and collect are separate jobs, so a source that grew
+    in between can never turn the collect into an unbounded driver
+    pull — the limit caps it and the post-check falls back."""
     if batch_frame.count() > max_rows:
         return batch_frame, corpus_frame
-    rows = batch_frame.collect()
+    rows = batch_frame.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:  # grew between the two jobs
+        return batch_frame, corpus_frame
     spark = batch_frame.sparkSession
     local = spark.createDataFrame(rows, batch_frame.schema)
     keys = [k for k in {r[key_col] for r in rows} if k is not None]
@@ -104,13 +114,19 @@ class SnapshotSyncedStore:
     # syncs EMPTY (its files are hidden until published), so publish
     # is the commit that actually surfaces those rows — it indexes
     # the revealed rows via the changelog.
-    _METADATA_ONLY = ("set-spec", "rename")
+    # "drop-branch" belongs here too: it removes ONLY files its
+    # branch's staged appends added — files hidden from every main
+    # read (the index synced those appends as EMPTY increments), and
+    # a published branch leaves the staged set, so drop can never
+    # target visible rows. Rebuilding for it would cost a corpus
+    # pass for a provably-zero delta.
+    _METADATA_ONLY = ("set-spec", "rename", "drop-branch")
     # commits that can REMOVE (or resurrect) visible rows without
     # violating the append-only spirit of an admission corpus — an
-    # operator rolled back a bad delivery or dropped an audit branch.
-    # The delta is not derivable from the snapshot chain, so these
-    # force a full rebuild (one corpus pass, then incremental again).
-    _REBUILD_ON = ("rollback", "drop-branch")
+    # operator rolled back a bad delivery. The delta is not derivable
+    # from the snapshot chain, so these force a full rebuild (one
+    # corpus pass, then incremental again).
+    _REBUILD_ON = ("rollback",)
 
     #: kind name -> columns, in storage order (subclass contract)
     _KIND_COLS: dict[str, list[str]] = {}
@@ -138,6 +154,8 @@ class SnapshotSyncedStore:
         #: the full skinny scan once a store is GB-sized (measured:
         #: +1.9 s/judge on an MB-sized store)
         self.pushdown_min_store_bytes = pushdown_min_store_bytes
+        #: (kind, generation, watermark) -> on-disk bytes memo
+        self._bytes_cache: dict[tuple, int] = {}
 
     def _pushdown_limit(self, *kinds: str) -> int:
         """The effective pushdown row bound for a judge over
@@ -243,10 +261,18 @@ class SnapshotSyncedStore:
         return os.path.join(self.root, "_meta.json")
 
     def _meta(self) -> dict:
+        # a corrupt/truncated meta (power loss between the tmp write
+        # landing and its data blocks syncing — _write_meta fsyncs to
+        # close that window, but pre-fix stores may carry one) heals
+        # like a MISSING meta: watermark None makes the next sync
+        # re-walk the chain, and _write_increment's per-snapshot
+        # overwrites are idempotent, so nothing is missed or doubled
         try:
             with open(self._meta_path()) as f:
                 return _json.load(f)
         except FileNotFoundError:
+            return {"synced_snapshot_id": None, "generation": 0}
+        except ValueError:  # JSONDecodeError subclasses ValueError
             return {"synced_snapshot_id": None, "generation": 0}
 
     def synced_snapshot(self) -> int | None:
@@ -256,10 +282,17 @@ class SnapshotSyncedStore:
         return self._meta().get("generation", 0)
 
     def _write_meta(self, meta: dict) -> None:
+        # fsync BEFORE the rename: os.replace alone can become durable
+        # before the tmp file's data blocks on common filesystems,
+        # leaving a zero-length meta after a power loss — the one
+        # crash the generation-flip discipline can't re-derive its
+        # way out of (the flip's sweep may have removed the old gen)
         os.makedirs(self.root, exist_ok=True)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._meta_path())
 
     def _advance(self, snapshot_id: int) -> None:
@@ -275,7 +308,18 @@ class SnapshotSyncedStore:
         metadata (os.walk), used to decide whether judge-time key
         pushdown pays: the In-literal lists cost seconds of plan
         compilation, which only beats a full skinny scan once the
-        store is GB-sized."""
+        store is GB-sized. Memoized per (kind, generation, watermark):
+        an uncompacted month of 1-minute micro-batches is ~43k snap=
+        dirs, and a streaming judge must not re-walk them per batch —
+        the store only changes when THIS process writes (single
+        maintainer), and every write moves the watermark or the
+        generation, invalidating the key."""
+        meta = self._meta()
+        key = (kind, meta.get("generation", 0),
+               meta["synced_snapshot_id"])
+        cached = self._bytes_cache.get(key)
+        if cached is not None:
+            return cached
         total = 0
         for dirpath, _dirs, files in os.walk(self._kind_dir(kind)):
             for f in files:
@@ -283,6 +327,9 @@ class SnapshotSyncedStore:
                     total += os.path.getsize(os.path.join(dirpath, f))
                 except OSError:
                     pass
+        self._bytes_cache = {key: total, **{
+            k: v for k, v in self._bytes_cache.items()
+            if k[1:] == key[1:]}}  # drop stale generations/watermarks
         return total
 
     def _read(self, kind: str, cols: list[str] | None = None) -> DataFrame:
@@ -290,6 +337,14 @@ class SnapshotSyncedStore:
             *(cols if cols is not None else self._KIND_COLS[kind]))
 
     # -- write paths ---------------------------------------------------
+
+    def _parts_for(self, n: int) -> int:
+        """File count for ``n`` rows — ceil(n / _ROWS_PER_FILE), min
+        1: hash/gram maps may widen to cluster parallelism, but a
+        micro-batch increment should land as a handful of right-sized
+        files, not 32 shards of nothing. ONE copy of the sizing rule
+        for increment/compact/rebuild."""
+        return max(1, -(-n // self._ROWS_PER_FILE))
 
     def _write_increment(self, rows: DataFrame, snapshot_id: int) -> None:
         # ONE materialization of the increment feeds the count and
@@ -301,19 +356,19 @@ class SnapshotSyncedStore:
         # scripts/measure_sync_persist.py). Unpersisted in `finally`,
         # so nothing outlives the call (the r10 pushdown persist-leak
         # lesson: only persist what you can provably unpersist).
+        # Projected FIRST: sync passes full-table-schema frames, and
+        # wide non-indexed columns (embeddings, metadata) must not
+        # ride the persist — _frames only consumes (id, text).
         from pyspark.storagelevel import StorageLevel
 
-        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        rows = rows.select(self.id_col, self.text_col).persist(
+            StorageLevel.MEMORY_AND_DISK)
         try:
-            # size the files to the increment: hash/gram maps may
-            # widen to cluster parallelism, but a micro-batch
-            # increment should land as a handful of files, not 32
-            # shards of nothing
             n = rows.count()
-            parts = max(1, -(-n // self._ROWS_PER_FILE))
             sub = f"snap={snapshot_id}"
             for kind, frame in self._frames(rows).items():
-                frame.coalesce(parts).write.mode("overwrite").parquet(
+                frame.coalesce(self._parts_for(n)).write.mode(
+                    "overwrite").parquet(
                     os.path.join(self._kind_dir(kind), sub))
         finally:
             rows.unpersist()
@@ -355,7 +410,13 @@ class SnapshotSyncedStore:
         """Consolidate the current generation's per-snapshot dirs into
         one right-sized dir under ``gen=G+1``; returns the new
         generation (the current one if there was nothing to compact).
-        Crash discipline: :meth:`_flip_generation`."""
+        Crash discipline: :meth:`_flip_generation`. Consume any
+        outstanding judge()/``_read`` frames BEFORE compacting: they
+        captured gen=G paths at plan time, and the flip's sweep
+        removes swept generations — a deferred action on a
+        pre-compact frame fails with a missing-path error (single
+        MAINTAINER is assumed, but that covers writers, not the
+        lifetime of previously returned lazy reader plans)."""
         self._ensure_params()
         meta = self._meta()
         if meta["synced_snapshot_id"] is None:
@@ -367,50 +428,87 @@ class SnapshotSyncedStore:
         if len(snap_dirs) <= 1:
             return gen
         n = self._read(self._COUNT_KIND).count()
-        parts = max(1, -(-n // self._ROWS_PER_FILE))
+        parts = self._parts_for(n)
         frames = self._fold_for_compact(
             {kind: self._read(kind) for kind in self._KIND_COLS})
         return self._flip_generation(
             frames, parts, f"snap={meta['synced_snapshot_id']}",
             meta["synced_snapshot_id"])
 
+    #: rebuild() persists its corpus scan only below this many table
+    #: bytes (manifest metadata, no data read): MEMORY_AND_DISK needs
+    #: corpus-scale executor scratch, and a 100 TB recovery must
+    #: degrade to per-action re-scans rather than die on disk
+    #: capacity. 64 GiB covers every single-node deployment this
+    #: repo tests while staying far under any real cluster's local
+    #: storage.
+    _REBUILD_PERSIST_MAX_BYTES = 64 << 30
+
     def rebuild(self, table) -> int:
         """Re-derive the whole index from the table's CURRENT
         contents into a fresh generation — the recovery path when the
         per-snapshot delta chain is unusable (expired watermark,
-        rollback, dropped branch). Crash discipline:
-        :meth:`_flip_generation`. The corpus scan persists for the
-        duration of the count + per-kind writes (same cold-storage
-        argument as :meth:`_write_increment`, at corpus scale:
-        without it each action re-reads the whole table; with it the
-        re-reads hit executor-local MEMORY_AND_DISK blocks) — then
-        sync is incremental again. Returns the target snapshot id."""
+        rollback). Crash discipline: :meth:`_flip_generation`. The
+        corpus scan persists for the duration of the count + per-kind
+        writes when the table is small enough
+        (:attr:`_REBUILD_PERSIST_MAX_BYTES` of manifest-recorded data
+        bytes — same cold-storage argument as
+        :meth:`_write_increment`; above the bound each action
+        re-scans rather than demanding corpus-scale executor
+        scratch) — then sync is incremental again. Returns the
+        target snapshot id."""
         from pyspark.storagelevel import StorageLevel
 
-        cur = table.manifest.load(load_files=False).snapshot_id
+        snap = table.manifest.load()
+        cur = snap.snapshot_id
         rows = table.scan(snapshot_id=cur).select(
-            self.id_col, self.text_col).persist(
-            StorageLevel.MEMORY_AND_DISK)
+            self.id_col, self.text_col)
+        table_bytes = sum(f.bytes for f in snap.files)
+        persisted = table_bytes <= self._REBUILD_PERSIST_MAX_BYTES
+        if persisted:
+            rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             n = rows.count()
-            parts = max(1, -(-n // self._ROWS_PER_FILE))
-            self._flip_generation(self._frames(rows), parts,
+            self._flip_generation(self._frames(rows),
+                                  self._parts_for(n),
                                   f"snap={cur}", cur)
         finally:
-            rows.unpersist()
+            if persisted:
+                rows.unpersist()
         return cur
 
     def _row_bearing(self, snaps) -> int:
         """How many of ``snaps`` the incremental walk would count —
         the commits whose rows an ingest actually lands (row-adding
-        + publish); rewrite/metadata-only commits are watermark-only
-        and rollback/drop-branch remove rows rather than add them.
+        + publish); rewrite/metadata-only commits (including
+        drop-branch — a visible-set no-op) are watermark-only and a
+        rollback removes rows rather than adds them.
         Keeps sync()'s return value path-independent: a rebuild that
         covers a chain segment reports the same number an
         incremental walk of that segment would."""
         skip = (self._REWRITE_ONLY + self._METADATA_ONLY
                 + self._REBUILD_ON)
         return sum(1 for s in snaps if s.operation not in skip)
+
+    def _ensure_append_only(self, snaps) -> None:
+        """Raise on any commit in ``snaps`` that contradicts the
+        append-only contract (upsert/delete/overwrite) — called on
+        the UNSYNCED segment before every recovery rebuild, so the
+        raise is path-independent: a forbidden commit poisons the
+        store whether the walk reaches it incrementally or a
+        rollback/gap rebuild would otherwise paper over it. (Commits
+        that already expired out of the chain are unknowable by
+        construction — the gap rebuild's premise.)"""
+        allowed = (self._ROW_ADDING + self._REWRITE_ONLY
+                   + self._METADATA_ONLY + self._REBUILD_ON
+                   + ("publish",))
+        for s in snaps:
+            if s.operation not in allowed:
+                raise ValueError(
+                    f"{type(self).__name__} requires an append-only "
+                    f"table; snapshot {s.snapshot_id} is "
+                    f"{s.operation!r} — rebuild the index from the "
+                    f"current contents")
 
     def sync(self, table) -> int:
         """Catch the index up to ``table``'s current snapshot; returns
@@ -424,28 +522,33 @@ class SnapshotSyncedStore:
         contract without poisoning the caller: a watermark GAP (the
         synced snapshot was expired out of the chain, so intermediate
         deltas are unrecoverable) and a row-removing-but-legitimate
-        commit (rollback / drop-branch) both force :meth:`rebuild`;
-        metadata-only commits (rename, spec changes) are skipped and
+        commit (rollback) both force :meth:`rebuild`; metadata-only
+        commits (rename, spec changes, drop-branch) are skipped and
         a WAP publish indexes the rows it reveals. Edits that
         contradict the append-only contract (upsert/delete/overwrite)
-        still raise."""
+        raise on EVERY path — incremental or recovery — never
+        silently absorbed by a rebuild."""
         all_snaps = table.manifest.snapshots(load_files=False)
+        last = self.synced_snapshot()
+        unsynced = [s for s in all_snaps
+                    if last is None or s.snapshot_id > last]
         # an unstamped store (pre-params upgrade) self-heals here —
         # sync has the table, so one rebuild re-derives everything
         # under this instance's params and stamps them; a true
         # geometry MISMATCH still raises (the operator must choose)
         if self._params_state() == "unstamped":
+            self._ensure_append_only(unsynced)
             self.rebuild(table)
             return self._row_bearing(all_snaps)
         self._ensure_params()
-        last = self.synced_snapshot()
         if last is not None and last not in {
                 s.snapshot_id for s in all_snaps}:
+            # snapshot ids are monotonic, so "newer than the expired
+            # watermark" remains meaningful across the gap
+            self._ensure_append_only(unsynced)
             self.rebuild(table)
             return self._row_bearing(all_snaps)
-        snaps = [s for s in all_snaps
-                 if last is None or s.snapshot_id > last]
-        snaps.sort(key=lambda s: s.snapshot_id)
+        snaps = sorted(unsynced, key=lambda s: s.snapshot_id)
         n = 0
         for i, s in enumerate(snaps):
             if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:
@@ -454,7 +557,10 @@ class SnapshotSyncedStore:
             if s.operation in self._REBUILD_ON:
                 # the rebuild covers this snapshot and every one
                 # after it in the chain, on top of the n already
-                # ingested incrementally
+                # ingested incrementally — unless a later commit
+                # breaks the contract, which must raise exactly as
+                # the incremental walk would have
+                self._ensure_append_only(snaps[i + 1:])
                 self.rebuild(table)
                 return n + self._row_bearing(snaps[i:])
             if s.operation == "publish":
@@ -463,16 +569,27 @@ class SnapshotSyncedStore:
                 # them, and the net changelog of the publish window is
                 # exactly those rows (publish can only reveal, never
                 # remove, so the delta is insert-only by construction)
-                inc = table.scan_changes(
-                    s.parent_id, s.snapshot_id).filter(
-                    F.col("_change_type") == "insert").drop(
-                    "_change_type")
+                try:
+                    inc = table.scan_changes(
+                        s.parent_id, s.snapshot_id).filter(
+                        F.col("_change_type") == "insert").drop(
+                        "_change_type")
+                except ValueError:
+                    # scan_changes compares full rows and refuses
+                    # un-comparable column types (MapType); the index
+                    # only needs (id, text), and publish reveals only
+                    # NEW ids on an append-only corpus — so the
+                    # revealed rows are exactly the post-publish ids
+                    # absent pre-publish (one anti-join on the skinny
+                    # id projection, not a full-row diff)
+                    after = table.scan(snapshot_id=s.snapshot_id) \
+                        .select(self.id_col, self.text_col)
+                    before = table.scan(snapshot_id=s.parent_id) \
+                        .select(self.id_col)
+                    inc = after.join(before, self.id_col, "left_anti")
             elif s.operation not in self._ROW_ADDING:
-                raise ValueError(
-                    f"{type(self).__name__} requires an append-only "
-                    f"table; snapshot {s.snapshot_id} is "
-                    f"{s.operation!r} — rebuild the index from the "
-                    f"current contents")
+                self._ensure_append_only([s])  # raises — same message
+                raise AssertionError("unreachable: op classification")
             elif s.parent_id is None:
                 inc = table.scan(snapshot_id=s.snapshot_id)
             else:

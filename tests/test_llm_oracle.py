@@ -641,3 +641,121 @@ def test_admission_index_gap_and_rollback_rebuild(spark, tmp_path):
     ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
     assert ids == [1, 2, 3]
     assert idx.sync(t) == 0
+
+
+def test_drop_branch_skips_without_rebuild(spark, tmp_path):
+    """r11 review: drop-branch removes only files its staged appends
+    HID from the main view (the index synced them as empty
+    increments), so sync treats it like a metadata commit — watermark
+    advance, NO corpus-pass rebuild (generation unchanged)."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    def doc(i):
+        return (i, f"document number {i} with its own words")
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([doc(1), doc(2)],
+                              "doc_id long, text string"),
+        partition_col=None, key_col="doc_id")
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 1
+    gen_before = idx.generation()
+    t.append(spark.createDataFrame([doc(3)], "doc_id long, text string"),
+             branch="audit")
+    assert idx.sync(t) == 1          # staged append → empty increment
+    t.drop_branch("audit")
+    assert idx.sync(t) == 0          # metadata skip, not a rebuild
+    assert idx.generation() == gen_before  # no generation flip
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2]             # visible set never changed
+
+
+def test_recovery_rebuild_still_raises_on_contract_violation(
+        spark, tmp_path):
+    """r11 review: a rollback-triggered rebuild must NOT paper over a
+    later upsert — the append-only raise is path-independent."""
+    import pytest
+
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    def doc(i):
+        return (i, f"document number {i} with its own words")
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([doc(1)], "doc_id long, text string"),
+        partition_col=None, key_col="doc_id")
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 1
+    t.append(spark.createDataFrame([doc(2)], "doc_id long, text string"))
+    appends = [s.snapshot_id for s in
+               t.manifest.snapshots(load_files=False)
+               if s.operation in ("create", "append")]
+    t.rollback(appends[0])
+    t.upsert(spark.createDataFrame([(1, "edited text body")],
+                                   "doc_id long, text string"),
+             key_cols=["doc_id"])
+    with pytest.raises(ValueError, match="append-only"):
+        idx.sync(t)
+
+
+def test_corrupt_meta_self_heals_on_sync(spark, tmp_path):
+    """r11 review: a truncated/corrupt _meta.json (power loss) heals
+    like a missing one — the next sync re-walks the chain
+    idempotently instead of raising JSONDecodeError forever."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    def doc(i):
+        return (i, f"document number {i} with its own words")
+
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([doc(1)], "doc_id long, text string"),
+        partition_col=None, key_col="doc_id")
+    t.append(spark.createDataFrame([doc(2)], "doc_id long, text string"))
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 2
+    with open(idx._meta_path(), "w") as f:
+        f.write("")                  # zero-length: the fsync-gap shape
+    assert idx.synced_snapshot() is None  # treated as missing
+    assert idx.sync(t) == 2         # full idempotent re-walk
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2]
+
+
+def test_publish_sync_survives_maptype_columns(spark, tmp_path):
+    """r11 review: scan_changes refuses MapType columns, but the index
+    only needs (id, text) — the publish sync falls back to a skinny
+    anti-join on ids and still indexes exactly the revealed rows."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    def doc(i):
+        return (i, f"document number {i} with its own words",
+                {"source": f"s{i}"})
+
+    schema = "doc_id long, text string, meta map<string,string>"
+    t = IceTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([doc(1), doc(2)], schema),
+        partition_col=None, key_col="doc_id")
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    assert idx.sync(t) == 1
+    t.append(spark.createDataFrame([doc(3)], schema), branch="audit")
+    assert idx.sync(t) == 1          # staged → empty increment
+    t.publish_branch("audit")
+    assert idx.sync(t) == 1          # fallback path reveals doc 3
+    ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
+    assert ids == [1, 2, 3]
