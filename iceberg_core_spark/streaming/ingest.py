@@ -21,7 +21,9 @@ Event-time operators (watermarks, tumbling/sliding/session windows,
 stateful dedup) are NEW capability — the reference only had wall-clock
 flush timing (SURVEY.md §2.B "Streaming" row). Each takes a DataFrame
 (batch or streaming — identical API) so the batch twins are
-oracle-checkable by the driver.
+oracle-checkable by the driver; for stream_dedup the batch twin is a
+plain exact dedup (dropDuplicatesWithinWatermark is stream-only, and a
+bounded batch needs no horizon).
 """
 
 from __future__ import annotations
@@ -36,13 +38,38 @@ from pyspark.sql.types import StructType
 from iceberg_core_spark.table import IceTable, MaintenancePolicy
 
 
-def _should_tick(batch_id: int, maintenance, every: int) -> bool:
-    """One shared tick rule for both ingest entry points: never on the
-    first batch (nothing to compact), then every ``max(1, every)``
-    batches — a zero/negative cadence means 'every batch', not a
-    ZeroDivisionError inside foreachBatch."""
-    return (maintenance is not None and batch_id > 0
-            and batch_id % max(1, every) == 0)
+def _should_tick(batch_id: int, maintenance, every: int | None) -> bool:
+    """ONE tick-cadence rule for every periodic job the ingest entry
+    points run (table maintenance AND index compaction — r11 review:
+    the two previously had opposite zero semantics): never on the
+    first batch (nothing to compact), ``None`` disables, then every
+    ``max(1, every)`` batches — a zero/negative cadence means 'every
+    batch', not a ZeroDivisionError inside foreachBatch."""
+    return (maintenance is not None and every is not None
+            and batch_id > 0 and batch_id % max(1, every) == 0)
+
+
+def _latest_per_key(df: DataFrame, key_cols: list[str],
+                    seq_col: str) -> DataFrame:
+    """Collapse a micro-batch to its per-key LATEST row by ``seq_col``
+    — the apply_cdc discipline, shared by the merge path and the
+    upsert (op_col=None) CDC path so the two cannot drift."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _start_foreach_batch(stream: DataFrame, fn, trigger: dict | None,
+                         checkpoint_dir: str | None) -> StreamingQuery:
+    """The shared writer scaffolding of all four ingest entry points —
+    availableNow default, optional checkpoint — in ONE place."""
+    writer = stream.writeStream.foreachBatch(fn).outputMode("append")
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def stream_ingest_to_table(
@@ -118,12 +145,20 @@ def stream_ingest_to_table(
     # idempotent-rewrite semantics (block.go:109-115 — identical content
     # rewrites the same block key, a no-op):
     #   1. batch-id guard within a checkpoint LINEAGE (cheap: skips the
-    #      whole write when foreachBatch re-delivers a committed id), and
+    #      whole write when foreachBatch re-delivers a committed id) —
+    #      this is the GUARANTEE layer for at-least-once foreachBatch;
     #   2. content-hash dedupe on append (dedupe_identical_files=True):
-    #      a re-ingest under a LOST/fresh checkpoint re-derives byte-
-    #      identical files (deterministic repartitionByRange + key sort),
-    #      which the commit drops — so checkpoint loss cannot
-    #      double-append, it just re-pays the write cost once.
+    #      a re-ingest under a LOST/fresh checkpoint that re-derives
+    #      byte-identical files (same micro-batch composition, same
+    #      repartitionByRange split) commits none of them. This layer
+    #      is BEST-EFFORT, not a guarantee: a re-ingest under a
+    #      different trigger/maxFilesPerTrigger, or after more source
+    #      files arrived, composes batches differently, and
+    #      differently-split files hash differently — those rows
+    #      append again. Checkpoint loss therefore needs an
+    #      operational answer (restore the checkpoint, or re-ingest
+    #      into a fresh table); the hash layer just makes the common
+    #      same-composition replay free.
     # Genuinely new data is never identical at the file level (different
     # key ranges → different bytes) and still appends.
     import uuid as _uuid
@@ -186,12 +221,8 @@ def stream_ingest_to_table(
                 for ru in rollups:
                     ru.refresh(table)
 
-    writer = stream.writeStream.foreachBatch(
-        commit_and_refresh).outputMode("append")
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    return _start_foreach_batch(stream, commit_and_refresh, trigger,
+                                checkpoint_dir)
 
 
 def stream_admit_to_table(
@@ -207,7 +238,7 @@ def stream_admit_to_table(
     admit_verdicts: tuple = ("unique",),
     quarantine_root: str | None = None,
     index_root: str | None = None,
-    index_compact_every: int = 50,
+    index_compact_every: int | None = 50,
     max_rows_per_file: int = 8192,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
@@ -344,10 +375,12 @@ def stream_admit_to_table(
             idx = make_index()
             idx.sync(table)
             # the per-snapshot sync dirs accumulate one per batch —
-            # consolidate on the maintenance cadence (crash-safe
-            # generation flip, so a mid-compact death costs nothing)
-            if (index_compact_every > 0 and batch_id > 0
-                    and batch_id % index_compact_every == 0):
+            # consolidate on the compaction cadence (crash-safe
+            # generation flip, so a mid-compact death costs nothing).
+            # Same _should_tick convention as maintenance_every:
+            # None disables, <=0 means every batch (r11 review: the
+            # two knobs previously had opposite zero semantics)
+            if _should_tick(batch_id, idx, index_compact_every):
                 idx.compact()
         last = table.last_committed_batch(lineage)
         if last is not None and batch_id <= last:
@@ -360,7 +393,11 @@ def stream_admit_to_table(
         # the judge pipeline (corpus scan or index joins + MinHash
         # verify) is by far the batch's dominant cost — persist the
         # verdicts so the quarantine write, the emptiness check, and
-        # the append all reuse ONE execution instead of three
+        # the append all reuse ONE judge execution. The batch source
+        # persists too (r11 review): the admit semi-join, the
+        # quarantine join, its isEmpty, and the append each re-scan
+        # the delivery files otherwise — 4-5 source reads per batch
+        batch_df = batch_df.persist()
         verdicts = verdicts.persist()
         try:
             admitted = batch_df.join(
@@ -387,12 +424,10 @@ def stream_admit_to_table(
                          source_lineage=lineage)
         finally:
             verdicts.unpersist()
+            batch_df.unpersist()
 
-    writer = stream.writeStream.foreachBatch(commit_batch).outputMode("append")
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    return _start_foreach_batch(stream, commit_batch, trigger,
+                                checkpoint_dir)
 
 
 def stream_cdc_to_table(
@@ -472,7 +507,13 @@ def stream_cdc_to_table(
             if last is not None and batch_id <= last:
                 return
         if op_col is None:
-            table.upsert(batch_df.drop(*strip), key_cols=key_cols,
+            # honor seq_col on the upsert path too (r11 review: it
+            # was silently dropped, so a batch with multiple rows per
+            # key committed duplicate key rows) — same latest-per-key
+            # collapse as apply_cdc, via the shared helper
+            b = (_latest_per_key(batch_df, key_cols, seq_col)
+                 if seq_col else batch_df)
+            table.upsert(b.drop(*strip), key_cols=key_cols,
                          mode=mode, source_batch_id=batch_id,
                          source_lineage=lineage)
         else:
@@ -483,11 +524,8 @@ def stream_cdc_to_table(
         if _should_tick(batch_id, maintenance, maintenance_every):
             table.maintain(maintenance)
 
-    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    return _start_foreach_batch(stream, apply_batch, trigger,
+                                checkpoint_dir)
 
 
 def stream_merge_to_table(
@@ -534,8 +572,12 @@ def stream_merge_to_table(
     clause-claimed keys land in the equality-delete file — with the
     maintenance tick materializing deletes away. The same
     ``CommitConflictError`` read-modify-write discipline as batch
-    merge applies: a lost race skips the batch to the stream's
-    retry, never half-applies."""
+    merge applies: a lost race FAILS the query without
+    half-applying (merge does not auto-rebase); restarting the
+    stream replays the batch from the checkpoint, and the lineage
+    guard skips any batch that did commit. Single maintainer per
+    table is the operating assumption — a conflict means an
+    external writer raced this stream."""
     stream = (
         spark.readStream.format(source_format)
         .schema(schema)
@@ -550,13 +592,7 @@ def stream_merge_to_table(
         if batch_df.isEmpty():
             return
         if seq_col is not None:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc())
-            batch_df = (batch_df.withColumn(
-                "_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+            batch_df = _latest_per_key(batch_df, key_cols, seq_col)
         table = IceTable(spark, table_root)
         tbl_cols = source_cols or batch_df.columns
         if table.manifest.current_snapshot_id() is None:
@@ -578,11 +614,8 @@ def stream_merge_to_table(
         if _should_tick(batch_id, maintenance, maintenance_every):
             table.maintain(maintenance)
 
-    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    return _start_foreach_batch(stream, apply_batch, trigger,
+                                checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -592,16 +625,19 @@ def stream_merge_to_table(
 def tumbling_counts(df: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour",
                     group_cols: tuple[str, ...] = ("event_type",),
-                    watermark: str | None = None) -> DataFrame:
+                    watermark: str | None = None,
+                    value_col: str = "value") -> DataFrame:
     """Non-overlapping event-time windows. On a stream, pass a watermark
-    (e.g. '10 minutes') to bound state and drop late data."""
+    (e.g. '10 minutes') to bound state and drop late data. ``value_col``
+    names the summed measure (r11 review: it was hard-coded while every
+    other column was parameterized)."""
     src = df.withWatermark(ts_col, watermark) if watermark else df
     w = F.window(F.col(ts_col), window)
     return (
         src.groupBy(w.alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
             .alias("total_value"),
         )
         .select(
@@ -706,5 +742,12 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
                  watermark: str = "10 minutes") -> DataFrame:
     """Stateful exact dedup on a stream within the watermark horizon —
     state is garbage-collected past the watermark, so memory is bounded
-    regardless of stream length (dropDuplicatesWithinWatermark)."""
+    regardless of stream length (dropDuplicatesWithinWatermark). On a
+    batch DataFrame the operator falls back to a plain exact dedup:
+    dropDuplicatesWithinWatermark is stream-only (raises
+    AnalysisException on batch frames), and a bounded batch needs no
+    horizon — global dedup IS the batch semantic, which keeps the
+    module's batch-twin-as-oracle contract true for this operator."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -806,3 +806,68 @@ def test_stream_ingest_with_continuous_ohlc(spark, tmp_path):
     # the append-only micro-batch FOLDED (a rebuild would also advance
     # the watermark, so the spy is what actually proves no full rescan)
     assert folds["n"] >= 1
+
+
+def test_stream_cdc_upsert_path_honors_seq_col(spark, tmp_path):
+    """r11 review: with op_col=None the seq column was silently
+    dropped, so a bursty key committed DUPLICATE rows through
+    upsert. The upsert path now pre-collapses to the per-key latest
+    row by seq_col — same discipline as apply_cdc/merge."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("part", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("seq", LongType()),
+    ])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    root = str(tmp_path / "t")
+    # one batch, one key, three versions — latest (seq 3) must win,
+    # and exactly ONE row per key may exist afterwards
+    _drop_cdc_file(spark, schema, [
+        ("a", 1, 1.0, 1), ("a", 1, 2.0, 2), ("a", 1, 3.0, 3),
+        ("a", 2, 7.0, 1),
+    ], src, "b1.parquet")
+    q = stream_cdc_to_table(
+        spark, src, root, schema, key_cols=["part", "k"],
+        partition_col="part", key_col="k", op_col=None,
+        seq_col="seq", trigger={"availableNow": True},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    t = IceTable(spark, root)
+    rows = {(r["part"], r["k"]): r["v"] for r in t.scan().collect()}
+    assert t.scan().count() == 2          # one row per key, no dups
+    assert rows == {("a", 1): 3.0, ("a", 2): 7.0}
+
+
+def test_stream_dedup_batch_twin_is_plain_dedup(spark):
+    """r11 review: dropDuplicatesWithinWatermark is stream-only; the
+    operator must fall back to exact dedup on a batch frame so the
+    module's batch-twin-as-oracle contract holds for it too."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05"),
+         (2, "2024-01-01 00:00:01")],
+        "event_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = stream_dedup(df, ["event_id"], ts_col="ts")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_should_tick_shared_cadence_semantics():
+    """r11 review: maintenance_every and index_compact_every share
+    ONE convention — None disables, <=0 means every batch (after
+    batch 0), N means every N batches."""
+    from iceberg_core_spark.streaming.ingest import _should_tick
+
+    sentinel = object()
+    assert not _should_tick(0, sentinel, 0)      # never batch 0
+    assert _should_tick(1, sentinel, 0)          # 0 → every batch
+    assert _should_tick(2, sentinel, -5)         # negative too
+    assert not _should_tick(1, sentinel, None)   # None → disabled
+    assert not _should_tick(3, sentinel, 2)
+    assert _should_tick(4, sentinel, 2)
+    assert not _should_tick(4, None, 2)          # no job → no tick
