@@ -115,13 +115,21 @@ def all_queries() -> dict[str, Entry]:
         # events_sessionize, events_gapfill, events_interpolate,
         # udf_scalar, udaf_group_stats, table_merge_mor,
         # bloom_point_scan_multi, vocab_topk — are FORCED into r12.
-        # R12 MANDATORY LEADS (simulated via --ages 12 with a
-        # hypothetical all-green r11 artifact at r11 close): those 11
-        # age-4 rows + 3 changed-module r9 rows (dedup_incremental,
-        # corpus_bm25 — dedup_incremental.py/search.py changed in
-        # r10 — and write_shards — assembly.py changed in r9) = 14
-        # forced, ~36 flex slots for r9 refreshes (50 r9 rows exist;
-        # the remainder hard-stop at r13).
+        # R12 MANDATORY LEADS (simulated via --ages 12
+        # --assume-green-window at r11 close): those 11 age-4 rows +
+        # 3 changed-module r9 rows (dedup_incremental, corpus_bm25 —
+        # dedup_incremental.py/search.py changed in r10 — and
+        # write_shards — assembly.py changed in r9) = 14 forced,
+        # ~36 flex slots for r9 refreshes (50 r9 rows exist; the
+        # remainder hard-stop at r13). CONSERVATIVE EXTRAS for the
+        # r12 flex (helper changed in r11, not caught by the
+        # mechanical per-module diff): win_tumbling (r9 row;
+        # queries.py is byte-unchanged but its tumbling_counts
+        # helper in streaming/ingest.py changed) and stream_dedup
+        # (already forced) lead the helper-touched set; the r10-green
+        # streaming rows (stream_ingest/stream_join/win_sliding/
+        # win_session/stateful_stats) re-window by r13 for the same
+        # reason.
         "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
         "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
         "tpch_q21", "tpch_q22",
