@@ -360,8 +360,20 @@ class Manifest:
         try:
             with open(os.path.join(self.dir, _CURRENT)) as f:
                 cur = int(f.read().strip())
-        except FileNotFoundError:
-            return None
+        except (FileNotFoundError, ValueError):
+            # a writer can die between the snapshot-0 link and the
+            # FIRST hint write (missing CURRENT), or mid-hint-write
+            # on a filesystem without atomic replace semantics
+            # (corrupt CURRENT) — either way the hint is gone but the
+            # table may EXIST. Start the walk from the bootstrap
+            # commit instead of reporting the table absent: returning
+            # None would hide committed data AND wedge any re-create
+            # forever (its snapshot-0 claim hits EEXIST, reload still
+            # finds nothing, repeat).
+            if not os.path.exists(
+                    os.path.join(self.dir, "snapshot-0.json")):
+                return None
+            cur = 0
         while os.path.exists(os.path.join(self.dir, f"snapshot-{cur + 1}.json")):
             cur += 1
         return cur
@@ -410,18 +422,31 @@ class Manifest:
     def sidecar_path(self, files_ref: str) -> str:
         return os.path.join(self.dir, files_ref)
 
-    def _read_files_sidecar(self, files_ref: str) -> list[ManifestFile]:
+    def _sidecar_columns(self, files_ref: str,
+                         columns: list[str]) -> list[list]:
+        """Column-projected sidecar read with the seq None->0
+        normalization — the ONE copy of the pattern both read paths
+        share, so a layout/seq-semantics change cannot drift the
+        scan path from the incremental-feed path."""
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(self.sidecar_path(files_ref),
-                            columns=["entry_json", "seq"])
+                            columns=columns)
+        out = [tbl[c].to_pylist() for c in columns]
+        if "seq" in columns:
+            i = columns.index("seq")
+            out[i] = [s if s is not None else 0 for s in out[i]]
+        return out
+
+    def _read_files_sidecar(self, files_ref: str) -> list[ManifestFile]:
+        entries, seqs = self._sidecar_columns(
+            files_ref, ["entry_json", "seq"])
         out = []
-        for s, seq in zip(tbl["entry_json"].to_pylist(),
-                          tbl["seq"].to_pylist()):
+        for s, seq in zip(entries, seqs):
             f = ManifestFile.from_json(json.loads(s))
             # seq lives in its own column (a Spark-side rebase retargets
             # it with one lit(), never rewriting entry_json strings)
-            f.seq = seq if seq is not None else 0
+            f.seq = seq
             out.append(f)
         return out
 
@@ -430,14 +455,8 @@ class Manifest:
         for consumers that only need to locate files and scope MoR
         predicates (full scans, incremental feeds): column-projected
         pyarrow read, no JSON parse, no Spark job."""
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(self.sidecar_path(files_ref),
-                            columns=["path", "seq"])
-        return [
-            (p, s if s is not None else 0)
-            for p, s in zip(tbl["path"].to_pylist(), tbl["seq"].to_pylist())
-        ]
+        paths, seqs = self._sidecar_columns(files_ref, ["path", "seq"])
+        return list(zip(paths, seqs))
 
     def _write_files_sidecar(self, fs: list[ManifestFile],
                              stat_cols: list[str], files_ref: str) -> None:
@@ -502,7 +521,21 @@ class Manifest:
                 f"snapshot_id {snapshot.snapshot_id} must be parent+1 "
                 f"({expected}) for the commit claim to serialize writers"
             )
-        doc = snapshot.to_json()
+        # don't serialize a large file list inline just to overwrite
+        # it with [] on the sidecar branches — to_json's per-entry
+        # deep-copy/encode would double the commit CPU and peak
+        # memory of a 100k-file driver-side commit
+        spills = (len(snapshot.files) > self.inline_max
+                  or (snapshot.files_ref is not None
+                      and not snapshot.files))
+        if spills:
+            stash, snapshot.files = snapshot.files, []
+            try:
+                doc = snapshot.to_json()
+            finally:
+                snapshot.files = stash
+        else:
+            doc = snapshot.to_json()
         sidecar_ref = None
         if snapshot.files_ref is not None and not snapshot.files:
             # sidecar was built externally (by a Spark job over the file
@@ -540,18 +573,28 @@ class Manifest:
             ) from None
         finally:
             os.remove(tmp)
-        # CURRENT is a monotonic hint; never move it backwards over a
-        # racing writer's newer value (readers recover regardless).
+        # CURRENT is a monotonic best-effort HINT; never move it
+        # backwards over a racing writer's newer value, and never let
+        # a hint failure mask the commit: the os.link claim above
+        # already made the snapshot durable, so an error past this
+        # point (ENOSPC creating the tmp, a corrupt hint failing to
+        # parse) must NOT make a committed append look failed — the
+        # caller would retry and append the same rows again. Readers
+        # recover from a stale/missing hint via the walk-forward.
         try:
-            with open(os.path.join(self.dir, _CURRENT)) as f:
-                if int(f.read().strip()) >= snapshot.snapshot_id:
-                    return
-        except FileNotFoundError:
+            try:
+                with open(os.path.join(self.dir, _CURRENT)) as f:
+                    if int(f.read().strip()) >= snapshot.snapshot_id:
+                        return
+            except (FileNotFoundError, ValueError):
+                pass
+            cur_tmp = os.path.join(
+                self.dir, _CURRENT + f".tmp-{os.urandom(4).hex()}")
+            with open(cur_tmp, "w") as f:
+                f.write(str(snapshot.snapshot_id))
+            os.replace(cur_tmp, os.path.join(self.dir, _CURRENT))
+        except OSError:
             pass
-        cur_tmp = os.path.join(self.dir, _CURRENT + f".tmp-{os.urandom(4).hex()}")
-        with open(cur_tmp, "w") as f:
-            f.write(str(snapshot.snapshot_id))
-        os.replace(cur_tmp, os.path.join(self.dir, _CURRENT))
 
     def next_snapshot_id(self) -> int:
         cur = self.current_snapshot_id()

@@ -285,3 +285,52 @@ def test_stale_append_rebases_over_nullability_drifted_winner(spark, root):
     assert ts == [100, 101, 102, 900]
     snap = final.manifest.load(load_files=False)
     assert snap.snapshot_id == 2 and snap.parent_id == 1
+
+
+def test_bootstrap_crash_before_first_hint_recovers(spark, root):
+    """r11 review: a writer dying between the snapshot-0 link and the
+    FIRST CURRENT write must not brick the table — readers start the
+    walk-forward from the bootstrap commit, and a re-create conflicts
+    (the data exists) instead of looping on EEXIST forever."""
+    t = _mk(spark, root)
+    t.append(location_df(spark, [location_row(timestamp=500)]))
+    os.remove(os.path.join(t.manifest.dir, "CURRENT"))
+    fresh = IceTable(spark, root)
+    assert fresh.manifest.current_snapshot_id() == 1
+    ts = sorted(r.timestamp for r in fresh.scan().collect())
+    assert ts == [100, 101, 102, 500]
+    # and a corrupt (mid-write) hint recovers the same way
+    with open(os.path.join(t.manifest.dir, "CURRENT"), "w") as f:
+        f.write("garbage\x00")
+    assert IceTable(spark, root).manifest.current_snapshot_id() == 1
+
+
+def test_commit_survives_hint_update_failure(spark, root):
+    """r11 review: the CURRENT hint is best-effort — once the
+    snapshot-file link (the claim) succeeded, a failure writing the
+    hint must NOT surface as a failed commit (the caller would retry
+    and double-append). Simulated by making the manifest dir briefly
+    unwritable for the hint tmp file."""
+    import iceberg_core_spark.table.manifest as m
+
+    t = _mk(spark, root)
+    orig_replace = os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            calls["n"] += 1
+            raise OSError(28, "No space left on device (simulated)")
+        return orig_replace(src, dst)
+
+    m.os.replace = failing_replace
+    try:
+        snap = t.append(location_df(spark, [location_row(timestamp=777)]))
+    finally:
+        m.os.replace = orig_replace
+    assert calls["n"] == 1            # the failure path actually ran
+    assert snap is not None           # commit reported success
+    fresh = IceTable(spark, root)
+    assert fresh.manifest.current_snapshot_id() == 1  # walk-forward
+    ts = sorted(r.timestamp for r in fresh.scan().collect())
+    assert ts == [100, 101, 102, 777]  # exactly once, not retried
