@@ -459,11 +459,15 @@ class SnapshotSyncedStore:
         target snapshot id."""
         from pyspark.storagelevel import StorageLevel
 
-        snap = table.manifest.load()
+        # load_files=False + the column-projected byte total: the
+        # capacity gate must not JSON-parse a 1M-file manifest on the
+        # driver on the exact recovery path it exists to keep
+        # 100 TB-safe (r11 ADVICE)
+        snap = table.manifest.load(load_files=False)
         cur = snap.snapshot_id
         rows = table.scan(snapshot_id=cur).select(
             self.id_col, self.text_col)
-        table_bytes = sum(f.bytes for f in snap.files)
+        table_bytes = table.manifest.snapshot_total_bytes(snap)
         persisted = table_bytes <= self._REBUILD_PERSIST_MAX_BYTES
         if persisted:
             rows = rows.persist(StorageLevel.MEMORY_AND_DISK)

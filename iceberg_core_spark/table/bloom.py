@@ -205,7 +205,7 @@ def build_bloom(table, cols: list[str] | None = None,
             f"path — refusing to write a store that would prune "
             f"wrongly")
 
-    from iceberg_core_spark.table.ice_table import _fold_chains
+    from iceberg_core_spark.table.manifest import _fold_chains
     chains = _fold_chains(snap.renames)
     out_frames = []
     for c in cols:

@@ -58,6 +58,7 @@ from iceberg_core_spark.table.manifest import (
     Snapshot,
     _decode_key,
     _encode_key,
+    _fold_chains,
 )
 
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
@@ -95,18 +96,6 @@ class MaintenancePolicy:
     # dead paths) whenever a tick compacted the table, or once this
     # many store dirs accumulate. None = never auto-compact the store.
     bloom_compact_min_dirs: int | None = 4
-
-
-def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
-    """Fold a snapshot's rename history into alias chains keyed by the
-    CURRENT name, prior physical names newest-first: renames are stored
-    oldest-first, so a→b then b→c folds to {"c": ["b", "a"]}. Shared by
-    the read path (coalesce over retired columns) and the pruning path
-    (stat lookup under a file's then-physical name)."""
-    chains: dict[str, list[str]] = {}
-    for r in renames:
-        chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
-    return chains
 
 
 def _hidden_seqs(snap, branch: str | None = None) -> set:
@@ -1975,13 +1964,11 @@ class IceTable:
             if not kept:
                 shutil.rmtree(dest_dir, ignore_errors=True)
                 return cur
-            new = cur.child("add_files")
             for f in kept:
-                f.seq = new.snapshot_id
-            new.files = list(cur.files) + kept
-            # a files_ref inherited from cur would shadow the new list
-            new.files_ref = None
-            new.files_count = None
+                f.seq = cur.snapshot_id + 1
+            # a files override clears the inherited files_ref/count in
+            # child() itself (it would shadow the new list otherwise)
+            new = cur.child("add_files", files=list(cur.files) + kept)
             try:
                 self.manifest.commit(new)
                 return new
@@ -2892,11 +2879,11 @@ class IceTable:
             kept = [f for f in snap.files if f.seq not in ids]
             new = snap.child(
                 "drop-branch",
+                # the files override clears the inherited
+                # files_ref/files_count in child() itself
                 files=kept,
                 staged={b: list(v) for b, v in snap.staged.items()
                         if b != name},
-                files_ref=None,
-                files_count=None,
             )
             try:
                 self.manifest.commit(new)
@@ -3273,21 +3260,27 @@ class IceTable:
 
     def remove_orphans(self, older_than_ms: int = 3 * 24 * 3600 * 1000,
                        ) -> list[str]:
-        """Delete data files under the table root referenced by NO
-        snapshot (crash leftovers: a writer that died between data write
-        and manifest commit). Paths-only metadata cost — sidecars are
+        """Delete files under the table root referenced by NO snapshot
+        (crash leftovers: a writer that died between data write and
+        manifest commit) — data files, uncommitted equality-delete
+        sets, and unreferenced ``_manifest/`` artifacts (a writer dying
+        between its sidecar write and the commit CAS leaks
+        ``files-*`` sidecars and ``*.tmp-*`` scratch forever; r11
+        review finding 4c). Paths-only metadata cost — sidecars are
         column-projected, entries never parse. Returns removed paths.
 
         Concurrent-writer safety: the commit protocol is write-data-
-        then-commit-manifest, so an IN-FLIGHT writer's freshly written
-        files are legitimately unreferenced at walk time. Only files
-        whose mtime is older than ``older_than_ms`` are removed
-        (default 3 days, matching Iceberg's remove_orphan_files
-        older_than discipline) — a live writer commits long before
-        that. Pass ``older_than_ms=0`` only when no other writer can
-        be active (single-writer maintenance window)."""
+        then-commit-manifest (sidecars too are written BEFORE the
+        claim), so an IN-FLIGHT writer's freshly written files are
+        legitimately unreferenced at walk time. Only files whose mtime
+        is older than ``older_than_ms`` are removed (default 3 days,
+        matching Iceberg's remove_orphan_files older_than discipline)
+        — a live writer commits long before that. Pass
+        ``older_than_ms=0`` only when no other writer can be active
+        (single-writer maintenance window)."""
+        snaps = self.manifest.snapshots(load_files=False)
         live: set[str] = set()
-        for s in self.manifest.snapshots(load_files=False):
+        for s in snaps:
             live |= self._snapshot_paths(s)
         cutoff = time.time() - older_than_ms / 1000.0
         data_dir = os.path.join(self.root, "data")
@@ -3311,7 +3304,7 @@ class IceTable:
         # equality-delete sets a crashed CDC writer never committed:
         # same mtime retention, referenced sets stay (scans read them)
         live_eq = {
-            p["eq_ref"] for s in self.manifest.snapshots(load_files=False)
+            p["eq_ref"] for s in snaps
             for p in s.delete_predicates if "eq_ref" in p
         }
         del_dir = os.path.join(self.root, "deletes")
@@ -3328,6 +3321,40 @@ class IceTable:
                 except FileNotFoundError:
                     continue
                 removed.append(rel)
+        # _manifest/ crash leftovers: unreferenced files-* sidecars
+        # (a writer that died between its sidecar write and the commit
+        # CAS — both the driver path and the Spark path write the
+        # sidecar FIRST) and commit scratch (*.tmp sidecar temps,
+        # snapshot/CURRENT *.tmp-<hex> CAS temps, tmp-base-*/
+        # tmp-entries-* staging). ONLY those two known-orphan shapes
+        # are candidates: snapshot-*.json is the commit log
+        # (expire_snapshots manages it), CURRENT is the hint, refs/
+        # holds tags — all untouched, as is any name this writer
+        # doesn't recognize.
+        live_refs = {s.files_ref for s in snaps if s.files_ref}
+        man_dir = self.manifest.dir
+        if os.path.isdir(man_dir):
+            for n in os.listdir(man_dir):
+                is_sidecar = (n.startswith("files-")
+                              and n.endswith(".parquet"))
+                is_scratch = (n.startswith(("tmp-", "_tmp"))
+                              or n.endswith(".tmp") or ".tmp-" in n)
+                if not (is_sidecar or is_scratch) or n in live_refs:
+                    continue
+                full = os.path.join(man_dir, n)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight commit's write
+                except FileNotFoundError:
+                    continue
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue
+                removed.append(os.path.relpath(full, self.root))
         return removed
 
     def snapshots(self) -> list[Snapshot]:

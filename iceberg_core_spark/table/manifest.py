@@ -109,6 +109,19 @@ def _decode_key(v: Any) -> Any:
     return v
 
 
+def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
+    """Fold a snapshot's rename history into alias chains keyed by the
+    CURRENT name, prior physical names newest-first: renames are stored
+    oldest-first, so a→b then b→c folds to {"c": ["b", "a"]}. Shared by
+    the read path (coalesce over retired columns), the pruning path
+    (stat lookup under a file's then-physical name), and both commit
+    paths' sidecar stat-column derivation."""
+    chains: dict[str, list[str]] = {}
+    for r in renames:
+        chains[r["to"]] = [r["from"]] + chains.pop(r["from"], [])
+    return chains
+
+
 @dataclass
 class ManifestFile:
     """Stats for one immutable data file (≈ one reference Block file).
@@ -312,6 +325,18 @@ class Snapshot:
             files_count=self.files_count,
         )
         d.update(overrides)
+        if "files" in overrides:
+            # An overridden file LIST invalidates the inherited sidecar
+            # reference: the caller is declaring a complete new list
+            # (drop-branch, add_files), and a silently-inherited
+            # files_ref would resurrect the parent's sidecar on the
+            # next load_files=True read (r11 review finding 4a). An
+            # explicit files_ref/files_count override still wins — the
+            # Spark commit path sets all three together.
+            if "files_ref" not in overrides:
+                d["files_ref"] = None
+            if "files_count" not in overrides:
+                d["files_count"] = None
         return Snapshot(**d)
 
     @classmethod
@@ -450,6 +475,18 @@ class Manifest:
             out.append(f)
         return out
 
+    def snapshot_total_bytes(self, snap: "Snapshot") -> int:
+        """Total data bytes of a snapshot WITHOUT materializing
+        ManifestFile entries: sidecar-backed snapshots column-project
+        the ``bytes`` column (no entry_json JSON parse — a 1M-file
+        recovery path must not deserialize the whole manifest on the
+        driver just to sum one column); inline snapshots sum their
+        (≤ inline_max) entries directly."""
+        if snap.files_ref and not snap.files:
+            (vals,) = self._sidecar_columns(snap.files_ref, ["bytes"])
+            return sum(v or 0 for v in vals)
+        return sum(f.bytes for f in snap.files)
+
     def read_sidecar_path_seq(self, files_ref: str) -> list[tuple[str, int]]:
         """(path, seq) pairs of a sidecar WITHOUT parsing entry_json —
         for consumers that only need to locate files and scope MoR
@@ -549,8 +586,19 @@ class Manifest:
             sidecar_ref = (
                 f"files-{snapshot.snapshot_id}-{os.urandom(4).hex()}.parquet"
             )
-            self._write_files_sidecar(snapshot.files, snapshot.stat_cols,
-                                      sidecar_ref)
+            # Include retired alias names, exactly like the Spark
+            # commit path (ice_table append): pre-rename files carry
+            # their min/max under the then-physical column name, and
+            # pruning coalesces over the alias chain — a sidecar
+            # written with only the CURRENT stat_cols would silently
+            # drop those columns and cost pre-rename files their
+            # file-level pruning (r11 review finding 4b).
+            retired = [o for olds in _fold_chains(snapshot.renames).values()
+                       for o in olds]
+            self._write_files_sidecar(
+                snapshot.files,
+                list(dict.fromkeys(snapshot.stat_cols + retired)),
+                sidecar_ref)
             snapshot.files_ref = sidecar_ref
             snapshot.files_count = len(snapshot.files)
             doc["files"] = []

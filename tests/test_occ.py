@@ -305,14 +305,14 @@ def test_bootstrap_crash_before_first_hint_recovers(spark, root):
     assert IceTable(spark, root).manifest.current_snapshot_id() == 1
 
 
-def test_commit_survives_hint_update_failure(spark, root):
+def test_commit_survives_hint_update_failure(spark, root, monkeypatch):
     """r11 review: the CURRENT hint is best-effort — once the
     snapshot-file link (the claim) succeeded, a failure writing the
     hint must NOT surface as a failed commit (the caller would retry
-    and double-append). Simulated by making the manifest dir briefly
-    unwritable for the hint tmp file."""
-    import iceberg_core_spark.table.manifest as m
-
+    and double-append). Failure injected via monkeypatch (r11 ADVICE:
+    assigning os.replace directly patched the global os module for
+    every caller in the process with only a try/finally to undo it;
+    monkeypatch guarantees restoration)."""
     t = _mk(spark, root)
     orig_replace = os.replace
     calls = {"n": 0}
@@ -323,11 +323,9 @@ def test_commit_survives_hint_update_failure(spark, root):
             raise OSError(28, "No space left on device (simulated)")
         return orig_replace(src, dst)
 
-    m.os.replace = failing_replace
-    try:
-        snap = t.append(location_df(spark, [location_row(timestamp=777)]))
-    finally:
-        m.os.replace = orig_replace
+    monkeypatch.setattr(os, "replace", failing_replace)
+    snap = t.append(location_df(spark, [location_row(timestamp=777)]))
+    monkeypatch.undo()
     assert calls["n"] == 1            # the failure path actually ran
     assert snap is not None           # commit reported success
     fresh = IceTable(spark, root)

@@ -270,3 +270,75 @@ def test_diff_stats_boolean_partition_inline_vs_sidecar(spark, tmp_path):
     # one row per partition, spark-style lowercase strings, and the
     # True partition merged across the encoding boundary
     assert got == {"true": 1}
+
+
+def test_child_files_override_clears_inherited_files_ref(
+        spark, tmp_path, monkeypatch):
+    # r11 review finding 4a: Snapshot.child() inherited files_ref by
+    # reference, so a caller overriding files=[] without hand-nulling
+    # files_ref/files_count silently resurrected the parent's sidecar
+    # file list on the next load_files=True read.
+    from pyspark.sql import Row
+
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 2)
+    rows = [Row(v=float(i), k=i) for i in range(6)]
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        spark.createDataFrame(rows, "v double, k long"),
+                        key_col="k", max_rows_per_file=1)
+    parent = t.manifest.load(load_files=False)
+    assert parent.files_ref is not None  # spilled to a sidecar
+    child = parent.child("truncate", files=[])
+    # the files override must invalidate the inherited sidecar ref ...
+    assert child.files_ref is None and child.files_count is None
+    t.manifest.commit(child)
+    reread = t.manifest.load(load_files=True)
+    # ... so a committed empty list stays empty — no resurrection
+    assert reread.snapshot_id == child.snapshot_id
+    assert reread.files == [] and reread.files_ref is None
+    # an EXPLICIT files_ref override still wins (the Spark commit path
+    # sets files=[], files_ref, files_count together)
+    explicit = parent.child("rebase", files=[],
+                            files_ref=parent.files_ref,
+                            files_count=parent.files_count)
+    assert explicit.files_ref == parent.files_ref
+    assert explicit.files_count == parent.files_count
+
+
+def test_driver_commit_keeps_retired_alias_stat_columns(
+        spark, tmp_path, monkeypatch):
+    # r11 review finding 4b: driver-side Manifest.commit() wrote
+    # sidecars with only the CURRENT stat_cols, so after rename_column
+    # a small driver-side commit (add_files here) dropped the retired
+    # smin_/smax_ columns and pre-rename files silently lost file-level
+    # pruning — a renamed 100 TB table degrading to full scans.
+    import glob as globmod
+
+    from pyspark.sql import Row
+
+    from iceberg_core_spark.table.manifest import Manifest
+
+    rows = [Row(v=float(i), k=i) for i in range(10)]
+    t = IceTable.create(spark, str(tmp_path / "t"),
+                        spark.createDataFrame(rows, "v double, k long"),
+                        key_col="k", stat_cols=["v"], max_rows_per_file=1)
+    assert t.file_count() == 10
+    t.rename_column("v", "w")
+    # external file matching the RENAMED schema, far outside the probe
+    ext_dir = str(tmp_path / "ext")
+    spark.createDataFrame([Row(w=100.0, k=100)],
+                          "w double, k long").coalesce(1) \
+        .write.parquet(ext_dir)
+    ext = globmod.glob(os.path.join(ext_dir, "part-*.parquet"))
+    assert len(ext) == 1
+    monkeypatch.setattr(Manifest, "inline_max", 1)  # force the spill
+    snap = t.add_files(ext)
+    assert snap.files_ref is not None  # driver-side sidecar commit
+    # files-read gate (like test_manifest_pruning_limits_input_files):
+    # the probe overlaps exactly ONE pre-rename file, whose stats live
+    # under the then-physical name "v" in the sidecar
+    narrow = t.range_scan({"w": (3.0, 3.0)})
+    assert len(narrow.inputFiles()) == 1
+    assert [r.k for r in narrow.collect()] == [3]
+    assert len(t.scan().inputFiles()) == 11
