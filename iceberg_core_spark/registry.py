@@ -93,55 +93,56 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline —
     # including the byte-unchanged condition, via git — mechanically.
-    # ROUND-11 WINDOW (the r6-r10 window lists are preserved in git
+    # ROUND-12 WINDOW (the r6-r11 window lists are preserved in git
     # history; run `verify_window.py --ages` after any reorder):
     priority = [
-        # (a) the r11 registration — staged in r10, oracle-green at
-        # sf0.001+sf0.01+sf0.1 vs an INDEPENDENT brute-force oracle;
-        # a green driver row re-proves the PERSISTED index's
-        # incremental blocking complete on real data
-        "corpus_fuzzy_admission",
-        # (b) the 12 rows the --ages audit FORCES into r11: the 2
-        # changed-module r8 rows (assembly.py changed in r9) ...
-        "corpus_mix", "corpus_shuffle",
-        # ... and the 10 age-4 r7 rows that rode the byte-unchanged
-        # tier through r9+r10 and hard-stop now
-        "join_broadcast", "join_sortmerge", "join_full",
-        "tpch_q2", "tpch_q9", "tpch_q10", "tpch_q11",
-        "tpch_q15", "tpch_q16", "tpch_q20",
-        # (c) 37 of the 48 byte-unchanged age-3 r8 rows (r10 VERDICT
-        # task 2: defuse the r12 rotation cliff). The 11 left riding
-        # to age 4 — stream_dedup, scan_jsonl, scan_orc,
-        # events_sessionize, events_gapfill, events_interpolate,
-        # udf_scalar, udaf_group_stats, table_merge_mor,
-        # bloom_point_scan_multi, vocab_topk — are FORCED into r12.
-        # R12 MANDATORY LEADS (simulated via --ages 12
-        # --assume-green-window at r11 close): those 11 age-4 rows +
-        # 3 changed-module r9 rows (dedup_incremental, corpus_bm25 —
-        # dedup_incremental.py/search.py changed in r10 — and
-        # write_shards — assembly.py changed in r9) = 14 forced,
-        # ~36 flex slots for r9 refreshes (50 r9 rows exist; the
-        # remainder hard-stop at r13). CONSERVATIVE EXTRAS for the
-        # r12 flex (helper changed in r11, not caught by the
-        # mechanical per-module diff): win_tumbling (r9 row;
-        # queries.py is byte-unchanged but its tumbling_counts
-        # helper in streaming/ingest.py changed) and stream_dedup
-        # (already forced) lead the helper-touched set; the r10-green
-        # streaming rows (stream_ingest/stream_join/win_sliding/
-        # win_session/stateful_stats) re-window by r13 for the same
-        # reason.
-        "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-        "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
-        "tpch_q21", "tpch_q22",
-        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding", "dedup_clusters", "dedup_minhash_portable",
-        "dedup_spans", "corpus_despan", "dedup_spans_min16",
-        "corpus_despan_min16", "sim_search_ivf",
-        "multimodal_meta", "multimodal_features", "multimodal_chunks",
-        "corpus_decontaminate", "corpus_decontaminate_exact",
-        "corpus_pack", "corpus_quality", "corpus_pii", "text_analysis",
-        "join_bucketed", "agg_hash", "join_semi", "join_anti",
-        "join_asof",
+        # (a) the 14 rows the --ages audit FORCES into r12 (the live
+        # `--ages 12` run at round open listed exactly these): the 11
+        # age-4 r8 rows that rode the byte-unchanged tier through
+        # r10+r11 and hard-stop now ...
+        "vocab_topk", "stream_dedup", "scan_jsonl", "scan_orc",
+        "events_sessionize", "events_gapfill", "events_interpolate",
+        "udf_scalar", "udaf_group_stats", "table_merge_mor",
+        "bloom_point_scan_multi",
+        # ... and the 3 changed-module r9 rows (dedup_incremental.py /
+        # search.py changed in r10; assembly.py changed in r9).
+        # dedup_incremental doubles as the r11 perf watch item's
+        # re-anchor row (VERDICT r11 task 6).
+        "dedup_incremental", "corpus_bm25", "write_shards",
+        # (b) 36 flex slots = the r9 block (47 rows due r13 hard)
+        # minus 11 deferrals whose defining modules are byte-unchanged
+        # AND whose helpers r12 does not touch (the 6 portable twins,
+        # scan_avro/scan_csv, events_downsample/funnel/retention) —
+        # those 11 MUST lead the r13 window (age 4 hard stop).
+        # Flex priority favors the rows r12's planned manifest/
+        # ice_table fixes could plausibly affect: the r9 table
+        # lifecycle family re-verifies the changed code directly, and
+        # win_tumbling covers the r11 helper change in
+        # streaming/ingest.py (queries.py itself byte-unchanged).
+        "schema_evolution", "table_cdc", "table_clone",
+        "table_compact", "table_delete_mor", "table_upsert",
+        "table_wap",
+        "win_tumbling",
+        "agg_conditional", "agg_median", "agg_minmax_by",
+        "agg_percentile", "agg_pivot", "agg_salted", "agg_stats",
+        "agg_string_agg", "array_hof", "corpus_lm_score",
+        "explode_tokens", "map_funcs", "range_join_window",
+        "scalar_cond", "scalar_string2", "scalar_subquery",
+        "scalar_subquery_corr", "sim_search", "sim_search_batch",
+        "topk_per_group", "tpch_q3", "tpch_q5", "tpch_q12",
+        "win_analytic", "win_frame", "win_range_frame", "win_rank",
+        "win_rank_ext",
+        # R13 MANDATORY LEADS (simulated via --ages 13
+        # --assume-green-window at r12 close): the 11 deferred r9
+        # rows above. CONSERVATIVE EXTRAS for the r13 flex (helpers
+        # changed, not caught by the mechanical per-module diff): the
+        # r10 streaming rows (stream_ingest/stream_join/win_sliding/
+        # win_session/stateful_stats — ingest.py changed r11) and the
+        # r10 table-layer rows (table_cdc_mor/table_changelog/
+        # table_incremental/table_merge/table_partition_evolution/
+        # table_rollup/table_time_travel/zorder_range_scan/
+        # bloom_point_scan — manifest.py/ice_table.py changed r12);
+        # the rest of the r10 block fills remaining slots oldest-first.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
