@@ -59,6 +59,7 @@ from iceberg_core_spark.table.manifest import (
     _decode_key,
     _encode_key,
     _fold_chains,
+    sidecar_stat_cols,
 )
 
 _PART_DIR_COL = "_p"  # directory-layout twin of the partition column
@@ -985,16 +986,14 @@ class IceTable:
                         base_df = spark.read.parquet(
                             man.sidecar_path(psnap.files_ref))
                     elif psnap.files:
-                        # include retired alias names: pre-rename files
-                        # carry their stats under the then-physical name
-                        # and pruning resolves through the chain
-                        retired = [o for olds in
-                                   _fold_chains(renames or []).values()
-                                   for o in olds]
+                        # retired alias names via the shared derivation:
+                        # pre-rename files carry their stats under the
+                        # then-physical name and pruning resolves
+                        # through the chain
                         base_tmp = f"tmp-base-{os.urandom(4).hex()}.parquet"
                         man._write_files_sidecar(
                             psnap.files,
-                            list(dict.fromkeys(stat_cols + retired)),
+                            sidecar_stat_cols(stat_cols, renames or []),
                             base_tmp)
                         base_df = spark.read.parquet(
                             man.sidecar_path(base_tmp))

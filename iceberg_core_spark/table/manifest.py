@@ -122,6 +122,22 @@ def _fold_chains(renames: list[dict]) -> dict[str, list[str]]:
     return chains
 
 
+def sidecar_stat_cols(stat_cols: list[str], renames: list[dict]) -> list[str]:
+    """The stat-column set a files sidecar must carry: the CURRENT
+    stat_cols plus each one's retired aliases (files written before a
+    rename keep their min/max under the then-physical name; pruning
+    coalesces over the chain). The ONE copy both commit paths call, so
+    the driver-side and Spark-side sidecar schemas cannot drift — the
+    drift class behind r11 finding 4b. Renames of never-tracked
+    columns contribute nothing: their aliases would only add permanent
+    all-null smin_/smax_ pairs to every future sidecar."""
+    chains = _fold_chains(renames)
+    out = list(stat_cols)
+    for c in stat_cols:
+        out.extend(chains.get(c, []))
+    return list(dict.fromkeys(out))
+
+
 @dataclass
 class ManifestFile:
     """Stats for one immutable data file (≈ one reference Block file).
@@ -586,18 +602,13 @@ class Manifest:
             sidecar_ref = (
                 f"files-{snapshot.snapshot_id}-{os.urandom(4).hex()}.parquet"
             )
-            # Include retired alias names, exactly like the Spark
-            # commit path (ice_table append): pre-rename files carry
-            # their min/max under the then-physical column name, and
-            # pruning coalesces over the alias chain — a sidecar
-            # written with only the CURRENT stat_cols would silently
-            # drop those columns and cost pre-rename files their
-            # file-level pruning (r11 review finding 4b).
-            retired = [o for olds in _fold_chains(snapshot.renames).values()
-                       for o in olds]
+            # Retired alias names included via the shared derivation:
+            # a sidecar written with only the CURRENT stat_cols would
+            # silently drop pre-rename files' min/max columns and cost
+            # them file-level pruning (r11 review finding 4b).
             self._write_files_sidecar(
                 snapshot.files,
-                list(dict.fromkeys(snapshot.stat_cols + retired)),
+                sidecar_stat_cols(snapshot.stat_cols, snapshot.renames),
                 sidecar_ref)
             snapshot.files_ref = sidecar_ref
             snapshot.files_count = len(snapshot.files)

@@ -392,7 +392,7 @@ def test_remove_orphans_sweeps_manifest_dir_leftovers(
 
 
 def test_snapshot_total_bytes_projected_no_entry_parse(
-        spark, tmp_path, small_inline_max, monkeypatch):
+        spark, tmp_path, small_inline_max):
     # r11 ADVICE: the index-store rebuild capacity gate summed
     # f.bytes via a FULL manifest load — JSON-parsing every sidecar
     # entry on the driver just to total one column. The projected
@@ -404,9 +404,15 @@ def test_snapshot_total_bytes_projected_no_entry_parse(
     assert want > 0
     brief = t.manifest.load(load_files=False)
     assert brief.files_ref and not brief.files  # sidecar-backed
-    _forbid_entry_materialization(monkeypatch)
-    assert t.manifest.snapshot_total_bytes(brief) == want
-    monkeypatch.undo()
+    # dedicated patch context: monkeypatch.undo() on the shared
+    # function-scoped instance would also revert the small_inline_max
+    # fixture's patch for the rest of the test
+    mp = pytest.MonkeyPatch()
+    try:
+        _forbid_entry_materialization(mp)
+        assert t.manifest.snapshot_total_bytes(brief) == want
+    finally:
+        mp.undo()
     # inline snapshots (files carried in the doc) sum directly
     small = IceTable.create(
         spark, str(tmp_path / "inline"),

@@ -342,3 +342,16 @@ def test_driver_commit_keeps_retired_alias_stat_columns(
     assert len(narrow.inputFiles()) == 1
     assert [r.k for r in narrow.collect()] == [3]
     assert len(t.scan().inputFiles()) == 11
+    # and the alias derivation is bounded to TRACKED columns: the
+    # sidecar carries smin_/smax_ for w and its retired alias v, but a
+    # rename of a never-tracked column must not add permanent all-null
+    # stat pairs to every future sidecar (r12 review)
+    import pyarrow.parquet as pq
+
+    cur = t.manifest.load(load_files=False)
+    cols = set(pq.read_schema(
+        t.manifest.sidecar_path(cur.files_ref)).names)
+    assert {"smin_w", "smax_w", "smin_v", "smax_v"} <= cols
+    from iceberg_core_spark.table.manifest import sidecar_stat_cols
+    assert sidecar_stat_cols(["w"], cur.renames + [
+        {"from": "payload", "to": "data"}]) == ["w", "v"]

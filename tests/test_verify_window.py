@@ -131,17 +131,19 @@ def test_assume_green_window_is_readonly_whatif(capsys):
     closed = max(artifact_rounds)
     assert vw.audit_ages(closed) == 0  # committed window audits green
     capsys.readouterr()
-    # default-round what-if runs: rc depends on whether the NEXT
-    # rotation is committed yet, so pin determinism + read-only-ness
-    # instead of rc == 0
-    rc_plain = vw.audit_ages(None, assume_green_window=True)
+    # default-round runs: rc depends on whether the NEXT rotation is
+    # committed yet, so no rc == 0 here — the pinned properties are
+    # (a) the what-if can only RELAX the plain audit (assumed green
+    # rows must never create violations) and (b) neither run writes
+    # first-seen stamps
+    rc_plain = vw.audit_ages(None)
     plain_out = capsys.readouterr().out
     rc_sim = vw.audit_ages(None, assume_green_window=True)
     sim_out = capsys.readouterr().out
     after = open(seen_path).read() if os.path.exists(seen_path) else None
     assert before == after  # read-only in assume mode
-    assert rc_sim == rc_plain
-    assert sim_out.count("AGE-VIOLATION") == \
+    assert rc_sim <= rc_plain
+    assert sim_out.count("AGE-VIOLATION") <= \
         plain_out.count("AGE-VIOLATION")
     # and the json file (if present) still parses
     if after is not None:
