@@ -41,14 +41,24 @@ def fround_sql(expr: str, n: int) -> str:
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Group identical texts; keep the smallest id as canonical.
-    Returns (keep_id, n_copies, text_md5) per distinct content."""
+    Returns (keep_id, n_copies, text_md5) per distinct content.
+
+    Groups by md5(text), NOT the text itself: the aggregation key
+    crossing the shuffle is 32 hex chars instead of the document body,
+    so per-doc shuffle bytes stay ~constant at 100 TB (map-side
+    partial agg collapses within-partition copies either way, but
+    every DISTINCT text would otherwise ship whole). An md5 collision
+    would merge two distinct texts — the identical contract the output
+    already exposes, since text_md5 IS the content identity handed to
+    consumers (and the same digest-as-identity stance the table
+    layer's content_hash dedupe takes)."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .select("keep_id", "n_copies", F.md5(F.col(text_col)).alias("text_md5"))
+        .select("keep_id", "n_copies", "text_md5")
     )
 
 
