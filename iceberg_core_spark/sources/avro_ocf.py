@@ -49,6 +49,11 @@ def _read_long(buf: io.BytesIO) -> int:
         if not byte & 0x80:
             break
         shift += 7
+        if shift > 63:
+            # spec caps a long varint at 10 bytes; without this a
+            # corrupt stream of continuation bytes builds an unbounded
+            # int until EOF instead of failing fast
+            raise ValueError("varint longer than 10 bytes (corrupt avro)")
     return (acc >> 1) ^ -(acc & 1)  # zigzag decode
 
 
@@ -114,7 +119,11 @@ def _decode(schema, buf: io.BytesIO):
     if schema == "null":
         return None
     if schema == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            # a truncated buffer must error, not silently decode False
+            raise EOFError("truncated boolean")
+        return b == b"\x01"
     if schema in ("int", "long"):
         return _read_long(buf)
     if schema == "float":

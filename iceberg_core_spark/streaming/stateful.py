@@ -64,9 +64,13 @@ def running_user_stats(events: DataFrame,
             n += len(pdf)
             # explicit half-up (floor(x*100 + 0.5)) — Series.round() is
             # half-to-even, which diverges from SQL round() when x*100
-            # lands exactly on k+0.5; the oracle uses the same expression
+            # lands exactly on k+0.5; the oracle uses the same expression.
+            # dropna first: a NULL value arrives as NaN, and
+            # floor(NaN).astype(int64) is UNDEFINED garbage where SQL's
+            # SUM simply skips the NULL
             cents += int(
-                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+                np.floor(pdf["value"].dropna() * 100 + 0.5)
+                .astype("int64").sum()
             )
             last = max(last, int(pdf["event_id"].max()))
         state.update((n, cents, last))

@@ -116,3 +116,25 @@ def test_spark_avro_probe_classifies_missing_jar(spark):
         pass
     else:
         assert first is False
+
+
+def test_corrupt_varint_fails_fast():
+    """A stream of continuation bytes must raise, not build an
+    unbounded int until EOF (spec caps a long varint at 10 bytes)."""
+    import io
+
+    from iceberg_core_spark.sources.avro_ocf import _read_long
+
+    with pytest.raises(ValueError, match="varint"):
+        _read_long(io.BytesIO(b"\x80" * 64))
+    with pytest.raises(EOFError):
+        _read_long(io.BytesIO(b"\x80\x80"))  # truncated mid-varint
+
+
+def test_truncated_boolean_errors_not_false():
+    import io
+
+    from iceberg_core_spark.sources.avro_ocf import _decode
+
+    with pytest.raises(EOFError, match="boolean"):
+        _decode("boolean", io.BytesIO(b""))

@@ -69,3 +69,39 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     )
     assert final2.sort_index().equals(expect.sort_index())
     assert len(emitted) > len(final)  # users emitted in both batches
+
+
+def test_null_values_skipped_not_poisoned(spark, tmp_path):
+    """A NULL value must be SKIPPED in the cents sum (SQL semantics),
+    not arrive as NaN whose floor().astype(int64) is undefined garbage
+    (r12 review). Counts still include the null-valued row (COUNT(*))."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    rows = [(1, 10, 1.25), (1, 11, None), (1, 12, 2.00), (2, 20, None)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double")
+    # bare part file directly in src (the file-stream source does not
+    # recurse into a nested b1.parquet/ directory)
+    df.coalesce(1).write.parquet(os.path.join(src, "_st"))
+    part = [f for f in os.listdir(os.path.join(src, "_st"))
+            if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(src, "_st", part),
+                os.path.join(src, "b1.parquet"))
+    shutil.rmtree(os.path.join(src, "_st"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory").queryName("null_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.user_id: (r.n_events, r.total_cents, r.last_event_id)
+           for r in spark.sql("SELECT * FROM null_stats").collect()}
+    assert got == {1: (3, 325, 12), 2: (1, 0, 20)}
