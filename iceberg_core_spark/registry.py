@@ -134,15 +134,20 @@ def all_queries() -> dict[str, Entry]:
         "win_rank_ext",
         # R13 MANDATORY LEADS (simulated via --ages 13
         # --assume-green-window at r12 close): the 11 deferred r9
-        # rows above. CONSERVATIVE EXTRAS for the r13 flex (helpers
+        # rows above + admission_index (dedup_incremental.py changed
+        # r11). CONSERVATIVE EXTRAS for the r13 flex (helpers
         # changed, not caught by the mechanical per-module diff): the
         # r10 streaming rows (stream_ingest/stream_join/win_sliding/
-        # win_session/stateful_stats — ingest.py changed r11) and the
-        # r10 table-layer rows (table_cdc_mor/table_changelog/
-        # table_incremental/table_merge/table_partition_evolution/
-        # table_rollup/table_time_travel/zorder_range_scan/
-        # bloom_point_scan — manifest.py/ice_table.py changed r12);
-        # the rest of the r10 block fills remaining slots oldest-first.
+        # win_session/stateful_stats — ingest.py changed r11 and
+        # stateful.py changed r12), the r10 table-layer rows
+        # (table_cdc_mor/table_changelog/table_incremental/
+        # table_merge/table_partition_evolution/table_rollup/
+        # table_time_travel/zorder_range_scan/bloom_point_scan —
+        # manifest.py/ice_table.py changed r12), and the r11 dedup
+        # family (dedup_exact/dedup_near_jaccard/dedup_minhash_lsh/
+        # dedup_embedding/dedup_clusters + twins — dedup.py changed
+        # r12: md5 agg key + persisted LSH signature frames); the
+        # rest of the r10 block fills remaining slots oldest-first.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
