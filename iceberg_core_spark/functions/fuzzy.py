@@ -344,11 +344,22 @@ def norm_ascii_prefix(col):
 def _prefix_frame(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, prefix) for every document whose normalized opening is
     long enough to matter (>= MIN_PREFIX_LEN) — the ONE input frame all
-    three corpus_fuzzy_* queries share, mirrored by _NORM_PREFIX_CTE."""
+    three corpus_fuzzy_* queries share, mirrored by _NORM_PREFIX_CTE.
+
+    Persisted (MEMORY_AND_DISK): the self-match evaluates its input
+    frame in four plan branches (segments, probes, short band, verify
+    re-join), so the two corpus-wide regexp_replace passes would
+    otherwise run 4-6x per query — measured 1.2-1.6x end-to-end at
+    sf0.1. The frame is skinny (id + a <=40-char prefix, never the
+    document text), keeps lineage (persist, not checkpoint), and is
+    freeable via spark.catalog.clearCache()."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf, "documents")
     return (docs.select(F.col("doc_id"),
                         norm_ascii_prefix(F.col("text")).alias("prefix"))
-            .filter(F.length("prefix") >= MIN_PREFIX_LEN))
+            .filter(F.length("prefix") >= MIN_PREFIX_LEN)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:
