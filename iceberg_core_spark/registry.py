@@ -108,7 +108,12 @@ def all_queries() -> dict[str, Entry]:
         # search.py changed in r10; assembly.py changed in r9).
         # dedup_incremental doubles as the r11 perf watch item's
         # re-anchor row (VERDICT r11 task 6).
-        "dedup_incremental", "corpus_bm25", "write_shards",
+        # ... plus scan_avro, whose r12 decoder hardening (varint cap,
+        # truncated-boolean EOFError) re-windows its r9 row immediately
+        # under the changed-module rule (its planned deferral assumed
+        # byte-unchanged); agg_pivot (byte-unchanged relational_ext)
+        # yields its slot and joins the r13 forced set.
+        "dedup_incremental", "corpus_bm25", "write_shards", "scan_avro",
         # (b) 36 flex slots = the r9 block (47 rows due r13 hard)
         # minus 11 deferrals whose defining modules are byte-unchanged
         # AND whose helpers r12 does not touch (the 6 portable twins,
@@ -124,7 +129,7 @@ def all_queries() -> dict[str, Entry]:
         "table_wap",
         "win_tumbling",
         "agg_conditional", "agg_median", "agg_minmax_by",
-        "agg_percentile", "agg_pivot", "agg_salted", "agg_stats",
+        "agg_percentile", "agg_salted", "agg_stats",
         "agg_string_agg", "array_hof", "corpus_lm_score",
         "explode_tokens", "map_funcs", "range_join_window",
         "scalar_cond", "scalar_string2", "scalar_subquery",
