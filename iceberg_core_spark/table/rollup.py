@@ -136,6 +136,23 @@ class _RollupStore:
             self._persisted.unpersist()
             self._persisted = None
         self._advance(cur)
+        # prune superseded version dirs: every refresh writes a FULL
+        # state copy, so a per-micro-batch rollup would otherwise
+        # accumulate one whole-rollup copy per refresh forever (r12
+        # review). The newest superseded version is retained — the
+        # crash-healing path re-folds from it after a watermark
+        # rollback, and a reader that resolved the old ref just
+        # before _advance can still finish; anything older is
+        # unreferenced by meta, heal, and readers alike.
+        import shutil
+
+        stale = sorted(
+            (d for d in os.listdir(self.root)
+             if d.startswith("v=") and d != f"v={cur}"),
+            key=lambda d: int(d[2:]))[:-1]
+        for d in stale:
+            shutil.rmtree(os.path.join(self.root, d),
+                          ignore_errors=True)
         return True
 
 
