@@ -111,7 +111,11 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         elif cid == b"data":
             data = np.frombuffer(payload, dtype="<i2", count=size // 2,
                                  offset=pos)
-        pos += size
+        # RIFF chunks are word-aligned: an odd-sized chunk is followed
+        # by one pad byte that is NOT counted in its size field — a
+        # real-world WAV with an odd-length LIST/INFO chunk would
+        # otherwise misalign the rest of the walk
+        pos += size + (size & 1)
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
     return rate, data

@@ -139,3 +139,28 @@ def test_multimodal_features_oracle_non_ascii(spark, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs}/*.parquet'")
     compare(got, con, MULTIMODAL_FEATURES_SQL, "multimodal_non_ascii")
+
+
+def test_wav_walker_skips_odd_chunk_pad_byte():
+    """RIFF chunks are word-aligned: an odd-sized chunk carries a pad
+    byte not counted in its size field. A WAV with an odd-length LIST
+    chunk before fmt/data must still decode (r12 review)."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_core_spark.multimodal.binary_columns import (
+        _decode_wav,
+        encode_wav_bytes,
+    )
+
+    good = encode_wav_bytes(b"abc")
+    # splice an odd-sized LIST chunk (+ its pad byte) right after the
+    # WAVE magic, before the fmt chunk
+    odd_chunk = struct.pack("<4sI", b"LIST", 3) + b"INF" + b"\x00"
+    patched_body = good[8:12] + odd_chunk + good[12:]
+    payload = struct.pack("<4sI", b"RIFF", len(patched_body)) + patched_body
+    rate, samples = _decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(samples, np.frombuffer(b"abc", np.uint8)
+                          .astype("<i2"))
