@@ -65,27 +65,46 @@ def _merge_query_terms(
     return q_terms
 
 
-def _rank_topk(melted: DataFrame, k: int) -> DataFrame:
-    """(doc_id, query_id, score, n_terms_hit) → per-query top-k with
-    rank. Runs a per-partition Arrow-batched pre-top-k BEFORE the
-    global rank window: the rank order (score desc, doc_id) is
-    row-local, so any global top-k row is necessarily in its
-    partition's local top-k — each task forwards at most k rows per
-    query and the window's shuffle sees ~k × partitions × |queries|
-    skinny rows instead of EVERY hit document in the corpus (the same
-    partial/final split TakeOrderedAndProject does for global top-k,
-    done per query group). Arrow-batched selection only — scores pass
+def local_group_topk(df: DataFrame, group_col: str, order_col: str,
+                     id_col: str, k: int) -> DataFrame:
+    """Per-partition Arrow-batched top-k per group, run BEFORE a
+    global rank window ordered by (``order_col`` DESC, ``id_col``
+    ASC): the rank order is row-local, so any global top-k row is
+    necessarily in its partition's local top-k — each task forwards
+    at most k rows per group and the window's shuffle sees
+    ~k × partitions × |groups| skinny rows instead of every scored
+    row (the same partial/final split TakeOrderedAndProject does for
+    global top-k, done per group). Selection only — values pass
     through byte-identical, and per-Arrow-batch top-k is a superset
     of per-partition top-k, so correctness does not depend on batch
-    boundaries."""
+    boundaries.
+
+    NULL ``order_col`` values sort LAST (na_position), matching
+    Spark's DESC-NULLS-LAST window default — a NULL row survives
+    locally only when its batch has < k better rows, exactly when it
+    can reach the global top-k. NaN is folded into the same rule: the
+    mapInPandas pandas→Arrow RETURN path converts NaN to NULL anyway
+    (pa.Array.from_pandas), so ranking NaN as-if-NULL on the way in
+    is the only self-consistent treatment (under this repo's default
+    ANSI sessions a 0/0 raises before ever producing one). The ONE
+    copy of this pattern — bm25 and the embedding batch top-k both
+    call it (r12 review: the two inlined twins had already diverged
+    on exactly the NULL/NaN rule)."""
     def _local_topk(batches):
         for pdf in batches:
             if len(pdf):
-                yield (pdf.sort_values(["query_id", "score", "doc_id"],
-                                       ascending=[True, False, True])
-                       .groupby("query_id", sort=False).head(k))
+                yield (pdf.sort_values([group_col, order_col, id_col],
+                                       ascending=[True, False, True],
+                                       na_position="last")
+                       .groupby(group_col, sort=False).head(k))
 
-    pruned = melted.mapInPandas(_local_topk, melted.schema)
+    return df.mapInPandas(_local_topk, df.schema)
+
+
+def _rank_topk(melted: DataFrame, k: int) -> DataFrame:
+    """(doc_id, query_id, score, n_terms_hit) → per-query top-k with
+    rank, shuffle-bounded by the shared ``local_group_topk``."""
+    pruned = local_group_topk(melted, "query_id", "score", "doc_id", k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
     return (

@@ -54,15 +54,18 @@ def cosine_topk_batch(
 ) -> DataFrame:
     """Batch exact top-k: many query vectors at once. The query set is
     broadcast (it is small by definition), so the corpus streams through
-    ONE scan; a per-partition Arrow-batched pre-top-k (the bm25
-    _rank_topk pattern) then bounds the rank window's shuffle to
-    ~k × partitions × |queries| skinny rows — without it the window
-    would shuffle EVERY scored (corpus × queries) row, which at 100 TB
-    × thousands of queries is the plan's whole cost. Correct because
-    the rank order (sim desc, id) is row-local: any global top-k row
-    is necessarily in its partition's local top-k.
+    ONE scan; the shared per-partition Arrow pre-top-k
+    (:func:`~iceberg_core_spark.functions.search.local_group_topk`)
+    then bounds the rank window's shuffle to ~k × partitions ×
+    |queries| skinny rows — without it the window would shuffle EVERY
+    scored (corpus × queries) row, which at 100 TB × thousands of
+    queries is the plan's whole cost. NULL sims (null embeddings) rank
+    LAST on both sides of the pre-top-k, matching the window's
+    DESC-NULLS-LAST order — see the helper's NULL/NaN contract.
     """
     from pyspark.sql import Window
+
+    from iceberg_core_spark.functions.search import local_group_topk
 
     q = queries.select(
         F.col(query_id_col),
@@ -77,20 +80,7 @@ def cosine_topk_batch(
         id_col,
         fround(cosine(F.col("__dv"), F.col("__qv")), 4).alias("sim"),
     )
-
-    def _local_topk(batches):
-        # na_position='first': Spark's DESC double order ranks NaN
-        # LARGEST (a zero vector's 0/0 cosine), pandas defaults NaN
-        # last — the local selection must agree with the window's
-        # order or a NaN row the window would rank first gets dropped
-        for pdf in batches:
-            if len(pdf):
-                yield (pdf.sort_values([query_id_col, "sim", id_col],
-                                       ascending=[True, False, True],
-                                       na_position="first")
-                       .groupby(query_id_col, sort=False).head(k))
-
-    pruned = scored.mapInPandas(_local_topk, scored.schema)
+    pruned = local_group_topk(scored, query_id_col, "sim", id_col, k)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)
     )

@@ -31,6 +31,10 @@ from pyspark.sql.types import (
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_cents", LongType()),
+    # non-null contribution count: SUM over an all-NULL group is NULL
+    # in SQL (the batch-twin oracle), never 0 — same distinction the
+    # rollup store's nn_ columns preserve (r12 review)
+    StructField("n_nonnull", LongType()),
     StructField("last_event_id", LongType()),
 ])
 
@@ -57,8 +61,8 @@ def running_user_stats(events: DataFrame,
         if state.hasTimedOut:
             state.remove()
             return
-        n, cents, last = (
-            state.get if state.exists else (0, 0, -1)
+        n, cents, nn, last = (
+            state.get if state.exists else (0, 0, 0, -1)
         )
         for pdf in pdfs:
             n += len(pdf)
@@ -68,18 +72,22 @@ def running_user_stats(events: DataFrame,
             # dropna first: a NULL value arrives as NaN, and
             # floor(NaN).astype(int64) is UNDEFINED garbage where SQL's
             # SUM simply skips the NULL
+            vals = pdf["value"].dropna()
+            nn += len(vals)
             cents += int(
-                np.floor(pdf["value"].dropna() * 100 + 0.5)
-                .astype("int64").sum()
+                np.floor(vals * 100 + 0.5).astype("int64").sum()
             )
             last = max(last, int(pdf["event_id"].max()))
-        state.update((n, cents, last))
+        state.update((n, cents, nn, last))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
+        # SUM semantics: a user whose every value is NULL has a NULL
+        # sum (the batch-twin oracle's SUM), not an exact 0
         yield pd.DataFrame({
             "user_id": [user_id],
             "n_events": [n],
-            "total_cents": [cents],
+            "total_cents": pd.array([cents if nn else None],
+                                    dtype="Int64"),
             "last_event_id": [last],
         })
 

@@ -64,6 +64,12 @@ class _RollupStore:
 
     spark: SparkSession
     root: str
+    #: superseded v=<snapshot> dirs younger than this are kept for
+    #: in-flight LAZY readers (read() resolves the ref immediately,
+    #: parquet opens at action time); the newest superseded version
+    #: is always kept for the crash-heal re-fold. One hour bounds
+    #: storage at refreshes/hour whole-state copies.
+    version_retention_ms = 3600 * 1000
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_meta.json")
@@ -139,20 +145,31 @@ class _RollupStore:
         # prune superseded version dirs: every refresh writes a FULL
         # state copy, so a per-micro-batch rollup would otherwise
         # accumulate one whole-rollup copy per refresh forever (r12
-        # review). The newest superseded version is retained — the
+        # review). Retained: the newest superseded version (the
         # crash-healing path re-folds from it after a watermark
-        # rollback, and a reader that resolved the old ref just
-        # before _advance can still finish; anything older is
-        # unreferenced by meta, heal, and readers alike.
+        # rollback) and any version younger than
+        # ``version_retention_ms`` — a LAZY reader frame resolves its
+        # v= dir at read() but opens the parquet at action time, and
+        # under per-micro-batch refreshes a keep-only-two rule would
+        # delete it within seconds (r12 review #2). Same mtime
+        # discipline as remove_orphans: collect within the retention
+        # window or re-read().
         import shutil
+        import time
 
+        cutoff = time.time() - self.version_retention_ms / 1000.0
         stale = sorted(
             (d for d in os.listdir(self.root)
              if d.startswith("v=") and d != f"v={cur}"),
             key=lambda d: int(d[2:]))[:-1]
         for d in stale:
-            shutil.rmtree(os.path.join(self.root, d),
-                          ignore_errors=True)
+            p = os.path.join(self.root, d)
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
         return True
 
 

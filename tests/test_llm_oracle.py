@@ -759,3 +759,43 @@ def test_publish_sync_survives_maptype_columns(spark, tmp_path):
     assert idx.sync(t) == 1          # fallback path reveals doc 3
     ids = sorted(r["__cid"] for r in idx._read("fp", ["__cid"]).collect())
     assert ids == [1, 2, 3]
+
+
+def test_batch_topk_null_embeddings_rank_last(spark):
+    """The Arrow pre-top-k must agree with the window's
+    DESC-NULLS-LAST order: NULL-embedding rows (NULL sim) may only
+    reach the top-k as tail padding when a query has fewer than k
+    real matches — never by evicting a scored row from its batch
+    (r12 review). Reference = the window-only formulation over the
+    same scored frame."""
+    from pyspark.sql import Row, Window
+
+    from iceberg_core_spark.functions.dedup import cosine, fround
+
+    rows = [Row(vec_id=i,
+                embedding=None if i % 2 else [float(i), 1.0])
+            for i in range(1, 21)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [Row(qid=1, embedding=[1.0, 0.0])],
+        "qid long, embedding array<double>")
+    got = S.cosine_topk_batch(corpus, queries, k=15,
+                              query_id_col="qid").collect()
+    # window-only reference (no pre-top-k) over the identical scoring
+    q = queries.select("qid", F.col("embedding").cast("array<double>")
+                       .alias("__qv"))
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("__dv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id",
+        fround(cosine(F.col("__dv"), F.col("__qv")), 4).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    want = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 15)
+            .select("qid", "vec_id", "sim", "rn").collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # 10 real matches, then NULL padding ordered by id
+    nulls = [r for r in got if r.sim is None]
+    assert len(nulls) == 5 and all(r.rn > 10 for r in nulls)

@@ -104,4 +104,6 @@ def test_null_values_skipped_not_poisoned(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.user_id: (r.n_events, r.total_cents, r.last_event_id)
            for r in spark.sql("SELECT * FROM null_stats").collect()}
-    assert got == {1: (3, 325, 12), 2: (1, 0, 20)}
+    # all-NULL user 2: SUM over an all-NULL group is NULL (the batch
+    # twin's semantics), never an exact 0 (r12 review)
+    assert got == {1: (3, 325, 12), 2: (1, None, 20)}

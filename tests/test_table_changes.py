@@ -453,10 +453,11 @@ def test_ohlc_rollup_delete_rebuilds(spark, tmp_path):
 
 def test_rollup_prunes_superseded_versions(spark, tmp_path):
     """Every refresh writes a FULL rollup copy under v=<snapshot>;
-    superseded versions must be pruned to the newest one (kept for
-    the crash-heal re-fold and in-flight readers) or a
+    superseded versions past the mtime retention must be pruned (a
     per-micro-batch rollup accumulates whole-state copies forever
-    (r12 review)."""
+    otherwise), while the newest superseded version (crash-heal
+    re-fold) and retention-fresh versions (in-flight lazy readers)
+    survive (r12 review, both findings)."""
     t = IceTable.create(
         spark, str(tmp_path / "t"),
         _df(spark, [(1, "a", 10)]), partition_col=None, key_col="k")
@@ -464,12 +465,19 @@ def test_rollup_prunes_superseded_versions(spark, tmp_path):
     ru = MaterializedRollup(spark, root, group_cols=["g"],
                             sum_cols=["v"])
     ru.refresh(t)
-    for i in range(3):
+    for i in range(2):
         t.append(_df(spark, [(10 + i, "b", 5)]))
         ru.refresh(t)
+    # default retention: every superseded dir is fresh → all kept
+    # (a lazy reader two refreshes behind must still collect)
+    assert len([d for d in os.listdir(root)
+                if d.startswith("v=")]) == 3
+    # zero retention: prune to current + newest superseded only
+    ru.version_retention_ms = 0
+    t.append(_df(spark, [(12, "b", 5)]))
+    ru.refresh(t)
     vers = sorted(d for d in os.listdir(root) if d.startswith("v="))
     cur = t.manifest.load(load_files=False).snapshot_id
-    # exactly current + the one superseded version survive
     assert vers == [f"v={cur - 1}", f"v={cur}"]
     got = {r.g: (r.row_count, int(r.sum_v)) for r in ru.read().collect()}
     assert got == {"a": (1, 10), "b": (3, 15)}
