@@ -93,66 +93,53 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline —
     # including the byte-unchanged condition, via git — mechanically.
-    # ROUND-12 WINDOW (the r6-r11 window lists are preserved in git
+    # ROUND-13 WINDOW (the r6-r12 window lists are preserved in git
     # history; run `verify_window.py --ages` after any reorder):
     priority = [
-        # (a) the 14 rows the --ages audit FORCES into r12 (the live
-        # `--ages 12` run at round open listed exactly these): the 11
-        # age-4 r8 rows that rode the byte-unchanged tier through
-        # r10+r11 and hard-stop now ...
-        "vocab_topk", "stream_dedup", "scan_jsonl", "scan_orc",
-        "events_sessionize", "events_gapfill", "events_interpolate",
-        "udf_scalar", "udaf_group_stats", "table_merge_mor",
-        "bloom_point_scan_multi",
-        # ... and the 3 changed-module r9 rows (dedup_incremental.py /
-        # search.py changed in r10; assembly.py changed in r9).
-        # dedup_incremental doubles as the r11 perf watch item's
-        # re-anchor row (VERDICT r11 task 6).
-        # ... plus scan_avro, whose r12 decoder hardening (varint cap,
-        # truncated-boolean EOFError) re-windows its r9 row immediately
-        # under the changed-module rule (its planned deferral assumed
-        # byte-unchanged); agg_pivot (byte-unchanged relational_ext)
-        # yields its slot and joins the r13 forced set.
-        "dedup_incremental", "corpus_bm25", "write_shards", "scan_avro",
-        # (b) 36 flex slots = the r9 block (47 rows due r13 hard)
-        # minus 11 deferrals whose defining modules are byte-unchanged
-        # AND whose helpers r12 does not touch (the 6 portable twins,
-        # scan_avro/scan_csv, events_downsample/funnel/retention) —
-        # those 11 MUST lead the r13 window (age 4 hard stop).
-        # Flex priority favors the rows r12's planned manifest/
-        # ice_table fixes could plausibly affect: the r9 table
-        # lifecycle family re-verifies the changed code directly, and
-        # win_tumbling covers the r11 helper change in
-        # streaming/ingest.py (queries.py itself byte-unchanged).
-        "schema_evolution", "table_cdc", "table_clone",
-        "table_compact", "table_delete_mor", "table_upsert",
-        "table_wap",
-        "win_tumbling",
-        "agg_conditional", "agg_median", "agg_minmax_by",
-        "agg_percentile", "agg_salted", "agg_stats",
-        "agg_string_agg", "array_hof", "corpus_lm_score",
-        "explode_tokens", "map_funcs", "range_join_window",
-        "scalar_cond", "scalar_string2", "scalar_subquery",
-        "scalar_subquery_corr", "sim_search", "sim_search_batch",
-        "topk_per_group", "tpch_q3", "tpch_q5", "tpch_q12",
-        "win_analytic", "win_frame", "win_range_frame", "win_rank",
-        "win_rank_ext",
-        # R13 MANDATORY LEADS (simulated via --ages 13
-        # --assume-green-window at r12 close): the 11 deferred r9
-        # rows above + admission_index (dedup_incremental.py changed
-        # r11). CONSERVATIVE EXTRAS for the r13 flex (helpers
-        # changed, not caught by the mechanical per-module diff): the
-        # r10 streaming rows (stream_ingest/stream_join/win_sliding/
-        # win_session/stateful_stats — ingest.py changed r11 and
-        # stateful.py changed r12), the r10 table-layer rows
-        # (table_cdc_mor/table_changelog/table_incremental/
-        # table_merge/table_partition_evolution/table_rollup/
-        # table_time_travel/zorder_range_scan/bloom_point_scan —
-        # manifest.py/ice_table.py changed r12), and the r11 dedup
-        # family (dedup_exact/dedup_near_jaccard/dedup_minhash_lsh/
-        # dedup_embedding/dedup_clusters + twins — dedup.py changed
-        # r12: md5 agg key + persisted LSH signature frames); the
-        # rest of the r10 block fills remaining slots oldest-first.
+        # (a) the 17 rows the --ages audit FORCES into r13 (the live
+        # `--ages 13` run at round open listed exactly these): the 11
+        # age-4 r9 rows (6 portable twins, scan_csv, the three events
+        # analytics rows, agg_pivot) that hard-stop now ...
+        "dedup_simhash_portable", "dedup_clusters_portable",
+        "dedup_embedding_lsh_portable", "sim_search_lsh_portable",
+        "agg_approx_distinct_portable", "sim_search_ivf_portable",
+        "scan_csv", "events_funnel", "events_retention",
+        "events_downsample", "agg_pivot",
+        # ... and the 6 changed-module r10 rows (dedup_incremental.py
+        # changed r11; stateful.py, search.py, fuzzy.py changed r12).
+        "admission_index", "stateful_stats", "corpus_bm25_exploded",
+        "corpus_fuzzy_prefix", "corpus_fuzzy_clusters",
+        "corpus_fuzzy_decontaminate",
+        # (b) 33 flex slots, per the r12 close-out plan: the
+        # CONSERVATIVE EXTRAS whose helpers changed in r11/r12 (not
+        # caught by the mechanical per-module diff) — the r10
+        # streaming rows (ingest.py changed r11, stateful.py r12),
+        "stream_ingest", "stream_join", "win_sliding", "win_session",
+        # the r10 table-layer rows (manifest.py / ice_table.py
+        # changed r12, and the r13 DML-family review touches
+        # ice_table.py again this round),
+        "table_cdc_mor", "table_changelog", "table_incremental",
+        "table_merge", "table_partition_evolution", "table_rollup",
+        "table_time_travel", "zorder_range_scan", "bloom_point_scan",
+        # the r11 dedup family incl. its r10 rows-only members
+        # (dedup.py changed r12: md5 agg key + persisted LSH
+        # signature frames; r13 adds owner-side unpersist),
+        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+        "dedup_embedding", "dedup_clusters", "dedup_simhash",
+        "dedup_embedding_lsh", "dedup_clusters_minhash",
+        # the r11 changed-module rows that would otherwise be FORCED
+        # at r14 (fuzzy.py changed r12 — corpus_fuzzy_admission also
+        # doubles as the r12 perf watch item's re-anchor row;
+        # multimodal/binary_columns.py changed r12: RIFF pad fix),
+        "corpus_fuzzy_admission", "multimodal_meta",
+        "multimodal_features", "multimodal_chunks",
+        # and the 8 non-relational r10 strays, so the ENTIRE r14
+        # forced set collapses to the 20 relational.py r10 rows —
+        # one byte-unchanged module, exactly at the <=20 budget
+        # (simulated via --ages 14 --assume-green-window at reorder).
+        "corpus_clean", "text_ngrams", "corpus_mix_temperature",
+        "split_train_test", "sample_stratified", "udtf_tokenize",
+        "sim_search_lsh", "agg_approx_distinct",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
