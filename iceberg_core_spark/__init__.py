@@ -22,7 +22,8 @@ code here is metadata-time manifest pruning (plain Python over manifest
 entries) and LSH banding to prune similarity candidates.
 """
 
+from iceberg_core_spark.caching import release_caches
 from iceberg_core_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_caches"]
 __version__ = "0.1.0"

@@ -219,12 +219,12 @@ def minhash_lsh_pairs(
     minhash pipeline — measured 1.3-1.6× on the end-to-end query. The
     cached frame is skinny (id + num_perm longs, ~150 B/doc — never
     the shingle arrays, which stay recompute-on-use so nothing
-    corpus-scale is pinned), keeps its lineage for fault tolerance
-    (unlike a localCheckpoint), and is CacheManager-registered, so a
-    long-lived session can free it with spark.catalog.clearCache().
+    corpus-scale is pinned) and keeps its lineage for fault tolerance
+    (unlike a localCheckpoint). Lifecycle is owner-side via
+    ``caching.persist_site``: one live entry per site, released when
+    the input changes or by ``release_caches()`` (r12 ADVICE).
     """
-    from pyspark import StorageLevel
-
+    from iceberg_core_spark.caching import persist_site
     from iceberg_core_spark.session import spread
 
     rows_per_band = num_perm // bands
@@ -232,9 +232,9 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
     )
-    sig = shingled.select(
+    sig = persist_site("dedup.minhash_sig", shingled.select(
         "id", *minhash_signature(F.col("sh"), num_perm)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
 
     def band_hash(b: int):
         return F.xxhash64(
@@ -324,16 +324,16 @@ def simhash_pairs(
     The signature frame persists (id + one long/doc): the chunk
     self-join's two sides would otherwise each re-evaluate the 64
     per-bit array folds over every document — measured ~1.6× on the
-    end-to-end query. Lineage kept; freeable via clearCache()."""
-    from pyspark import StorageLevel
-
+    end-to-end query. Lineage kept; owner-side lifecycle via
+    ``caching.persist_site`` (one live entry, ``release_caches()``)."""
+    from iceberg_core_spark.caching import persist_site
     from iceberg_core_spark.session import spread
 
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
-    sh = spread(df).select(
+    sh = persist_site("dedup.simhash_sig", spread(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     chunks = sh.select(
         "id",
         "sh",
@@ -718,7 +718,7 @@ def embedding_dup_pairs_lsh(
 
     if multiprobe_hamming not in (0, 1):
         raise ValueError("multiprobe_hamming must be 0 or 1")
-    from pyspark import StorageLevel
+    from iceberg_core_spark.caching import persist_site
 
     planes = hyperplanes(dim, n_planes, seed)
     vecs = spread(df).select(
@@ -728,10 +728,11 @@ def embedding_dup_pairs_lsh(
     # skinny (id, bucket) persists: the bucket self-join's two sides
     # would otherwise each recompute the n_planes projections per
     # vector; the VECTORS stay recompute-on-use (corpus-scale — the
-    # verify re-joins them by id). Lineage kept; clearCache() frees it.
-    bucketed = vecs.select(
+    # verify re-joins them by id). Lineage kept; owner-side lifecycle
+    # via persist_site (one live entry, release_caches() frees it).
+    bucketed = persist_site("dedup.embedding_buckets", vecs.select(
         "id", bucket_expr(F.col("v"), planes).alias("b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     left = bucketed.select("id", F.col("b").alias("bk"))
     probes = [F.col("b")]
     if multiprobe_hamming == 1:

@@ -351,15 +351,17 @@ def _prefix_frame(spark: SparkSession, sf: str) -> DataFrame:
     re-join), so the two corpus-wide regexp_replace passes would
     otherwise run 4-6x per query — measured 1.2-1.6x end-to-end at
     sf0.1. The frame is skinny (id + a <=40-char prefix, never the
-    document text), keeps lineage (persist, not checkpoint), and is
-    freeable via spark.catalog.clearCache()."""
-    from pyspark import StorageLevel
+    document text) and keeps lineage (persist, not checkpoint);
+    owner-side lifecycle via ``caching.persist_site`` (one live
+    entry per site, ``release_caches()`` frees it — r12 ADVICE)."""
+    from iceberg_core_spark.caching import persist_site
 
     docs = load_table(spark, sf, "documents")
-    return (docs.select(F.col("doc_id"),
-                        norm_ascii_prefix(F.col("text")).alias("prefix"))
-            .filter(F.length("prefix") >= MIN_PREFIX_LEN)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    return persist_site(
+        "fuzzy.prefix_frame",
+        docs.select(F.col("doc_id"),
+                    norm_ascii_prefix(F.col("text")).alias("prefix"))
+        .filter(F.length("prefix") >= MIN_PREFIX_LEN))
 
 
 def corpus_fuzzy_prefix(spark: SparkSession, sf: str) -> DataFrame:

@@ -86,17 +86,23 @@ def local_group_topk(df: DataFrame, group_col: str, order_col: str,
     mapInPandas pandas→Arrow RETURN path converts NaN to NULL anyway
     (pa.Array.from_pandas), so ranking NaN as-if-NULL on the way in
     is the only self-consistent treatment (under this repo's default
-    ANSI sessions a 0/0 raises before ever producing one). The ONE
-    copy of this pattern — bm25 and the embedding batch top-k both
-    call it (r12 review: the two inlined twins had already diverged
-    on exactly the NULL/NaN rule)."""
+    ANSI sessions a 0/0 raises before ever producing one). A NULL
+    ``group_col`` key forms its OWN group (groupby dropna=False),
+    matching the downstream window, which ranks NULL keys in their
+    own partition — pandas' dropna default would silently drop those
+    rows from the pre-top-k (r12 ADVICE; current callers' keys are
+    non-null by construction, but the shared helper must not depend
+    on that). The ONE copy of this pattern — bm25 and the embedding
+    batch top-k both call it (r12 review: the two inlined twins had
+    already diverged on exactly the NULL/NaN rule)."""
     def _local_topk(batches):
         for pdf in batches:
             if len(pdf):
                 yield (pdf.sort_values([group_col, order_col, id_col],
                                        ascending=[True, False, True],
                                        na_position="last")
-                       .groupby(group_col, sort=False).head(k))
+                       .groupby(group_col, sort=False,
+                                dropna=False).head(k))
 
     return df.mapInPandas(_local_topk, df.schema)
 

@@ -28,6 +28,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# STATE-SCHEMA COMPATIBILITY: n_nonnull was ADDED in r12, a breaking
+# change for any applyInPandasWithState checkpoint written with the
+# older 3-field state — Spark does not migrate state rows, so a query
+# restarted on an old checkpointLocation fails (or misreads state)
+# rather than upgrading. The registered query is unaffected (fresh
+# temp checkpoint per run); external callers holding long-lived
+# checkpoints must start a NEW checkpointLocation when upgrading
+# across this boundary (r12 ADVICE).
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_cents", LongType()),

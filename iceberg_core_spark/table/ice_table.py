@@ -41,6 +41,7 @@ from __future__ import annotations
 import errno
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -3323,21 +3324,31 @@ class IceTable:
         # _manifest/ crash leftovers: unreferenced files-* sidecars
         # (a writer that died between its sidecar write and the commit
         # CAS — both the driver path and the Spark path write the
-        # sidecar FIRST) and commit scratch (*.tmp sidecar temps,
-        # snapshot/CURRENT *.tmp-<hex> CAS temps, tmp-base-*/
-        # tmp-entries-* staging). ONLY those two known-orphan shapes
-        # are candidates: snapshot-*.json is the commit log
-        # (expire_snapshots manages it), CURRENT is the hint, refs/
-        # holds tags — all untouched, as is any name this writer
-        # doesn't recognize.
+        # sidecar FIRST) and commit scratch. The scratch matcher is
+        # anchored to the EXACT names the writers emit (r12 ADVICE —
+        # a generic "contains .tmp" test would delete any future live
+        # artifact whose name happens to look tmp-ish after the
+        # retention window): tmp-base-/tmp-entries-<hex8>.parquet
+        # distributed-commit staging, files-*.parquet.tmp driver
+        # sidecar temps, snapshot-N.json.tmp-<hex8> CAS temps, and
+        # CURRENT.tmp-<hex8> hint temps. ONLY those shapes plus
+        # unreferenced sidecars are candidates: snapshot-*.json is
+        # the commit log (expire_snapshots manages it), CURRENT is
+        # the hint, refs/ holds tags — all untouched, as is any name
+        # this writer doesn't recognize.
+        scratch_re = re.compile(
+            r"^(?:tmp-(?:base|entries)-[0-9a-f]{8}\.parquet"
+            r"|files-.+\.parquet\.tmp"
+            r"|snapshot-\d+\.json\.tmp-[0-9a-f]{8}"
+            r"|CURRENT\.tmp-[0-9a-f]{8})$"
+        )
         live_refs = {s.files_ref for s in snaps if s.files_ref}
         man_dir = self.manifest.dir
         if os.path.isdir(man_dir):
             for n in os.listdir(man_dir):
                 is_sidecar = (n.startswith("files-")
                               and n.endswith(".parquet"))
-                is_scratch = (n.startswith(("tmp-", "_tmp"))
-                              or n.endswith(".tmp") or ".tmp-" in n)
+                is_scratch = scratch_re.match(n) is not None
                 if not (is_sidecar or is_scratch) or n in live_refs:
                     continue
                 full = os.path.join(man_dir, n)

@@ -365,15 +365,22 @@ def test_remove_orphans_sweeps_manifest_dir_leftovers(
     hint_tmp = os.path.join(man_dir, "CURRENT.tmp-deadbeef")
     base_tmp = os.path.join(man_dir, "tmp-base-12345678.parquet")
     os.makedirs(base_tmp)
+    # tmp-LOOKING names that are NOT writer-emitted scratch shapes:
+    # the r12 ADVICE anchoring means these survive any retention
+    # window (the old "contains .tmp" matcher would delete all three)
+    impostors = [os.path.join(man_dir, n) for n in
+                 ("stats.tmp-index.json", "_tmp_notes",
+                  "tmp-other-xyz.parquet")]
     for p in (orphan_file, tmp_sidecar, cas_tmp, hint_tmp,
-              os.path.join(base_tmp, "part-00000.parquet")):
+              os.path.join(base_tmp, "part-00000.parquet"),
+              *impostors):
         with open(p, "w") as f:
             f.write("x")
     # fresh leftovers could be an in-flight writer's — retained
     assert t.remove_orphans() == []
     old = time.time() - 4 * 24 * 3600
     for p in (orphan_dir, orphan_file, tmp_sidecar, cas_tmp, hint_tmp,
-              base_tmp):
+              base_tmp, *impostors):
         os.utime(p, (old, old))
     removed = set(t.remove_orphans())
     rel = lambda p: os.path.relpath(p, root)  # noqa: E731
@@ -387,6 +394,8 @@ def test_remove_orphans_sweeps_manifest_dir_leftovers(
         assert os.path.exists(t.manifest.sidecar_path(ref))
     assert os.path.exists(os.path.join(man_dir, "CURRENT"))
     assert t.tags() == {"v1": t.manifest.load(load_files=False).snapshot_id}
+    for p in impostors:  # unrecognized names are never deletion candidates
+        assert os.path.exists(p)
     assert t.scan().count() == 2100
     assert t.remove_orphans() == []  # idempotent
 
