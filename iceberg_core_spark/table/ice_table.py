@@ -2092,6 +2092,36 @@ class IceTable:
                                   snap.key_col, 1_000_000, base_files=[],
                                   expected_parent=snap.snapshot_id)
 
+    def _check_upsert_keys(self, df: DataFrame, key_cols: list[str],
+                           op: str, check_dupes: bool = True) -> None:
+        """One batch-side job (groupBy keys + limit(1) early-exit)
+        refusing NULL keys — and, unless the caller orders duplicates
+        itself (apply_cdc seq_col) — multiple rows per key. Both
+        break keyed replacement: a NULL key never equality-matches
+        its old row, and a duplicated key writes two versions."""
+        from functools import reduce as _reduce
+
+        null_key = _reduce(lambda a, b: a | b,
+                           [F.col(k).isNull() for k in key_cols])
+        cond = null_key
+        if check_dupes:
+            cond = cond | (F.col("__cnt") > 1)
+        bad = (df.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("__cnt"))  # never collides
+               .filter(cond).limit(1).collect())
+        if not bad:
+            return
+        if bad[0]["__cnt"] > 1 and check_dupes and not any(
+                bad[0][k] is None for k in key_cols):
+            raise ValueError(
+                f"{op} batch has multiple rows per key — both would "
+                "be written; collapse the batch first (cf. apply_cdc "
+                "seq_col)")
+        raise ValueError(
+            f"{op} key columns must be non-null (identifier-field "
+            "rule): a NULL key can never equality-match the row it "
+            "replaces, so both versions would survive")
+
     def upsert(self, df: DataFrame, key_cols: list[str],
                mode: str = "cow",
                source_batch_id: int | None = None,
@@ -2116,6 +2146,15 @@ class IceTable:
 
         ``source_batch_id``/``source_lineage`` stamp the commit for
         streaming replay protection (same contract as append)."""
+        # Like merge/apply_cdc, a batch carrying two rows for one key
+        # is refused: both rows would land (only the OLD row is
+        # removed), silently breaking the replaced-by-key invariant.
+        # NULL keys are refused in the same (one, O(batch), early-exit)
+        # job — Iceberg's identifier-field rule: a NULL key can never
+        # equality-match its old row, so both versions would survive
+        # (r13 DML review). Collapse upstream, or use apply_cdc with
+        # seq_col for last-writer-wins ordering.
+        self._check_upsert_keys(df, key_cols, "upsert")
         all_keys = df.select(*key_cols).dropDuplicates(key_cols)
         if mode == "mor":
             return self._cdc_mor(all_keys, df, key_cols,
@@ -2168,9 +2207,18 @@ class IceTable:
             if None not in norm:
                 mdf = self.spark.read.parquet(
                     self.manifest.sidecar_path(snap.files_ref))
+                # NULL partition_n files are KEPT: a NULL partition
+                # value is representable (rows under
+                # __HIVE_DEFAULT_PARTITION__) but never addressable
+                # here (NULL parts raise above), so dropping those
+                # files — as the isNotNull() keep condition did —
+                # silently lost their rows (r13 DML review). Every
+                # ADDRESSED value normalizes non-None (guarded
+                # above), so NULL partition_n provably belongs to an
+                # unaddressed partition.
                 keep_df = mdf.filter(
-                    F.col("partition_n").isNotNull()
-                    & ~F.col("partition_n").isin(*norm))
+                    F.col("partition_n").isNull()
+                    | ~F.col("partition_n").isin(*norm))
                 min_seq = keep_df.agg(
                     F.min(F.coalesce(F.col("seq"), F.lit(0)))).first()[0]
                 remaining = [] if min_seq is None else [
@@ -2189,8 +2237,10 @@ class IceTable:
         str_parts = {str(p) for p in parts}
         keep = [
             f for f in snap.files
-            if f.partition is not None
-            and str(f.partition) not in str_parts
+            # NULL-partition files are unaddressable here (NULL parts
+            # raise above) — keep them, never drop (r13 DML review)
+            if f.partition is None
+            or str(f.partition) not in str_parts
         ]
         remaining = [
             p for p in snap.delete_predicates
@@ -2376,21 +2426,25 @@ class IceTable:
         if seq_col is not None:
             from pyspark.sql import Window
 
+            # NULL keys refused (identifier-field rule, r13 DML
+            # review); duplicates are fine here — seq orders them
+            self._check_upsert_keys(df, key_cols, "CDC",
+                                    check_dupes=False)
             w = Window.partitionBy(*key_cols).orderBy(
                 F.col(seq_col).desc())
             latest = (df.withColumn("_rn", F.row_number().over(w))
                       .filter(F.col("_rn") == 1).drop("_rn"))
         else:
-            dupes = (df.groupBy(*key_cols).count()
-                     .filter(F.col("count") > 1).limit(1).count())
-            if dupes:
-                raise ValueError(
-                    "CDC batch has multiple rows per key; pass seq_col "
-                    "to order them (last writer wins)")
+            self._check_upsert_keys(df, key_cols, "CDC")
             latest = df
         all_keys = latest.select(*key_cols)
+        # null-safe comparison: a NULL op_col row must UPSERT ("every
+        # other row upserts" — the contract above), but `!=` evaluates
+        # NULL for it, so the row's key entered all_keys while the row
+        # itself silently vanished from the upsert set — a silent
+        # delete on malformed input (r13 DML review)
         upserts = latest.filter(
-            F.col(op_col) != F.lit(delete_op)).drop(*strip)
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(*strip)
         if mode == "mor":
             return self._cdc_mor(all_keys, upserts, key_cols,
                                  source_batch_id, source_lineage)

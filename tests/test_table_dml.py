@@ -396,3 +396,77 @@ def test_merge_update_all_and_unconditional(spark, tmp_path):
             when_not_matched_insert=True)
     got = {(r.k, r.v) for r in t.scan().collect()}
     assert got == {(1, 111), (2, 20), (3, 333)}
+
+
+def test_overwrite_partitions_keeps_null_partition_rows(spark, tmp_path):
+    """r13 DML review: rows whose partition value is NULL (written
+    under __HIVE_DEFAULT_PARTITION__, manifest partition=None) can
+    never be ADDRESSED by overwrite_partitions (NULL parts in the
+    incoming frame raise) — so their files must carry over, on both
+    the driver and the sidecar commit path. The old keep condition
+    required a non-null partition and silently DROPPED them."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k int, part string, v int")
+    t = IceTable.create(spark, str(tmp_path / "t"), df,
+                        partition_col="part", key_col="k")
+    t.overwrite_partitions(spark.createDataFrame(
+        [(10, "a", 99)], "k int, part string, v int"))
+    got = {(r.k, r.part, r.v) for r in t.scan().collect()}
+    assert got == {(10, "a", 99), (2, "b", 20), (3, None, 30)}
+    # sidecar path: force the files parquet and overwrite again
+    from iceberg_core_spark.table.manifest import Manifest
+    orig = Manifest.inline_max
+    Manifest.inline_max = 1
+    try:
+        t.overwrite_partitions(spark.createDataFrame(
+            [(20, "b", 88)], "k int, part string, v int"))
+        assert t.manifest.load(load_files=False).files_ref is not None
+        t.overwrite_partitions(spark.createDataFrame(
+            [(11, "a", 77)], "k int, part string, v int"))
+    finally:
+        Manifest.inline_max = orig
+    got = {(r.k, r.part, r.v) for r in t.scan().collect()}
+    assert got == {(11, "a", 77), (20, "b", 88), (3, None, 30)}
+
+
+def test_apply_cdc_null_op_upserts_not_silently_deletes(spark, tmp_path):
+    """r13 DML review: a NULL op_col row must UPSERT ('every other row
+    upserts'); with the old non-null-safe `!=` its key entered the
+    delete set while the row itself vanished from the upsert set — a
+    silent delete on malformed input. Both modes."""
+    for mode in ("cow", "mor"):
+        df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+        t = IceTable.create(spark, str(tmp_path / f"t_{mode}"), df,
+                            key_col="k")
+        batch = spark.createDataFrame(
+            [(1, 11, None), (2, 22, "U")],
+            "k int, v int, op string")
+        t.apply_cdc(batch, key_cols=["k"], mode=mode)
+        got = {(r.k, r.v) for r in t.scan().collect()}
+        assert got == {(1, 11), (2, 22)}, mode
+
+
+def test_upsert_refuses_duplicate_and_null_keys(spark, tmp_path):
+    """r13 DML review: upsert with two batch rows per key wrote BOTH
+    (only the old row was removed); NULL keys never equality-match the
+    row they replace, so both versions survived. Both now raise, like
+    merge/apply_cdc."""
+    df = spark.createDataFrame([(1, "x", 10)], "k int, g string, v int")
+    t = IceTable.create(spark, str(tmp_path / "t"), df, key_col="k")
+    dup = spark.createDataFrame([(1, "x", 11), (1, "x", 12)],
+                                "k int, g string, v int")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t.upsert(dup, key_cols=["k", "g"])
+    nullkey = spark.createDataFrame([(None, "x", 11)],
+                                    "k int, g string, v int")
+    with pytest.raises(ValueError, match="non-null"):
+        t.upsert(nullkey, key_cols=["k", "g"])
+    # apply_cdc's seq path gets the same NULL-key guard
+    nullcdc = spark.createDataFrame([(None, "x", 11, "U", 1)],
+                                    "k int, g string, v int, op string,"
+                                    " seq long")
+    with pytest.raises(ValueError, match="non-null"):
+        t.apply_cdc(nullcdc, key_cols=["k"], seq_col="seq")
+    # and the table is unchanged by the refused batches
+    assert {(r.k, r.v) for r in t.scan().collect()} == {(1, 10)}
