@@ -1,5 +1,6 @@
 from iceberg_core_spark.multimodal.binary_columns import (
     attach_metadata,
+    default_encoder,
     decode_and_featurize,
     decode_media_features,
     decode_payload,
@@ -12,6 +13,7 @@ from iceberg_core_spark.multimodal.binary_columns import (
 
 __all__ = [
     "attach_metadata",
+    "default_encoder",
     "decode_and_featurize",
     "decode_media_features",
     "decode_payload",

@@ -244,12 +244,53 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in rng.standard_normal(dim).astype(np.float32)]
 
 
+def default_encoder(dim: int = FEATURE_DIM):
+    """Auto-detect an importable deep-feature encoder and return a
+    batch callable for :func:`decode_and_featurize`'s ``encoder=``
+    hook, or raise ``NotImplementedError`` naming what is missing.
+
+    Detection order (all optional dependencies — none ship in this
+    container, which is why ``fake=True`` is the offline default):
+    ``torch`` → a mean-pooled byte-embedding module (embedding table
+    over byte values, mean over positions, projected to ``dim``) with
+    deterministic seed 0 weights — a real tensor path exercising the
+    per-executor model-load pattern, NOT a pretrained model (no
+    network). A pretrained encoder (CLIP/wav2vec-style) is the
+    caller's to inject via ``encoder=``; auto-loading one would need
+    network weights this environment forbids."""
+    try:
+        import torch
+    except ImportError as exc:
+        raise NotImplementedError(
+            "no deep-feature encoder library importable (tried: "
+            "torch); pass encoder=<callable> with your own model, or "
+            "use fake=True / fake=False stdlib featurization"
+        ) from exc
+
+    gen = torch.Generator().manual_seed(0)
+    table = torch.randn(256, dim, generator=gen)
+
+    def encode(payloads: "pd.Series") -> "pd.Series":
+        out = []
+        for p in payloads:
+            b = np.frombuffer(bytes(p), dtype=np.uint8)
+            if b.size == 0:
+                out.append([0.0] * dim)
+                continue
+            emb = table[torch.from_numpy(b.astype(np.int64))]
+            out.append([float(x) for x in emb.mean(dim=0)])
+        return pd.Series(out)
+
+    return encode
+
+
 def decode_and_featurize(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "doc_id",
     fake: bool = True,
     dim: int = FEATURE_DIM,
+    encoder=None,
 ) -> DataFrame:
     """binary payload → feature vector via ``mapInPandas`` (Arrow batches).
 
@@ -259,7 +300,15 @@ def decode_and_featurize(
     payload is parsed as a WAV/PPM container (``decode_payload``) and
     the feature vector is a normalized sample-value histogram plus
     moment statistics of the decoded samples.
-    """
+
+    ``encoder``: the deep-feature hook (overrides ``fake``) — a
+    callable ``pd.Series[bytes] -> pd.Series[list[float]]`` run inside
+    the same Arrow batch loop, so a real model executes once per
+    executor batch with zero extra shuffle. This is the standard
+    PySpark model-inference shape: build/load the model lazily in the
+    callable (it is pickled to executors), e.g. ``encoder=
+    default_encoder()`` when a tensor library is importable, or a
+    closure over your own pretrained weights."""
     out_schema = StructType([
         StructField(id_col, df.schema[id_col].dataType),
         StructField("n_bytes", LongType()),
@@ -282,12 +331,16 @@ def decode_and_featurize(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[binary_col]
-            fn = (lambda p: _fake_features(bytes(p), dim)) if fake \
-                else (lambda p: decoded_features(bytes(p)))
+            if encoder is not None:
+                feats = encoder(payloads)
+            else:
+                fn = (lambda p: _fake_features(bytes(p), dim)) if fake \
+                    else (lambda p: decoded_features(bytes(p)))
+                feats = payloads.map(fn)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "features": payloads.map(fn),
+                "features": feats,
             })
 
     from iceberg_core_spark.session import spread

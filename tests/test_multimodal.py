@@ -164,3 +164,51 @@ def test_wav_walker_skips_odd_chunk_pad_byte():
     assert rate == 16000
     assert np.array_equal(samples, np.frombuffer(b"abc", np.uint8)
                           .astype("<i2"))
+
+
+def test_encoder_injection_runs_in_arrow_batches(spark, docs_bin):
+    """The deep-feature hook (r13 ruling, TODO item 1): a caller-
+    supplied batch callable runs inside the same mapInPandas loop —
+    real model-inference plumbing, proven offline with a deterministic
+    numpy 'model' (mean byte value per payload, dim 3)."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_core_spark.multimodal import decode_and_featurize
+
+    def tiny_model(payloads: pd.Series) -> pd.Series:
+        return pd.Series([
+            [float(np.frombuffer(bytes(p), dtype=np.uint8).mean())] * 3
+            for p in payloads])
+
+    out = decode_and_featurize(docs_bin, encoder=tiny_model)
+    rows = {r.doc_id: r.features for r in out.collect()}
+    assert all(len(v) == 3 and v[0] == v[1] == v[2]
+               for v in rows.values())
+    # matches a driver-side evaluation of the same model byte-exact
+    import pyarrow.parquet  # noqa: F401  (env sanity)
+    one = docs_bin.limit(1).collect()[0]
+    expected = tiny_model(pd.Series([one.payload]))[0]
+    assert rows[one.doc_id] == [float(x) for x in expected]
+
+
+def test_default_encoder_detects_model_libs(spark, docs_bin):
+    """default_encoder() auto-detects an importable tensor library at
+    runtime; offline (this container) it must raise the documented
+    NotImplementedError naming the encoder= escape hatch. If torch IS
+    importable, the returned encoder must run end-to-end."""
+    from iceberg_core_spark.multimodal import (
+        decode_and_featurize,
+        default_encoder,
+    )
+
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="encoder="):
+            default_encoder()
+        pytest.skip("no tensor library in this environment — "
+                    "detection raise verified, encode path skipped")
+    enc = default_encoder(dim=4)
+    out = decode_and_featurize(docs_bin, encoder=enc)
+    assert all(len(r.features) == 4 for r in out.collect())
