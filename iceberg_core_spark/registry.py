@@ -140,6 +140,18 @@ def all_queries() -> dict[str, Entry]:
         "corpus_clean", "text_ngrams", "corpus_mix_temperature",
         "split_train_test", "sample_stratified", "udtf_tokenize",
         "sim_search_lsh", "agg_approx_distinct",
+        # R14 PLAN: 20 forced relational.py rows lead; CONSERVATIVE
+        # EXTRAS for the ~30 flex slots: the r12 table-layer rows
+        # (schema_evolution/table_cdc/table_clone/table_compact/
+        # table_delete_mor/table_upsert/table_wap/table_merge_mor/
+        # bloom_point_scan_multi — ice_table.py changed r13: DML
+        # review fixes + remove_orphans matcher), the r12 search/
+        # dedup-adjacent rows (corpus_bm25, sim_search,
+        # sim_search_batch — search.py dropna fix r13; dedup.py
+        # persist_site rewiring r13 is covered by the r13 window
+        # itself), and multimodal_features' r13 row stays fresh
+        # (binary_columns.py encoder hook r13 — windowed this round).
+        # The rest fills oldest-first from the r11 block.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
