@@ -545,14 +545,29 @@ class SnapshotSyncedStore:
             self.rebuild(table)
             return self._row_bearing(all_snaps)
         self._ensure_params()
-        if last is not None and last not in {
-                s.snapshot_id for s in all_snaps}:
+        chain_ids = {s.snapshot_id for s in all_snaps}
+        if last is not None and last not in chain_ids:
             # snapshot ids are monotonic, so "newer than the expired
             # watermark" remains meaningful across the gap
             self._ensure_append_only(unsynced)
             self.rebuild(table)
             return self._row_bearing(all_snaps)
         snaps = sorted(unsynced, key=lambda s: s.snapshot_id)
+        if (snaps and snaps[0].parent_id is not None
+                and snaps[0].parent_id not in chain_ids):
+            # The FIRST unsynced snapshot's parent has been EXPIRED out
+            # of the chain — a fresh (or meta-healed, watermark-None)
+            # store over a truncated history. The incremental walk
+            # would hand the dead parent id to scan_incremental /
+            # scan_changes and die on FileNotFoundError instead of
+            # recovering (r13 review); this is the same unrecoverable-
+            # delta situation as an expired WATERMARK, so it takes the
+            # same rebuild path. (Only the first unsynced snapshot can
+            # have a dead parent: every later one's parent is itself
+            # live in `snaps`.)
+            self._ensure_append_only(unsynced)
+            self.rebuild(table)
+            return self._row_bearing(all_snaps)
         n = 0
         for i, s in enumerate(snaps):
             if s.operation in self._REWRITE_ONLY + self._METADATA_ONLY:

@@ -467,3 +467,40 @@ def test_fuzzy_admission_oracle_match(spark):
     fn, sql = STAGED_QUERIES["corpus_fuzzy_admission"]
     con = duck_connection(SF_DIR)
     compare(fn(spark, SF_DIR), con, sql, "corpus_fuzzy_admission")
+
+
+def test_fresh_index_sync_over_truncated_chain_rebuilds(spark, tmp_path):
+    """r13 review: a FRESH store (watermark None) syncing a table whose
+    early snapshots were expired must take the rebuild recovery — the
+    incremental walk's first unsynced snapshot has a dead parent_id,
+    and handing it to scan_incremental raised FileNotFoundError
+    instead of recovering. Same situation for a meta-healed store."""
+    from iceberg_core_spark.functions.dedup_incremental import (
+        AdmissionIndex,
+    )
+    from iceberg_core_spark.table import IceTable
+
+    rows = [(i, f"document number {i} padded out") for i in range(6)]
+    cdf = spark.createDataFrame(rows, "doc_id long, text string")
+    t = IceTable.create(spark, str(tmp_path / "corpus"),
+                        cdf.filter("doc_id < 2"), key_col="doc_id")
+    t.append(cdf.filter("doc_id >= 2 AND doc_id < 4"))
+    t.append(cdf.filter("doc_id >= 4"))
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired  # the create is gone; oldest live parent is dead
+    idx = AdmissionIndex(spark, str(tmp_path / "idx"))
+    covered = idx.sync(t)  # must rebuild, not FileNotFoundError
+    assert covered == 2  # the two live row-bearing snapshots
+    # the rebuilt index judges against the FULL current contents
+    batch = spark.createDataFrame(
+        [(0, "document number 0 padded out"),
+         (99, "a genuinely new document body")],
+        "doc_id long, text string")
+    verdicts = {r.doc_id: r.verdict for r in idx.judge(batch).collect()}
+    assert verdicts[0] != "unique"   # duplicate of an expired-commit row
+    assert verdicts[99] == "unique"
+    # and sync is incremental again afterwards
+    t.append(spark.createDataFrame(
+        [(7, "document number 7 padded out")],
+        "doc_id long, text string"))
+    assert idx.sync(t) == 1
