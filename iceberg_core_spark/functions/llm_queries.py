@@ -398,8 +398,13 @@ def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
 
       1. quality gate: drop docs under 5 tokens (map-side filter,
          pushed below everything else by Catalyst);
-      2. exact dedup: keep the min-doc_id row per identical text (one
-         shuffle, on the content — at scale, on md5(content));
+      2. exact dedup: keep the min-doc_id row per identical text — the
+         window keys on md5(text) and the text column is DROPPED
+         before the exchange, so the dedup shuffle carries 32 hex
+         chars + three skinny columns per row, never document bodies
+         (the r12 dedup_exact key choice applied here in r13; same
+         collision stance, and the oracle's per-text grouping yields
+         identical output);
       3. split: md5-bucket train/val/test (map-side, engine-portable);
       4. report: docs + tokens per (lang, split) (second, tiny shuffle).
 
@@ -412,12 +417,13 @@ def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     toks = F.split(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+")
     base = d.select(
-        "doc_id", "lang", "text", F.size(toks).alias("n_toks")
+        "doc_id", "lang", F.md5(F.col("text")).alias("__k"),
+        F.size(toks).alias("n_toks")
     ).filter(F.col("n_toks") >= 5)
-    w = Window.partitionBy("text").orderBy("doc_id")
+    w = Window.partitionBy("__k").orderBy("doc_id")
     kept = (
         base.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") == 1).drop("rn", "__k")
     )
     return (
         split_assign(kept, test_pct=10, val_pct=5)
