@@ -474,3 +474,30 @@ def test_point_scan_multi_limits_input_files(spark, tmp_path):
     # all-absent IN-list: nothing read
     ab = t.point_scan_multi({"k": [10**9, 10**9 + 1]})
     assert len(ab.inputFiles()) <= 2 and ab.count() == 0
+
+
+def test_corpus_clean_dedup_shuffle_never_carries_text(spark):
+    """r13: corpus_clean's exact-dedup window keys on md5(text) and
+    drops the text column before the exchange, so the pipeline's main
+    shuffle carries 32 hex chars + skinny columns — never document
+    bodies (the r12 dedup_exact key rule applied to the window path).
+    Gate: no window exchange's output schema contains the text column,
+    and the partial WindowGroupLimit prunes to rank-1 rows map-side."""
+    import re
+
+    from iceberg_core_spark.functions.llm_queries import corpus_clean
+
+    p = plan_of(corpus_clean(spark, SF_DIR))
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert ex, "expected hash exchanges in the corpus_clean plan"
+    assert not any("text#" in e for e in ex), ex  # never keyed by text
+    assert "md5(cast(text" in p  # the skinny key derivation exists ...
+    # ... and text itself never crosses an exchange: the plan string
+    # prints root-first, so everything before the LAST (deepest)
+    # Exchange line is downstream of some exchange — none of it may
+    # carry the text column (only the scan-side project below the
+    # deepest exchange reads text, to derive md5/size)
+    above_deepest = p[:p.rindex("Exchange hashpartitioning")]
+    assert "text#" not in above_deepest
+    # map-side rank-1 pruning before the shuffle
+    assert "WindowGroupLimit" in p and "Partial" in p
