@@ -97,8 +97,23 @@ def asof_join(
                  *[F.col(c).asc_nulls_first() for c in tiebreak])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
-    matched_ts = F.last("__asof_rts", ignorenulls=True).over(w).alias("__asof_mts")
+    # Carry the matched right row as ONE struct, not per-column
+    # last(ignorenulls) calls: independent carries would assemble the
+    # payload from DIFFERENT right rows whenever a right row holds
+    # NULL in some payload column (col A from the t=2 row, col B from
+    # the t=1 row — a combined row that never existed), where ASOF
+    # semantics (DuckDB/pandas) attach the latest right ROW wholesale
+    # (r13 review). The struct is non-NULL for every right row even
+    # when all its fields are NULL, so ignorenulls carries rows, and
+    # the matched ts rides in the same struct — tolerance can never
+    # null out payload from a different row than the ts it tested.
+    ps = F.when(F.col(_TAG) == 0, F.struct(
+        *[F.col(c).alias(c) for c in right_payload],
+        F.col("__asof_rts").alias("__rts"),
+    ))
+    carried_row = F.last(ps, ignorenulls=True).over(w)
+    carried = [carried_row[c].alias(c) for c in right_payload]
+    matched_ts = carried_row["__rts"].alias("__asof_mts")
     out = u.select(*on, time_col, _TAG, *left_only, *carried, matched_ts).filter(
         F.col(_TAG) == 1
     )

@@ -149,7 +149,10 @@ def all_queries() -> dict[str, Entry]:
         # dedup-adjacent rows (corpus_bm25, sim_search,
         # sim_search_batch — search.py dropna fix r13; dedup.py
         # persist_site rewiring r13 is covered by the r13 window
-        # itself), and multimodal_features' r13 row stays fresh
+        # itself), join_asof (its helper operators/asof.py changed
+        # r13: struct-carry fix — relational.py itself is
+        # byte-unchanged so the mechanical diff won't force it), and
+        # multimodal_features' r13 row stays fresh
         # (binary_columns.py encoder hook r13 — windowed this round).
         # The rest fills oldest-first from the r11 block.
     ]

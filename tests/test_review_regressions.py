@@ -418,3 +418,36 @@ def test_local_group_topk_null_group_key(spark):
     out = local_group_topk(df, "g", "s", "i", 1).collect()
     got = {(r.g, r.i) for r in out}
     assert got == {(None, 1), (1, 3)}  # NULL group's best row survives
+
+
+def test_asof_join_carries_whole_rows_not_per_column(spark):
+    """r13 review: per-column last(ignorenulls) carries assembled the
+    payload from DIFFERENT right rows when a right row held NULL in
+    some payload column — a combined row that never existed. ASOF
+    semantics attach the latest right ROW wholesale (struct carry),
+    matching DuckDB's ASOF JOIN on the same data."""
+    left = spark.createDataFrame([(1, 10)], "uid int, ts int")
+    right = spark.createDataFrame(
+        [(1, 1, 100, None), (1, 2, None, 200)],
+        "uid int, ts int, x int, y int")
+    got = asof_join(left, right, on="uid", left_ts="ts",
+                    right_ts="ts", right_payload=["x", "y"]).collect()
+    assert len(got) == 1
+    # the t=2 row is the match: x must be NULL (not resurrected from
+    # the t=1 row), y = 200
+    assert (got[0].x, got[0].y) == (None, 200)
+    import duckdb
+    con = duckdb.connect()
+    ref = con.sql(
+        "SELECT r.x, r.y FROM (VALUES (1, 10)) l(uid, ts) "
+        "ASOF LEFT JOIN (VALUES (1, 1, 100, NULL), (1, 2, NULL, 200)) "
+        "r(uid, ts, x, y) ON l.uid = r.uid AND l.ts >= r.ts"
+    ).fetchall()
+    assert [(got[0].x, got[0].y)] == ref
+    # tolerance nulls payload and tests distance against the SAME row
+    tol = asof_join(left, right, on="uid", left_ts="ts",
+                    right_ts="ts", right_payload=["x", "y"],
+                    tolerance=5).collect()
+    # the match is the t=2 row (distance 8 > 5): BOTH columns null out
+    # together — no resurrecting x=100 from the nearer-but-older row
+    assert (tol[0].x, tol[0].y) == (None, None)
