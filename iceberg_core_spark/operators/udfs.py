@@ -69,11 +69,17 @@ def udaf_group_stats(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # NULL values: SQL SUM skips them and an all-NULL group sums
+        # to NULL — and NaN.astype("int64") raises outright, so the
+        # dropna is load-bearing on NULL-bearing corpora even though
+        # the driver testdata has none (r13 review; the streaming
+        # twin stateful.py made the same distinction in r12)
+        vals = pdf["value"].dropna()
+        cents = (vals * 100).round().astype("int64")
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n_events": [len(pdf)],
-            "total_cents": [int(cents.sum())],
+            "total_cents": [int(cents.sum()) if len(cents) else None],
             "max_event_id": [int(pdf["event_id"].max())],
         })
 

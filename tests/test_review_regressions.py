@@ -451,3 +451,28 @@ def test_asof_join_carries_whole_rows_not_per_column(spark):
     # the match is the t=2 row (distance 8 > 5): BOTH columns null out
     # together — no resurrecting x=100 from the nearer-but-older row
     assert (tol[0].x, tol[0].y) == (None, None)
+
+
+def test_udaf_group_stats_null_values_match_sql_semantics(spark):
+    """r13 review: NaN.astype(int64) raised on NULL-bearing groups and
+    an all-NULL group must sum to NULL (SQL SUM), not crash or emit 0.
+    The driver corpus has no NULL values, so this pins the contract on
+    injected data."""
+    from iceberg_core_spark.operators import udfs
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "a", None), (3, "b", None)],
+        "event_id long, event_type string, value double")
+
+    import iceberg_core_spark.session as sess
+    orig = sess.load_table
+    try:
+        sess.load_table = lambda s, sf, name: ev
+        udfs.load_table = sess.load_table
+        out = {r.event_type: (r.n_events, r.total_cents, r.max_event_id)
+               for r in udfs.udaf_group_stats(spark, "unused").collect()}
+    finally:
+        sess.load_table = orig
+        udfs.load_table = orig
+    assert out["a"] == (2, 125, 2)   # NULL skipped, rows still counted
+    assert out["b"] == (1, None, 3)  # all-NULL group sums to NULL
