@@ -140,7 +140,16 @@ def all_queries() -> dict[str, Entry]:
         "corpus_clean", "text_ngrams", "corpus_mix_temperature",
         "split_train_test", "sample_stratified", "udtf_tokenize",
         "sim_search_lsh", "agg_approx_distinct",
-        # R14 PLAN: 20 forced relational.py rows lead; CONSERVATIVE
+        # R14 PLAN: 22 forced rows lead — the 20 relational.py r10
+        # rows (one byte-unchanged module) plus text_analysis and
+        # sim_search_ivf, whose module (llm_queries.py) changed in
+        # r13 for the corpus_clean md5 window-key fix. That fix
+        # raises the simulated forced set from the planned 20 to 22
+        # deliberately: the byte-diff rule re-verifying two sibling
+        # rows of a changed module is the discipline working, and
+        # every swap is zero-sum (each current flex row would itself
+        # become r14-forced if dropped — the debt is conserved).
+        # 22 forced + 28 flex is comfortably feasible. CONSERVATIVE
         # EXTRAS for the ~30 flex slots: the r12 table-layer rows
         # (schema_evolution/table_cdc/table_clone/table_compact/
         # table_delete_mor/table_upsert/table_wap/table_merge_mor/
