@@ -58,14 +58,31 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
         return False
 
 
+def _still_persisted(df: DataFrame) -> bool:
+    """True while ``df`` still holds a cache entry. External eviction
+    (``spark.catalog.clearCache()``, a manual ``unpersist()``) drops the
+    storage level to NONE; returning such a frame from the site would
+    silently lose the optimization forever on same-input calls. Py4j
+    failures report False — degrade to re-persist, never a stale hit."""
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        return False
+
+
 def persist_site(site: str, df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) under a named call site, holding
     at most one live cache entry per site (see module docstring)."""
     with _LOCK:
         prev = _LIVE.get(site)
         if prev is not None:
-            if _same_plan(prev, df):
+            if _same_plan(prev, df) and _still_persisted(prev):
                 return prev
+            # different input, or the caller evicted the entry behind
+            # our back (spark.catalog.clearCache(), manual unpersist —
+            # r13 ADVICE): release and fall through to re-persist, so
+            # the site never hands out a permanently-uncached frame
             try:
                 prev.unpersist()
             except Exception:

@@ -332,7 +332,12 @@ def decode_and_featurize(
         for pdf in batches:
             payloads = pdf[binary_col]
             if encoder is not None:
-                feats = encoder(payloads)
+                # Re-index onto the batch's index: a user encoder that
+                # returns a freshly-built Series (RangeIndex) would
+                # otherwise align-by-label during DataFrame assembly
+                # and silently produce NaN features (r13 ADVICE).
+                feats = pd.Series(list(encoder(payloads)),
+                                  index=payloads.index)
             else:
                 fn = (lambda p: _fake_features(bytes(p), dim)) if fake \
                     else (lambda p: decoded_features(bytes(p)))

@@ -638,7 +638,16 @@ FROM nation n1 JOIN nation n2
 
 def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: for each purchase event, the user's most recent click
-    at or before it (see operators/asof.py for the technique + scale)."""
+    at or before it (see operators/asof.py for the technique + scale).
+
+    The right side carries TWO payload columns, one of them NULL on a
+    deterministic third of the rows (click_id % 3): ASOF semantics
+    attach the latest right ROW wholesale, so a matched NULL must stay
+    NULL even when an older right row holds a value. One payload column
+    can't distinguish that from per-column carry-forward; this
+    augmentation keeps the r13 asof.py struct-carry fix value-checked
+    against DuckDB's ASOF JOIN every time the row windows (corpus_pii
+    augmentation pattern)."""
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
@@ -649,21 +658,32 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
+        .withColumn(
+            "click_val",
+            F.when(F.col("click_id") % 3 == 0,
+                   F.lit(None).cast("long"))
+            .otherwise(F.col("click_id") * 10),
+        )
     )
     return asof_join(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        right_payload=["click_id"],
-    ).select("user_id", "ts", "event_id", "value", "click_id")
+        right_payload=["click_id", "click_val"],
+    ).select("user_id", "ts", "event_id", "value", "click_id", "click_val")
 
 
 JOIN_ASOF_SQL = """
-SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id
+SELECT p.user_id, p.ts, p.event_id, p.value, c.click_id, c.click_val
 FROM (
   SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
 ) p
 ASOF LEFT JOIN (
-  SELECT user_id, ts, MAX(event_id) AS click_id
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  SELECT user_id, ts, click_id,
+         CASE WHEN click_id % 3 = 0 THEN NULL
+              ELSE click_id * 10 END AS click_val
+  FROM (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  )
 ) c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 

@@ -93,77 +93,54 @@ def all_queries() -> dict[str, Entry]:
     # comments) and in the CORRECTNESS_r*.json artifacts;
     # `scripts/verify_window.py --ages` audits the discipline —
     # including the byte-unchanged condition, via git — mechanically.
-    # ROUND-13 WINDOW (the r6-r12 window lists are preserved in git
-    # history; run `verify_window.py --ages` after any reorder):
+    # ROUND-14 WINDOW (the r6-r13 window lists are preserved in git
+    # history; run `verify_window.py --ages` after any reorder).
+    # NOTE r14 upgraded the audit: the age-3 deferral tier now diffs
+    # the query fn's REACHABLE HELPER CLOSURE (function-granular first
+    # hop, whole-module transitive beyond), not just its defining
+    # module — scripts/verify_window.py._helpers_unchanged_since. The
+    # forced sets below come from the live `--ages 14` run under that
+    # stricter rule.
     priority = [
-        # (a) the 17 rows the --ages audit FORCES into r13 (the live
-        # `--ages 13` run at round open listed exactly these): the 11
-        # age-4 r9 rows (6 portable twins, scan_csv, the three events
-        # analytics rows, agg_pivot) that hard-stop now ...
-        "dedup_simhash_portable", "dedup_clusters_portable",
-        "dedup_embedding_lsh_portable", "sim_search_lsh_portable",
-        "agg_approx_distinct_portable", "sim_search_ivf_portable",
-        "scan_csv", "events_funnel", "events_retention",
-        "events_downsample", "agg_pivot",
-        # ... and the 6 changed-module r10 rows (dedup_incremental.py
-        # changed r11; stateful.py, search.py, fuzzy.py changed r12).
-        "admission_index", "stateful_stats", "corpus_bm25_exploded",
-        "corpus_fuzzy_prefix", "corpus_fuzzy_clusters",
-        "corpus_fuzzy_decontaminate",
-        # (b) 33 flex slots, per the r12 close-out plan: the
-        # CONSERVATIVE EXTRAS whose helpers changed in r11/r12 (not
-        # caught by the mechanical per-module diff) — the r10
-        # streaming rows (ingest.py changed r11, stateful.py r12),
-        "stream_ingest", "stream_join", "win_sliding", "win_session",
-        # the r10 table-layer rows (manifest.py / ice_table.py
-        # changed r12, and the r13 DML-family review touches
-        # ice_table.py again this round),
-        "table_cdc_mor", "table_changelog", "table_incremental",
-        "table_merge", "table_partition_evolution", "table_rollup",
-        "table_time_travel", "zorder_range_scan", "bloom_point_scan",
-        # the r11 dedup family incl. its r10 rows-only members
-        # (dedup.py changed r12: md5 agg key + persisted LSH
-        # signature frames; r13 adds owner-side unpersist),
-        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding", "dedup_clusters", "dedup_simhash",
-        "dedup_embedding_lsh", "dedup_clusters_minhash",
-        # the r11 changed-module rows that would otherwise be FORCED
-        # at r14 (fuzzy.py changed r12 — corpus_fuzzy_admission also
-        # doubles as the r12 perf watch item's re-anchor row;
-        # multimodal/binary_columns.py changed r12: RIFF pad fix),
-        "corpus_fuzzy_admission", "multimodal_meta",
-        "multimodal_features", "multimodal_chunks",
-        # and the 8 non-relational r10 strays, so the ENTIRE r14
-        # forced set collapses to the 20 relational.py r10 rows —
-        # one byte-unchanged module, exactly at the <=20 budget
-        # (simulated via --ages 14 --assume-green-window at reorder).
-        "corpus_clean", "text_ngrams", "corpus_mix_temperature",
-        "split_train_test", "sample_stratified", "udtf_tokenize",
-        "sim_search_lsh", "agg_approx_distinct",
-        # R14 PLAN: 22 forced rows lead — the 20 relational.py r10
-        # rows (one byte-unchanged module) plus text_analysis and
-        # sim_search_ivf, whose module (llm_queries.py) changed in
-        # r13 for the corpus_clean md5 window-key fix. That fix
-        # raises the simulated forced set from the planned 20 to 22
-        # deliberately: the byte-diff rule re-verifying two sibling
-        # rows of a changed module is the discipline working, and
-        # every swap is zero-sum (each current flex row would itself
-        # become r14-forced if dropped — the debt is conserved).
-        # 22 forced + 28 flex is comfortably feasible. CONSERVATIVE
-        # EXTRAS for the ~30 flex slots: the r12 table-layer rows
-        # (schema_evolution/table_cdc/table_clone/table_compact/
-        # table_delete_mor/table_upsert/table_wap/table_merge_mor/
-        # bloom_point_scan_multi — ice_table.py changed r13: DML
-        # review fixes + remove_orphans matcher), the r12 search/
-        # dedup-adjacent rows (corpus_bm25, sim_search,
-        # sim_search_batch — search.py dropna fix r13; dedup.py
-        # persist_site rewiring r13 is covered by the r13 window
-        # itself), join_asof (its helper operators/asof.py changed
-        # r13: struct-carry fix — relational.py itself is
-        # byte-unchanged so the mechanical diff won't force it), and
-        # multimodal_features' r13 row stays fresh
-        # (binary_columns.py encoder hook r13 — windowed this round).
-        # The rest fills oldest-first from the r11 block.
+        # (a) 35 rows the --ages 14 audit FORCES: the 20 relational.py
+        # r10 rows at hard age-4 ...
+        "scan_parquet", "project", "filter_pred", "filter_range",
+        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
+        "scalar_json", "agg_distinct", "agg_rollup", "agg_cube",
+        "agg_grouping_sets", "join_left", "join_right", "join_theta",
+        "sort_limit", "union_all", "set_intersect", "set_except",
+        # ... the 6 r11 relational.py rows (relational.py changed r14:
+        # join_asof NULL-payload augmentation ends its freeze) ...
+        "agg_hash", "join_broadcast", "join_sortmerge", "join_full",
+        "join_semi", "join_anti",
+        # ... join_asof itself (operators/asof.py struct-carry fix r13;
+        # the query now augments a deterministically-NULL right payload
+        # column so DuckDB ASOF value-checks row-wholesale semantics —
+        # r13 VERDICT "What's wrong" #1) ...
+        "join_asof",
+        # ... and the 8 rows the NEW helper-closure rule forces (their
+        # reachable helpers — llm_queries.py, dedup.py, caching.py,
+        # table/* — changed r12/r13 while their defining modules rode):
+        "text_analysis", "sim_search_ivf",
+        "corpus_decontaminate", "corpus_decontaminate_exact",
+        "dedup_minhash_portable", "corpus_quality", "corpus_mix",
+        "join_bucketed",
+        # (b) 15 flex slots, chosen to drain the r15 forced set (the
+        # 26 unwindowed r11 rows — 19 tpch + 7 corpus/spans — are
+        # unconditionally age-4 at r15; these flex picks clear the r12
+        # rows the helper rule would ALSO force then): the 9 r12
+        # table-layer rows (ice_table.py changed r13, under review
+        # again r14),
+        "schema_evolution", "table_cdc", "table_clone", "table_compact",
+        "table_delete_mor", "table_upsert", "table_wap",
+        "table_merge_mor", "bloom_point_scan_multi",
+        # the r12 search/similarity rows (search.py / llm_queries.py
+        # changed r13), dedup_incremental (index_store.py recovery fix
+        # r13), and 2 of the 5 r12 relational.py rows (win_frame,
+        # win_range_frame, topk_per_group lead the r15 window with the
+        # 26 r11 rows),
+        "corpus_bm25", "sim_search", "sim_search_batch",
+        "dedup_incremental", "win_rank", "win_analytic",
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -2154,16 +2154,28 @@ class IceTable:
         # equality-match its old row, so both versions would survive
         # (r13 DML review). Collapse upstream, or use apply_cdc with
         # seq_col for last-writer-wins ordering.
-        self._check_upsert_keys(df, key_cols, "upsert")
-        all_keys = df.select(*key_cols).dropDuplicates(key_cols)
-        if mode == "mor":
-            return self._cdc_mor(all_keys, df, key_cols,
-                                 source_batch_id, source_lineage)
-        return self._merge_cow(
-            all_keys=all_keys,
-            upserts=df, key_cols=key_cols, operation="upsert",
-            source_batch_id=source_batch_id,
-            source_lineage=source_lineage)
+        # The batch is persisted across the validation job and the
+        # write jobs (r13 ADVICE): the check materializes it once and
+        # every downstream pass (key set, merge join, append) reads
+        # the cache instead of recomputing the batch's lineage per job
+        # — the difference between 1× and 3× source cost on the
+        # streaming foreachBatch path. Released before returning.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._check_upsert_keys(df, key_cols, "upsert")
+            all_keys = df.select(*key_cols).dropDuplicates(key_cols)
+            if mode == "mor":
+                return self._cdc_mor(all_keys, df, key_cols,
+                                     source_batch_id, source_lineage)
+            return self._merge_cow(
+                all_keys=all_keys,
+                upserts=df, key_cols=key_cols, operation="upsert",
+                source_batch_id=source_batch_id,
+                source_lineage=source_lineage)
+        finally:
+            df.unpersist()
 
     def overwrite_partitions(self, df: DataFrame,
                              source_batch_id: int | None = None,
@@ -2423,36 +2435,47 @@ class IceTable:
         high-frequency-CDC trade; ``compact()`` materializes the
         accumulated deletes away."""
         strip = [op_col] + ([seq_col] if seq_col else [])
-        if seq_col is not None:
-            from pyspark.sql import Window
+        # Persist the batch across the validation job and the write
+        # jobs (r13 ADVICE; same rationale as upsert): one source
+        # materialization instead of one per job on the foreachBatch
+        # streaming path. Released before returning.
+        from pyspark import StorageLevel
 
-            # NULL keys refused (identifier-field rule, r13 DML
-            # review); duplicates are fine here — seq orders them
-            self._check_upsert_keys(df, key_cols, "CDC",
-                                    check_dupes=False)
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc())
-            latest = (df.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") == 1).drop("_rn"))
-        else:
-            self._check_upsert_keys(df, key_cols, "CDC")
-            latest = df
-        all_keys = latest.select(*key_cols)
-        # null-safe comparison: a NULL op_col row must UPSERT ("every
-        # other row upserts" — the contract above), but `!=` evaluates
-        # NULL for it, so the row's key entered all_keys while the row
-        # itself silently vanished from the upsert set — a silent
-        # delete on malformed input (r13 DML review)
-        upserts = latest.filter(
-            ~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(*strip)
-        if mode == "mor":
-            return self._cdc_mor(all_keys, upserts, key_cols,
-                                 source_batch_id, source_lineage)
-        return self._merge_cow(
-            all_keys=all_keys, upserts=upserts,
-            key_cols=key_cols, operation="cdc",
-            source_batch_id=source_batch_id,
-            source_lineage=source_lineage)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if seq_col is not None:
+                from pyspark.sql import Window
+
+                # NULL keys refused (identifier-field rule, r13 DML
+                # review); duplicates are fine here — seq orders them
+                self._check_upsert_keys(df, key_cols, "CDC",
+                                        check_dupes=False)
+                w = Window.partitionBy(*key_cols).orderBy(
+                    F.col(seq_col).desc())
+                latest = (df.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1).drop("_rn"))
+            else:
+                self._check_upsert_keys(df, key_cols, "CDC")
+                latest = df
+            all_keys = latest.select(*key_cols)
+            # null-safe comparison: a NULL op_col row must UPSERT
+            # ("every other row upserts" — the contract above), but
+            # `!=` evaluates NULL for it, so the row's key entered
+            # all_keys while the row itself silently vanished from the
+            # upsert set — a silent delete on malformed input (r13 DML
+            # review)
+            upserts = latest.filter(
+                ~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(*strip)
+            if mode == "mor":
+                return self._cdc_mor(all_keys, upserts, key_cols,
+                                     source_batch_id, source_lineage)
+            return self._merge_cow(
+                all_keys=all_keys, upserts=upserts,
+                key_cols=key_cols, operation="cdc",
+                source_batch_id=source_batch_id,
+                source_lineage=source_lineage)
+        finally:
+            df.unpersist()
 
     def _cdc_mor(self, all_keys: DataFrame, upserts: DataFrame,
                  key_cols: list[str],

@@ -104,9 +104,221 @@ def _module_unchanged_since(fn, rnd: int) -> bool | None:
     rel = os.path.relpath(path, REPO)
     if rel.startswith(".."):
         return None
-    res = subprocess.run(["git", "diff", "--quiet", commit, "--", rel],
-                         cwd=REPO, capture_output=True)
-    return res.returncode == 0
+    return _file_unchanged(rel, commit)
+
+
+def _file_unchanged(rel: str, commit: str) -> bool:
+    key = (rel, commit)
+    if key not in _FILE_DIFF_CACHE:
+        res = subprocess.run(
+            ["git", "diff", "--quiet", commit, "--", rel],
+            cwd=REPO, capture_output=True)
+        _FILE_DIFF_CACHE[key] = res.returncode == 0
+    return _FILE_DIFF_CACHE[key]
+
+
+_FILE_DIFF_CACHE: dict[tuple[str, str], bool] = {}
+
+# ---------------------------------------------------------------------------
+# Helper-module closure (r13 VERDICT "What's missing" #1): the age-3
+# deferral tier used to diff ONLY the query fn's defining module, so a
+# semantic fix to a helper (operators/asof.py, r13) left join_asof
+# riding unforced on a registry comment. The closure below makes that
+# mechanical: a row may ride to age 3 only if EVERY intra-package
+# module its query function can reach is byte-unchanged since its last
+# green row.
+#
+# Granularity matters: relational.py imports asof.py once for ONE of
+# its 24 queries, and llm_queries.py imports half the package — a
+# whole-module transitive walk would have forced all 24 relational
+# rows for the asof fix (measured r14: 37 spurious forcings). So the
+# FIRST hop is function-granular: parse the defining module's AST,
+# walk the query fn's call closure through same-module defs, and keep
+# only the imported package modules that closure actually references.
+# Beyond the first hop the walk is whole-module transitive (a helper's
+# own helpers all count — cheap and sound). Analysis failures fall
+# back to the whole-module closure of the defining module
+# (over-forcing is sound; riding is not).
+# ---------------------------------------------------------------------------
+
+_PKG = "iceberg_core_spark"
+_AST_CACHE: dict[str, "object | None"] = {}
+_MOD_CLOSURE_CACHE: dict[str, frozenset] = {}
+
+
+def _pkg_module_path(modname: str) -> str | None:
+    """Repo-relative path of an intra-package module, or None."""
+    if not modname.startswith(_PKG):
+        return None
+    p = os.path.join(REPO, modname.replace(".", os.sep) + ".py")
+    if os.path.exists(p):
+        return os.path.relpath(p, REPO)
+    p = os.path.join(REPO, modname.replace(".", os.sep), "__init__.py")
+    if os.path.exists(p):
+        return os.path.relpath(p, REPO)
+    return None
+
+
+def _module_ast(modname: str):
+    import ast
+
+    if modname not in _AST_CACHE:
+        rel = _pkg_module_path(modname)
+        try:
+            with open(os.path.join(REPO, rel)) as f:
+                _AST_CACHE[modname] = ast.parse(f.read())
+        except (TypeError, OSError, SyntaxError):
+            _AST_CACHE[modname] = None
+    return _AST_CACHE[modname]
+
+
+def _imports_of(tree, modname: str) -> set[str]:
+    """Every intra-package module an AST (module or function) imports,
+    resolving relative imports against ``modname`` and treating
+    ``from X import Y`` as importing X.Y when Y is itself a module."""
+    import ast
+
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    out.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            base = node.module or ""
+            if node.level:
+                parts = modname.split(".")
+                parts = parts[: len(parts) - node.level]
+                base = ".".join(parts + ([node.module] if node.module
+                                         else []))
+            if not base.startswith(_PKG):
+                continue
+            out.add(base)
+            for a in node.names:
+                sub = f"{base}.{a.name}"
+                if _pkg_module_path(sub):
+                    out.add(sub)
+    return out
+
+
+def _module_import_closure(modname: str) -> frozenset:
+    """Whole-module transitive intra-package import closure, incl. self."""
+    if modname in _MOD_CLOSURE_CACHE:
+        return _MOD_CLOSURE_CACHE[modname]
+    seen: set[str] = set()
+    stack = [modname]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        tree = _module_ast(m)
+        if tree is not None:
+            stack.extend(_imports_of(tree, m))
+    closure = frozenset(seen)
+    _MOD_CLOSURE_CACHE[modname] = closure
+    return closure
+
+
+def _fn_direct_helpers(fn) -> set[str] | None:
+    """First-hop, function-granular: the intra-package modules the query
+    fn's call closure (through same-module top-level defs and
+    assignments it references) actually touches. None if the analysis
+    can't run (lambda, missing def, unparseable module)."""
+    import ast
+
+    modname = getattr(fn, "__module__", "") or ""
+    if not modname.startswith(_PKG):
+        return None
+    tree = _module_ast(modname)
+    if tree is None:
+        return None
+    # module-level binding tables
+    name_to_mod: dict[str, str] = {}   # imported name -> package module
+    local: dict[str, object] = {}      # top-level def/assign -> node
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    # `import pkg.x.y [as z]` binds z or the ROOT name;
+                    # map both conservatively to the full module
+                    bound = a.asname or a.name.split(".")[0]
+                    name_to_mod[bound] = a.name
+        elif isinstance(node, ast.ImportFrom):
+            mods = _imports_of(node, modname)
+            base = next((m for m in sorted(mods, key=len)), None)
+            if base is None:
+                continue
+            for a in node.names:
+                sub = f"{base}.{a.name}"
+                name_to_mod[a.asname or a.name] = (
+                    sub if sub in mods else base)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                               ast.ClassDef)):
+            local[node.name] = node
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    local[t.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name):
+            local[node.target.id] = node
+    fn_name = getattr(fn, "__name__", None)
+    root = local.get(fn_name)
+    if not isinstance(root, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return None
+    helpers: set[str] = set()
+    seen_local: set[str] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        helpers |= _imports_of(node, modname)  # fn-body imports too
+        for sub in ast.walk(node):
+            if not isinstance(sub, ast.Name):
+                continue
+            name = sub.id
+            if name in name_to_mod:
+                helpers.add(name_to_mod[name])
+            elif name in local and name not in seen_local:
+                seen_local.add(name)
+                stack.append(local[name])
+    return helpers
+
+
+def _helper_closure_files(fn) -> list[str] | None:
+    """Repo-relative paths of every intra-package module the query fn
+    can reach: its defining module + the whole-module transitive
+    closure of each first-hop helper. Falls back to the defining
+    module's whole-module closure when fn-level analysis fails; None
+    only when even the defining module is unresolvable."""
+    modname = getattr(fn, "__module__", "") or ""
+    if _pkg_module_path(modname) is None:
+        return None
+    direct = _fn_direct_helpers(fn)
+    if direct is None:
+        mods = set(_module_import_closure(modname))
+    else:
+        mods = {modname}
+        for h in direct:
+            mods |= _module_import_closure(h)
+    rels = [_pkg_module_path(m) for m in sorted(mods)]
+    return [r for r in rels if r is not None]
+
+
+def _helpers_unchanged_since(fn, rnd: int) -> tuple[bool | None, list[str]]:
+    """(verdict, changed_files): True only if the defining module AND
+    every reachable helper module are byte-identical between round
+    ``rnd``'s artifact commit and HEAD. None when unanswerable."""
+    commit = _round_commit(rnd)
+    if commit is None:
+        return None, []
+    files = _helper_closure_files(fn)
+    if files is None:
+        # no package module — fall back to the single-file check
+        single = _module_unchanged_since(fn, rnd)
+        return single, []
+    changed = [rel for rel in files if not _file_unchanged(rel, commit)]
+    return not changed, changed
 
 
 def audit_ages(next_round: int | None = None,
@@ -196,16 +408,24 @@ def audit_ages(next_round: int | None = None,
                           f"(age {age} in r{nr} > {MAX_AGE_UNCHANGED}) "
                           f"and the query is not in the window")
         elif age > MAX_AGE and name not in window:
-            # the extended tier: legal ONLY for byte-unchanged modules
-            unchanged = _module_unchanged_since(queries[name][0], rnd)
+            # the extended tier: legal ONLY if the defining module AND
+            # every helper module the query fn can reach are
+            # byte-unchanged (r13 VERDICT #3 — the asof.py fix proved
+            # a defining-module-only diff lets rows ride past helper
+            # fixes)
+            unchanged, changed_files = _helpers_unchanged_since(
+                queries[name][0], rnd)
             if unchanged is True:
                 print(f"  DEFERRED {name}: r{rnd} row rides at age "
-                      f"{age} (module byte-unchanged since r{rnd}); "
+                      f"{age} (module+helpers byte-unchanged since "
+                      f"r{rnd}); "
                       f"must re-window by r{rnd + MAX_AGE_UNCHANGED + 1}")
             elif unchanged is False:
+                what = (f"helper(s) {', '.join(changed_files)}"
+                        if changed_files else "its module")
                 errors.append(
                     f"{name}: latest green row is r{rnd} (age {age} in "
-                    f"r{nr} > {MAX_AGE}) and its module CHANGED since "
+                    f"r{nr} > {MAX_AGE}) and {what} CHANGED since "
                     f"r{rnd} — changed modules re-window immediately")
             else:
                 errors.append(

@@ -212,3 +212,33 @@ def test_default_encoder_detects_model_libs(spark, docs_bin):
     enc = default_encoder(dim=4)
     out = decode_and_featurize(docs_bin, encoder=enc)
     assert all(len(r.features) == 4 for r in out.collect())
+
+
+def test_encoder_output_index_is_normalized(spark, docs_bin):
+    """r13 ADVICE: an encoder returning a freshly-built Series (its own
+    RangeIndex) must still align row-for-row with the batch — without
+    index normalization, pandas aligns by label during output-frame
+    assembly and features silently go NaN for any non-matching index."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_core_spark.multimodal import decode_and_featurize
+
+    def shifted_index_model(payloads: pd.Series) -> pd.Series:
+        vals = [
+            [float(np.frombuffer(bytes(p), dtype=np.uint8).mean())]
+            for p in payloads
+        ]
+        # adversarial index: disjoint from any batch RangeIndex
+        return pd.Series(vals, index=range(10_000, 10_000 + len(vals)))
+
+    out = decode_and_featurize(docs_bin, encoder=shifted_index_model)
+    rows = out.collect()
+    assert rows and all(
+        r.features is not None and len(r.features) == 1
+        and r.features[0] is not None for r in rows)
+    # and the values line up with a driver-side run of the same model
+    one = docs_bin.limit(1).collect()[0]
+    expected = shifted_index_model(pd.Series([one.payload])).iloc[0]
+    got = {r.doc_id: r.features for r in rows}[one.doc_id]
+    assert [float(x) for x in got] == [float(x) for x in expected]

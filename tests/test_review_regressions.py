@@ -476,3 +476,25 @@ def test_udaf_group_stats_null_values_match_sql_semantics(spark):
         udfs.load_table = orig
     assert out["a"] == (2, 125, 2)   # NULL skipped, rows still counted
     assert out["b"] == (1, None, 3)  # all-NULL group sums to NULL
+
+
+def test_persist_site_repersists_after_external_eviction(spark, sf_dir):
+    """r13 ADVICE: a same-input re-invocation must NOT hand back a
+    frame whose cache entry the caller evicted behind the site's back
+    (spark.catalog.clearCache() / manual unpersist) — the site has to
+    notice the NONE storage level and re-persist, or the optimization
+    is silently lost forever for that input."""
+    from iceberg_core_spark.caching import persist_site, release_caches
+    from iceberg_core_spark.session import load_table
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = persist_site("__test_evict", docs)
+    a.count()
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    a.unpersist(blocking=True)  # external eviction, site not told
+    b = persist_site("__test_evict", docs)
+    b.count()
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk, \
+        "site returned an evicted frame instead of re-persisting"
+    release_caches()

@@ -73,29 +73,30 @@ def test_module_unchanged_check_true_and_false():
     import pytest
 
     vw = _vw()
-    # relational.py is byte-unchanged since round 6 as of r9 (the
-    # basis of the five deferred rows); if a LATER round legitimately
-    # edits it, skip rather than freeze that fact — the False case
-    # below stays valid forever
-    from iceberg_core_spark.operators.relational import QUERIES as REL
+    # tpch.py is byte-unchanged since round 11 as of r14 (the basis of
+    # its 17 deferred rows); if a LATER round legitimately edits it,
+    # skip rather than freeze that fact — the False case below stays
+    # valid forever. (The original True case, relational.py since r6,
+    # ended when the r14 join_asof NULL-payload augmentation edited it.)
+    from iceberg_core_spark.operators.tpch import QUERIES as TPCH
 
-    fn = REL["sort_limit"][0]
+    fn = TPCH["tpch_q1"][0]
     rel_path = os.path.join("iceberg_core_spark", "operators",
-                            "relational.py")
-    c6 = vw._round_commit(6)
-    if c6 is None:
-        pytest.skip("round-6 artifact commit unresolvable "
+                            "tpch.py")
+    c11 = vw._round_commit(11)
+    if c11 is None:
+        pytest.skip("round-11 artifact commit unresolvable "
                     "(shallow clone?)")
     # INDEPENDENT byte-level oracle (git show + file read), not the
     # git-diff call the implementation itself makes
-    blob = subprocess.run(["git", "show", f"{c6}:{rel_path}"],
+    blob = subprocess.run(["git", "show", f"{c11}:{rel_path}"],
                           cwd=REPO, capture_output=True).stdout
     with open(os.path.join(REPO, rel_path), "rb") as f:
         still_same = f.read() == blob
     if not still_same:
-        pytest.skip("relational.py edited after r9 — pick a new "
+        pytest.skip("tpch.py edited after r11 — pick a new "
                     "byte-unchanged module for the True case")
-    assert vw._module_unchanged_since(fn, 6) is True
+    assert vw._module_unchanged_since(fn, 11) is True
     # ... while search.py changed after round 8 (the r9 pre-top-k):
     # a row from r8 could NOT ride the extended tier
     from iceberg_core_spark.functions.search import QUERIES as SEARCH
@@ -155,3 +156,65 @@ def test_module_check_unanswerable_is_none():
     # a builtin has no source file — the audit must treat the check
     # as unanswerable (None → hard error path), never as unchanged
     assert vw._module_unchanged_since(len, 6) is None
+
+
+def test_helper_closure_function_granular():
+    """r13 VERDICT #3: the deferral tier must diff the query fn's
+    REACHABLE helpers, not just its defining module — and at function
+    granularity, so one query's helper doesn't force its 23 module
+    siblings. The proof case is the r13 asof.py fix: join_asof must
+    reach operators/asof.py; scan_parquet (same module) must not."""
+    vw = _vw()
+    from iceberg_core_spark.operators.relational import QUERIES as REL
+
+    asof_files = vw._helper_closure_files(REL["join_asof"][0])
+    scan_files = vw._helper_closure_files(REL["scan_parquet"][0])
+    asof_rel = os.path.join("iceberg_core_spark", "operators", "asof.py")
+    rel_rel = os.path.join("iceberg_core_spark", "operators",
+                           "relational.py")
+    assert asof_rel in asof_files
+    assert rel_rel in asof_files  # defining module always included
+    assert asof_rel not in scan_files
+    assert rel_rel in scan_files
+
+
+def test_helpers_unchanged_reports_changed_helper(monkeypatch):
+    """Synthetic helper-change case (r13 VERDICT #3 'Done' criterion):
+    when a reachable helper file diffs against the round commit, the
+    deferral check must answer False and NAME the helper — regardless
+    of the defining module being byte-frozen."""
+    vw = _vw()
+    from iceberg_core_spark.operators.relational import QUERIES as REL
+
+    fn = REL["join_asof"][0]
+    asof_rel = os.path.join("iceberg_core_spark", "operators", "asof.py")
+    rnd = 6
+    if vw._round_commit(rnd) is None:
+        import pytest
+        pytest.skip("round-6 artifact commit unresolvable")
+    monkeypatch.setattr(
+        vw, "_file_unchanged", lambda rel, commit: rel != asof_rel)
+    ok, changed = vw._helpers_unchanged_since(fn, rnd)
+    assert ok is False
+    assert changed == [asof_rel]
+    # and with every file reported unchanged, the row may ride
+    monkeypatch.setattr(vw, "_file_unchanged", lambda rel, commit: True)
+    ok, changed = vw._helpers_unchanged_since(fn, rnd)
+    assert ok is True and changed == []
+
+
+def test_helper_closure_fallback_is_conservative():
+    """Analysis failures must fall back toward OVER-forcing: a fn with
+    no findable top-level def gets the defining module's whole-module
+    closure; a non-package fn yields None (unanswerable -> hard error
+    path in the audit, never a free ride)."""
+    vw = _vw()
+    import iceberg_core_spark.operators.relational as rel_mod
+
+    lam = eval("lambda spark, sf: None", vars(rel_mod))
+    lam.__module__ = "iceberg_core_spark.operators.relational"
+    assert vw._fn_direct_helpers(lam) is None
+    files = vw._helper_closure_files(lam)
+    asof_rel = os.path.join("iceberg_core_spark", "operators", "asof.py")
+    assert asof_rel in files  # whole-module closure: asof.py included
+    assert vw._helper_closure_files(len) is None
