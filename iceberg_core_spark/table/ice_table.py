@@ -1418,6 +1418,33 @@ class IceTable:
                 "before registering a bucketed view (the catalog scan "
                 "cannot apply predicates)"
             )
+        schema = StructType.fromJson(
+            __import__("json").loads(snap.schema_json))
+        # The catalog scan reads raw files BY CURRENT NAME — it cannot
+        # resolve the rename alias chain _read_files applies, so a file
+        # written before a rename would silently read NULL for the
+        # renamed column. Refuse while any file predates a rename that
+        # feeds a current column (f.seq <= the rename's recorded parent
+        # snapshot id; entries without the r14 "seq" stamp are treated
+        # as predated — conservative). compact(min_files=1) rewrites
+        # every file under current names and clears the condition.
+        current = {f.name for f in schema.fields}
+        chains = _fold_chains(snap.renames)
+        live_retired = {o for k, olds in chains.items()
+                        if k in current for o in olds}
+        relevant = [r for r in snap.renames if r["from"] in live_retired]
+        if relevant:
+            seqs = [r.get("seq") for r in relevant]
+            bound = (None if any(s is None for s in seqs)
+                     else max(seqs))
+            if bound is None or any(f.seq <= bound for f in snap.files):
+                raise ValueError(
+                    "snapshot holds files written before a column "
+                    "rename; the bucketed catalog scan reads raw files "
+                    "by current name and would return NULL for the "
+                    "renamed column on those files — compact("
+                    "min_files=1) to rewrite them first"
+                )
         linkdir = os.path.join(
             self.root, "_bucketed", f"v{snap.snapshot_id}"
         )
@@ -1426,8 +1453,6 @@ class IceTable:
             dst = os.path.join(linkdir, os.path.basename(f.path))
             if not os.path.exists(dst):
                 os.link(os.path.join(self.root, f.path), dst)
-        schema = StructType.fromJson(
-            __import__("json").loads(snap.schema_json))
         cols_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
@@ -1448,19 +1473,24 @@ class IceTable:
         "process new documents since the last run") reads instead of
         re-scanning the table.
 
-        Added = set difference of the two snapshots' file lists by
-        path, so it is exact for every operation type; for
-        sidecar-backed snapshots the difference runs as a DataFrame
-        anti-join over the two sidecars, and only (path, seq) PAIRS —
-        never per-file entries — reach the driver: the reader needs
-        paths, MoR scoping needs seq, nothing needs stats. A backfill
-        commit adding 100k files costs 100k short strings, not 100k
-        parsed JSON entries. Note rows REWRITTEN by compact/upsert/
-        delete re-emit (their files are new); on append-only ingest,
-        the common case, the feed is exactly-once. MoR delete
-        predicates of the ``until`` snapshot apply."""
+        Added = set difference of the two snapshots' VISIBLE file
+        lists by path (a file staged on an audit branch at ``since``
+        keeps its path across stage→publish, so visibility — not path
+        presence — is what the main-view consumer tracks: rows
+        published inside the window surface as added; r14 review).
+        For sidecar-backed snapshots the difference runs as a
+        DataFrame anti-join over the two sidecars, and only
+        (path, seq) PAIRS — never per-file entries — reach the
+        driver: the reader needs paths, MoR scoping needs seq,
+        nothing needs stats. A backfill commit adding 100k files
+        costs 100k short strings, not 100k parsed JSON entries. Note
+        rows REWRITTEN by compact/upsert/delete re-emit (their files
+        are new); on append-only ingest, the common case, the feed is
+        exactly-once. MoR delete predicates of the ``until`` snapshot
+        apply."""
         cur = self.manifest.load(until, load_files=False)
         base = self.manifest.load(since, load_files=False)
+        base_hidden = _hidden_seqs(base, None)
 
         if cur.files_ref or base.files_ref:
             def side(snap):
@@ -1473,8 +1503,15 @@ class IceTable:
                     rows or [("", 0)], "path string, seq long"
                 ).filter(F.col("path") != "")
 
+            base_df = side(base)
+            if base_hidden:
+                # hidden-at-since files are not part of the consumer's
+                # since-view; leaving them in the base side would
+                # suppress their publish
+                base_df = base_df.filter(
+                    ~F.col("seq").isin(*[int(x) for x in base_hidden]))
             added_df = side(cur).join(
-                side(base).select("path"), "path", "left_anti")
+                base_df.select("path"), "path", "left_anti")
             added = [
                 ManifestFile(path=r.path, partition=None, key_min=None,
                              key_max=None, rows=0, bytes=0, content_hash="",
@@ -1482,7 +1519,8 @@ class IceTable:
                 for r in added_df.collect()
             ]
         else:
-            base_paths = {f.path for f in base.files}
+            base_paths = {f.path for f in base.files
+                          if f.seq not in base_hidden}
             added = [f for f in cur.files if f.path not in base_paths]
         return self._read_with_deletes(added, cur, until)
 
@@ -1703,9 +1741,12 @@ class IceTable:
         without reading a single data byte. The ops view for "what did
         last night's ingest/compaction actually do to partition X".
 
-        Added = paths in ``until`` absent from ``since``; removed =
-        the reverse — exact for every operation type (a CoW rewrite
-        shows up as adds + removes in the touched partitions).
+        Added = VISIBLE paths in ``until`` absent from ``since``'s
+        visible set; removed = the reverse — exact for every operation
+        type (a CoW rewrite shows up as adds + removes in the touched
+        partitions, and a WAP publish inside the window shows up as
+        adds, matching scan_incremental's row feed — staged-invisible
+        files don't count until published; r14 review).
         Sidecar-backed snapshots diff as DataFrame anti-joins over the
         two sidecar parquets (nothing materializes on the driver);
         inline lists are small by definition. Partition values are
@@ -1722,10 +1763,14 @@ class IceTable:
         base = self.manifest.load(since, load_files=False)
 
         def side(snap) -> DataFrame:
+            hid = _hidden_seqs(snap, None)
             if snap.files_ref:
-                return self.spark.read.parquet(
-                    self.manifest.sidecar_path(snap.files_ref)
-                ).select(
+                mdf = self.spark.read.parquet(
+                    self.manifest.sidecar_path(snap.files_ref))
+                if hid:
+                    mdf = mdf.filter(
+                        ~F.col("seq").isin(*[int(x) for x in hid]))
+                return mdf.select(
                     "path",
                     F.col("partition_n").cast("string").alias("partition"),
                     "rows", "bytes",
@@ -1744,7 +1789,7 @@ class IceTable:
                 (f.path,
                  None if f.partition is None else pstr(f.partition),
                  int(f.rows), int(f.bytes))
-                for f in full.files
+                for f in full.files if f.seq not in hid
             ]
             return self.spark.createDataFrame(
                 data, "path string, partition string, rows long, bytes long"
@@ -3174,7 +3219,13 @@ class IceTable:
                 schema_json=new_schema.json(),
                 stat_cols=[new if c == old else c for c in snap.stat_cols],
                 zorder_by=[new if c == old else c for c in snap.zorder_by],
-                renames=snap.renames + [{"from": old, "to": new}],
+                # "seq" = the parent snapshot id at rename time: a data
+                # file with f.seq <= it predates the rename (physical
+                # bytes under the old name) — what raw-file readers
+                # (as_bucketed_table) must check, since they bypass the
+                # coalesce alias chain (r14 review)
+                renames=snap.renames + [
+                    {"from": old, "to": new, "seq": snap.snapshot_id}],
             )
             try:
                 self.manifest.commit(new_snap)
@@ -3476,10 +3527,24 @@ class IceTable:
                 .alias("content_hash"),
                 F.col("seq"),
             )
+        from iceberg_core_spark.table.manifest import _norm_stat
+
+        def pstr(v):
+            # the sidecar branch stringifies the NORMALIZED stat
+            # encoding (epoch micros for timestamps, 'true'/'false'
+            # booleans); the inline branch must match or a table
+            # crossing the inline→sidecar threshold changes its
+            # files_df encoding mid-history (same rule diff_stats
+            # pins; r14 review)
+            if v is None:
+                return None
+            n = _norm_stat(v)
+            if isinstance(n, bool):
+                return "true" if n else "false"
+            return str(n)
+
         rows = [
-            (f.path, str(f.partition) if f.partition is not None else None,
-             str(f.key_min) if f.key_min is not None else None,
-             str(f.key_max) if f.key_max is not None else None,
+            (f.path, pstr(f.partition), pstr(f.key_min), pstr(f.key_max),
              f.rows, f.bytes, f.content_hash, f.seq)
             for f in snap.files
         ]

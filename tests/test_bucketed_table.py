@@ -103,3 +103,25 @@ def test_expire_removes_bucketed_link_dirs(spark, tmp_path):
     assert os.path.isdir(linkdir)
     assert t.expire_snapshots(keep_last=1) == [0]
     assert not os.path.exists(linkdir)  # inodes released with the files
+
+
+def test_bucketed_refuses_pre_rename_files_until_compact(spark, tmp_path):
+    """r14 review: the bucketed catalog scan reads raw files by CURRENT
+    column name (no alias-chain coalesce), so a file written before a
+    rename would silently read NULL for the renamed column.
+    Registration must refuse while such files exist, and succeed —
+    with correct values — once compact(min_files=1) rewrites them."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = IceTable.create(spark, root, df, partition_col=None,
+                        key_col=None, bucket_by=("k", 4))
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="before a column rename"):
+        t.as_bucketed_table("b_rename_guard")
+    t.compact(min_files=1)
+    name = t.as_bucketed_table("b_rename_guard")
+    got = spark.sql(
+        f"SELECT sum(val) AS sv, count(*) AS c FROM {name}").collect()[0]
+    assert (got.sv, got.c) == (9900, 100)
+    spark.sql(f"DROP TABLE {name}")

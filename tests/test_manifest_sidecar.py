@@ -431,3 +431,34 @@ def test_snapshot_total_bytes_projected_no_entry_parse(
     assert isnap.files_ref is None
     assert small.manifest.snapshot_total_bytes(isnap) == \
         sum(f.bytes for f in isnap.files)
+
+
+def test_files_df_encoding_stable_across_inline_sidecar(spark, tmp_path,
+                                                        monkeypatch):
+    """r14 review: files_df must stringify partition/key stats in the
+    NORMALIZED sidecar encoding on BOTH branches — a table crossing the
+    inline→sidecar threshold must not change its files_df encoding
+    mid-history (timestamp partitions: epoch micros, not str(datetime);
+    the rule diff_stats already pins)."""
+    import datetime
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, d), i)
+         for d in (1, 2) for i in range(4)],
+        "ts timestamp, v int")
+    t = IceTable.create(spark, root, df, partition_col="ts",
+                        key_col="v", max_rows_per_file=2)
+    inline_parts = {r.partition for r in t.files_df().collect()}
+    monkeypatch.setattr(Manifest, "inline_max", 1)
+    t.append(spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 3), 9)], "ts timestamp, v int"))
+    snap = t.manifest.load(load_files=False)
+    assert snap.files_ref, "append should have crossed to sidecar"
+    sidecar_parts = {r.partition for r in t.files_df().collect()}
+    # the pre-existing partitions must keep their encoding byte-for-byte
+    assert inline_parts <= sidecar_parts
+    # and every value is the normalized integer encoding, not
+    # str(datetime) ('2024-01-01 00:00:00')
+    assert all(p.lstrip("-").isdigit() for p in sidecar_parts)
+    assert all(p.lstrip("-").isdigit() for p in inline_parts)

@@ -481,3 +481,68 @@ def test_rollup_prunes_superseded_versions(spark, tmp_path):
     assert vers == [f"v={cur - 1}", f"v={cur}"]
     got = {r.g: (r.row_count, int(r.sum_v)) for r in ru.read().collect()}
     assert got == {"a": (1, 10), "b": (3, 15)}
+
+
+def test_scan_incremental_surfaces_wap_publish(spark, tmp_path):
+    """r14 review: a file staged on an audit branch keeps its PATH
+    across stage→publish, so a path-presence diff would report nothing
+    when the publish lands inside the (since, until] window — the
+    main-view consumer must see the published rows as added. Both the
+    row feed (scan_incremental) and its metadata companion
+    (diff_stats) diff VISIBLE sets."""
+    root = str(tmp_path / "t")
+    t = IceTable.create(
+        spark, root,
+        spark.range(0, 10).withColumnRenamed("id", "k"),
+        partition_col=None, key_col="k")
+    t.append(spark.range(100, 110).withColumnRenamed("id", "k"),
+             branch="audit")
+    since = t.manifest.load(load_files=False).snapshot_id
+    assert t.scan().count() == 10  # staged rows hidden on main
+    t.publish_branch("audit")
+    until = t.manifest.load(load_files=False).snapshot_id
+
+    inc = t.scan_incremental(since=since, until=until)
+    assert inc.count() == 10
+    assert {r.k for r in inc.collect()} == set(range(100, 110))
+
+    stats = {r.partition: r for r in
+             t.diff_stats(since=since, until=until).collect()}
+    assert sum(r.rows_added for r in stats.values()) == 10
+    assert sum(r.rows_removed for r in stats.values()) == 0
+
+    # and a branch staged across the WHOLE window stays invisible
+    t.append(spark.range(200, 205).withColumnRenamed("id", "k"),
+             branch="audit2")
+    later = t.manifest.load(load_files=False).snapshot_id
+    inc2 = t.scan_incremental(since=since, until=later)
+    assert {r.k for r in inc2.collect()} == set(range(100, 110))
+    stats2 = t.diff_stats(since=since, until=later).collect()
+    assert sum(r.rows_added for r in stats2) == 10
+
+
+def test_scan_incremental_wap_publish_sidecar_backed(spark, tmp_path,
+                                                     monkeypatch):
+    """Same WAP-publish visibility property on the SIDECAR-backed
+    diff path (DataFrame anti-join over the files parquets), which is
+    separate code from the inline list diff."""
+    from iceberg_core_spark.table.manifest import Manifest
+
+    monkeypatch.setattr(Manifest, "inline_max", 2)
+    root = str(tmp_path / "t")
+    t = IceTable.create(
+        spark, root,
+        spark.range(0, 12).withColumnRenamed("id", "k"),
+        partition_col=None, key_col="k", max_rows_per_file=4)
+    t.append(spark.range(100, 108).withColumnRenamed("id", "k"),
+             branch="audit", max_rows_per_file=4)
+    since = t.manifest.load(load_files=False).snapshot_id
+    assert t.manifest.load(since, load_files=False).files_ref
+    t.publish_branch("audit")
+    until = t.manifest.load(load_files=False).snapshot_id
+
+    inc = t.scan_incremental(since=since, until=until)
+    assert {r.k for r in inc.collect()} == set(range(100, 108))
+    stats = t.diff_stats(since=since, until=until).collect()
+    assert sum(r.rows_added for r in stats) == 8
+    assert sum(r.rows_removed for r in stats) == 0
