@@ -198,6 +198,24 @@ def main() -> None:
     # whichever single query it lands on.
     import statistics
 
+    # HOST-MODE SENTINEL (r13 verdict task 6): a fixed-size pure-JVM
+    # computation — no IO, no data dependence, whole-stage codegen —
+    # timed once before the cold pass and once per warm pass. On an
+    # idle host its warm median is a constant of the machine; under
+    # the recurring driver-side host-interference mode every sample
+    # inflates with the same factor the real queries suffer. The
+    # ratio sentinel_warm_median / its pinned idle anchor
+    # (BASELINE.md r14 addendum) machine-reads the host mode straight
+    # out of the JSON — no more forensic cold-vs-warm inversion
+    # arguments. Excluded from every headline total.
+    def _sentinel() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 64).selectExpr(
+            "sum(id * 2 + 1) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    sentinel = [_sentinel()]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
@@ -206,6 +224,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     for _pass in range(3):
+        sentinel.append(_sentinel())
         for name in HEADLINE:
             fn, _sql = queries[name]
             t0 = time.perf_counter()
@@ -214,6 +233,8 @@ def main() -> None:
     warm = {name: round(r[0], 3) for name, r in runs.items()}
     warm_median = {name: round(statistics.median(r), 3)
                    for name, r in runs.items()}
+    sentinel_cold = round(sentinel[0], 3)
+    sentinel_wm = round(statistics.median(sentinel[1:]), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 bytes of output (the r6
@@ -232,6 +253,8 @@ def main() -> None:
         "queries_warm_median": warm_median,
         "sf": sf,
         "prep_sec": prep_sec,
+        "sentinel_cold": sentinel_cold,
+        "sentinel_warm_median": sentinel_wm,
     })
     if len(line) > 1950:  # keep the whole line inside the capture:
         # drop the warm-median per-query breakdown next (totals stay)
@@ -244,6 +267,8 @@ def main() -> None:
             "value_warm_median": round(sum(warm_median.values()), 3),
             "sf": sf,
             "prep_sec": prep_sec,
+            "sentinel_cold": sentinel_cold,
+            "sentinel_warm_median": sentinel_wm,
         })
     print(line)
 
