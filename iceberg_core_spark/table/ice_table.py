@@ -269,7 +269,8 @@ def _cast_partition_string(raw: str, dtype) -> Any:
 
 def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
                         key_col: str | None,
-                        stat_cols: tuple[str, ...]) -> list[dict]:
+                        stat_cols: tuple[str, ...],
+                        with_schema: bool = False) -> list[dict]:
     """Per-file commit stats (footer min/max, row count, sha256) computed
     IN SPARK TASKS via mapInPandas over the file list — the driver never
     re-reads written bytes, so commit preparation scales with the cluster
@@ -281,6 +282,13 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
 
     Returns one dict per file: {path, rows, bytes, content_hash,
     key_min, key_max, col_stats} (decoded, driver-side types).
+    ``with_schema=True`` adds ``schema_fp``, a canonical
+    "name:arrow_type" fingerprint of each file's footer schema — the
+    add_files migration path validates EVERY file with it (a
+    first-file-only check let later mismatched files silently read
+    NULL columns; r14 review). Off by default: ordinary commits write
+    all files from one frame, so their schemas cannot diverge and the
+    extra footer parse would be waste.
     """
     if not rel_paths:
         return []
@@ -302,6 +310,13 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
                 rows, kmin, kmax, _pv, cstats = _file_stats(
                     ap, key_col, None, cols
                 )
+                fp = ""
+                if with_schema:
+                    import pyarrow.parquet as _pq
+
+                    fp = ";".join(
+                        f"{f.name}:{f.type}"
+                        for f in _pq.ParquetFile(ap).schema_arrow)
                 h = hashlib.sha256()
                 with open(ap, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):
@@ -311,6 +326,7 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
                     "rows": rows,
                     "bytes": _os.path.getsize(ap),
                     "content_hash": h.hexdigest(),
+                    "schema_fp": fp,
                     "stats_json": _json.dumps({
                         "key_min": _encode_key(kmin),
                         "key_max": _encode_key(kmax),
@@ -323,7 +339,7 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
             yield _pd.DataFrame(
                 out,
                 columns=["path", "rows", "bytes", "content_hash",
-                         "stats_json"],
+                         "schema_fp", "stats_json"],
             )
 
     import json as _json
@@ -335,7 +351,7 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
         .mapInPandas(
             task,
             "path string, rows long, bytes long, content_hash string, "
-            "stats_json string",
+            "schema_fp string, stats_json string",
         )
         .collect()
     )
@@ -347,6 +363,7 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
             "rows": r.rows,
             "bytes": r.bytes,
             "content_hash": r.content_hash,
+            "schema_fp": r.schema_fp,
             "key_min": _decode_key(st["key_min"]),
             "key_max": _decode_key(st["key_max"]),
             "col_stats": {
@@ -1979,7 +1996,23 @@ class IceTable:
                 f"add_files schema mismatch: files have {have}, "
                 f"table has {want}")
         stats = _collect_file_stats(self.spark, self.root, rel_paths,
-                                    snap.key_col, tuple(snap.stat_cols))
+                                    snap.key_col, tuple(snap.stat_cols),
+                                    with_schema=True)
+        # EVERY file's footer must match the first (which the check
+        # above pinned to the table schema): a first-file-only check
+        # let a mixed-schema migration register files whose missing
+        # columns silently read as NULL (r14 review). The fingerprints
+        # ride the same distributed stats pass — no extra job.
+        ref_fp = next((st["schema_fp"] for st in stats
+                       if st["path"] == rel_paths[0]), None)
+        bad = sorted(st["path"] for st in stats
+                     if st["schema_fp"] != ref_fp)
+        if bad:
+            shutil.rmtree(dest_dir, ignore_errors=True)
+            raise ValueError(
+                f"add_files schema mismatch: {len(bad)} file(s) differ "
+                f"from {paths[0]!r}'s footer schema (first: {bad[0]!r}); "
+                "all files in one migration must share one schema")
         new_files = [
             ManifestFile(
                 path=st["path"], partition=part_vals.get(st["path"]),

@@ -364,3 +364,37 @@ def test_history_df_metadata_table(spark, tmp_path):
     assert h[1].staged is not None and "audit" in h[1].staged
     assert h[2].staged is None
     assert h[0].parent_id is None and h[2].parent_id == 1
+
+
+def test_add_files_rejects_mixed_schema_batch(spark, tmp_path):
+    """r14 review: add_files validated only the FIRST file's footer, so
+    a mixed-schema migration registered later files whose missing
+    columns silently read as NULL. Every file's footer fingerprint is
+    now checked; the whole batch is refused and no file registers."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = IceTable.create(
+        spark, root,
+        spark.range(0, 5).selectExpr("id as k", "id * 2 as v"),
+        partition_col=None, key_col="k")
+    ok_dir = str(tmp_path / "ok")
+    bad_dir = str(tmp_path / "bad")
+    spark.range(10, 15).selectExpr("id as k", "id * 2 as v") \
+        .coalesce(1).write.parquet(ok_dir)
+    spark.range(20, 25).selectExpr("id as k") \
+        .coalesce(1).write.parquet(bad_dir)  # missing column v
+
+    def parts(d):
+        return sorted(
+            os.path.join(dp, n) for dp, _x, ns in os.walk(d)
+            for n in ns if n.endswith(".parquet"))
+
+    before = t.file_count()
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.add_files(parts(ok_dir) + parts(bad_dir))
+    assert t.file_count() == before  # nothing registered
+    assert t.scan().count() == 5
+    # and a clean batch still registers
+    t.add_files(parts(ok_dir))
+    assert t.scan().count() == 10
