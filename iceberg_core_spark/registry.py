@@ -141,6 +141,20 @@ def all_queries() -> dict[str, Entry]:
         # 26 r11 rows),
         "corpus_bm25", "sim_search", "sim_search_batch",
         "dedup_incremental", "win_rank", "win_analytic",
+        # R15 PLAN (live `--ages 15 --assume-green-window` at r14
+        # close): 34 forced — the 19 unwindowed r11 tpch rows + 7
+        # r11 corpus/spans rows (packing/quality/assembly/dedup_spans
+        # helpers changed r13/r14) + win_frame/win_range_frame/
+        # topk_per_group/array_hof (relational/relational_ext r12
+        # rows; relational.py changed r14) + win_tumbling/stream_dedup/
+        # udf_scalar/udaf_group_stats (streaming/udfs helpers changed
+        # r13) — leaving 16 flex. Conservative flex picks: the r13
+        # table-layer rows whose helper ice_table.py changed r14
+        # (table_cdc_mor, table_changelog, table_incremental,
+        # table_merge, table_partition_evolution, table_rollup,
+        # table_time_travel, zorder_range_scan, bloom_point_scan,
+        # stream_ingest) — they hit age 3 with changed helpers at r16
+        # anyway, so windowing them at r15 zeroes that debt.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
