@@ -515,3 +515,60 @@ def test_range_join_matches_bruteforce_model(spark, points, spans, width):
         for p in points
         for i, (lo, ln) in enumerate(spans) if lo <= p <= lo + ln)
     assert got == expect
+
+
+# Row-wholesale carry model check (the r13 asof bug class, generalized):
+# multiple groups, MULTIPLE payload columns with random NULLs, and an
+# optional tolerance. The reference picks the single latest right ROW
+# per left row and attaches its payloads verbatim — a per-column carry
+# would assemble values from different rows whenever the matched row
+# holds a NULL and an older row does not, which this generator produces
+# constantly.
+_ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # group
+        st.integers(min_value=0, max_value=30),         # ts
+        st.one_of(st.none(), st.integers(0, 99)),       # payload a
+        st.one_of(st.none(), st.integers(0, 99)),       # payload b
+    ),
+    min_size=0, max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # unique (group, ts): no ties
+)
+_ASOF_LEFT = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left_rows=_ASOF_LEFT, right_rows=_ASOF_RIGHT,
+       tol=st.one_of(st.none(), st.integers(min_value=0, max_value=10)))
+def test_asof_join_carries_rows_wholesale(spark, left_rows, right_rows,
+                                          tol):
+    left = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(left_rows)],
+        "g long, ts long, lid long")
+    right = (spark.createDataFrame(
+        right_rows, "g long, ts long, a long, b long")
+        if right_rows
+        else spark.createDataFrame([], "g long, ts long, a long, b long"))
+    got = {
+        r.lid: (r.a, r.b)
+        for r in asof_join(left, right, on="g", left_ts="ts",
+                           right_ts="ts", right_payload=["a", "b"],
+                           tolerance=tol).collect()
+    }
+    expect = {}
+    for i, (g, t) in enumerate(left_rows):
+        cand = [r for r in right_rows if r[0] == g and r[1] <= t]
+        if not cand:
+            expect[i] = (None, None)
+            continue
+        match = max(cand, key=lambda r: r[1])
+        if tol is not None and t - match[1] > tol:
+            expect[i] = (None, None)
+        else:
+            expect[i] = (match[2], match[3])  # the ROW's payloads
+    assert got == expect

@@ -218,3 +218,22 @@ def test_helper_closure_fallback_is_conservative():
     asof_rel = os.path.join("iceberg_core_spark", "operators", "asof.py")
     assert asof_rel in files  # whole-module closure: asof.py included
     assert vw._helper_closure_files(len) is None
+
+
+def test_every_registered_query_is_fn_granular_analyzable():
+    """Every registry fn must be a plain top-level def the helper-
+    closure analysis can resolve: a lambda/partial would silently fall
+    back to the defining module's WHOLE-module closure, over-forcing
+    dozens of sibling rows into future windows (sound but
+    budget-hostile). Catch that at registration time, not at a round
+    close."""
+    vw = _vw()
+    from iceberg_core_spark.registry import all_queries
+
+    unanalyzable = [
+        name for name, (fn, _sql) in all_queries().items()
+        if vw._fn_direct_helpers(fn) is None
+    ]
+    assert unanalyzable == [], (
+        f"registry fns the closure analysis cannot resolve "
+        f"(write them as top-level defs): {unanalyzable}")
