@@ -222,7 +222,7 @@ def main() -> None:
         fn, _sql = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
     for _pass in range(3):
         sentinel.append(_sentinel())
         for name in HEADLINE:
@@ -230,8 +230,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
-    warm = {name: round(r[0], 3) for name, r in runs.items()}
-    warm_median = {name: round(statistics.median(r), 3)
+    # Per-query dicts round to 2 decimals: the r14 sentinel fields
+    # brought the JSON line to ~1936 bytes, 15 under the 1950 fallback
+    # threshold that would DROP queries_warm_median from the artifact
+    # (the per-query numbers every round's adjudication reads) — one
+    # slow round would have crossed it. 10 ms granularity is ample for
+    # per-query reads; totals keep 3 decimals and are summed from the
+    # same values the artifact shows.
+    warm = {name: round(r[0], 2) for name, r in runs.items()}
+    warm_median = {name: round(statistics.median(r), 2)
                    for name, r in runs.items()}
     sentinel_cold = round(sentinel[0], 3)
     sentinel_wm = round(statistics.median(sentinel[1:]), 3)
