@@ -799,3 +799,20 @@ def test_batch_topk_null_embeddings_rank_last(spark):
     # 10 real matches, then NULL padding ordered by id
     nulls = [r for r in got if r.sim is None]
     assert len(nulls) == 5 and all(r.rn > 10 for r in nulls)
+
+
+def test_simhash_blocking_modes_identical_output(spark, docs):
+    """r14: chunk-pair blocking (default) and single-chunk blocking
+    must emit the IDENTICAL pair set — blocking affects candidates,
+    never results — and an unsatisfiable radius must raise instead of
+    silently losing recall (pre-r14, max_hamming > n_chunks - 1
+    dropped pairs that differ in every chunk)."""
+    import pytest
+
+    pair = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_pairs(docs).collect()}
+    single = {(r.doc_a, r.doc_b, r.hamming)
+              for r in D.simhash_pairs(docs, n_chunks=8).collect()}
+    assert pair == single
+    with pytest.raises(ValueError, match="cannot guarantee recall"):
+        D.simhash_pairs(docs, max_hamming=9, n_chunks=8)
