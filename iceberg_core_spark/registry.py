@@ -102,59 +102,55 @@ def all_queries() -> dict[str, Entry]:
     # forced sets below come from the live `--ages 14` run under that
     # stricter rule.
     priority = [
-        # (a) 35 rows the --ages 14 audit FORCES: the 20 relational.py
-        # r10 rows at hard age-4 ...
-        "scan_parquet", "project", "filter_pred", "filter_range",
-        "scalar_string", "scalar_date", "scalar_math", "scalar_array",
-        "scalar_json", "agg_distinct", "agg_rollup", "agg_cube",
-        "agg_grouping_sets", "join_left", "join_right", "join_theta",
-        "sort_limit", "union_all", "set_intersect", "set_except",
-        # ... the 6 r11 relational.py rows (relational.py changed r14:
-        # join_asof NULL-payload augmentation ends its freeze) ...
-        "agg_hash", "join_broadcast", "join_sortmerge", "join_full",
-        "join_semi", "join_anti",
-        # ... join_asof itself (operators/asof.py struct-carry fix r13;
-        # the query now augments a deterministically-NULL right payload
-        # column so DuckDB ASOF value-checks row-wholesale semantics —
-        # r13 VERDICT "What's wrong" #1) ...
-        "join_asof",
-        # ... and the 8 rows the NEW helper-closure rule forces (their
-        # reachable helpers — llm_queries.py, dedup.py, caching.py,
-        # table/* — changed r12/r13 while their defining modules rode):
-        "text_analysis", "sim_search_ivf",
-        "corpus_decontaminate", "corpus_decontaminate_exact",
-        "dedup_minhash_portable", "corpus_quality", "corpus_mix",
-        "join_bucketed",
-        # (b) 15 flex slots, chosen to drain the r15 forced set (the
-        # 26 unwindowed r11 rows — 19 tpch + 7 corpus/spans — are
-        # unconditionally age-4 at r15; these flex picks clear the r12
-        # rows the helper rule would ALSO force then): the 9 r12
-        # table-layer rows (ice_table.py changed r13, under review
-        # again r14),
-        "schema_evolution", "table_cdc", "table_clone", "table_compact",
-        "table_delete_mor", "table_upsert", "table_wap",
-        "table_merge_mor", "bloom_point_scan_multi",
-        # the r12 search/similarity rows (search.py / llm_queries.py
-        # changed r13), dedup_incremental (index_store.py recovery fix
-        # r13), and 2 of the 5 r12 relational.py rows (win_frame,
-        # win_range_frame, topk_per_group lead the r15 window with the
-        # 26 r11 rows),
-        "corpus_bm25", "sim_search", "sim_search_batch",
-        "dedup_incremental", "win_rank", "win_analytic",
-        # R15 PLAN (live `--ages 15 --assume-green-window` at r14
-        # close): 34 forced — the 19 unwindowed r11 tpch rows + 7
-        # r11 corpus/spans rows (packing/quality/assembly/dedup_spans
-        # helpers changed r13/r14) + win_frame/win_range_frame/
-        # topk_per_group/array_hof (relational/relational_ext r12
-        # rows; relational.py changed r14) + win_tumbling/stream_dedup/
-        # udf_scalar/udaf_group_stats (streaming/udfs helpers changed
-        # r13) — leaving 16 flex. Conservative flex picks: the r13
-        # table-layer rows whose helper ice_table.py changed r14
-        # (table_cdc_mor, table_changelog, table_incremental,
-        # table_merge, table_partition_evolution, table_rollup,
-        # table_time_travel, zorder_range_scan, bloom_point_scan,
-        # stream_ingest) — they hit age 3 with changed helpers at r16
-        # anyway, so windowing them at r15 zeroes that debt.
+        # ROUND-15 WINDOW (the r6-r14 window lists live in git
+        # history). 34 rows the live `--ages 15 --assume-green-window`
+        # audit FORCES at r14 close, re-confirmed this round:
+        # (a) the 19 unwindowed r11 TPC-H rows, unconditionally age-4,
+        "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
+        "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+        "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+        # (b) the 7 r11 corpus/spans rows, also age-4 (their helper
+        # modules — packing/quality/assembly/dedup_spans — changed
+        # r13/r14 so they could not ride the unchanged tier),
+        "corpus_pack", "corpus_pii", "corpus_shuffle",
+        "dedup_spans", "corpus_despan",
+        "dedup_spans_min16", "corpus_despan_min16",
+        # (c) the 8 r12 rows whose helpers changed since their row:
+        # relational.py (changed r14) for the window/topk/hof rows,
+        # streaming/udfs helpers (changed r13) for the rest,
+        "win_frame", "win_range_frame", "topk_per_group", "array_hof",
+        "win_tumbling", "stream_dedup", "udf_scalar",
+        "udaf_group_stats",
+        # (d) 16 flex slots, all drawn from the 36 r13 rows whose
+        # helper closure (caching.py/dedup.py/ice_table.py) changed
+        # r14 — they hit age-3-with-changed-helpers at r16, so
+        # windowing them now drains the r16 forced set from 63 to 47:
+        # the 10 pre-committed table-layer picks (r14 plan),
+        "table_cdc_mor", "table_changelog", "table_incremental",
+        "table_merge", "table_partition_evolution", "table_rollup",
+        "table_time_travel", "zorder_range_scan", "bloom_point_scan",
+        "stream_ingest",
+        # and 3 rows-only/portable-twin PAIRS (both members of each
+        # pair sit in that same forced-at-r16 set, and pairing them
+        # in-window satisfies the r14-verdict twin invariant that
+        # verify_window.py now enforces mechanically):
+        "dedup_embedding_lsh", "dedup_embedding_lsh_portable",
+        "sim_search_lsh", "sim_search_lsh_portable",
+        "dedup_clusters_minhash", "dedup_clusters_portable",
+        # R16 PLAN (live `--ages 16 --assume-green-window` at r15
+        # close; see TODO.md r15 log for the run): 47 forced — the 27
+        # r12 rows riding the unchanged tier to hard age-4 (vocab_topk,
+        # write_shards, scan_avro/jsonl/orc, corpus_lm_score,
+        # range_join_window, events_*, explode_tokens, map_funcs, the
+        # 12 relational_ext agg/scalar rows, win_rank_ext, tpch_q3/q5/
+        # q12) + the 20 r13 changed-helper rows NOT absorbed above
+        # (agg_approx_distinct+portable twin, dedup_exact,
+        # dedup_near_jaccard, dedup_minhash_lsh+twin already green r14,
+        # dedup_simhash+twin, dedup_embedding, dedup_clusters,
+        # multimodal_meta/features/chunks, win_sliding, win_session,
+        # stream_join, sim_search_ivf_portable, admission_index,
+        # bloom — see the audit output) — leaving 3 flex.
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
