@@ -314,9 +314,13 @@ def _collect_file_stats(spark: SparkSession, root: str, rel_paths: list[str],
                 if with_schema:
                     import pyarrow.parquet as _pq
 
-                    fp = ";".join(
+                    # sorted by name: the Spark read path resolves
+                    # columns by name, so field ORDER differences are
+                    # not schema divergence (matches the order-
+                    # insensitive first-file dict check; r14 ADVICE)
+                    fp = ";".join(sorted(
                         f"{f.name}:{f.type}"
-                        for f in _pq.ParquetFile(ap).schema_arrow)
+                        for f in _pq.ParquetFile(ap).schema_arrow))
                 h = hashlib.sha256()
                 with open(ap, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):
@@ -1451,10 +1455,35 @@ class IceTable:
                         if k in current for o in olds}
         relevant = [r for r in snap.renames if r["from"] in live_retired]
         if relevant:
+            # Entries without the r14 "seq" stamp (legacy tables) get
+            # their commit point DERIVED from snapshot history: the
+            # first surviving snapshot whose rename list carries the
+            # entry renamed no later than that snapshot, so its
+            # parent_id upper-bounds the true stamp (over-refusing if
+            # earlier history expired — safe, and compact(min_files=1)
+            # still clears it because rewritten files take a strictly
+            # newer seq). Without the derivation, compact() carrying
+            # seq-less entries forward made the remediation circular:
+            # legacy tables could never register (r14 ADVICE).
             seqs = [r.get("seq") for r in relevant]
-            bound = (None if any(s is None for s in seqs)
-                     else max(seqs))
-            if bound is None or any(f.seq <= bound for f in snap.files):
+            if any(s is None for s in seqs):
+                history = self.manifest.snapshots(load_files=False)
+                derived = {}
+                for h in history:  # ascending snapshot_id
+                    for r in h.renames:
+                        k = (r["from"], r["to"])
+                        if k not in derived:
+                            derived[k] = (h.parent_id
+                                          if h.parent_id is not None
+                                          else h.snapshot_id)
+                seqs = [
+                    s if s is not None
+                    else derived.get((r["from"], r["to"]),
+                                     snap.snapshot_id)
+                    for s, r in zip(seqs, relevant)
+                ]
+            bound = max(seqs)
+            if any(f.seq <= bound for f in snap.files):
                 raise ValueError(
                     "snapshot holds files written before a column "
                     "rename; the bucketed catalog scan reads raw files "

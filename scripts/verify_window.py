@@ -120,6 +120,44 @@ def _file_unchanged(rel: str, commit: str) -> bool:
 _FILE_DIFF_CACHE: dict[tuple[str, str], bool] = {}
 
 # ---------------------------------------------------------------------------
+# Rows-only / portable-twin pairing (r14 VERDICT #5): every rows-only
+# approximate query is vouched for by a fully hash-checked md5-portable
+# twin that shares its helpers. The r13 window paired them manually;
+# r14 let sim_search_ivf ride alone. The invariant is now mechanical:
+# a rows-only row occupying a window slot PULLS its twin in with it
+# (same helpers — the twin re-run is ~free).
+# ---------------------------------------------------------------------------
+
+ROWS_ONLY_TWINS = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "dedup_simhash": "dedup_simhash_portable",
+    "dedup_embedding_lsh": "dedup_embedding_lsh_portable",
+    "dedup_clusters_minhash": "dedup_clusters_portable",
+    "sim_search_lsh": "sim_search_lsh_portable",
+    "sim_search_ivf": "sim_search_ivf_portable",
+    "agg_approx_distinct": "agg_approx_distinct_portable",
+}
+
+
+def twin_pairing_errors(queries, window: set[str]) -> list[str]:
+    """Pairing violations for a window: a rows-only (oracle-less) query
+    in the window without its hash-checked twin alongside, or a
+    rows-only registry entry with no twin mapping at all."""
+    errs = []
+    for name, (_fn, sql) in queries.items():
+        if sql is not None:
+            continue
+        twin = ROWS_ONLY_TWINS.get(name)
+        if twin is None or twin not in queries:
+            errs.append(f"{name}: rows-only query has no registered "
+                        "portable twin (add it to ROWS_ONLY_TWINS)")
+        elif name in window and twin not in window:
+            errs.append(f"{name}: rows-only row is in the window but "
+                        f"its hash-checked twin {twin} is not — pair "
+                        "them (r14 VERDICT #5)")
+    return errs
+
+# ---------------------------------------------------------------------------
 # Helper-module closure (r13 VERDICT "What's missing" #1): the age-3
 # deferral tier used to diff ONLY the query fn's defining module, so a
 # semantic fix to a helper (operators/asof.py, r13) left join_asof
@@ -233,8 +271,12 @@ def _fn_direct_helpers(fn) -> set[str] | None:
     tree = _module_ast(modname)
     if tree is None:
         return None
-    # module-level binding tables
-    name_to_mod: dict[str, str] = {}   # imported name -> package module
+    # module-level binding tables. A bound name maps to a SET of
+    # modules: two plain `import pkg.a.b` / `import pkg.c.d` statements
+    # both bind the ROOT name "pkg", and last-wins overwrite let a
+    # query fn using that style under-report helpers and ride the
+    # age-3 tier past a changed one (r14 ADVICE) — union is sound.
+    name_to_mod: dict[str, set[str]] = {}  # bound name -> pkg modules
     local: dict[str, object] = {}      # top-level def/assign -> node
     for node in tree.body:
         if isinstance(node, ast.Import):
@@ -243,7 +285,7 @@ def _fn_direct_helpers(fn) -> set[str] | None:
                     # `import pkg.x.y [as z]` binds z or the ROOT name;
                     # map both conservatively to the full module
                     bound = a.asname or a.name.split(".")[0]
-                    name_to_mod[bound] = a.name
+                    name_to_mod.setdefault(bound, set()).add(a.name)
         elif isinstance(node, ast.ImportFrom):
             mods = _imports_of(node, modname)
             base = next((m for m in sorted(mods, key=len)), None)
@@ -251,7 +293,7 @@ def _fn_direct_helpers(fn) -> set[str] | None:
                 continue
             for a in node.names:
                 sub = f"{base}.{a.name}"
-                name_to_mod[a.asname or a.name] = (
+                name_to_mod.setdefault(a.asname or a.name, set()).add(
                     sub if sub in mods else base)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                                ast.ClassDef)):
@@ -278,7 +320,7 @@ def _fn_direct_helpers(fn) -> set[str] | None:
                 continue
             name = sub.id
             if name in name_to_mod:
-                helpers.add(name_to_mod[name])
+                helpers |= name_to_mod[name]
             elif name in local and name not in seen_local:
                 seen_local.add(name)
                 stack.append(local[name])
@@ -385,7 +427,7 @@ def audit_ages(next_round: int | None = None,
         with open(seen_path, "w") as f:
             json.dump(seen, f, indent=0, sort_keys=True)
 
-    errors = []
+    errors = twin_pairing_errors(queries, window)
     pending = []
     for name in names:
         rnd_ok = latest.get(name)
@@ -442,7 +484,9 @@ def audit_ages(next_round: int | None = None,
         print(f"  PENDING-LEAD {p}: no driver row yet — must lead "
               f"the r{nr + 1} window")
     for e in errors:
-        print(f"  AGE-VIOLATION {e}")
+        tag = ("PAIRING-VIOLATION" if "twin" in e or "pair" in e
+               else "AGE-VIOLATION")
+        print(f"  {tag} {e}")
     if not errors:
         print(f"OK — no row exceeds its age bound ({MAX_AGE} changed / "
               f"{MAX_AGE_UNCHANGED} byte-unchanged) in r{nr} "

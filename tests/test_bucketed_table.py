@@ -125,3 +125,42 @@ def test_bucketed_refuses_pre_rename_files_until_compact(spark, tmp_path):
         f"SELECT sum(val) AS sv, count(*) AS c FROM {name}").collect()[0]
     assert (got.sv, got.c) == (9900, 100)
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_bucketed_rename_guard_clears_for_legacy_seqless_entries(
+        spark, tmp_path):
+    """r14 ADVICE: rename entries written before the "seq" stamp exist
+    in persisted tables, and compact() carries them forward verbatim —
+    so a guard that refuses whenever seq is missing refuses FOREVER.
+    The guard must instead derive the rename's commit point from
+    snapshot history, so compact(min_files=1) actually clears it."""
+    import glob
+    import json
+    import os
+
+    root = str(tmp_path / "legacy")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = IceTable.create(spark, root, df, partition_col=None,
+                        key_col=None, bucket_by=("k", 4))
+    t.rename_column("v", "val")
+    # simulate a pre-r14 table: strip the seq stamp from every rename
+    # entry in every persisted snapshot document
+    for p in glob.glob(os.path.join(root, "_manifest", "snapshot-*.json")):
+        with open(p) as f:
+            doc = json.load(f)
+        for r in doc.get("renames", []):
+            r.pop("seq", None)
+        with open(p, "w") as f:
+            json.dump(doc, f)
+    t = IceTable(spark, root)  # reload — entries now seq-less
+    with pytest.raises(ValueError, match="before a column rename"):
+        t.as_bucketed_table("b_legacy_guard")
+    t.compact(min_files=1)  # rewrites every file under current names
+    # compact carried the seq-less entries forward; the history-derived
+    # bound must still clear the guard for the rewritten files
+    name = t.as_bucketed_table("b_legacy_guard")
+    got = spark.sql(
+        f"SELECT sum(val) AS sv, count(*) AS c FROM {name}").collect()[0]
+    assert (got.sv, got.c) == (9900, 100)
+    spark.sql(f"DROP TABLE {name}")

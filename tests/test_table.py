@@ -398,3 +398,31 @@ def test_add_files_rejects_mixed_schema_batch(spark, tmp_path):
     # and a clean batch still registers
     t.add_files(parts(ok_dir))
     assert t.scan().count() == 10
+
+
+def test_add_files_accepts_field_order_divergence(spark, tmp_path):
+    """r14 ADVICE: the Spark read path resolves parquet columns by
+    NAME, so two files with identical name:type sets in different
+    physical field order are the same schema — the footer fingerprint
+    must not reject the batch on order alone."""
+    root = str(tmp_path / "t")
+    t = IceTable.create(
+        spark, root,
+        spark.range(0, 5).selectExpr("id as k", "id * 2 as v"),
+        partition_col=None, key_col="k")
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    spark.range(10, 15).selectExpr("id as k", "id * 2 as v") \
+        .coalesce(1).write.parquet(a_dir)
+    spark.range(20, 25).selectExpr("id * 2 as v", "id as k") \
+        .coalesce(1).write.parquet(b_dir)  # same columns, swapped order
+
+    def parts(d):
+        return sorted(
+            os.path.join(dp, n) for dp, _x, ns in os.walk(d)
+            for n in ns if n.endswith(".parquet"))
+
+    t.add_files(parts(a_dir) + parts(b_dir))
+    got = t.scan().selectExpr("sum(k) as sk", "count(*) as c").collect()[0]
+    assert (got.c, got.sk) == (15, 10 + sum(range(10, 15))
+                               + sum(range(20, 25)))

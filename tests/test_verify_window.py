@@ -237,3 +237,74 @@ def test_every_registered_query_is_fn_granular_analyzable():
     assert unanalyzable == [], (
         f"registry fns the closure analysis cannot resolve "
         f"(write them as top-level defs): {unanalyzable}")
+
+
+def test_plain_import_root_bindings_union_not_last_wins():
+    """r14 ADVICE: two plain `import pkg.a.b` / `import pkg.c.d`
+    statements both bind the ROOT name; a last-wins binding table let
+    attribute-chain references resolve to only the LAST module, so a
+    query fn written in that style under-reported helpers — the exact
+    unsoundness the closure audit exists to kill. Bindings must union."""
+    import ast
+
+    vw = _vw()
+    src = (
+        "import iceberg_core_spark.operators.asof\n"
+        "import iceberg_core_spark.operators.bucketed\n"
+        "def q(spark, sf):\n"
+        "    iceberg_core_spark.operators.asof.x(spark)\n"
+        "    return iceberg_core_spark.operators.bucketed.y(sf)\n"
+    )
+    modname = "iceberg_core_spark._synthetic_rootbind"
+    vw._AST_CACHE[modname] = ast.parse(src)
+    try:
+        fn = lambda spark, sf: None  # noqa: E731 — carrier for attrs
+        fn.__module__ = modname
+        fn.__name__ = "q"
+        helpers = vw._fn_direct_helpers(fn)
+        assert "iceberg_core_spark.operators.asof" in helpers
+        assert "iceberg_core_spark.operators.bucketed" in helpers
+    finally:
+        del vw._AST_CACHE[modname]
+
+
+def test_rows_only_rows_pull_their_portable_twin_into_the_window():
+    """r14 VERDICT #5: a rows-only (oracle-less) approximate row in the
+    window must bring its hash-checked md5-portable twin along — the
+    twin is what vouches for the approximate path's values. The audit
+    flags a synthetic unpaired case and stays quiet on a paired one."""
+    vw = _vw()
+    fn = lambda spark, sf: None  # noqa: E731
+    queries = {
+        "approx_thing": (fn, None),
+        "approx_thing_portable": (fn, "SELECT 1 AS x"),
+        "checked_thing": (fn, "SELECT 2 AS y"),
+    }
+    vw.ROWS_ONLY_TWINS.setdefault("approx_thing", "approx_thing_portable")
+    try:
+        # unpaired: rows-only in window, twin left out -> flagged
+        errs = vw.twin_pairing_errors(queries, {"approx_thing"})
+        assert len(errs) == 1 and "approx_thing_portable" in errs[0]
+        # paired -> clean; rows-only OUT of the window -> clean too
+        assert vw.twin_pairing_errors(
+            queries, {"approx_thing", "approx_thing_portable"}) == []
+        assert vw.twin_pairing_errors(queries, {"checked_thing"}) == []
+        # a rows-only query with NO registered twin is itself an error,
+        # window or not
+        q2 = {"lonely_approx": (fn, None)}
+        errs = vw.twin_pairing_errors(q2, set())
+        assert len(errs) == 1 and "no registered portable twin" in errs[0]
+    finally:
+        vw.ROWS_ONLY_TWINS.pop("approx_thing", None)
+
+
+def test_registry_window_obeys_twin_pairing():
+    """The live registry must satisfy the pairing invariant: every
+    rows-only entry has a twin mapping, and the current 50-slot window
+    never strands a rows-only row without its twin."""
+    vw = _vw()
+    from iceberg_core_spark.registry import all_queries
+
+    qs = all_queries()
+    window = set(list(qs)[:50])
+    assert vw.twin_pairing_errors(qs, window) == []
