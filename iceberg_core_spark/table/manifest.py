@@ -406,15 +406,17 @@ class Manifest:
             # FIRST hint write (missing CURRENT), or mid-hint-write
             # on a filesystem without atomic replace semantics
             # (corrupt CURRENT) — either way the hint is gone but the
-            # table may EXIST. Start the walk from the bootstrap
-            # commit instead of reporting the table absent: returning
-            # None would hide committed data AND wedge any re-create
-            # forever (its snapshot-0 claim hits EEXIST, reload still
-            # finds nothing, repeat).
-            if not os.path.exists(
-                    os.path.join(self.dir, "snapshot-0.json")):
+            # table may EXIST. Recover from the directory listing, NOT
+            # from snapshot-0 alone: expire_snapshots(keep_last=1)
+            # deletes the bootstrap document, so a post-expiry table
+            # that loses its hint (crash, partial directory copy)
+            # would otherwise read as absent — hiding committed data
+            # and letting a re-create claim the freed snapshot-0 id
+            # and fork the table's id space (r15 review).
+            ids = self.snapshot_ids()
+            if not ids:
                 return None
-            cur = 0
+            cur = max(ids)
         while os.path.exists(os.path.join(self.dir, f"snapshot-{cur + 1}.json")):
             cur += 1
         return cur

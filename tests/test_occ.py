@@ -305,6 +305,33 @@ def test_bootstrap_crash_before_first_hint_recovers(spark, root):
     assert IceTable(spark, root).manifest.current_snapshot_id() == 1
 
 
+def test_lost_hint_recovers_after_snapshot0_expired(spark, root):
+    """r15 review: expire_snapshots(keep_last=1) deletes the bootstrap
+    snapshot-0 document, so hint recovery anchored on snapshot-0 alone
+    would report a post-expiry table ABSENT once CURRENT is lost
+    (crash mid-replace, partial directory copy) — hiding committed
+    data and letting a re-create claim the freed snapshot-0 id and
+    fork the id space. Recovery must come from the directory listing."""
+    t = _mk(spark, root)
+    t.append(location_df(spark, [location_row(timestamp=500)]))
+    t.append(location_df(spark, [location_row(timestamp=600)]))
+    expired = t.expire_snapshots(keep_last=1)
+    assert 0 in expired
+    assert not os.path.exists(
+        os.path.join(t.manifest.dir, "snapshot-0.json"))
+    os.remove(os.path.join(t.manifest.dir, "CURRENT"))
+    fresh = IceTable(spark, root)
+    assert fresh.manifest.current_snapshot_id() == 2
+    ts = sorted(r.timestamp for r in fresh.scan().collect())
+    assert ts == [100, 101, 102, 500, 600]
+    # an attempted re-create on the surviving table must conflict,
+    # not silently fork a second id space
+    with pytest.raises(Exception):
+        IceTable.create(
+            spark, root, location_df(spark, [location_row(timestamp=9)]),
+            partition_col="user_id", key_col="timestamp")
+
+
 def test_commit_survives_hint_update_failure(spark, root, monkeypatch):
     """r11 review: the CURRENT hint is best-effort — once the
     snapshot-file link (the claim) succeeded, a failure writing the
