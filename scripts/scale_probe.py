@@ -45,17 +45,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_ops():
+    """op name -> (input table, fn). Text ops probe over the scaled
+    documents corpus; embedding_lsh probes over the scaled embeddings
+    table (its scale posture was asserted-only before r15)."""
     from iceberg_core_spark.functions import dedup
 
     return {
-        "exact": lambda df: dedup.dedup_exact(df),
-        "minhash": lambda df: dedup.minhash_lsh_pairs(df),
+        "exact": ("documents", lambda df: dedup.dedup_exact(df)),
+        "minhash": ("documents", lambda df: dedup.minhash_lsh_pairs(df)),
         # default blocking: Manku chunk-pair keys (n_chunks=9)
-        "simhash": lambda df: dedup.simhash_pairs(df),
+        "simhash": ("documents", lambda df: dedup.simhash_pairs(df)),
         # the pre-r14 default: single-chunk 8-bit keys (n_chunks=8) —
         # kept in the probe so the background-term cut stays measured,
         # not asserted
-        "simhash_single": lambda df: dedup.simhash_pairs(df, n_chunks=8),
+        "simhash_single": ("documents",
+                           lambda df: dedup.simhash_pairs(df, n_chunks=8)),
+        "embedding_lsh": ("embeddings",
+                          lambda df: dedup.embedding_dup_pairs_lsh(
+                              df, dim=64)),
     }
 
 
@@ -109,6 +116,40 @@ def materialize_scaled(spark, sf_dir: str, k: int, out_dir: str,
     return path
 
 
+def materialize_scaled_embeddings(spark, sf_dir: str, k: int,
+                                  out_dir: str,
+                                  perturb: str = "translate") -> str:
+    """k-times-scaled embeddings table. "translate": copy c's vectors
+    ROTATE by c components — random-vector rotations are ~orthogonal,
+    so cross-copy vectors are unique and growth measures the LSH
+    bucket-collision background. "tag": copies are IDENTICAL vectors
+    (cosine 1.0 dups) — the dense replica-cluster regime."""
+    from pyspark.sql import functions as F
+
+    from iceberg_core_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    copies = []
+    for c in range(k):
+        rot = c % dim
+        if c == 0 or perturb != "translate" or rot == 0:
+            vec = F.col("embedding")
+        else:
+            vec = F.concat(
+                F.slice(F.col("embedding"), rot + 1, dim - rot),
+                F.slice(F.col("embedding"), 1, rot))
+        copies.append(emb.select(
+            (F.col("vec_id") + F.lit(c * 1_000_000_000)).alias("vec_id"),
+            vec.alias("embedding")))
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    path = os.path.join(out_dir, f"emb_{perturb}_x{k}.parquet")
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
 def time_op(spark, fn, path: str, passes: int) -> float:
     from iceberg_core_spark.caching import release_caches
 
@@ -145,20 +186,30 @@ def main() -> int:
     ops = build_ops()
     work = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        paths = {k: materialize_scaled(spark, args.sf, k, work,
-                                       args.perturb)
-                 for k in scales}
-        counts = {k: spark.read.parquet(p).count()
-                  for k, p in paths.items()}
+        kinds = {ops[n][0] for n in op_names if n in ops}
+        paths: dict = {}
+        if "documents" in kinds:
+            paths["documents"] = {
+                k: materialize_scaled(spark, args.sf, k, work,
+                                      args.perturb) for k in scales}
+        if "embeddings" in kinds:
+            paths["embeddings"] = {
+                k: materialize_scaled_embeddings(
+                    spark, args.sf, k, work, args.perturb)
+                for k in scales}
+        counts = {kind: {k: spark.read.parquet(p).count()
+                         for k, p in by_scale.items()}
+                  for kind, by_scale in paths.items()}
         result: dict = {"metric": "dedup_scale_probe", "sf": args.sf,
                         "perturb": args.perturb, "scales": scales,
                         "rows": counts, "ops": {}}
         for name in op_names:
-            fn = ops.get(name)
-            if fn is None:
+            if name not in ops:
                 print(f"skipping unknown op {name}", file=sys.stderr)
                 continue
-            secs = {k: round(time_op(spark, fn, paths[k], args.passes), 3)
+            kind, fn = ops[name]
+            secs = {k: round(
+                time_op(spark, fn, paths[kind][k], args.passes), 3)
                     for k in scales}
             ratio = (round(secs[scales[-1]] / secs[scales[0]], 2)
                      if secs[scales[0]] > 0 else None)
