@@ -117,10 +117,18 @@ def duplicated_spans(docs: DataFrame, k: int = GRAM_TOKENS,
     (None) reports all of them.
     """
     pos = _gram_positions(docs, k, id_col, text_col)
+    # "appears in >1 distinct doc" as min(id) != max(id) rather than
+    # COUNT(DISTINCT id) > 1 (r15 optimization, guide §2.3): the
+    # distinct-count plans as a two-level aggregate whose FIRST
+    # exchange repartitions every (h, id) gram row — a second full
+    # gram-scale shuffle; min/max is one partial+final aggregate pair
+    # over ONE exchange of near-distinct (h, min, max) rows. The sets
+    # are identical: every h-group is non-empty, so it holds two
+    # distinct ids iff its min and max differ.
     dup = (
         pos.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("h")
     )
     marked = (
@@ -178,11 +186,14 @@ def despan(docs: DataFrame, k: int = GRAM_TOKENS,
     affected (the common case).
     """
     pos = _gram_positions(docs, k, id_col, text_col)
+    # min != max ⇔ COUNT(DISTINCT id) > 1 (see duplicated_spans): one
+    # exchange instead of the distinct-count's two, and min_doc rides
+    # the same aggregate for free
     gm = (
         pos.groupBy("h")
         .agg(F.min(id_col).alias("min_doc"),
-             F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
+             F.max(id_col).alias("__mx"))
+        .filter(F.col("min_doc") != F.col("__mx"))
         .select("h", "min_doc")
     )
     # (id, start_pos) is unique in pos and h is unique in gm, so the

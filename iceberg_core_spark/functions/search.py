@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.text import ws_tokens_nonempty
-from iceberg_core_spark.session import load_table
+from iceberg_core_spark.session import load_table, scan_partition_estimate
 
 K1 = 1.2
 B = 0.75
@@ -109,12 +109,18 @@ def local_group_topk(df: DataFrame, group_col: str, order_col: str,
 
 def _rank_topk(melted: DataFrame, k: int) -> DataFrame:
     """(doc_id, query_id, score, n_terms_hit) → per-query top-k with
-    rank, shuffle-bounded by the shared ``local_group_topk``."""
-    pruned = local_group_topk(melted, "query_id", "score", "doc_id", k)
+    rank. The rank-<=-k filter triggers Spark's native
+    ``WindowGroupLimit`` (3.5+): each map task forwards at most k rows
+    per query BEFORE the exchange — the same per-partition pre-top-k
+    the Arrow ``local_group_topk`` pass used to do here, now entirely
+    in the JVM (r15 optimization, guide §4.1: the MapInPandas hop
+    serialized every scored row out to Python and back for a
+    selection the engine already performs; plan gained
+    WindowGroupLimit(partial) below the exchange, lost MapInPandas)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
     return (
-        pruned.withColumn("rank",
+        melted.withColumn("rank",
                           F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
@@ -160,10 +166,24 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     # NULL-text docs have no tokens and no length: size(NULL) is -1 on
     # Spark (poisoning avgdl) while DuckDB's len(NULL) is NULL-skipped —
     # exclude them from the corpus statistics in BOTH engines (r9 review)
-    base = (docs.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("doc_id"),
-                    toks.alias("__toks"))
-            .select("doc_id", F.size("__toks").alias("dl"), *tf_cols))
+    base0 = (docs.filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("doc_id"),
+                     toks.alias("__toks")))
+    # CSE barrier (r15 optimization — the text_analysis lesson,
+    # llm_queries.py:50): without an exchange between the tokenize and
+    # its |vocab|+1 uses, CollapseProject inlines the split() into
+    # every tf column AND the pushed-down any-hit filter, and
+    # interpreted HOF lambdas re-evaluate it each time (~20 full regex
+    # splits per document in the measured r15 before-plan). With it,
+    # the split runs once per document; the stats branch and the
+    # scoring branch then share the SAME exchange subtree, so
+    # ReuseExchange makes the whole corpus tokenize a single pass
+    # instead of two. Never downsizes the partition count.
+    spark = docs.sparkSession
+    base0 = base0.repartition(
+        max(spark.sparkContext.defaultParallelism,
+            scan_partition_estimate(base0)))
+    base = base0.select("doc_id", F.size("__toks").alias("dl"), *tf_cols)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -369,8 +389,14 @@ def bm25_search_exploded_frame(docs: DataFrame, qterms: DataFrame,
     toks = ws_tokens_nonempty(F.col(text_col))
     base = (docs.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
-                    toks.alias("__toks"))
-            .select("doc_id", F.size("__toks").alias("dl"), "__toks"))
+                    toks.alias("__toks")))
+    # same CSE/ReuseExchange barrier as bm25_search: the stats branch
+    # and the explode branch otherwise each re-tokenize the corpus
+    spark = docs.sparkSession
+    base = base.repartition(
+        max(spark.sparkContext.defaultParallelism,
+            scan_partition_estimate(base)))
+    base = base.select("doc_id", F.size("__toks").alias("dl"), "__toks")
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))

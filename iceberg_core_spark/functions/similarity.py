@@ -54,18 +54,14 @@ def cosine_topk_batch(
 ) -> DataFrame:
     """Batch exact top-k: many query vectors at once. The query set is
     broadcast (it is small by definition), so the corpus streams through
-    ONE scan; the shared per-partition Arrow pre-top-k
-    (:func:`~iceberg_core_spark.functions.search.local_group_topk`)
-    then bounds the rank window's shuffle to ~k × partitions ×
-    |queries| skinny rows — without it the window would shuffle EVERY
-    scored (corpus × queries) row, which at 100 TB × thousands of
-    queries is the plan's whole cost. NULL sims (null embeddings) rank
-    LAST on both sides of the pre-top-k, matching the window's
-    DESC-NULLS-LAST order — see the helper's NULL/NaN contract.
+    ONE scan; the rank window's ``rn <= k`` filter plans as a native
+    ``WindowGroupLimit`` whose partial pass bounds the window's shuffle
+    to ~k × partitions × |queries| skinny rows — without that bound the
+    window would shuffle EVERY scored (corpus × queries) row, which at
+    100 TB × thousands of queries is the plan's whole cost. NULL sims
+    (null embeddings) rank LAST (window DESC-NULLS-LAST).
     """
     from pyspark.sql import Window
-
-    from iceberg_core_spark.functions.search import local_group_topk
 
     q = queries.select(
         F.col(query_id_col),
@@ -80,12 +76,18 @@ def cosine_topk_batch(
         id_col,
         fround(cosine(F.col("__dv"), F.col("__qv")), 4).alias("sim"),
     )
-    pruned = local_group_topk(scored, query_id_col, "sim", id_col, k)
+    # the rank-<=-k filter triggers Spark's native WindowGroupLimit
+    # (3.5+): each task forwards at most k rows per query before the
+    # exchange — the Arrow local_group_topk pre-pass this path used is
+    # the same selection done in Python, so it was dropped (r15
+    # optimization; see search._rank_topk). Shuffle stays bounded at
+    # ~k × partitions × |queries| skinny rows; NULL sims still rank
+    # last (window DESC-NULLS-LAST is now the only ordering rule).
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)
     )
     return (
-        pruned.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "sim", "rn")
     )

@@ -418,29 +418,33 @@ ORDER BY supp_nation, cust_nation
 
 
 def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
-    """Large-volume-customer shape: self-aggregated lineitem HAVING
-    filter feeds a semi join back onto the 3-way join, top 100 by order
-    value. The HAVING subquery is ONE extra aggregation over lineitem's
-    orderkey — at scale both lineitem passes shuffle on the same key, so
-    AQE reuses the exchange; the survivors (rare orders) semi-join
-    before the wide customer join, shrinking it to the qualifying keys."""
+    """Large-volume-customer shape: lineitem aggregates ONCE per
+    orderkey; the HAVING filter keeps the rare big orders; the
+    surviving (orderkey, total) rows — order-granularity, not
+    lineitem-granularity — join orders and customer. The classic
+    formulation re-joins the FULL lineitem onto the surviving orders
+    and re-aggregates the identical SUM a second time; since
+    o_orderkey is in the final group key, that second aggregate is
+    group-by-a-key-that-is-already-unique — the per-order total IS the
+    HAVING subquery's sum (r15 optimization, guide §2.3/§2.4: one
+    lineitem scan + one lineitem-scale exchange instead of two of
+    each, and the wide joins run at order granularity). Same rows,
+    same decimal→double values, proven against the unchanged oracle
+    and a pre-change output snapshot."""
     li = load_table(spark, sf, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
-    o = load_table(spark, sf, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+    o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-             .cast("double").alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice",
+                F.col("q").cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -663,32 +667,38 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     EXISTS a left-anti self-join, both shuffling on orderkey — three
     hash joins on the same key, no payload duplication (semi/anti
     project the left side only)."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf, "orders").filter(
         F.col("o_orderstatus") == "F")
     li = load_table(spark, sf, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS")
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
-    )
-    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"),
-                   F.col("l_suppkey").alias("l2_suppkey"))
-    l3 = li.select(F.col("l_orderkey").alias("l3_orderkey"),
-                   F.col("l_suppkey").alias("l3_suppkey"),
-                   F.col("l_shipdate").alias("l3_shipdate"))
     sup = load_table(spark, sf, "supplier")
-    waiting = (
-        l1.join(l2, (F.col("l_orderkey") == F.col("l2_orderkey"))
-                & (F.col("l_suppkey") != F.col("l2_suppkey")),
-                "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("l3_orderkey"))
-              & (F.col("l_suppkey") != F.col("l3_suppkey"))
-              & (F.col("l3_shipdate")
-                 > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-              "left_anti")
+    # ONE lineitem pass (r15 optimization, guide §2.4): the EXISTS and
+    # NOT-EXISTS self-joins are order-local predicates, so a single
+    # window over l_orderkey answers both — "another supplier exists"
+    # is |distinct suppliers of the order| > 1 and "no OTHER supplier
+    # was late" is |distinct LATE suppliers| == 1 (the row itself is
+    # late, so its suppkey is in the set; a second member would be
+    # another late supplier). The window shares the orderkey
+    # partitioning the li⋈orders join establishes at scale (no extra
+    # exchange after a sort-merge join), replacing two more
+    # lineitem-scale joins (3 lineitem scans → 1). Row set proven
+    # identical against the unchanged EXISTS/NOT-EXISTS oracle and a
+    # pre-change output snapshot.
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+        .withColumn("__n_supp",
+                    F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("__n_late", F.size(F.collect_set(
+            F.when(F.col("__late"), F.col("l_suppkey"))).over(w)))
     )
+    waiting = flagged.filter(
+        F.col("__late") & (F.col("__n_supp") > 1)
+        & (F.col("__n_late") == 1))
     return (
         waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")

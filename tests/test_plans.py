@@ -55,15 +55,23 @@ def test_semi_anti_join_physical(spark):
     assert "LeftAnti" in plan_of(R.join_anti(spark, SF_DIR))
 
 
-def test_q21_self_joins_semi_anti_no_cartesian(spark):
-    """Q21's EXISTS/NOT-EXISTS must plan as LeftSemi/LeftAnti equi-joins
-    on orderkey — never a cartesian (the non-equi suppkey<>suppkey part
-    must ride as a join condition, not strand the join keyless)."""
+def test_q21_single_pass_window_no_cartesian(spark):
+    """Q21's EXISTS/NOT-EXISTS are order-local predicates answered by
+    ONE window over l_orderkey (r15 optimization) — the plan must
+    scan lineitem exactly once (the r14 shape scanned it three
+    times: base + LeftSemi + LeftAnti self-joins) and never plan a
+    cartesian (the non-equi suppkey<>suppkey parts are now window-
+    local set sizes, not join residuals)."""
     from iceberg_core_spark.operators.tpch import tpch_q21
 
-    s = plan_of(tpch_q21(spark, SF_DIR))
-    assert "LeftSemi" in s and "LeftAnti" in s
+    df = tpch_q21(spark, SF_DIR)
+    s = plan_of(df)
+    assert "Window" in s
     assert "Cartesian" not in s and "BroadcastNestedLoop" not in s
+    e = explain_str(df)
+    li_scans = [l for l in e.splitlines()
+                if "Location" in l and "lineitem" in l]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
 
 
 def test_q17_decorrelated_no_cartesian(spark):

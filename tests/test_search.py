@@ -81,19 +81,22 @@ def test_bm25_plan_single_pass_shape(spark):
 
 def test_bm25_pre_topk_before_rank_window(spark):
     """The per-partition pre-top-k stage exists and sits BELOW the
-    global rank window: the plan's single MapInPandas feeds the
-    Window's exchange, so the shuffle carries at most k rows per
-    (query, input partition), never every hit. Output must be
-    IDENTICAL across partitionings (per-batch top-k is a superset of
-    the global top-k)."""
+    global rank window: the rank<=k filter plans as a native
+    WindowGroupLimit whose PARTIAL pass feeds the Window's exchange
+    (r15: it replaced the Arrow local_group_topk hop — same bound, no
+    Python), so the shuffle carries at most k rows per (query, input
+    partition), never every hit. There must be no Python node in the
+    plan at all. Output must be IDENTICAL across partitionings
+    (per-partition top-k is a superset of the global top-k)."""
     rows = [(i, "hit " * (i % 5 + 1) + "pad") for i in range(1, 41)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = bm25_search(docs.repartition(8), [(1, "hit")], k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     w = plan.index("Window")
-    m = plan.index("MapInPandas")
-    assert m > w, "pre-top-k must be UNDER the window (plans print " \
-                  "top-down: the Window's child MapInPandas prints later)"
+    m = plan.rindex("WindowGroupLimit")
+    assert m > w, "partial WindowGroupLimit must be UNDER the window " \
+                  "(plans print top-down: the child prints later)"
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
     one = bm25_search(docs.coalesce(1), [(1, "hit")], k=3).collect()
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, one))
     # ties at equal score resolve by doc_id across the partition split:
