@@ -158,31 +158,13 @@ def _judge(
     cfp = cfp_rows.groupBy("fp").agg(F.min("__cid").alias("exact_match"))
     exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")
 
-    from iceberg_core_spark.caching import persist_site
-
-    # The candidate id-pair frame is referenced three times below (the
-    # verify join + the two semi-join key sets), so it persists —
-    # skinny (two ids/row), one live entry via persist_site (r15
-    # optimization). The semi-joins are the point: the verify side
-    # used to compute shingle arrays for EVERY corpus document before
-    # the candidate join discarded all but the collided ones; a
-    # LeftSemi on the candidate ids pushes below the shingle
-    # projection (PushDownLeftSemiAntiJoin), so tokenize+shingle runs
-    # only for documents that actually collided — one full corpus
-    # text pass removed from the on-the-fly path (guide §2.3: don't
-    # compute what the join throws away); the persisted-index path
-    # likewise shingles only candidate rows after its scan.
-    cand = persist_site("dedup_incremental.cand", _spread_verify(
+    cand = _spread_verify(
         bb.join(cbands, ["band_idx", "band_hash"])
         .select("__bid", "__cid").distinct(),
         cols=("__bid", "__cid"),
-    ))
-    btoks = (
-        batch.select(F.col(id_col).alias("__bid"),
-                     shingles(F.col(text_col)).alias("ta"))
-        .join(cand.select("__bid").distinct(), "__bid", "semi")
     )
-    ctoks = ctoks.join(cand.select("__cid").distinct(), "__cid", "semi")
+    btoks = batch.select(F.col(id_col).alias("__bid"),
+                         shingles(F.col(text_col)).alias("ta"))
     jc = fround(jaccard(F.col("ta"), F.col("tb")), 4)
     verified = (
         cand.join(btoks, "__bid")

@@ -51,6 +51,16 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: (session id, root, kind, generation, watermark) -> reader frame.
+#: MODULE-level (registry queries build a fresh store object per
+#: call, so a per-instance memo would never hit); holds only plan
+#: handles, never data — nothing is persisted through it. Stale
+#: entries for a (session, root, kind) are dropped on refresh, and a
+#: key embeds the watermark/generation, so a write through ANY store
+#: object over the same root invalidates it (same single-maintainer
+#: argument as SnapshotSyncedStore._bytes_cache).
+_READER_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _push_batch_keys(batch_frame: DataFrame, key_col: str,
                      corpus_frame: DataFrame,
@@ -333,7 +343,27 @@ class SnapshotSyncedStore:
         return total
 
     def _read(self, kind: str, cols: list[str] | None = None) -> DataFrame:
-        return self.spark.read.parquet(self._kind_dir(kind)).select(
+        """Reader frame for a kind's current generation. The bare
+        ``spark.read.parquet`` is memoized per (kind, generation,
+        watermark) — every fresh call pays a driver file listing plus
+        a footer schema-inference job (~0.1-0.3 s each; a judge reads
+        3-4 kinds, so un-memoized reads were most of a warm judge's
+        job count at bench scale, and at production scale re-listing
+        a many-snapshot store per micro-batch is driver time the
+        plan never sees — guide §6). Invalidation mirrors
+        ``_bytes_cache``: the store only changes when THIS process
+        writes, and every write moves the watermark or generation."""
+        meta = self._meta()
+        key = (id(self.spark), self.root, kind,
+               meta.get("generation", 0), meta["synced_snapshot_id"])
+        df = _READER_CACHE.get(key)
+        if df is None:
+            df = self.spark.read.parquet(self._kind_dir(kind))
+            for k in [k for k in _READER_CACHE
+                      if k[:3] == key[:3]]:  # the kind's stale entries
+                del _READER_CACHE[k]
+            _READER_CACHE[key] = df
+        return df.select(
             *(cols if cols is not None else self._KIND_COLS[kind]))
 
     # -- write paths ---------------------------------------------------
