@@ -5,20 +5,23 @@ Scale shape — the query vocabulary is a LITERAL (keyword queries are
 a handful of terms), so term frequencies are per-term COLUMNS
 computed map-side (``size(filter(tokens, = t))``), never an explode:
 
-- pass 1: ONE scalar aggregate over the tf projection yields N,
-  avgdl, and every per-term document frequency in a single row;
-- pass 2: the same tf projection cross-joins that broadcast row,
-  scores EVERY query as struct fields of one |queries|-wide array,
-  and melts it with a single explode — so the corpus is scanned
-  exactly twice regardless of the query-batch size (per-query union
-  legs would re-scan once per query: Spark does not CSE scan
-  subtrees across union branches). The only token-granularity work
-  is the map-side tf projection; the melt explodes |queries| skinny
-  structs per hit document, never tokens. The per-query top-k runs a
-  per-partition Arrow-batched pre-top-k (each task forwards ≤ k rows
-  per query) before the rank window on (query_id), so the window's
-  shuffle carries ~k × partitions skinny (query_id, doc_id, score,
-  n_hit) rows — never every hit document in the corpus.
+- the tf projection (doc_id, dl, one int per term — tens of bytes
+  per document, never tokens) computes ONCE behind a repartition
+  CSE barrier and persists (persist_site, the dedup-signature
+  lifecycle): the corpus text is read and tokenized a single time
+  regardless of the query-batch size (r15 — the un-persisted
+  two-branch form re-evaluated the split per tf column and per
+  branch);
+- the corpus stats (N, avgdl, per-term document frequencies) are ONE
+  scalar aggregate over that frame; scoring cross-joins the
+  broadcast stats row, scores EVERY query as struct fields of one
+  |queries|-wide array, and melts it with a single explode — the
+  melt explodes |queries| skinny structs per document, never
+  tokens. The per-query top-k plans as a native WindowGroupLimit
+  (partial pass below the exchange, r15 — replacing the Arrow
+  pre-top-k hop), so the window's shuffle carries ~k × partitions
+  skinny (query_id, doc_id, score, n_hit) rows — never every hit
+  document in the corpus.
 
 Cross-engine determinism: tf/df/dl/N are integers; avgdl is pinned
 as ``CAST(SUM(dl) AS DOUBLE)/N``; every per-query score is a chain of
@@ -169,21 +172,28 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     base0 = (docs.filter(F.col(text_col).isNotNull())
              .select(F.col(id_col).alias("doc_id"),
                      toks.alias("__toks")))
-    # CSE barrier (r15 optimization — the text_analysis lesson,
-    # llm_queries.py:50): without an exchange between the tokenize and
-    # its |vocab|+1 uses, CollapseProject inlines the split() into
-    # every tf column AND the pushed-down any-hit filter, and
-    # interpreted HOF lambdas re-evaluate it each time (~20 full regex
-    # splits per document in the measured r15 before-plan). With it,
-    # the split runs once per document; the stats branch and the
-    # scoring branch then share the SAME exchange subtree, so
-    # ReuseExchange makes the whole corpus tokenize a single pass
-    # instead of two. Never downsizes the partition count.
+    # r15 optimization, two layers (the measured before-plan evaluated
+    # the regex split ~20x per document):
+    # 1. a repartition barrier between the tokenize and the tf
+    #    columns — the text_analysis lesson (llm_queries.py:50):
+    #    without it CollapseProject inlines the split() into every tf
+    #    column and interpreted HOF lambdas re-evaluate it per use.
+    #    Never downsizes the partition count.
+    # 2. the SKINNY per-document tf frame (doc_id, dl, |vocab| ints —
+    #    ~tens of bytes/doc, never tokens) persists via persist_site:
+    #    the corpus-stats branch and the scoring branch both read it,
+    #    so the whole tokenize+tf map runs ONCE per document instead
+    #    of once per branch (ReuseExchange cannot be relied on here —
+    #    column pruning gives the two branches different exchange
+    #    subtrees). Same lifecycle as the dedup signature frames.
+    from iceberg_core_spark.caching import persist_site
+
     spark = docs.sparkSession
     base0 = base0.repartition(
         max(spark.sparkContext.defaultParallelism,
             scan_partition_estimate(base0)))
-    base = base0.select("doc_id", F.size("__toks").alias("dl"), *tf_cols)
+    base = persist_site("search.bm25_tf", base0.select(
+        "doc_id", F.size("__toks").alias("dl"), *tf_cols))
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -215,14 +225,17 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
             F.lit(qid).cast("long").alias("query_id"),
             score.alias("score"),
             n_hit.cast("long").alias("n_terms_hit")))
-    # docs hitting NO vocab term at all can't survive any query's
-    # n_terms_hit filter — drop them map-side BEFORE the melt so the
-    # explode only runs over hit documents
-    any_hit = reduce(lambda a, b_: a | b_,
-                     [F.col(f"tf_{i}") > 0 for i in range(len(vocab))])
+    # No pre-melt any-hit filter (r15): a deterministic filter over
+    # the tf columns pushes through the repartition barrier down to
+    # the scan (PushDownPredicates crosses Repartition), where it
+    # re-tokenizes every document once per vocab term AND breaks the
+    # stats/scoring ReuseExchange (the r15 before-plan showed exactly
+    # that). Miss-documents now ride the melt as |queries| skinny
+    # structs and die at the n_terms_hit filter right after — no
+    # shuffle sees them, and the corpus tokenize stays a single
+    # shared pass.
     melted = (
-        scored.filter(any_hit)
-        .select("doc_id", F.explode(F.array(*q_structs)).alias("q"))
+        scored.select("doc_id", F.explode(F.array(*q_structs)).alias("q"))
         .select("doc_id", "q.query_id", "q.score", "q.n_terms_hit")
         .filter(F.col("n_terms_hit") > 0)
     )
@@ -387,16 +400,15 @@ def bm25_search_exploded_frame(docs: DataFrame, qterms: DataFrame,
     vocab_df = qmap.select("term").distinct()
 
     toks = ws_tokens_nonempty(F.col(text_col))
+    # deliberately NO barrier/persist here (r15): the stats branch
+    # needs only dl (one tokenize-and-count pass) and the tf branch
+    # explodes the tokens — sharing would mean shuffling or pinning
+    # corpus-scale token arrays to save one split() pass, the trade
+    # the dedup family also declines (shingles stay recompute-on-use)
     base = (docs.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
-                    toks.alias("__toks")))
-    # same CSE/ReuseExchange barrier as bm25_search: the stats branch
-    # and the explode branch otherwise each re-tokenize the corpus
-    spark = docs.sparkSession
-    base = base.repartition(
-        max(spark.sparkContext.defaultParallelism,
-            scan_partition_estimate(base)))
-    base = base.select("doc_id", F.size("__toks").alias("dl"), "__toks")
+                    toks.alias("__toks"))
+            .select("doc_id", F.size("__toks").alias("dl"), "__toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))

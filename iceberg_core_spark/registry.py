@@ -122,14 +122,21 @@ def all_queries() -> dict[str, Entry]:
         "win_frame", "win_range_frame", "topk_per_group", "array_hof",
         "win_tumbling", "stream_dedup", "udf_scalar",
         "udaf_group_stats",
-        # (d) 16 flex slots, all drawn from the 36 r13 rows whose
+        # (d) 16 flex slots. 13 drawn from the 36 r13 rows whose
         # helper closure (caching.py/dedup.py/ice_table.py) changed
         # r14 — they hit age-3-with-changed-helpers at r16, so
-        # windowing them now drains the r16 forced set from 63 to 47:
-        # the 10 pre-committed table-layer picks (r14 plan),
-        "table_cdc_mor", "table_changelog", "table_incremental",
-        "table_merge", "table_partition_evolution", "table_rollup",
-        "table_time_travel", "zorder_range_scan", "bloom_point_scan",
+        # windowing them now drains the r16 forced set:
+        # 7 of the 10 pre-committed table-layer picks (r14 plan) —
+        # the r15 OPTIMIZATION round's tpch.py rewrite (q18/q21)
+        # displaced table_incremental/table_partition_evolution/
+        # table_time_travel (all re-forced at r16 by their
+        # r14-changed ice_table.py helper regardless, so the r16
+        # forced count is unchanged at 48) in favor of the three r12
+        # TPC-H rows the changed module now forces immediately:
+        "tpch_q3", "tpch_q5", "tpch_q12",
+        "table_cdc_mor", "table_changelog",
+        "table_merge", "table_rollup",
+        "zorder_range_scan", "bloom_point_scan",
         "stream_ingest",
         # and 3 rows-only/portable-twin PAIRS (both members of each
         # pair sit in that same forced-at-r16 set, and pairing them

@@ -36,9 +36,8 @@ def main() -> None:
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
-    for name in HEADLINE:
-        if only is not None and name not in only:
-            continue
+    names = sorted(only) if only is not None else HEADLINE
+    for name in names:
         fn, _sql = queries[name]
         df = fn(spark, sf_dir)
         text = df._jdf.queryExecution().explainString(mode)
