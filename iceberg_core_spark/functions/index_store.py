@@ -51,14 +51,21 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: (session id, root, kind, generation, watermark) -> reader frame.
+#: (applicationId, root, kind, generation, watermark) -> reader frame.
 #: MODULE-level (registry queries build a fresh store object per
 #: call, so a per-instance memo would never hit); holds only plan
 #: handles, never data — nothing is persisted through it. Stale
-#: entries for a (session, root, kind) are dropped on refresh, and a
+#: entries for an (app, root, kind) are dropped on refresh, and a
 #: key embeds the watermark/generation, so a write through ANY store
 #: object over the same root invalidates it (same single-maintainer
-#: argument as SnapshotSyncedStore._bytes_cache).
+#: argument as SnapshotSyncedStore._bytes_cache). Keyed on the
+#: SparkContext applicationId, NOT id(session): CPython reuses a
+#: GC'd session's address, which could resurrect a dead frame for an
+#: identical (root, kind, generation, watermark) in a NEW session
+#: (r15 ADVICE). applicationIds are unique per context and only one
+#: context is live per JVM, so entries under any OTHER app id are
+#: provably dead — _read sweeps them on insert, bounding growth
+#: across session restarts.
 _READER_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -354,13 +361,14 @@ class SnapshotSyncedStore:
         ``_bytes_cache``: the store only changes when THIS process
         writes, and every write moves the watermark or generation."""
         meta = self._meta()
-        key = (id(self.spark), self.root, kind,
+        key = (self.spark.sparkContext.applicationId, self.root, kind,
                meta.get("generation", 0), meta["synced_snapshot_id"])
         df = _READER_CACHE.get(key)
         if df is None:
             df = self.spark.read.parquet(self._kind_dir(kind))
             for k in [k for k in _READER_CACHE
-                      if k[:3] == key[:3]]:  # the kind's stale entries
+                      if k[:3] == key[:3]  # the kind's stale entries
+                      or k[0] != key[0]]:  # any dead app's entries
                 del _READER_CACHE[k]
             _READER_CACHE[key] = df
         return df.select(

@@ -102,62 +102,50 @@ def all_queries() -> dict[str, Entry]:
     # forced sets below come from the live `--ages 14` run under that
     # stricter rule.
     priority = [
-        # ROUND-15 WINDOW (the r6-r14 window lists live in git
-        # history). 34 rows the live `--ages 15 --assume-green-window`
-        # audit FORCES at r14 close, re-confirmed this round:
-        # (a) the 19 unwindowed r11 TPC-H rows, unconditionally age-4,
-        "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7",
-        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
-        "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-        "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-        # (b) the 7 r11 corpus/spans rows, also age-4 (their helper
-        # modules — packing/quality/assembly/dedup_spans — changed
-        # r13/r14 so they could not ride the unchanged tier),
-        "corpus_pack", "corpus_pii", "corpus_shuffle",
-        "dedup_spans", "corpus_despan",
-        "dedup_spans_min16", "corpus_despan_min16",
-        # (c) the 8 r12 rows whose helpers changed since their row:
-        # relational.py (changed r14) for the window/topk/hof rows,
-        # streaming/udfs helpers (changed r13) for the rest,
-        "win_frame", "win_range_frame", "topk_per_group", "array_hof",
-        "win_tumbling", "stream_dedup", "udf_scalar",
-        "udaf_group_stats",
-        # (d) 16 flex slots. 13 drawn from the 36 r13 rows whose
-        # helper closure (caching.py/dedup.py/ice_table.py) changed
-        # r14 — they hit age-3-with-changed-helpers at r16, so
-        # windowing them now drains the r16 forced set:
-        # 7 of the 10 pre-committed table-layer picks (r14 plan) —
-        # the r15 OPTIMIZATION round's tpch.py rewrite (q18/q21)
-        # displaced table_incremental/table_partition_evolution/
-        # table_time_travel (all re-forced at r16 by their
-        # r14-changed ice_table.py helper regardless, so the r16
-        # forced count is unchanged at 48) in favor of the three r12
-        # TPC-H rows the changed module now forces immediately:
-        "tpch_q3", "tpch_q5", "tpch_q12",
-        "table_cdc_mor", "table_changelog",
-        "table_merge", "table_rollup",
-        "zorder_range_scan", "bloom_point_scan",
-        "stream_ingest",
-        # and 3 rows-only/portable-twin PAIRS (both members of each
-        # pair sit in that same forced-at-r16 set, and pairing them
-        # in-window satisfies the r14-verdict twin invariant that
-        # verify_window.py now enforces mechanically):
-        "dedup_embedding_lsh", "dedup_embedding_lsh_portable",
-        "sim_search_lsh", "sim_search_lsh_portable",
-        "dedup_clusters_minhash", "dedup_clusters_portable",
-        # R16 PLAN (live `--ages 16 --assume-green-window` at r15
-        # close; see TODO.md r15 log for the run): 47 forced — the 27
-        # r12 rows riding the unchanged tier to hard age-4 (vocab_topk,
-        # write_shards, scan_avro/jsonl/orc, corpus_lm_score,
-        # range_join_window, events_*, explode_tokens, map_funcs, the
-        # 12 relational_ext agg/scalar rows, win_rank_ext, tpch_q3/q5/
-        # q12) + the 20 r13 changed-helper rows NOT absorbed above
-        # (agg_approx_distinct+portable twin, dedup_exact,
-        # dedup_near_jaccard, dedup_minhash_lsh+twin already green r14,
-        # dedup_simhash+twin, dedup_embedding, dedup_clusters,
-        # multimodal_meta/features/chunks, win_sliding, win_session,
-        # stream_join, sim_search_ivf_portable, admission_index,
-        # bloom — see the audit output) — leaving 3 flex.
+        # ROUND-16 WINDOW (the r6-r15 window lists live in git
+        # history). The live `--ages 16 --assume-green-window` audit at
+        # r15 close forces 48 rows; the 2 remaining slots go to the
+        # r15-touched-but-driver-unverified paths the r15 VERDICT
+        # (item 2) names: corpus_bm25 and sim_search_batch (the other
+        # two named, admission_index and corpus_fuzzy_admission, are
+        # in the forced 48 already). The three rows-only entries below
+        # (dedup_minhash_lsh, dedup_simhash, agg_approx_distinct) are
+        # vouched by their OUT-of-window portable twins under the r16
+        # deferred-twin rule (verify_window.twin_pairing_errors): each
+        # twin is green-r13 with a byte-unchanged helper closure, and
+        # windowing the twins too would need 53 slots of 50.
+        # (a) the 24 r12 rows at hard age-4:
+        "vocab_topk", "write_shards", "scan_avro", "scan_jsonl",
+        "scan_orc", "corpus_lm_score", "range_join_window",
+        "events_sessionize", "events_gapfill", "events_interpolate",
+        "explode_tokens", "map_funcs", "agg_stats", "agg_string_agg",
+        "win_rank_ext", "scalar_cond", "scalar_subquery", "agg_salted",
+        "agg_median", "agg_minmax_by", "agg_percentile",
+        "scalar_string2", "agg_conditional", "scalar_subquery_corr",
+        # (b) the 24 r13 rows at age 3 whose helper closures changed
+        # since r13 (caching.py/dedup.py/similarity.py/index_store.py/
+        # ice_table.py/manifest.py/binary_columns.py/search.py — see
+        # the audit), which re-window immediately:
+        "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding", "dedup_clusters",
+        "multimodal_meta", "multimodal_features", "multimodal_chunks",
+        "sim_search_ivf_portable", "admission_index",
+        "corpus_mix_temperature", "win_sliding", "win_session",
+        "stream_join", "corpus_bm25_exploded", "corpus_fuzzy_prefix",
+        "corpus_fuzzy_clusters", "corpus_fuzzy_decontaminate",
+        "corpus_fuzzy_admission", "table_incremental",
+        "table_time_travel", "table_partition_evolution",
+        "agg_approx_distinct",
+        # (c) 2 flex slots: the r15 VERDICT item-2 mandates (both
+        # touched by the r15 optimization, both re-touched r16):
+        "corpus_bm25", "sim_search_batch",
+        # R17 PLAN: the 13 deferred r13 rows (corpus_clean, text_ngrams,
+        # dedup_simhash_portable, agg_approx_distinct_portable,
+        # split_train_test, sample_stratified, stateful_stats, scan_csv,
+        # events_funnel, events_retention, events_downsample,
+        # udtf_tokenize, agg_pivot) hit hard age-4 at r17, plus the
+        # three vouching twins above and every r16-touched module's
+        # rows (the audit's TOUCHED-UNWINDOWED tier lists them).
     ]
     ordered: dict[str, Entry] = {k: out[k] for k in priority if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -139,10 +139,23 @@ ROWS_ONLY_TWINS = {
 }
 
 
-def twin_pairing_errors(queries, window: set[str]) -> list[str]:
+def twin_pairing_errors(queries, window: set[str],
+                        twin_vouches=None) -> list[str]:
     """Pairing violations for a window: a rows-only (oracle-less) query
     in the window without its hash-checked twin alongside, or a
-    rows-only registry entry with no twin mapping at all."""
+    rows-only registry entry with no twin mapping at all.
+
+    ``twin_vouches`` (r16): optional predicate ``twin_name -> bool``.
+    When it returns True, an out-of-window twin still satisfies the
+    pairing — the audit passes it when the twin's own green row would
+    itself pass the age audit out-of-window (age <= MAX_AGE
+    unconditionally, or the byte-unchanged deferral tier), i.e. the
+    twin's hash-checked evidence is exactly as fresh as the audit
+    demands of any first-class query. Added when the r16 forced set
+    hit the 50-slot capacity: 48 age-forced rows + 2 flex (VERDICT
+    r15 item 2) left no room to re-run twins whose own rows are
+    in-date. A twin that ages out (or whose closure changes past the
+    deferral bound) stops vouching and is pulled in-window again."""
     errs = []
     for name, (_fn, sql) in queries.items():
         if sql is not None:
@@ -151,10 +164,12 @@ def twin_pairing_errors(queries, window: set[str]) -> list[str]:
         if twin is None or twin not in queries:
             errs.append(f"{name}: rows-only query has no registered "
                         "portable twin (add it to ROWS_ONLY_TWINS)")
-        elif name in window and twin not in window:
+        elif name in window and twin not in window and not (
+                twin_vouches is not None and twin_vouches(twin)):
             errs.append(f"{name}: rows-only row is in the window but "
                         f"its hash-checked twin {twin} is not — pair "
-                        "them (r14 VERDICT #5)")
+                        "them (r14 VERDICT #5) or let a byte-unchanged "
+                        "recent twin row vouch (r16)")
     return errs
 
 # ---------------------------------------------------------------------------
@@ -427,7 +442,26 @@ def audit_ages(next_round: int | None = None,
         with open(seen_path, "w") as f:
             json.dump(seen, f, indent=0, sort_keys=True)
 
-    errors = twin_pairing_errors(queries, window)
+    def _twin_vouches(twin: str) -> bool:
+        # see twin_pairing_errors: a twin vouches iff its own green
+        # row would pass THIS audit out-of-window — age <= MAX_AGE
+        # unconditionally (the age rule the whole registry lives
+        # under), or age <= MAX_AGE_UNCHANGED with a byte-identical
+        # helper closure since the row (the deferral tier). Anything
+        # the audit would force in-window cannot vouch from outside.
+        rnd_ok = latest.get(twin)
+        if not rnd_ok or not rnd_ok[1]:
+            return False
+        age = nr - rnd_ok[0]
+        if age <= MAX_AGE:
+            return True
+        if age > MAX_AGE_UNCHANGED:
+            return False
+        unchanged, _ = _helpers_unchanged_since(queries[twin][0],
+                                                rnd_ok[0])
+        return unchanged is True
+
+    errors = twin_pairing_errors(queries, window, _twin_vouches)
     pending = []
     for name in names:
         rnd_ok = latest.get(name)
@@ -474,6 +508,25 @@ def audit_ages(next_round: int | None = None,
                     f"{name}: latest green row is r{rnd} (age {age} in "
                     f"r{nr} > {MAX_AGE}) and the byte-unchanged check "
                     f"could not run (no round commit / not file-backed)")
+    # POLICY (r15 VERDICT item 2): a query whose helper closure changes
+    # in round N should enter the round-N window, not round N+1. When
+    # the forced set is at the 50-slot capacity this cannot always be
+    # satisfied, so the audit SURFACES every exception instead of
+    # silently deferring it: each out-of-window query whose closure
+    # changed since the PREVIOUS round's artifact commit is listed
+    # below, and the round log must carry builder-side snapshot-hash
+    # evidence for each (the compensating control r15 used for bm25).
+    prev_commit = _round_commit(nr - 1)
+    touched_unwindowed = []
+    if prev_commit is not None:
+        for name in names:
+            if name in window:
+                continue
+            files = _helper_closure_files(queries[name][0]) or []
+            changed = [f for f in files
+                       if not _file_unchanged(f, prev_commit)]
+            if changed:
+                touched_unwindowed.append((name, changed))
     in_window_no_need = len(window) - sum(
         1 for n in names[:WINDOW]
         if n not in latest or not latest[n][1]
@@ -483,6 +536,11 @@ def audit_ages(next_round: int | None = None,
     for p in pending:
         print(f"  PENDING-LEAD {p}: no driver row yet — must lead "
               f"the r{nr + 1} window")
+    for name, changed in touched_unwindowed:
+        print(f"  TOUCHED-UNWINDOWED {name}: helper(s) "
+              f"{', '.join(changed)} changed since r{nr - 1} but the "
+              f"query is out-of-window — record snapshot-hash "
+              f"evidence in the round log (policy, r15 VERDICT #2)")
     for e in errors:
         tag = ("PAIRING-VIOLATION" if "twin" in e or "pair" in e
                else "AGE-VIOLATION")

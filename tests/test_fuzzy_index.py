@@ -239,6 +239,32 @@ def test_push_batch_keys_over_bound_is_a_cheap_no_op(spark):
     assert c_under.count() == 10  # filtered to the batch keys
 
 
+def test_reader_cache_keys_on_application_id(spark, tmp_path):
+    """The reader memo must key on the SparkContext applicationId —
+    NOT id(session), which CPython recycles after GC, resurrecting a
+    dead session's DataFrame for an identical (root, kind, gen,
+    watermark) key (r15 ADVICE). Entries under any OTHER application
+    id are provably dead (one live context per JVM) and must be swept
+    on the next insert so the module-level map cannot grow without
+    bound across session restarts."""
+    from iceberg_core_spark.functions.index_store import _READER_CACHE
+
+    crows, _brows = _seeded_corpora()
+    _t, idx = _committed_index(spark, tmp_path, crows, n_commits=1)
+    _READER_CACHE.clear()
+    dead = ("app-dead-0000", str(tmp_path / "idx"), "segs", 0, 1)
+    _READER_CACHE[dead] = spark.range(1)  # a prior session's relic
+    df1 = idx._read("segs")
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in _READER_CACHE), (
+        "dead-application entries must be swept on insert")
+    # and the memo hits: same watermark/generation -> same frame
+    before = dict(_READER_CACHE)
+    idx._read("segs")
+    assert dict(_READER_CACHE) == before
+    assert df1.count() > 0
+
+
 def test_fuzzy_index_rejects_param_mismatch(spark, tmp_path):
     """Reopening an index with different segment geometry must raise,
     not silently judge against unjoinable persisted pieces."""

@@ -301,10 +301,18 @@ def test_rows_only_rows_pull_their_portable_twin_into_the_window():
 def test_registry_window_obeys_twin_pairing():
     """The live registry must satisfy the pairing invariant: every
     rows-only entry has a twin mapping, and the current 50-slot window
-    never strands a rows-only row without its twin."""
+    never strands a rows-only row whose twin neither sits in the
+    window nor vouches from an in-date row of its own (the r16 vouch
+    rule lives in audit_ages, so run the full audit read-only — it
+    also re-checks every age bound against the committed artifacts)."""
     vw = _vw()
-    from iceberg_core_spark.registry import all_queries
+    import glob
+    import os
+    import re
 
-    qs = all_queries()
-    window = set(list(qs)[:50])
-    assert vw.twin_pairing_errors(qs, window) == []
+    rounds = [int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+              for f in glob.glob(os.path.join(vw.REPO,
+                                              "CORRECTNESS_r*.json"))]
+    # explicit round argument => read-only what-if (no first-seen
+    # stamping side effect inside a test run)
+    assert vw.audit_ages(max(rounds) + 1) == 0
