@@ -94,7 +94,19 @@ def _prep_layout(spark, sf_dir: str) -> tuple[str, float]:
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
-        n = max(1, min(par, df.count() // 75_000))
+        rows = df.count()
+        n = max(1, min(par, rows // 75_000))
+        if t in ("documents", "embeddings", "events"):
+            # CPU-bound-per-ROW tables (tokenize / vector math /
+            # sessionize): the relational rows-per-file heuristic
+            # above left each as ONE file at sf0.1, capping every
+            # scan at one task and taxing every corpus query with a
+            # spread() repartition of the full text (r15 finding,
+            # r16 fix — guide §6). Write at least defaultParallelism
+            # files once there are enough rows to matter, mirroring
+            # the 100 TB layout where these tables always scan wide
+            # and spread() is a structural no-op.
+            n = min(par, max(n, rows // 16))
         df.repartition(n).write.mode("overwrite").parquet(
             os.path.join(prep_dir, f"{t}.parquet")
         )

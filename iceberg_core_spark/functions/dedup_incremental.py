@@ -70,7 +70,7 @@ from iceberg_core_spark.functions.dedup_portable import (
 )
 from iceberg_core_spark.functions.index_store import (
     SnapshotSyncedStore,
-    _push_batch_keys,
+    _push_batch_keys_multi,
 )
 from iceberg_core_spark.session import load_table, spread
 
@@ -149,11 +149,12 @@ def _judge(
     if key_pushdown:
         # the localized batch frames also stop the band map (N_HASHES
         # md5 per token — the pipeline's CPU hot spot) from computing
-        # once for the key collect and again for the candidate join
-        bfp, cfp_rows = _push_batch_keys(bfp, "fp", cfp_rows,
-                                         key_pushdown)
-        bb, cbands = _push_batch_keys(bb, "band_hash", cbands,
-                                      key_pushdown)
+        # once for the key collect and again for the candidate join.
+        # Both families ride one fused count job + one fused collect
+        # job (r16, guide §6 driver round-trips)
+        (bfp, cfp_rows), (bb, cbands) = _push_batch_keys_multi(
+            [(bfp, "fp", cfp_rows), (bb, "band_hash", cbands)],
+            key_pushdown)
 
     cfp = cfp_rows.groupBy("fp").agg(F.min("__cid").alias("exact_match"))
     exact = bfp.join(cfp, "fp", "left").select(id_col, "exact_match")

@@ -64,7 +64,7 @@ from iceberg_core_spark.functions.fuzzy import (
 )
 from iceberg_core_spark.functions.index_store import (
     SnapshotSyncedStore,
-    _push_batch_keys,
+    _push_batch_keys_multi,
 )
 from iceberg_core_spark.session import load_table
 
@@ -134,10 +134,12 @@ def _fuzzy_judge(
     segs_b = (_segments(b.filter(F.col("__len") >= min_len), max_dist)
               .select(F.col("__id").alias("__bid"), *keys))
     if piece_pushdown:
-        probes_b, csegs = _push_batch_keys(
-            probes_b, "__piece", csegs, piece_pushdown)
-        segs_b, csprobe = _push_batch_keys(
-            segs_b, "__piece", csprobe, piece_pushdown)
+        # both pushdown families in one fused count job + one fused
+        # collect job (r16, guide §6: the per-family count+collect
+        # pairs were 4 of the judge's ~15 driver round-trips)
+        (probes_b, csegs), (segs_b, csprobe) = _push_batch_keys_multi(
+            [(probes_b, "__piece", csegs),
+             (segs_b, "__piece", csprobe)], piece_pushdown)
 
     # direction A: batch probes × corpus segments (covers every
     # guarantee-class corpus doc, whatever the batch doc's class)

@@ -119,6 +119,94 @@ def _push_batch_keys(batch_frame: DataFrame, key_col: str,
     return local, corpus_frame
 
 
+#: spark types whose values round-trip to_json -> createDataFrame
+#: byte-exactly — the only columns _push_batch_keys_multi may carry
+#: (float/double/decimal/timestamp/binary would need a lossy or
+#: format-dependent text hop, so frames containing them fall back to
+#: per-frame _push_batch_keys semantics without the job fusion)
+_JSON_EXACT_TYPES = ("long", "integer", "short", "byte", "string",
+                     "boolean")
+
+
+def _push_batch_keys_multi(
+        entries: list[tuple[DataFrame, str, DataFrame]],
+        max_rows: int) -> list[tuple[DataFrame, DataFrame]]:
+    """N key pushdowns in TWO Spark jobs instead of 2N.
+
+    Per entry ``(batch_frame, key_col, corpus_frame)`` the contract is
+    EXACTLY :func:`_push_batch_keys` — per-entry row bound, localized
+    batch frame, necessary-condition ``isin`` filter on the corpus
+    frame, growth-guarded collect, graceful over-bound fallback — only
+    the DRIVER JOB COUNT changes: every judge-time pushdown family's
+    count+collect pair was a separate job round-trip (r15 profile:
+    ~15 jobs/judge, wall dominated by fixed stage latency at batch
+    scale — guide §6 "driver round-trips"), so the N counts fuse into
+    ONE tagged-union count job and the N under-bound collects into ONE
+    tagged-union collect job. Rows ride the shared union as
+    ``to_json(struct(*))`` so frames of different schemas coexist;
+    call-site frames are integral/string-typed (asserted), which json
+    round-trips exactly.
+
+    Fallback ladder (everything degrades to "no pushdown", never to a
+    wrong filter): a non-json-exact column type falls the whole call
+    back to per-frame semantics with zero jobs here; an over-bound
+    entry keeps its original frames while under-bound siblings still
+    localize; a bounded collect that hits its structural limit (an
+    entry grew between the two jobs) falls every entry back, because
+    truncation makes completeness of any single tag unprovable — and
+    an INCOMPLETE key set as an isin filter would wrongly prune the
+    corpus."""
+    if not entries:
+        return []
+    for bf, _k, _c in entries:
+        if any(f.dataType.typeName() not in _JSON_EXACT_TYPES
+               for f in bf.schema.fields):
+            return [_push_batch_keys(bf, k, cf, max_rows)
+                    for bf, k, cf in entries]
+    tagged_cnt = None
+    tagged_rows = None
+    for i, (bf, _k, _c) in enumerate(entries):
+        c = bf.select(F.lit(i).alias("__tag"))
+        r = bf.select(F.lit(i).alias("__tag"),
+                      F.to_json(F.struct("*")).alias("__row"))
+        tagged_cnt = c if tagged_cnt is None else tagged_cnt.union(c)
+        tagged_rows = r if tagged_rows is None else tagged_rows.union(r)
+    counts = {row["__tag"]: row["n"] for row in
+              tagged_cnt.groupBy("__tag").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    under = [i for i in range(len(entries))
+             if counts.get(i, 0) <= max_rows]
+    out: list[tuple[DataFrame, DataFrame]] = [
+        (bf, cf) for bf, _k, cf in entries]
+    if not under:
+        return out
+    bound = len(under) * max_rows + 1
+    rows = (tagged_rows.filter(F.col("__tag").isin(under))
+            .limit(bound).collect())
+    if len(rows) >= bound:
+        return out  # truncated: no tag's completeness is provable
+    spark = entries[0][0].sparkSession
+    by_tag: dict[int, list] = {i: [] for i in under}
+    for row in rows:
+        by_tag[row["__tag"]].append(_json.loads(row["__row"]))
+    for i in under:
+        bf, key_col, corpus_frame = entries[i]
+        dicts = by_tag[i]
+        if len(dicts) > max_rows:  # grew between the two jobs
+            continue
+        local = spark.createDataFrame(dicts, bf.schema) if dicts \
+            else spark.createDataFrame([], bf.schema)
+        keys = [k for k in {d.get(key_col) for d in dicts}
+                if k is not None]
+        if keys:
+            corpus_frame = corpus_frame.filter(
+                F.col(key_col).isin(keys))
+        else:
+            corpus_frame = corpus_frame.filter(F.lit(False))
+        out[i] = (local, corpus_frame)
+    return out
+
+
 class SnapshotSyncedStore:
     """Generic snapshot-synced parquet store (see module docstring)."""
 

@@ -6,12 +6,14 @@ a handful of terms), so term frequencies are per-term COLUMNS
 computed map-side (``size(filter(tokens, = t))``), never an explode:
 
 - the tf projection (doc_id, dl, one int per term — tens of bytes
-  per document, never tokens) computes ONCE behind a repartition
-  CSE barrier and persists (persist_site, the dedup-signature
-  lifecycle): the corpus text is read and tokenized a single time
-  regardless of the query-batch size (r15 — the un-persisted
-  two-branch form re-evaluated the split per tf column and per
-  branch);
+  per document, never tokens) computes ONCE behind a MAP-SIDE
+  explode(array(struct(tokens))) CSE barrier and persists
+  (persist_site, the dedup-signature lifecycle): the corpus text is
+  read and tokenized a single time regardless of the query-batch
+  size, and token arrays never shuffle (r16 — the r15 repartition
+  barrier moved the tokenized corpus through an exchange; the
+  un-persisted two-branch r14 form re-evaluated the split per tf
+  column and per branch);
 - the corpus stats (N, avgdl, per-term document frequencies) are ONE
   scalar aggregate over that frame; scoring cross-joins the
   broadcast stats row, scores EVERY query as struct fields of one
@@ -43,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_core_spark.functions.text import ws_tokens_nonempty
-from iceberg_core_spark.session import load_table, scan_partition_estimate
+from iceberg_core_spark.session import load_table, spread
 
 K1 = 1.2
 B = 0.75
@@ -95,9 +97,12 @@ def local_group_topk(df: DataFrame, group_col: str, order_col: str,
     own partition — pandas' dropna default would silently drop those
     rows from the pre-top-k (r12 ADVICE; current callers' keys are
     non-null by construction, but the shared helper must not depend
-    on that). The ONE copy of this pattern — bm25 and the embedding
-    batch top-k both call it (r12 review: the two inlined twins had
-    already diverged on exactly the NULL/NaN rule)."""
+    on that). r15 moved BOTH production callers (bm25's _rank_topk
+    and similarity.cosine_topk_batch) onto the native
+    WindowGroupLimit plan; this helper is retained as the Arrow-path
+    oracle/reference for those plans (its regression test pins the
+    selection semantics the native path must match) and for callers
+    on Spark builds without WindowGroupLimit."""
     def _local_topk(batches):
         for pdf in batches:
             if len(pdf):
@@ -155,30 +160,36 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
             "shuffle, no per-term column blowup.")
     idx = {t: i for i, t in enumerate(vocab)}
 
-    toks = ws_tokens_nonempty(F.col(text_col))
-
     def _eq(term: str):
         # NB: a two-parameter lambda would receive (element, index)
         # from F.filter — close over the term instead
         return lambda x: x == F.lit(term)
 
+    toks_field = F.col("__w").getField("t")
     tf_cols = [
-        F.size(F.filter("__toks", _eq(t))).alias(f"tf_{i}")
+        F.size(F.filter(toks_field, _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(vocab)
     ]
     # NULL-text docs have no tokens and no length: size(NULL) is -1 on
     # Spark (poisoning avgdl) while DuckDB's len(NULL) is NULL-skipped —
     # exclude them from the corpus statistics in BOTH engines (r9 review)
-    base0 = (docs.filter(F.col(text_col).isNotNull())
-             .select(F.col(id_col).alias("doc_id"),
-                     toks.alias("__toks")))
-    # r15 optimization, two layers (the measured before-plan evaluated
+    base0 = spread(docs.filter(F.col(text_col).isNotNull())
+                   .select(F.col(id_col).alias("doc_id"), text_col))
+    # r15/r16 optimization, two layers (the r15 before-plan evaluated
     # the regex split ~20x per document):
-    # 1. a repartition barrier between the tokenize and the tf
-    #    columns — the text_analysis lesson (llm_queries.py:50):
-    #    without it CollapseProject inlines the split() into every tf
-    #    column and interpreted HOF lambdas re-evaluate it per use.
-    #    Never downsizes the partition count.
+    # 1. a MAP-SIDE CSE barrier between the tokenize and the tf
+    #    columns: the token array rides a one-element
+    #    explode(array(struct(...))) — the Generate evaluates the
+    #    split() ONCE per row and every tf column references the
+    #    generated attribute, which the optimizer cannot inline
+    #    through. r15 used a repartition barrier here, which shuffled
+    #    corpus-scale TOKEN ARRAYS — at the 100 TB design point that
+    #    materializes the tokenized corpus to shuffle disk (the exact
+    #    trade bm25_search_exploded's comment declines, r15 ADVICE).
+    #    The Generate is row-local: no exchange at all. spread() on
+    #    the skinny (doc_id, text) input covers the one-task
+    #    single-file-scan case the repartition also handled, and is a
+    #    structural no-op on any real multi-file layout.
     # 2. the SKINNY per-document tf frame (doc_id, dl, |vocab| ints —
     #    ~tens of bytes/doc, never tokens) persists via persist_site:
     #    the corpus-stats branch and the scoring branch both read it,
@@ -188,12 +199,13 @@ def bm25_search(docs: DataFrame, queries: list[tuple[int, str]],
     #    subtrees). Same lifecycle as the dedup signature frames.
     from iceberg_core_spark.caching import persist_site
 
-    spark = docs.sparkSession
-    base0 = base0.repartition(
-        max(spark.sparkContext.defaultParallelism,
-            scan_partition_estimate(base0)))
-    base = persist_site("search.bm25_tf", base0.select(
-        "doc_id", F.size("__toks").alias("dl"), *tf_cols))
+    wrapped = F.explode(F.array(F.struct(
+        ws_tokens_nonempty(F.col(text_col)).alias("t"))))
+    base = persist_site("search.bm25_tf", base0
+                        .select("doc_id", wrapped.alias("__w"))
+                        .select("doc_id",
+                                F.size(toks_field).alias("dl"),
+                                *tf_cols))
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -239,6 +239,55 @@ def test_push_batch_keys_over_bound_is_a_cheap_no_op(spark):
     assert c_under.count() == 10  # filtered to the batch keys
 
 
+def test_push_batch_keys_multi_matches_per_frame_semantics(spark):
+    """The fused two-job variant must preserve _push_batch_keys'
+    per-entry contract exactly: under-bound entries localize and
+    filter their corpus frame, an over-bound entry keeps its original
+    frames while its under-bound sibling still localizes, an empty
+    entry collapses its corpus side to empty, and mixed schemas
+    (long/string vs long/int/string) coexist in the shared union."""
+    from iceberg_core_spark.functions.index_store import (
+        _push_batch_keys_multi,
+    )
+
+    b1 = spark.range(0, 10).selectExpr("id as doc_id",
+                                       "concat('fp', id) as fp")
+    c1 = spark.range(0, 100).selectExpr("concat('fp', id) as fp",
+                                        "id as __cid")
+    b2 = spark.range(0, 10).selectExpr(
+        "id as __bid", "cast(id % 4 as int) as band_idx",
+        "concat('h', id % 7) as band_hash")
+    c2 = spark.range(0, 100).selectExpr(
+        "id as __cid", "cast(id % 4 as int) as band_idx",
+        "concat('h', id) as band_hash")
+
+    # both under bound: localized + filtered
+    (l1, f1), (l2, f2) = _push_batch_keys_multi(
+        [(b1, "fp", c1), (b2, "band_hash", c2)], max_rows=50)
+    assert l1 is not b1 and l2 is not b2
+    assert sorted(r.fp for r in l1.collect()) \
+        == sorted(r.fp for r in b1.collect())
+    assert l2.schema == b2.schema
+    assert f1.count() == 10  # fp0..fp9
+    assert f2.count() == 7   # h0..h6
+    # one over bound: that entry untouched, the sibling still pushes
+    (o1, oc1), (l2b, f2b) = _push_batch_keys_multi(
+        [(c1.selectExpr("fp", "__cid as doc_id"), "fp", c1),
+         (b2, "band_hash", c2)], max_rows=50)
+    assert oc1 is c1
+    assert l2b is not b2 and f2b.count() == 7
+    # empty entry: corpus side collapses to empty
+    (le, fe), = _push_batch_keys_multi(
+        [(b1.filter("doc_id < 0"), "fp", c1)], max_rows=50)
+    assert le.count() == 0 and fe.count() == 0
+    # non-json-exact column type: per-frame fallback, same semantics
+    bd = spark.range(0, 5).selectExpr("id as k",
+                                      "cast(id as double) as v")
+    (ld, fd), = _push_batch_keys_multi(
+        [(bd, "k", c1.selectExpr("__cid as k"))], max_rows=50)
+    assert ld is not bd and fd.count() == 5
+
+
 def test_reader_cache_keys_on_application_id(spark, tmp_path):
     """The reader memo must key on the SparkContext applicationId —
     NOT id(session), which CPython recycles after GC, resurrecting a
